@@ -1,0 +1,25 @@
+from map_reduce_project_spark.graph.ccf import (
+    CCFResult,
+    ccf_dedup,
+    ccf_iterate,
+    component_count,
+    component_summary,
+    connected_components,
+)
+from map_reduce_project_spark.graph.generators import (
+    generate_chain_graph,
+    generate_cluster_graph,
+    generate_random_graph,
+)
+
+__all__ = [
+    "CCFResult",
+    "ccf_dedup",
+    "ccf_iterate",
+    "component_count",
+    "component_summary",
+    "connected_components",
+    "generate_chain_graph",
+    "generate_cluster_graph",
+    "generate_random_graph",
+]

@@ -1,0 +1,220 @@
+"""CCF connected components, DataFrame-native.
+
+The reference (wwfong/map-reduce-project) implements CCF — the iterative
+min-label-propagation MapReduce algorithm of Kardes, Agrawal, Wang & Sun
+(CIKM 2014) — with RDD groupByKey + a row-at-a-time Python reducer
+(reference ccf_connected_components.py:23-88, loop 190-230). This module
+re-expresses the same semantics as a Catalyst-planned DataFrame fixed
+point. Structural wins over the reference (see SURVEY.md §3.4/§4):
+
+- ``groupByKey`` + collect-all-neighbors is replaced by
+  ``groupBy("src").agg(F.min("dst"))`` — partial (map-side) aggregation
+  shrinks a high-degree hub's shuffle traffic to one row per map
+  partition instead of shipping every neighbor to one reducer
+  (the O(N)-reducer-memory + hub-skew problem flagged in the
+  reference's own RESULTS.md:119).
+- The convergence counter is a deterministic ``count()`` aggregate on
+  the new-pair branch, not an accumulator (Spark accumulators over-count
+  under task retry; reference CCFConnectedComponents.scala:197).
+- One eager materialization per iteration via
+  ``localCheckpoint(eager=True)``, which both pins the iteration result
+  AND truncates lineage — the reference's ``cache()+count()`` protocol
+  (ccf_connected_components.py:219-221) pins but leaves an ever-growing
+  RDD DAG, and its Python variant additionally re-executes the reduce
+  phase twice per iteration (unpersist-before-downstream-action at
+  ccf_connected_components.py:87).
+
+Semantic fine print preserved (SURVEY.md §2.4):
+- S1: node IDs are strings; min is LEXICOGRAPHIC ("10" < "2").
+- S2: Basic-variant emission rules are canonical — values equal to the
+  group min are neither emitted nor counted.
+- S3: a component's representative never maps to itself; the final
+  mapping has (nodes - components) rows. ``component_summary`` re-adds
+  the representative.
+- S4: convergence when the new-pair count is 0 after an iteration,
+  capped at max_iterations=100; the converging iteration is counted.
+- S5: dedup is by exact ordered pair — (a,b) and (b,a) are distinct.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ITERATIONS = 100
+
+_NEW = "_ccf_new"
+
+
+@dataclass
+class CCFResult:
+    """Outcome of the fixed point: (node, component) mapping + metadata."""
+
+    mapping: DataFrame  # columns: node string, component string
+    iterations: int
+    converged: bool
+    new_pair_counts: list[int]
+
+
+def _undirected(pairs: DataFrame) -> DataFrame:
+    """Bidirectional edge expansion (reference map phase, O2).
+
+    The reference's 1->2 flatMap (ccf_connected_components.py:53-56) is a
+    self-union with swapped projection — no shuffle, fully codegen'd.
+    """
+    swapped = pairs.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return pairs.select("src", "dst").unionAll(swapped)
+
+
+def ccf_iterate(pairs: DataFrame) -> DataFrame:
+    """One CCF-Iterate pass (Basic semantics, reference O4).
+
+    Input: DataFrame(src string, dst string) — current pair set.
+    Output: DataFrame(src, dst, _ccf_new boolean) where _ccf_new marks
+    the (value, min) emissions whose count is the convergence metric
+    (each duplicate neighbor occurrence counts, matching the reference's
+    per-emission counter at ccf_connected_components.py:77-79).
+
+    Physical shape: one shuffle for the min aggregation; the join back
+    to the expanded edge list reuses the same hash partitioning on
+    ``src``. Contrast: the reference needs a full groupByKey shuffle
+    with no map-side combine plus a second dedup shuffle.
+    """
+    und = _undirected(pairs)
+
+    # min over neighbor values; the reference seeds min with the key
+    # itself, so "emit iff min_val < key" == "exists neighbor < key".
+    mins = und.groupBy("src").agg(F.min("dst").alias("_min"))
+
+    # emit (key, min) once per group with min < key
+    key_pairs = (
+        mins.where(F.col("_min") < F.col("src"))
+        .select("src", F.col("_min").alias("dst"))
+        .withColumn(_NEW, F.lit(False))
+    )
+
+    # emit (value, min) for every neighbor occurrence != min — these are
+    # the "new pairs" the convergence counter counts
+    val_pairs = (
+        und.join(mins, "src")
+        .where((F.col("_min") < F.col("src")) & (F.col("dst") != F.col("_min")))
+        .select(F.col("dst").alias("src"), F.col("_min").alias("dst"))
+        .withColumn(_NEW, F.lit(True))
+    )
+
+    return key_pairs.unionAll(val_pairs)
+
+
+def ccf_iterate_secondary_sort(pairs: DataFrame) -> DataFrame:
+    """SecondarySort variant (reference O5).
+
+    The reference's secondary sort exists only to find the group min
+    with O(1) streaming state (ccf_connected_components.py:95-154); its
+    emission rule differs from Basic only when the min value occurs more
+    than once in a group (it emits the whole sorted tail, Basic filters
+    value != min — SURVEY.md §2.4-S2). The DataFrame formulation needs
+    no sort at all (``F.min`` is the streaming min), so the scalable
+    plan is identical to Basic; we keep the name as the API-parity
+    alias and document the deviation: duplicate-min self-pairs are not
+    emitted. All 34 reference experiments produce identical iteration
+    counts for both variants (experiment_results.csv), so goldens hold.
+    """
+    return ccf_iterate(pairs)
+
+
+def ccf_dedup(pairs: DataFrame) -> DataFrame:
+    """CCF-Dedup (reference O7): drop exact ordered-pair duplicates.
+
+    ``dropDuplicates`` plans as partial+final HashAggregate — the same
+    physical shape as the reference Scala's map((p,null)).reduceByKey
+    (CCFConnectedComponents.scala:158-165), strictly better than the
+    Python RDD ``distinct()``.
+    """
+    return pairs.dropDuplicates(["src", "dst"]).select("src", "dst")
+
+
+def connected_components(
+    edges: DataFrame,
+    use_secondary_sort: bool = False,
+    max_iterations: int = MAX_ITERATIONS,
+) -> CCFResult:
+    """Fixed-point driver (reference O8, ccf_connected_components.py:190-230).
+
+    Per iteration: Iterate -> eager localCheckpoint (single job; pins the
+    result and truncates lineage) -> cheap count on the checkpointed
+    new-pair branch -> lazy dedup feeding the next pass. Stops when the
+    new-pair count is 0 (the converging iteration is counted, S4).
+
+    Returns the (node, component) mapping where component is the
+    lexicographically smallest node ID in the node's component; the
+    representative itself is not a row (S3).
+    """
+    iterate_fn = ccf_iterate_secondary_sort if use_secondary_sort else ccf_iterate
+
+    pairs = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    )
+    iterations = 0
+    converged = False
+    counts: list[int] = []
+
+    while iterations < max_iterations:
+        iterations += 1
+
+        combined = iterate_fn(pairs).localCheckpoint(eager=True)
+        new_pair_count = combined.where(F.col(_NEW)).count()
+        counts.append(new_pair_count)
+
+        pairs = ccf_dedup(combined)
+
+        if new_pair_count == 0:
+            converged = True
+            break
+
+    mapping = pairs.select(
+        F.col("src").alias("node"), F.col("dst").alias("component")
+    )
+    return CCFResult(
+        mapping=mapping,
+        iterations=iterations,
+        converged=converged,
+        new_pair_counts=counts,
+    )
+
+
+def component_count(mapping: DataFrame) -> int:
+    """Distinct component IDs (reference O10, ccf_experiments.py:137)."""
+    return mapping.select("component").distinct().count()
+
+
+def component_count_approx(mapping: DataFrame, rsd: float = 0.02) -> int:
+    """HyperLogLog distinct — the cheap variant for 100 TB-scale graphs
+    where an exact distinct would shuffle every (component) row."""
+    return mapping.agg(
+        F.approx_count_distinct("component", rsd).alias("c")
+    ).collect()[0]["c"]
+
+
+def component_summary(mapping: DataFrame) -> DataFrame:
+    """(component, members, size) — reference O11.
+
+    The algorithm never emits the representative as a member (S3;
+    reference re-adds it at ccf_connected_components.py:282), so the
+    member list is array_union'd with the component ID itself before
+    sorting. Output: component string, members array<string>, size long.
+    """
+    return (
+        mapping.groupBy("component")
+        .agg(F.collect_list("node").alias("_members"))
+        .select(
+            "component",
+            F.array_sort(
+                F.array_union("_members", F.array(F.col("component")))
+            ).alias("members"),
+        )
+        .withColumn("size", F.size("members").cast("long"))
+    )

@@ -1,0 +1,125 @@
+"""Synthetic graph generators for conformance goldens + scale testing.
+
+Two tiers:
+
+1. ``generate_*`` — driver-side pure-Python generators whose RNG call
+   sequence reproduces the reference's edge sets exactly
+   (reference ccf_experiments.py:18-54, ``random.Random(seed)``,
+   seed=42), because the iteration-count goldens in
+   experiment_results.csv are only meaningful on the identical graph.
+   Node IDs are stringified ints (lexicographic ordering semantics, S1).
+
+2. ``*_graph_df`` — distributed variants built with ``spark.range`` for
+   graphs that would not fit driver memory. These are NOT bit-exact with
+   the reference RNG (documented deviation); they exist for the
+   100 TB-scale path where the edge list itself is big data.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EDGE_SCHEMA = "src string, dst string"
+
+
+def generate_chain_graph(n: int) -> list[tuple[str, str]]:
+    """Path graph 0-1-...-(n-1); diameter n-1, the iteration worst case."""
+    return [(str(i), str(i + 1)) for i in range(n - 1)]
+
+
+def generate_random_graph(
+    n_nodes: int, n_edges: int, seed: int = 42
+) -> list[tuple[str, str]]:
+    """Erdős–Rényi-style fixed-edge-count graph.
+
+    Rejection-samples distinct canonical (min,max) pairs with the same
+    RNG call order as the reference (two randint draws per attempt,
+    self-loops rejected WITHOUT consuming extra draws), so the edge SET
+    is identical for a given seed. Edge order is hash-seed dependent
+    (set iteration) but CCF results depend only on the set.
+    """
+    rng = random.Random(seed)
+    edges: set[tuple[str, str]] = set()
+    while len(edges) < n_edges:
+        a = rng.randint(0, n_nodes - 1)
+        b = rng.randint(0, n_nodes - 1)
+        if a == b:
+            continue
+        lo, hi = (a, b) if a < b else (b, a)
+        edges.add((str(lo), str(hi)))
+    return sorted(edges)
+
+
+def generate_cluster_graph(
+    n_clusters: int,
+    nodes_per_cluster: int,
+    inter_edges: int = 0,
+    seed: int = 42,
+) -> list[tuple[str, str]]:
+    """k clusters, each a chain plus skip-by-2 edges, plus random bridges.
+
+    Reproduces the reference's draw order exactly: per bridge, one
+    ``rng.sample(range(n_clusters), 2)`` then two randint draws
+    (reference ccf_experiments.py:36-54).
+    """
+    edges: list[tuple[str, str]] = []
+    for c in range(n_clusters):
+        base = c * nodes_per_cluster
+        for i in range(nodes_per_cluster - 1):
+            edges.append((str(base + i), str(base + i + 1)))
+            if i + 2 < nodes_per_cluster:
+                edges.append((str(base + i), str(base + i + 2)))
+
+    rng = random.Random(seed)
+    for _ in range(inter_edges):
+        c1, c2 = rng.sample(range(n_clusters), 2)
+        n1 = c1 * nodes_per_cluster + rng.randint(0, nodes_per_cluster - 1)
+        n2 = c2 * nodes_per_cluster + rng.randint(0, nodes_per_cluster - 1)
+        edges.append((str(n1), str(n2)))
+    return edges
+
+
+def edges_df(
+    spark: SparkSession, edges: list[tuple[str, str]]
+) -> DataFrame:
+    """Driver-side edge list -> DataFrame(src, dst) (reference O1)."""
+    return spark.createDataFrame(edges, EDGE_SCHEMA)
+
+
+# --- distributed variants (scale path; not RNG-conformant) -----------------
+
+
+def chain_graph_df(spark: SparkSession, n: int) -> DataFrame:
+    """Distributed chain: spark.range, no driver materialization."""
+    return spark.range(n - 1).select(
+        F.col("id").cast("string").alias("src"),
+        (F.col("id") + 1).cast("string").alias("dst"),
+    )
+
+
+def random_graph_df(
+    spark: SparkSession, n_nodes: int, n_edges: int, seed: int = 42
+) -> DataFrame:
+    """Distributed random graph: ~n_edges distinct canonical pairs.
+
+    Oversamples with F.rand/XXH64-style uniform draws, canonicalizes,
+    dedups, and limits — entirely JVM-side, scales to billions of edges.
+    """
+    oversample = int(n_edges * 1.3) + 16
+    raw = (
+        spark.range(oversample)
+        .select(
+            (F.rand(seed) * n_nodes).cast("long").alias("a"),
+            (F.rand(seed + 1) * n_nodes).cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").cast("string").alias("src"),
+            F.greatest("a", "b").cast("string").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    return raw.limit(n_edges)

@@ -1,0 +1,8 @@
+from map_reduce_project_spark.sources.io import (
+    TABLES,
+    load_tables,
+    read_table,
+    register_views,
+)
+
+__all__ = ["TABLES", "load_tables", "read_table", "register_views"]

@@ -1,0 +1,195 @@
+"""CCF connected components: golden, semantic fine print, and
+iteration-count conformance against the reference's published results
+(reference experiment_results.csv; semantics S1-S5 per SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_project_spark.graph import (
+    ccf_dedup,
+    component_count,
+    component_summary,
+    connected_components,
+    generate_chain_graph,
+    generate_cluster_graph,
+    generate_random_graph,
+)
+from map_reduce_project_spark.graph.generators import edges_df
+
+# Paper Figure 5 worked example (reference ccf_connected_components.py:249-257)
+FIG5_EDGES = [
+    ("A", "B"),
+    ("B", "D"),
+    ("D", "E"),
+    ("A", "C"),
+    ("A", "E"),
+    ("F", "G"),
+    ("F", "H"),
+]
+FIG5_EXPECTED = {
+    ("B", "A"),
+    ("C", "A"),
+    ("D", "A"),
+    ("E", "A"),
+    ("G", "F"),
+    ("H", "F"),
+}
+
+
+def mapping_set(result) -> set[tuple[str, str]]:
+    return {(r.node, r.component) for r in result.mapping.collect()}
+
+
+@pytest.mark.parametrize("secondary", [False, True])
+def test_golden_figure5(spark, secondary):
+    res = connected_components(
+        edges_df(spark, FIG5_EDGES), use_secondary_sort=secondary
+    )
+    assert mapping_set(res) == FIG5_EXPECTED
+    assert res.converged
+    assert component_count(res.mapping) == 2
+
+
+def test_representative_never_self_maps(spark):
+    # S3: rows = nodes - components; no (x, x) rows.
+    res = connected_components(edges_df(spark, FIG5_EDGES))
+    rows = mapping_set(res)
+    assert len(rows) == 8 - 2
+    assert all(node != comp for node, comp in rows)
+
+
+def test_lexicographic_min_semantics(spark):
+    # S1: "10" < "2" lexicographically, so "10" is the representative.
+    res = connected_components(edges_df(spark, [("2", "10")]))
+    assert mapping_set(res) == {("2", "10")}
+
+
+def test_dedup_is_ordered_pair(spark):
+    # S5: (a,b) and (b,a) are distinct pairs.
+    df = edges_df(spark, [("a", "b"), ("b", "a"), ("a", "b")])
+    out = {(r.src, r.dst) for r in ccf_dedup(df).collect()}
+    assert out == {("a", "b"), ("b", "a")}
+
+
+def test_component_summary_readds_representative(spark):
+    res = connected_components(edges_df(spark, FIG5_EDGES))
+    summary = {
+        r.component: (r.members, r.size)
+        for r in component_summary(res.mapping).collect()
+    }
+    assert summary["A"] == (["A", "B", "C", "D", "E"], 5)
+    assert summary["F"] == (["F", "G", "H"], 3)
+
+
+def test_isolated_edge_and_two_components(spark):
+    res = connected_components(edges_df(spark, [("x", "y"), ("p", "q")]))
+    assert mapping_set(res) == {("y", "x"), ("q", "p")}
+
+
+# --- iteration-count conformance goldens (reference experiment_results.csv) --
+
+CHAIN_GOLDENS = {10: 6, 50: 8}  # larger chains (100/200/500 -> 9/10/12) in bench
+RANDOM_GOLDENS = {(50, 100): (5, 1)}
+CLUSTER_GOLDENS = {
+    (5, 20, 0): (6, 5),
+    (5, 20, 4): (7, 2),
+}
+
+
+@pytest.mark.parametrize("n,expected_iters", sorted(CHAIN_GOLDENS.items()))
+def test_chain_iteration_goldens(spark, n, expected_iters):
+    res = connected_components(edges_df(spark, generate_chain_graph(n)))
+    assert res.iterations == expected_iters
+    assert res.converged
+    assert component_count(res.mapping) == 1
+    # chain node ids 0..n-1: lexicographic min is "0"
+    comps = {r.component for r in res.mapping.collect()}
+    assert comps == {"0"}
+
+
+@pytest.mark.parametrize(
+    "cfg,expected", sorted(RANDOM_GOLDENS.items())
+)
+def test_random_graph_goldens(spark, cfg, expected):
+    n_nodes, n_edges = cfg
+    iters, comps = expected
+    res = connected_components(
+        edges_df(spark, generate_random_graph(n_nodes, n_edges, seed=42))
+    )
+    assert res.iterations == iters
+    assert component_count(res.mapping) == comps
+
+
+@pytest.mark.parametrize("cfg,expected", sorted(CLUSTER_GOLDENS.items()))
+def test_cluster_graph_goldens(spark, cfg, expected):
+    clusters, per, inter = cfg
+    iters, comps = expected
+    res = connected_components(
+        edges_df(spark, generate_cluster_graph(clusters, per, inter, seed=42))
+    )
+    assert res.iterations == iters
+    assert component_count(res.mapping) == comps
+
+
+def test_secondary_sort_agrees_with_basic(spark):
+    edges = generate_cluster_graph(5, 20, 4, seed=42)
+    basic = connected_components(edges_df(spark, edges))
+    secsort = connected_components(edges_df(spark, edges), use_secondary_sort=True)
+    assert mapping_set(basic) == mapping_set(secsort)
+    assert basic.iterations == secsort.iterations
+
+
+def test_mapping_matches_union_find(spark):
+    # Property oracle: pure-Python union-find on the same edges.
+    edges = generate_random_graph(80, 120, seed=7)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    groups: dict[str, set[str]] = {}
+    for node in parent:
+        groups.setdefault(find(node), set()).add(node)
+    expected = set()
+    for members in groups.values():
+        rep = min(members)  # lexicographic (S1)
+        expected |= {(m, rep) for m in members if m != rep}
+
+    res = connected_components(edges_df(spark, edges))
+    assert mapping_set(res) == expected
+
+
+def test_max_iterations_cap(spark):
+    res = connected_components(
+        edges_df(spark, generate_chain_graph(50)), max_iterations=2
+    )
+    assert not res.converged
+    assert res.iterations == 2
+
+
+def test_parquet_roundtrip_edges(spark, tmp_path, sf0001):
+    # O1 production path: edge list from a parquet scan, not parallelize.
+    orders = spark.read.parquet(f"{sf0001}/orders.parquet")
+    edges = orders.select(
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("o:"), F.col("o_orderkey")).alias("dst"),
+    )
+    path = str(tmp_path / "edges.parquet")
+    edges.write.parquet(path)
+    res = connected_components(spark.read.parquet(path))
+    # bipartite customer-order graph: every order maps to its customer
+    # ("c:" < "o:"), customers are representatives -> rows == orders.
+    assert res.mapping.count() == orders.count()
+    assert component_count(res.mapping) == orders.select("o_custkey").distinct().count()
