@@ -1,0 +1,99 @@
+"""Graph queries: the reference's flagship CCF connected components,
+bound to the driver's star schema.
+
+cc_orders_bipartite has an exact SQL oracle because a customer-order
+bipartite graph's components are trivially known (each order's only
+neighbor is its customer, and "c:" < "o:" makes customers the
+lexicographic representatives). cc_part_supplier exercises the real
+multi-iteration fixed point on a co-occurrence graph; its correctness
+is pinned by union-find property tests (tests/test_ccf.py), and the
+driver records a rows-only check (connected components is not
+expressible in portable non-recursive SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_project_spark.graph.ccf import (
+    component_summary,
+    connected_components,
+)
+from map_reduce_project_spark.queries import Query
+from map_reduce_project_spark.sources.io import read_table
+
+
+def _order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("o:"), F.col("o_orderkey")).alias("dst"),
+    )
+
+
+def cc_orders_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCF over the customer-order bipartite graph (flagship, O2-O9)."""
+    return connected_components(_order_edges(spark, sf_dir)).mapping
+
+
+CC_ORDERS_SQL = """
+SELECT 'o:' || o_orderkey AS node, 'c:' || o_custkey AS component
+FROM orders
+"""
+
+
+def cc_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component membership summary (O11) over the flagship mapping."""
+    mapping = connected_components(_order_edges(spark, sf_dir)).mapping
+    return component_summary(mapping)
+
+
+CC_SUMMARY_SQL = """
+SELECT 'c:' || o_custkey AS component,
+       list_sort(list_append(list('o:' || o_orderkey), 'c:' || o_custkey)) AS members,
+       COUNT(*) + 1 AS size
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+def cc_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCF over the part-supplier co-occurrence graph from lineitem.
+
+    A real multi-iteration fixed point: parts sharing a supplier and
+    suppliers sharing a part collapse into components. Rows-only driver
+    check; semantics pinned by the union-find property tests.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    ).dropDuplicates()
+    return connected_components(edges).mapping
+
+
+def cc_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size distribution of the flagship graph (O10/O11 agg)."""
+    mapping = connected_components(_order_edges(spark, sf_dir)).mapping
+    return (
+        mapping.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .groupBy("n_members")
+        .agg(F.count("*").alias("n_components"))
+    )
+
+
+CC_SIZES_SQL = """
+SELECT n_members, COUNT(*) AS n_components FROM (
+  SELECT o_custkey, COUNT(*) AS n_members FROM orders GROUP BY o_custkey
+) GROUP BY n_members
+"""
+
+
+QUERIES = [
+    Query("cc_orders_bipartite", cc_orders_bipartite, CC_ORDERS_SQL, "CCF fixed point, bipartite flagship (exact oracle)"),
+    Query("cc_orders_summary", cc_orders_summary, CC_SUMMARY_SQL, "component membership summary w/ representative re-add"),
+    Query("cc_part_supplier", cc_part_supplier, None, "CCF multi-iteration co-occurrence graph (rows-only)"),
+    Query("cc_component_sizes", cc_component_sizes, CC_SIZES_SQL, "component size histogram"),
+]

@@ -1,0 +1,631 @@
+"""Relational operator surface over the star schema.
+
+Covers every category in SURVEY.md §2.3: scan/filter/project, joins
+(inner/left/semi/anti/broadcast), hash aggregation (sum/avg/min/max/
+count/count-distinct), grouping sets (rollup/cube), window functions
+(top-k per group, running aggregates), sort/limit/top-k, set ops,
+scalar string/date/math functions, and JSON extraction.
+
+Hash-stability rules (the driver compares value hashes vs DuckDB):
+- SUM over doubles is order-dependent; both sides aggregate exact
+  DECIMAL casts, then cast the result to DOUBLE.
+- AVG is computed as double(sum_decimal)/count — a single IEEE double
+  division of identical operands on both sides.
+- Every LIMIT/top-k query carries a unique total-order tiebreaker so
+  the selected SET is deterministic.
+- No libm-dependent functions (ln/exp/pow) in outputs; sqrt is IEEE
+  correctly-rounded and therefore safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from map_reduce_project_spark.queries import Query
+from map_reduce_project_spark.sources.io import read_table
+
+DEC = "decimal(18,2)"  # all money/qty columns are 2-decimal doubles
+
+
+def _dsum(col, alias: str):
+    """Order-independent sum: exact decimal aggregation, double result."""
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+def _davg(col, alias: str):
+    """avg = double(decimal sum) / count — identical IEEE op both sides."""
+    return (
+        F.sum(col.cast(DEC)).cast("double") / F.count(col)
+    ).alias(alias)
+
+
+# --- Q1: pricing summary (filter + group agg, TPC-H Q1 shape) ---------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    charge = disc_price * (F.lit(1).cast(DEC) + F.col("l_tax").cast(DEC))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            _davg(F.col("l_quantity"), "avg_qty"),
+            _davg(F.col("l_extendedprice"), "avg_price"),
+            _davg(F.col("l_discount"), "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q2: scan + filter + project (pushdown shape) ----------------------------
+
+
+def q2_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.where(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_totalprice") > 200000.0)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+
+
+Q2_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+"""
+
+
+# --- Q3: join + agg + deterministic top-k (TPC-H Q3 shape) -------------------
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- Q4: semi-join existence + count (TPC-H Q4 shape) ------------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    late = li.where(F.col("l_shipdate") > F.lit("1999-01-01")).select(
+        "l_orderkey"
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1999-01-01')
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q5: multi-join with broadcast dims (TPC-H Q5 shape) ---------------------
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- Q6: single-pass filtered aggregate (TPC-H Q6 shape) ---------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * F.col("l_discount").cast(DEC)
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- Q7: group stats incl. count-distinct, min/max ---------------------------
+
+
+def q7_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        _davg(F.col("c_acctbal"), "avg_bal"),
+    )
+
+
+Q7_SQL = """
+SELECT c_mktsegment,
+  COUNT(*) AS n_customers,
+  COUNT(DISTINCT c_nationkey) AS n_nations,
+  MIN(c_acctbal) AS min_bal,
+  MAX(c_acctbal) AS max_bal,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+# --- Q8: window top-k per group ----------------------------------------------
+
+
+def q8_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+Q8_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+# --- Q9: window running aggregate ---------------------------------------------
+
+
+def q9_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+Q9_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+  AS running_total
+FROM orders
+"""
+
+
+# --- Q10/Q11: anti & semi joins ----------------------------------------------
+
+
+def q10_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q11_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    open_orders = orders.where(F.col("o_orderstatus") == "P")
+    return cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+Q11_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+# --- Q12: set operations -------------------------------------------------------
+
+
+def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    rich = cust.where(F.col("c_acctbal") > 5000.0).select("c_custkey")
+    union = building.union(rich).distinct().select(
+        F.lit("union").alias("op"), "c_custkey"
+    )
+    inter = building.intersect(rich).select(
+        F.lit("intersect").alias("op"), "c_custkey"
+    )
+    minus = building.exceptAll(rich).select(
+        F.lit("except").alias("op"), "c_custkey"
+    )
+    return union.unionAll(inter).unionAll(minus)
+
+
+Q12_SQL = """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM building UNION SELECT c_custkey FROM rich)
+UNION ALL
+SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich)
+UNION ALL
+SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM building EXCEPT ALL SELECT c_custkey FROM rich)
+"""
+
+
+# --- Q13: rollup grouping sets -------------------------------------------------
+
+
+def q13_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        _dsum(F.col("c_acctbal"), "total_bal"),
+    )
+
+
+Q13_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+# --- Q14: conditional aggregation (promo share, TPC-H Q14 shape) ---------------
+
+
+def q14_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.sum(
+                F.when(F.col("p_type") == "ECONOMY", revenue).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            ).cast("double")
+            / F.sum(revenue).cast("double")
+        ).alias("economy_share"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q14_SQL = """
+SELECT
+  CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+  AS economy_share,
+  COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+# --- Q15: scalar string/date/math functions ------------------------------------
+
+
+def q15_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.where(F.col("c_custkey") <= 500).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+        F.abs(F.col("c_acctbal")).alias("abs_bal"),
+        F.floor(F.col("c_acctbal")).cast("long").alias("floor_bal"),
+        F.ceil(F.col("c_acctbal") / 100.0).cast("long").alias("bal_bucket"),
+        F.sqrt(F.abs(F.col("c_acctbal"))).alias("sqrt_bal"),
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .otherwise("high")
+        .alias("bal_class"),
+    )
+
+
+Q15_SQL = """
+SELECT c_custkey,
+  UPPER(c_name) AS name_upper,
+  CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+  SUBSTRING(c_name, 1, 8) AS name_prefix,
+  CONCAT_WS('|', c_mktsegment, c_name) AS tagged,
+  REGEXP_REPLACE(c_name, '[0-9]', '#', 'g') AS masked,
+  ABS(c_acctbal) AS abs_bal,
+  CAST(FLOOR(c_acctbal) AS BIGINT) AS floor_bal,
+  CAST(CEIL(c_acctbal / 100.0) AS BIGINT) AS bal_bucket,
+  SQRT(ABS(c_acctbal)) AS sqrt_bal,
+  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+       WHEN c_acctbal < 1000 THEN 'low'
+       ELSE 'high' END AS bal_class
+FROM customer
+WHERE c_custkey <= 500
+"""
+
+
+# --- Q16: date/time functions ---------------------------------------------------
+
+
+def q16_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice"), "total_revenue"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+Q16_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+# --- Q17: JSON extraction -------------------------------------------------------
+
+
+def q17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT event_type,
+  COUNT(*) AS n_events,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- Q18: global top-k ----------------------------------------------------------
+
+
+def q18_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+Q18_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+# --- Q19: having + left join aggregate ------------------------------------------
+
+
+def q19_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice"), "total_spent"),
+        )
+        .where(F.col("n_orders") >= 12)
+    )
+    return cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey
+    ).select("c_custkey", "c_name", "n_orders", "total_spent")
+
+
+Q19_SQL = """
+SELECT c_custkey, c_name, n_orders, total_spent
+FROM customer
+JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+  FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+) ON c_custkey = o_custkey
+"""
+
+
+QUERIES = [
+    Query("q1_pricing_summary", q1_pricing_summary, Q1_SQL, "filter + hash agg w/ decimal-exact sums (TPC-H Q1 shape)"),
+    Query("q2_filter_project", q2_filter_project, Q2_SQL, "scan + pushdown filter + projection"),
+    Query("q3_top_revenue_orders", q3_top_revenue_orders, Q3_SQL, "3-way join + agg + deterministic top-10"),
+    Query("q4_order_priority", q4_order_priority, Q4_SQL, "semi-join existence + count"),
+    Query("q5_region_revenue", q5_region_revenue, Q5_SQL, "6-way join w/ broadcast dims + agg"),
+    Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL, "single-pass filtered aggregate"),
+    Query("q7_segment_stats", q7_segment_stats, Q7_SQL, "group stats: count-distinct, min/max/avg"),
+    Query("q8_topk_per_customer", q8_topk_per_customer, Q8_SQL, "window row_number top-k per group"),
+    Query("q9_running_total", q9_running_total, Q9_SQL, "window running sum (decimal-exact)"),
+    Query("q10_customers_without_orders", q10_customers_without_orders, Q10_SQL, "anti join"),
+    Query("q11_customers_with_open_orders", q11_customers_with_open_orders, Q11_SQL, "semi join"),
+    Query("q12_set_ops", q12_set_ops, Q12_SQL, "union/intersect/except"),
+    Query("q13_rollup_region_nation", q13_rollup_region_nation, Q13_SQL, "rollup grouping sets"),
+    Query("q14_brand_share", q14_brand_share, Q14_SQL, "conditional aggregation ratio"),
+    Query("q15_scalar_functions", q15_scalar_functions, Q15_SQL, "string/math/case scalar functions"),
+    Query("q16_date_functions", q16_date_functions, Q16_SQL, "date part extraction + agg"),
+    Query("q17_json_extract", q17_json_extract, Q17_SQL, "JSON property extraction + agg"),
+    Query("q18_global_topk", q18_global_topk, Q18_SQL, "global order-by + limit"),
+    Query("q19_big_customers", q19_big_customers, Q19_SQL, "agg subquery + having + join"),
+]

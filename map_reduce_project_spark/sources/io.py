@@ -38,8 +38,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Plain ``spark.read.parquet`` so every downstream ``select``/``where``
     reaches the scan as ReadSchema/PushedFilters (verify with
     ``df.explain("formatted")``).
+
+    events.ts is TIMESTAMP(NANOS) in the parquet footer; Spark reads it
+    as a nanos long (spark.sql.legacy.parquet.nanosAsLong) and we
+    normalize to a microsecond timestamp here — the same truncation
+    DuckDB applies when it reads TIMESTAMP_NS as TIMESTAMP.
     """
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # runtime-settable; required even when the caller's session was
+        # built without it (the round driver builds its own session)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,125 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every registry query on Spark AND its oracle SQL on DuckDB over
+the same parquet tables, then compares row count, sorted column names,
+and an order-insensitive value hash. Usage:
+
+    python tools/oracle_check.py [sf_dir] [query ...]
+
+Exit code 0 iff every checked query matches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from map_reduce_project_spark import get_spark  # noqa: E402
+from map_reduce_project_spark.queries import all_queries  # noqa: E402
+from map_reduce_project_spark.sources.io import TABLES  # noqa: E402
+
+
+def canon_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    out = sorted(
+        "\x1f".join(canon_value(row[i]) for i in order) for row in rows
+    )
+    return sorted_cols, out
+
+
+def value_hash(lines: list[str]) -> str:
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    spark = get_spark("oracle-check")
+    registry = all_queries()
+    failures = []
+    for name, q in sorted(registry.items()):
+        if only and name not in only:
+            continue
+        if q.oracle is None:
+            df = q.fn(spark, sf_dir)
+            n = df.count()
+            print(f"{name:35s} ROWS-ONLY  rows={n}")
+            continue
+        try:
+            sdf = q.fn(spark, sf_dir).collect()
+            scols = q.fn(spark, sf_dir).columns
+            srows = [tuple(r) for r in sdf]
+        except Exception as e:
+            print(f"{name:35s} SPARK-ERROR {e}")
+            failures.append(name)
+            continue
+        try:
+            res = con.execute(q.oracle)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"{name:35s} DUCKDB-ERROR {str(e).splitlines()[0]}")
+            failures.append(name)
+            continue
+
+        sc, sl = canon_rows(scols, srows)
+        dc, dl = canon_rows(dcols, drows)
+        ok_cols = sc == dc
+        ok_count = len(sl) == len(dl)
+        ok_hash = value_hash(sl) == value_hash(dl)
+        status = "OK" if (ok_cols and ok_count and ok_hash) else "MISMATCH"
+        print(
+            f"{name:35s} {status:8s} rows={len(sl)}/{len(dl)} "
+            f"cols={'=' if ok_cols else f'{sc} vs {dc}'} "
+            f"hash={'=' if ok_hash else '!'}"
+        )
+        if status != "OK":
+            failures.append(name)
+            sset, dset = set(sl), set(dl)
+            for line in list(sset - dset)[:3]:
+                print(f"    spark-only: {line[:200]}")
+            for line in list(dset - sset)[:3]:
+                print(f"    duck-only:  {line[:200]}")
+
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
