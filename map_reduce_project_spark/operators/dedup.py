@@ -1,0 +1,216 @@
+"""Deduplication operators for large-scale text corpora.
+
+Exact (hash group-by), MinHash+LSH (shingle -> minhash -> band ->
+bucket-join), SimHash, and n-gram Jaccard verification — the standard
+LLM-training-data dedup ladder. Design notes for 100 TB:
+
+- Every stage is a built-in-expression DataFrame op: shingling is a
+  higher-order ``transform`` over the token array (no explode until
+  the minhash agg needs rows), minhash is one partial+final hash
+  aggregate per document, the LSH bucket join is an equi-join on
+  (band_index, band_hash) — all shuffle-partitionable and AQE-skew
+  splittable. No Python UDFs anywhere.
+- MinHash uses md5(seed || shingle) and takes the min HEX STRING per
+  seed: md5 is a uniform hash, so min-of-hex-string is a valid
+  min-wise permutation AND is reproducible in any engine (the DuckDB
+  oracle runs the same expressions).
+- Candidate pairs only ever materialize per LSH bucket (band join),
+  never as a corpus cross-join; the exact-Jaccard verifier joins
+  candidates back to shingle sets, so its cost is |candidates|, not
+  |corpus|^2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BANDS = 4  # 12 hashes / 4 bands = rows-per-band 3
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokenization as a built-in expression."""
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_expr(k: int = 3, text_col: str = "text"):
+    """Word k-gram shingle array, built lazily with higher-order
+    functions (no explode): transform over a 1..n-k+1 index sequence
+    slicing the token array."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k})))"
+    )
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: group by content key, keep the smallest id.
+
+    Returns (``*key_cols`` hashed into ``content_key``, ``keep_id``,
+    ``n_copies``). At scale this is one partial+final hash aggregate —
+    the canonical "drop exact duplicate documents" op.
+    """
+    content_key = F.md5(F.concat_ws("\x1f", *key_cols)).alias("content_key")
+    return (
+        df.select(content_key, F.col(id_col))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: columns h0..h{n-1} (hex strings).
+
+    One explode + one grouped aggregate computing all n mins in a
+    single pass (partial aggregation map-side, so shuffle volume is
+    one row per doc per partition, not one per shingle).
+    """
+    shingled = docs.select(
+        F.col(id_col), F.explode(shingles_expr(k, text_col)).alias("shingle")
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*mins)
+
+
+def lsh_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(id, band_idx, band_hash): one row per document per band."""
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    buckets: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
+
+    Equi-join on (band_idx, band_hash); at scale the bucket join is
+    the only quadratic-risk stage and it is bounded per bucket — AQE
+    skew-join splitting handles hot buckets (e.g. boilerplate docs).
+    """
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs; keeps pairs >= threshold.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over distinct-shingle
+    sets — all bigint counts, so the double division is deterministic.
+    """
+    shingle_sets = docs.select(
+        F.col(id_col), F.explode(shingles_expr(k, text_col)).alias("shingle")
+    ).dropDuplicates([id_col, "shingle"])
+    sizes = shingle_sets.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    sa = shingle_sets.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingle_sets.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash signature over the token multiset (weight 1 per
+    occurrence). Bit i of a token = parity of hex digit i of md5(token);
+    signature bit i is set iff the sum of (2*bit - 1) over tokens is
+    positive. 16 bits keeps the oracle SQL tractable; the operator
+    generalizes to 64.
+
+    Output: (id, simhash bigint).
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+    ).withColumn("th", F.md5(F.col("token")))
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.conv(F.substring("th", i + 1, 1), 16, 10).cast("int") % 2 * 2
+                - 1
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))

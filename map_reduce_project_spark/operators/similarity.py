@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``brute_force_topk``: exact cosine top-k of every query vector
+  against the full corpus. The pairwise dot products are computed by
+  position-join + decimal-exact sum so results are deterministic and
+  oracle-checkable. At 100 TB this is the per-bucket kernel, not the
+  corpus-wide plan.
+- ``lsh_bucketed_topk``: sign-bucket ANN — bucket = sign bits of the
+  first ``n_planes`` dimensions (a fixed axis-aligned random
+  projection; deterministic and engine-portable). Queries only search
+  their own bucket: the scale path, trading recall for a
+  2^n_planes-fold candidate reduction. Swap the axis-aligned planes
+  for seeded random hyperplanes when recall matters; IVF via k-means
+  centroids is the next rung (MLlib KMeans fits here).
+
+Determinism note: float -> double widening is exact; double products
+are IEEE-identical in any engine; sums are decimal(38,18)-exact; sqrt
+is IEEE correctly-rounded. So cosine values are bit-identical between
+Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DOT_DEC = "decimal(38,18)"
+
+
+def _elements(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, pos, val double): exploded vector elements."""
+    return vectors.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+
+
+def norms2(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, norm2 double): decimal-exact squared L2 norm."""
+    return (
+        _elements(vectors, id_col, vec_col)
+        .groupBy(id_col)
+        .agg(
+            F.sum((F.col("val") * F.col("val")).cast(DOT_DEC))
+            .cast("double")
+            .alias("norm2")
+        )
+    )
+
+
+def cosine_pairs(
+    queries: DataFrame,
+    targets: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, target_id, cosine) for the full query x target grid.
+
+    Physical shape: position-join of exploded elements, partial+final
+    decimal sum per pair — a shuffle keyed on pos then (q, t), both
+    AQE-coalesced. Self-pairs are excluded.
+    """
+    q = _elements(queries, id_col, vec_col).selectExpr(
+        f"{id_col} as query_id", "pos", "val as qval"
+    )
+    t = _elements(targets, id_col, vec_col).selectExpr(
+        f"{id_col} as target_id", "pos", "val as tval"
+    )
+    dots = (
+        q.join(t, "pos")
+        .where(F.col("query_id") != F.col("target_id"))
+        .groupBy("query_id", "target_id")
+        .agg(
+            F.sum((F.col("qval") * F.col("tval")).cast(DOT_DEC))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    qn = norms2(queries, id_col, vec_col).selectExpr(
+        f"{id_col} as query_id", "norm2 as qn2"
+    )
+    tn = norms2(targets, id_col, vec_col).selectExpr(
+        f"{id_col} as target_id", "norm2 as tn2"
+    )
+    return (
+        dots.join(qn, "query_id")
+        .join(tn, "target_id")
+        .select(
+            "query_id",
+            "target_id",
+            (
+                F.col("dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("tn2")))
+            )
+            .cast("decimal(10,8)")
+            .alias("cosine"),
+        )
+    )
+
+
+def topk(pairs: DataFrame, k: int = 5) -> DataFrame:
+    """Deterministic top-k per query: cosine desc, target_id tiebreak."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("target_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "target_id", "cosine", "rank")
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    return topk(cosine_pairs(queries, targets, id_col, vec_col), k)
+
+
+def sign_bucket(vec_col: str = "embedding", n_planes: int = 4):
+    """Bucket id from the sign bits of the first n_planes dimensions."""
+    expr = None
+    for i in range(n_planes):
+        bit = F.when(F.element_at(F.col(vec_col), i + 1) > 0, 1 << i).otherwise(0)
+        expr = bit if expr is None else expr + bit
+    return expr.cast("long")
+
+
+def lsh_bucketed_topk(
+    vectors: DataFrame,
+    k: int = 3,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: all-pairs top-k within sign buckets only.
+
+    The bucket column rides the shuffle key, so each bucket's pairwise
+    kernel is independent — at cluster scale this is an embarrassingly
+    parallel per-bucket brute force with 1/2^n_planes of the pairs.
+    """
+    bucketed = vectors.withColumn("bucket", sign_bucket(vec_col, n_planes))
+    elems = bucketed.select(
+        F.col(id_col), F.col("bucket"), F.posexplode(vec_col).alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    q = elems.selectExpr(
+        f"{id_col} as query_id", "bucket", "pos", "val as qval"
+    )
+    t = elems.selectExpr(
+        f"{id_col} as target_id", "bucket", "pos", "val as tval"
+    )
+
+    dots = (
+        q.join(t, ["bucket", "pos"])
+        .where(F.col("query_id") != F.col("target_id"))
+        .groupBy("query_id", "target_id")
+        .agg(
+            F.sum((F.col("qval") * F.col("tval")).cast(DOT_DEC))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    n2 = norms2(vectors, id_col, vec_col)
+    qn = n2.selectExpr(f"{id_col} as query_id", "norm2 as qn2")
+    tn = n2.selectExpr(f"{id_col} as target_id", "norm2 as tn2")
+    pairs = (
+        dots.join(qn, "query_id")
+        .join(tn, "target_id")
+        .select(
+            "query_id",
+            "target_id",
+            (
+                F.col("dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("tn2")))
+            )
+            .cast("decimal(10,8)")
+            .alias("cosine"),
+        )
+    )
+    return topk(pairs, k)

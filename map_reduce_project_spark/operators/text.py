@@ -1,0 +1,132 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All built-in expressions — at 100 TB these run inside whole-stage
+codegen on the scan output with full column pruning (only ``text`` and
+the id column are read). Ratios are bigint/bigint double divisions, so
+every output is deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Function-word list for the n-gram/stopword language heuristic.
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# BPE-ish token pattern: letter runs, digit runs, or single non-space
+# symbols — the standard pre-tokenizer shape.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _stopword_hits(text_col: str, words=EN_STOPWORDS):
+    tok = F.split(F.col(text_col), " ")
+    return F.size(
+        F.filter(tok, lambda t: t.isin(*words))
+    ).cast("long")
+
+
+def text_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token/char statistics per document."""
+    tok = F.split(F.col(text_col), " ")
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_distinct_tokens"),
+        (
+            (F.length(text_col) - F.size(tok) + 1).cast("double")
+            / F.size(tok).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+def bpe_token_count(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counts: whitespace tokens + BPE-ish regex tokens."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic language ID: English function-word density + script
+    detection (CJK codepoints). Deterministic: output is ('en' |
+    'cjk' | 'other', score)."""
+    tok = F.split(F.col(text_col), " ")
+    hits = _stopword_hits(text_col)
+    score = hits.cast("double") / F.size(tok).cast("double")
+    has_cjk = F.length(
+        F.regexp_replace(F.col(text_col), "[^\\u4e00-\\u9fff]", "")
+    ) > 0
+    return docs.select(
+        F.col(id_col),
+        F.when(has_cjk, "cjk")
+        .when(score >= 0.05, "en")
+        .otherwise("other")
+        .alias("pred_lang"),
+        score.alias("en_score"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document quality heuristics: length, punctuation density,
+    stopword ratio, repetition (distinct/total tokens), and a composite
+    keep/drop score — the C4/Gopher-style filter ladder."""
+    tok = F.split(F.col(text_col), " ")
+    n_tokens = F.size(tok).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    n_punct = (
+        n_chars
+        - F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", ""))
+    ).cast("long")
+    distinct_ratio = (
+        F.size(F.array_distinct(tok)).cast("double") / n_tokens.cast("double")
+    )
+    stop_ratio = _stopword_hits(text_col).cast("double") / n_tokens.cast(
+        "double"
+    )
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    quality = (
+        F.when(n_tokens < 5, 0.0)
+        .when(distinct_ratio < 0.1, 0.0)
+        .otherwise(
+            distinct_ratio * 0.5 + stop_ratio * 0.25 + (1.0 - punct_ratio) * 0.25
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document fingerprints: raw md5, normalized (sorted distinct
+    tokens) md5 — the bag-of-words fingerprint that catches
+    shuffled/reordered duplicates exact dedup misses."""
+    tok = F.split(F.col(text_col), " ")
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("raw_fp"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tok)))).alias(
+            "bow_fp"
+        ),
+    )

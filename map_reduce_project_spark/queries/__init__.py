@@ -27,13 +27,22 @@ def all_queries() -> dict[str, Query]:
         dedup,
         events,
         graph_queries,
+        multimodal,
         relational,
         similarity,
         text,
     )
 
     registry: dict[str, Query] = {}
-    for mod in (relational, graph_queries, dedup, similarity, text, events):
+    for mod in (
+        relational,
+        graph_queries,
+        dedup,
+        similarity,
+        text,
+        events,
+        multimodal,
+    ):
         for q in mod.QUERIES:
             if q.name in registry:
                 raise ValueError(f"duplicate query name: {q.name}")

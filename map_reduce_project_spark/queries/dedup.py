@@ -1,3 +1,169 @@
-"""Placeholder; filled in this round."""
+"""Dedup queries over the documents table.
 
-QUERIES: list = []
+The driver corpus has no duplicate texts, so dedup queries run on a
+duplicate-injected corpus: documents UNION ALL a copy with
+doc_id + 100000 — every document then has exactly one known duplicate,
+giving the pipeline real positives to find. Both the Spark and oracle
+sides inject identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_project_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    lsh_buckets,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from map_reduce_project_spark.queries import Query
+from map_reduce_project_spark.sources.io import read_table
+
+OFFSET = 100000
+NUM_HASHES = 12
+BANDS = 4
+
+
+def _injected_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = docs.select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"), F.col("text")
+    )
+    return docs.unionAll(copy)
+
+
+CORPUS_CTE = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {OFFSET} AS doc_id, text FROM documents
+)
+"""
+
+# shingle CTE shared by the minhash/jaccard oracles (word 3-grams,
+# same slice semantics as operators.dedup.shingles_expr)
+SHINGLE_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 2, 1)),
+           i -> array_to_string(w[i:i+2], ' '))) AS shingle
+  FROM toks
+)
+"""
+
+_SIG_COLS = ",\n    ".join(
+    f"min(md5('{s}|' || shingle)) AS h{s}" for s in range(NUM_HASHES)
+)
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"md5(h{b * 3} || '|' || h{b * 3 + 1} || '|' || h{b * 3 + 2}) AS band_hash FROM sig"
+    for b in range(BANDS)
+)
+
+LSH_CTES = f"""
+{CORPUS_CTE},
+{SHINGLE_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_hash)
+  WHERE a.doc_id < b.doc_id
+)
+"""
+
+
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(
+        _injected_corpus(spark, sf_dir), key_cols=["text"], id_col="doc_id"
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+WITH {CORPUS_CTE}
+SELECT md5(text) AS content_key, MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM corpus GROUP BY md5(text)
+"""
+
+
+def dedup_minhash_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _injected_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_hashes=NUM_HASHES)
+    return lsh_candidate_pairs(
+        lsh_buckets(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH {LSH_CTES}
+SELECT id_a, id_b FROM cands
+"""
+
+
+def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _injected_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_hashes=NUM_HASHES)
+    cands = lsh_candidate_pairs(
+        lsh_buckets(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+    )
+    return jaccard_verify(corpus, cands, threshold=0.5)
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH {LSH_CTES},
+sset AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sset GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sset a ON a.doc_id = c.id_a
+  JOIN sset b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
+"""
+
+_SIMHASH_BITS = 16
+_SUM_COLS = ",\n    ".join(
+    f"sum(CASE WHEN ('0x' || substr(th, {i + 1}, 1))::INT % 2 = 1 "
+    f"THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIG_EXPR = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_SIMHASH_BITS)
+)
+
+
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=_SIMHASH_BITS)
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS th FROM documents
+),
+sums AS (SELECT doc_id, {_SUM_COLS} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({_SIG_EXPR} AS BIGINT) AS simhash FROM sums
+"""
+
+
+QUERIES = [
+    Query("dedup_exact", dedup_exact_q, DEDUP_EXACT_SQL, "exact dedup via content-hash group-by"),
+    Query("dedup_minhash_candidates", dedup_minhash_candidates_q, DEDUP_MINHASH_SQL, "MinHash+LSH near-dup candidate pairs"),
+    Query("dedup_jaccard_verified", dedup_jaccard_q, DEDUP_JACCARD_SQL, "exact n-gram Jaccard over LSH candidates"),
+    Query("dedup_simhash", dedup_simhash_q, DEDUP_SIMHASH_SQL, "16-bit SimHash signatures"),
+]

@@ -1,3 +1,152 @@
-"""Placeholder; filled in this round."""
+"""Event-time windowing queries over the events table — the batch
+semantics of the streaming operators in
+map_reduce_project_spark.streaming (same F.window / F.session_window
+expressions run under Structured Streaming with watermarks; DuckDB
+cannot replay watermarks, so the streaming variants are test-only
+while these batch twins carry the oracle check).
+"""
 
-QUERIES: list = []
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_project_spark.queries import Query
+from map_reduce_project_spark.sources.io import read_table
+
+DEC = "decimal(18,2)"
+
+
+def ev_tumbling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling window counts per event type (F.window)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+EV_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def ev_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes; window start as epoch
+    seconds (engine-portable representation)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").start.alias("ws"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("ws").alias("window_start_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EV_SLIDING_SQL = """
+WITH w AS (
+  SELECT (epoch_us(ts) // (900 * 1000000)) * 900
+         - unnest(generate_series(0, 3)) * 900 AS window_start_epoch,
+         value
+  FROM events
+)
+SELECT window_start_epoch, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM w
+GROUP BY 1
+"""
+
+
+def ev_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows per user (F.session_window) with
+    min/max event time, event count, and value sum per session."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "last_event", "n_events", "sum_value"
+        )
+    )
+
+
+EV_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) AS last_event,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+def ev_user_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily activity rollup: days active, events, totals."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.countDistinct(F.to_date("ts")).alias("days_active"),
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+
+
+EV_USER_DAILY_SQL = """
+SELECT user_id,
+  COUNT(DISTINCT CAST(ts AS DATE)) AS days_active,
+  COUNT(*) AS n_events,
+  MIN(ts) AS first_seen,
+  MAX(ts) AS last_seen,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = [
+    Query("ev_tumbling_hourly", ev_tumbling_q, EV_TUMBLING_SQL, "hourly tumbling window agg (F.window)"),
+    Query("ev_sliding_15min", ev_sliding_q, EV_SLIDING_SQL, "1h/15min sliding windows (F.window w/ slide)"),
+    Query("ev_sessions_30min", ev_sessions_q, EV_SESSIONS_SQL, "30-min-gap session windows (F.session_window)"),
+    Query("ev_user_daily", ev_user_daily_q, EV_USER_DAILY_SQL, "per-user activity rollup"),
+]

@@ -1,0 +1,37 @@
+"""Multimodal plumbing query: binary payload -> mapInPandas metadata
+extraction. The payloads are manufactured from document text (UTF-8
+bytes) so the whole Arrow-batched decode path can be oracle-checked:
+every output column is a deterministic function of the bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map_reduce_project_spark.operators.multimodal import (
+    attach_fake_payload,
+    extract_metadata,
+)
+from map_reduce_project_spark.queries import Query
+from map_reduce_project_spark.sources.io import read_table
+
+
+def mm_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return extract_metadata(attach_fake_payload(docs))
+
+
+MM_METADATA_SQL = """
+SELECT doc_id,
+  'fake/image' AS modality,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS payload_md5,
+  CAST(64 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS width,
+  CAST(64 + octet_length(encode(text)) % 64 AS BIGINT) AS height
+FROM documents
+"""
+
+
+QUERIES = [
+    Query("mm_extract_metadata", mm_metadata_q, MM_METADATA_SQL, "Arrow-batched binary payload metadata extraction (mapInPandas)"),
+]

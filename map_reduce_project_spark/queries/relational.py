@@ -329,18 +329,23 @@ FROM orders
 # --- Q10/Q11: anti & semi joins ----------------------------------------------
 
 
-def q10_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_customers_without_urgent_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
 Q10_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """
 
 
@@ -618,7 +623,7 @@ QUERIES = [
     Query("q7_segment_stats", q7_segment_stats, Q7_SQL, "group stats: count-distinct, min/max/avg"),
     Query("q8_topk_per_customer", q8_topk_per_customer, Q8_SQL, "window row_number top-k per group"),
     Query("q9_running_total", q9_running_total, Q9_SQL, "window running sum (decimal-exact)"),
-    Query("q10_customers_without_orders", q10_customers_without_orders, Q10_SQL, "anti join"),
+    Query("q10_customers_without_urgent", q10_customers_without_urgent_orders, Q10_SQL, "anti join"),
     Query("q11_customers_with_open_orders", q11_customers_with_open_orders, Q11_SQL, "semi join"),
     Query("q12_set_ops", q12_set_ops, Q12_SQL, "union/intersect/except"),
     Query("q13_rollup_region_nation", q13_rollup_region_nation, Q13_SQL, "rollup grouping sets"),

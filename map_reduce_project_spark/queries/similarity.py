@@ -1,3 +1,161 @@
-"""Placeholder; filled in this round."""
+"""Similarity-search queries over the embeddings table."""
 
-QUERIES: list = []
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_project_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    lsh_bucketed_topk,
+)
+from map_reduce_project_spark.queries import Query
+from map_reduce_project_spark.sources.io import read_table
+
+OFFSET = 100000
+
+# Shared oracle scaffolding: exploded elements + decimal-exact norms.
+# DuckDB's unnest/generate_subscripts mirror posexplode; decimal(38,18)
+# sums make the cosine bit-identical to the Spark side.
+_EL = """
+el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM {src}
+),
+n2 AS (
+  SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(38,18))) AS DOUBLE) AS norm2
+  FROM el GROUP BY vec_id
+)
+"""
+
+
+def ann_brute_force_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(queries, emb, k=5)
+
+
+ANN_BRUTE_SQL = (
+    "WITH "
+    + _EL.format(src="embeddings")
+    + """,
+dots AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+         CAST(SUM(CAST(q.val * t.val AS DECIMAL(38,18))) AS DOUBLE) AS dot
+  FROM el q JOIN el t ON q.pos = t.pos AND q.vec_id <> t.vec_id
+  WHERE q.vec_id % 100 = 0
+  GROUP BY q.vec_id, t.vec_id
+),
+cos AS (
+  SELECT query_id, target_id,
+         CAST(dot / (SQRT(qn.norm2) * SQRT(tn.norm2)) AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN n2 qn ON qn.vec_id = query_id
+  JOIN n2 tn ON tn.vec_id = target_id
+)
+SELECT query_id, target_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, target_id) AS BIGINT) AS rank
+  FROM cos
+) WHERE rank <= 5
+"""
+)
+
+
+def ann_lsh_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, k=3, n_planes=4)
+
+
+_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(4)
+)
+
+ANN_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({_BUCKET_EXPR} AS BIGINT) AS bucket
+  FROM embeddings
+),
+el AS (
+  SELECT vec_id, bucket, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM b
+),
+n2 AS (
+  SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(38,18))) AS DOUBLE) AS norm2
+  FROM el GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+         CAST(SUM(CAST(q.val * t.val AS DECIMAL(38,18))) AS DOUBLE) AS dot
+  FROM el q JOIN el t ON q.bucket = t.bucket AND q.pos = t.pos
+                     AND q.vec_id <> t.vec_id
+  GROUP BY q.vec_id, t.vec_id
+),
+cos AS (
+  SELECT query_id, target_id,
+         CAST(dot / (SQRT(qn.norm2) * SQRT(tn.norm2)) AS DECIMAL(10,8)) AS cosine
+  FROM dots
+  JOIN n2 qn ON qn.vec_id = query_id
+  JOIN n2 tn ON tn.vec_id = target_id
+)
+SELECT query_id, target_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, target_id) AS BIGINT) AS rank
+  FROM cos
+) WHERE rank <= 3
+"""
+
+
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors: cosine >= 0.99 among a sampled
+    duplicate-injected corpus (every sampled vector has one exact copy)."""
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 5 == 0
+    )
+    corpus = emb.unionAll(
+        emb.select(
+            (F.col("vec_id") + OFFSET).alias("vec_id"), "embedding", "label"
+        )
+    )
+    pairs = cosine_pairs(corpus, corpus)
+    return pairs.where(
+        (F.col("cosine") >= 0.99) & (F.col("query_id") < F.col("target_id"))
+    )
+
+
+EMB_NEARDUP_SQL = (
+    f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT vec_id + {OFFSET} AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+),
+"""
+    + _EL.format(src="corpus")
+    + """,
+dots AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+         CAST(SUM(CAST(q.val * t.val AS DECIMAL(38,18))) AS DOUBLE) AS dot
+  FROM el q JOIN el t ON q.pos = t.pos AND q.vec_id <> t.vec_id
+  GROUP BY q.vec_id, t.vec_id
+)
+SELECT query_id, target_id,
+       CAST(dot / (SQRT(qn.norm2) * SQRT(tn.norm2)) AS DECIMAL(10,8)) AS cosine
+FROM dots
+JOIN n2 qn ON qn.vec_id = query_id
+JOIN n2 tn ON tn.vec_id = target_id
+WHERE CAST(dot / (SQRT(qn.norm2) * SQRT(tn.norm2)) AS DECIMAL(10,8)) >= 0.99
+  AND query_id < target_id
+"""
+)
+
+
+QUERIES = [
+    Query("ann_brute_force_topk", ann_brute_force_q, ANN_BRUTE_SQL, "exact cosine top-5 for sampled query vectors"),
+    Query("ann_lsh_bucketed_topk", ann_lsh_bucketed_q, ANN_LSH_SQL, "sign-bucket ANN top-3 within LSH buckets"),
+    Query("embedding_neardup", embedding_neardup_q, EMB_NEARDUP_SQL, "cosine >= 0.99 near-duplicate vector pairs"),
+]

@@ -1,3 +1,115 @@
-"""Placeholder; filled in this round."""
+"""Text-analysis queries over the documents table."""
 
-QUERIES: list = []
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map_reduce_project_spark.operators.text import (
+    EN_STOPWORDS,
+    bpe_token_count,
+    fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+)
+from map_reduce_project_spark.queries import Query
+from map_reduce_project_spark.sources.io import read_table
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(read_table(spark, sf_dir, "documents"))
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(LEN(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+  CAST(LENGTH(text) - LEN(string_split(text, ' ')) + 1 AS DOUBLE)
+    / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+FROM documents
+"""
+
+
+def bpe_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_token_count(read_table(spark, sf_dir, "documents"))
+
+
+BPE_TOKENS_SQL = r"""
+SELECT doc_id,
+  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+  CAST(LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(read_table(spark, sf_dir, "documents"))
+
+
+LANGID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+    CAST(LEN(list_filter(string_split(text, ' '), t -> t IN ({_STOP_LIST}))) AS DOUBLE)
+      / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS en_score,
+    LENGTH(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) > 0 AS has_cjk
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN has_cjk THEN 'cjk'
+       WHEN en_score >= 0.05 THEN 'en'
+       ELSE 'other' END AS pred_lang,
+  en_score
+FROM scored
+"""
+
+
+def quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(read_table(spark, sf_dir, "documents"))
+
+
+QUALITY_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+    CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+    CAST(LEN(list_filter(string_split(text, ' '), t -> t IN ({_STOP_LIST}))) AS DOUBLE)
+      / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+  stopword_ratio, distinct_ratio,
+  CASE WHEN n_tokens < 5 THEN 0.0
+       WHEN distinct_ratio < 0.1 THEN 0.0
+       ELSE distinct_ratio * 0.5 + stopword_ratio * 0.25
+            + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.25
+  END AS quality
+FROM m
+"""
+
+
+def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+  md5(text) AS raw_fp,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
+FROM documents
+"""
+
+
+QUERIES = [
+    Query("text_stats", text_stats_q, TEXT_STATS_SQL, "token/char statistics per document"),
+    Query("text_bpe_tokens", bpe_tokens_q, BPE_TOKENS_SQL, "whitespace + BPE-ish regex token counts"),
+    Query("text_language_id", language_id_q, LANGID_SQL, "stopword-density + script language heuristic"),
+    Query("text_quality", quality_q, QUALITY_SQL, "C4/Gopher-style quality ratios + composite score"),
+    Query("text_fingerprint", fingerprint_q, FINGERPRINT_SQL, "raw + bag-of-words md5 fingerprints"),
+]

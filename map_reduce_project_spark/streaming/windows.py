@@ -1,0 +1,102 @@
+"""Structured Streaming operators: watermarked event-time windows.
+
+The batch twins in queries/events.py carry the DuckDB oracle; these
+run the SAME window expressions under ``readStream`` with watermarks,
+which is the production path for unbounded event streams. Tests drive
+them with ``trigger(availableNow=True)`` against the parquet testdata
+and assert the final state equals the batch result — the
+batch/streaming unification Spark guarantees for append-able aggs.
+
+Late data: the watermark bounds state; events later than the watermark
+are dropped. At 100 TB-scale ingest the knobs that matter are the
+watermark delay (state size vs completeness) and
+``spark.sql.shuffle.partitions`` for the stateful agg (state store
+count). applyInPandasWithState is the escape hatch for custom state
+machines; the built-in window/session_window cover the standard ones.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """events.parquet as a file stream (schema pinned from a batch read).
+
+    The nanos ts arrives as bigint under nanosAsLong; normalize to a
+    microsecond timestamp exactly like sources.io.read_table.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file-stream source needs a directory; glob-filter to the one file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def stream_tumbling_counts(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked hourly tumbling counts — streaming twin of
+    queries.events.ev_tumbling_q."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").start.alias("hour_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def stream_session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked session windows — streaming twin of ev_sessions_q."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select("user_id", "n_events", "sum_value")
+    )
+
+
+def run_stream_to_memory(
+    streaming_df: DataFrame, query_name: str | None = None
+) -> DataFrame:
+    """Run a streaming aggregation to completion (availableNow) into a
+    memory sink; returns the result as a batch DataFrame."""
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_")
+    query = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark = streaming_df.sparkSession
+    return spark.table(name)

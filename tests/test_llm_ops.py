@@ -1,0 +1,179 @@
+"""LLM-pipeline operators: dedup, similarity, text, multimodal.
+
+Semantic tests on small controlled inputs (the oracle harness covers
+the full-table hash checks; here we pin behaviors the SQL twin can't
+express directly, e.g. recall of LSH candidates, decode stubs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_project_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    lsh_buckets,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from map_reduce_project_spark.operators.multimodal import (
+    attach_fake_payload,
+    decode_media,
+    extract_metadata,
+)
+from map_reduce_project_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    lsh_bucketed_topk,
+    sign_bucket,
+)
+from map_reduce_project_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "spark sql window agg join filter scan shuffle broadcast hash"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra"),  # near dup of 1
+        (4, "the quick brown fox jumps over the lazy dog again and again"),
+        (5, "completely different tokens here nothing shared at all ok"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r.keep_id: r.n_copies for r in exact_dedup(docs, ["text"], "doc_id").collect()}
+    assert out[1] == 2  # docs 1+2 collapse, keeper is min id
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_minhash_lsh_finds_duplicates(spark, docs):
+    sigs = minhash_signatures(docs)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(lsh_buckets(sigs)).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always a candidate
+    assert not any({a, b} == {4, 5} for a, b in pairs)  # disjoint texts
+
+
+def test_jaccard_verify_scores(spark, docs):
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    scores = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_verify(docs, cands, threshold=0.0).collect()
+    }
+    assert scores[(1, 2)] == 1.0
+    assert 0.5 < scores[(1, 3)] < 1.0
+    assert (4, 5) not in scores  # no shared shingles -> no inter row
+
+
+def test_simhash_identical_for_duplicates(spark, docs):
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert 0 <= sigs[1] < (1 << 16)
+    assert sigs[1] != sigs[5]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [1.0, 0.0, 0.0, 0.0]),   # identical to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_ordering(spark, vectors):
+    out = brute_force_topk(
+        vectors.where("vec_id = 0"), vectors, k=4
+    ).collect()
+    ranked = [r.target_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked[0] == 4  # identical vector first (cosine 1)
+    assert ranked[1] == 1
+    assert ranked[-1] == 3  # opposite vector last (cosine -1)
+    by_target = {r.target_id: float(r.cosine) for r in out}
+    assert by_target[4] == pytest.approx(1.0)
+    assert by_target[2] == pytest.approx(0.0)
+    assert by_target[3] == pytest.approx(-1.0)
+
+
+def test_sign_bucket_partitions(spark, vectors):
+    got = {
+        r.vec_id: r.bucket
+        for r in vectors.select(
+            "vec_id", sign_bucket("embedding", 2).alias("bucket")
+        ).collect()
+    }
+    assert got[0] == 1  # dim1 > 0
+    assert got[2] == 2  # dim2 > 0
+    assert got[3] == 0  # none positive
+
+
+def test_lsh_bucketed_topk_stays_in_bucket(spark, vectors):
+    # buckets (2 planes): v0,v4 -> 1 | v1 -> 3 (dim2=0.1>0) | v2 -> 2 | v3 -> 0
+    out = lsh_bucketed_topk(vectors, k=4, n_planes=2).collect()
+    pairs = {(r.query_id, r.target_id) for r in out}
+    assert pairs == {(0, 4), (4, 0)}  # only the shared-bucket pair
+
+
+def test_cosine_pairs_excludes_self(spark, vectors):
+    out = cosine_pairs(vectors, vectors).collect()
+    assert all(r.query_id != r.target_id for r in out)
+
+
+def test_text_stats_and_quality(spark, docs):
+    stats = {r.doc_id: r for r in text_stats(docs).collect()}
+    assert stats[1].n_tokens == 10
+    assert stats[1].n_distinct_tokens == 10
+    q = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert q[4].stopword_ratio > 0  # 'the' x2, 'over', 'and'
+    assert 0 <= q[1].quality <= 1
+
+
+def test_language_id_heuristic(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is a good mat"),
+        (2, "xyzzy plugh qwerty asdf zxcv"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.pred_lang for r in language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "other"
+
+
+def test_fingerprint_bow_catches_reordered(spark):
+    rows = [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in fingerprint(df).collect()}
+    assert out[1].raw_fp != out[2].raw_fp
+    assert out[1].bow_fp == out[2].bow_fp  # reorder-invariant
+    assert out[1].bow_fp != out[3].bow_fp
+
+
+def test_multimodal_metadata_roundtrip(spark, docs):
+    media = attach_fake_payload(docs)
+    meta = {r.doc_id: r for r in extract_metadata(media).collect()}
+    row = meta[1]
+    text = docs.where("doc_id = 1").collect()[0].text
+    assert row.n_bytes == len(text.encode())
+    assert row.width == 64 + text.encode()[0] % 64
+    assert row.modality == "fake/image"
+
+
+def test_decode_media_stub_gates_real_modalities():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image/png")
