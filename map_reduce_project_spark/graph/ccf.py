@@ -47,6 +47,10 @@ MAX_ITERATIONS = 100
 
 _NEW = "_ccf_new"
 
+# loop shuffle sizing (see connected_components)
+_GROWTH = 8  # peak pair rows ~= GROWTH x input edges
+_ROWS_PER_PARTITION = 250_000
+
 
 @dataclass
 class CCFResult:
@@ -89,6 +93,9 @@ def ccf_iterate(pairs: DataFrame) -> DataFrame:
     # min over neighbor values; the reference seeds min with the key
     # itself, so "emit iff min_val < key" == "exists neighbor < key".
     mins = und.groupBy("src").agg(F.min("dst").alias("_min"))
+    # NB: measured locally, broadcasting `mins` for the join-back is a
+    # net LOSS inside the loop (a driver collect + broadcast per
+    # iteration); the shuffle join reuses the min-agg exchange instead.
 
     # emit (key, min) once per group with min < key
     key_pairs = (
@@ -158,22 +165,51 @@ def connected_components(
     pairs = edges.select(
         F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
     )
+
+    # Size the loop's shuffles from the data, not from session defaults.
+    # Pair volume peaks at roughly GROWTH x the input edges; partitions
+    # are sized so each holds ~ROWS_PER_PARTITION pair rows. For the
+    # reference bench graphs (15k-50k edges) this lands at the floor of
+    # 4; at paper scale (92B edges) it lands in the thousands. AQE's
+    # per-stage adaptive barriers cost ~0.5s/iteration, which dominates
+    # sub-second stages, so it is disabled while the loop runs SMALL
+    # graphs and left on (skew-join splitting, coalescing) at scale.
+    spark = edges.sparkSession
+    n_edges = pairs.count()
+    target = max(4, min(int(n_edges * _GROWTH / _ROWS_PER_PARTITION) + 1, 20000))
+    small = target <= 64
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    if small:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if pairs.rdd.getNumPartitions() > target:
+        pairs = pairs.coalesce(target)
+
     iterations = 0
     converged = False
     counts: list[int] = []
 
-    while iterations < max_iterations:
-        iterations += 1
+    try:
+        while iterations < max_iterations:
+            iterations += 1
 
-        combined = iterate_fn(pairs).localCheckpoint(eager=True)
-        new_pair_count = combined.where(F.col(_NEW)).count()
-        counts.append(new_pair_count)
+            # lazy checkpoint + count: the count is the materializing
+            # action, so each iteration is ONE job (the reference runs
+            # two, and its Python variant re-executes the reduce phase
+            # in the second — SURVEY.md §3.1)
+            combined = iterate_fn(pairs).localCheckpoint(eager=False)
+            new_pair_count = combined.where(F.col(_NEW)).count()
+            counts.append(new_pair_count)
 
-        pairs = ccf_dedup(combined)
+            pairs = ccf_dedup(combined)
 
-        if new_pair_count == 0:
-            converged = True
-            break
+            if new_pair_count == 0:
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
     mapping = pairs.select(
         F.col("src").alias("node"), F.col("dst").alias("component")

@@ -3,9 +3,9 @@
 Two paths:
 - ``brute_force_topk``: exact cosine top-k of every query vector
   against the full corpus. The pairwise dot products are computed by
-  position-join + decimal-exact sum so results are deterministic and
-  oracle-checkable. At 100 TB this is the per-bucket kernel, not the
-  corpus-wide plan.
+  position-join + exact fixed-point integer sums so results are
+  deterministic and oracle-checkable. At 100 TB this is the per-bucket
+  kernel, not the corpus-wide plan.
 - ``lsh_bucketed_topk``: sign-bucket ANN — bucket = sign bits of the
   first ``n_planes`` dimensions (a fixed axis-aligned random
   projection; deterministic and engine-portable). Queries only search
@@ -14,10 +14,15 @@ Two paths:
   for seeded random hyperplanes when recall matters; IVF via k-means
   centroids is the next rung (MLlib KMeans fits here).
 
-Determinism note: float -> double widening is exact; double products
-are IEEE-identical in any engine; sums are decimal(38,18)-exact; sqrt
-is IEEE correctly-rounded. So cosine values are bit-identical between
-Spark and the DuckDB oracle.
+Determinism note: elements are quantized to int64 fixed point
+(floor(val * 2^24)) so dot products and norms are EXACT integer
+arithmetic — order-independent, overflow-safe for |val| <= 16 at
+dims <= 4096, and bit-identical in any engine. The final cosine is a
+single IEEE double expression of those ints (sqrt is correctly
+rounded), so even the double output hash-matches the DuckDB oracle.
+Quantization error is ~1e-7 relative — far below any ANN decision
+boundary. This is also the fast path: long multiply-add vectorizes in
+whole-stage codegen, where 128-bit decimal aggregation does not.
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-DOT_DEC = "decimal(38,18)"
+QSCALE = 1 << 24  # fixed-point scale for exact integer dot products
 
 
 def _elements(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -34,19 +39,15 @@ def _elements(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return vectors.select(
         F.col(id_col),
         F.posexplode(vec_col).alias("pos", "val"),
-    ).withColumn("val", F.col("val").cast("double"))
+    ).withColumn("val", F.floor(F.col("val").cast("double") * QSCALE))
 
 
 def norms2(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, norm2 double): decimal-exact squared L2 norm."""
+    """(id, norm2 long): exact squared L2 norm of the quantized vector."""
     return (
         _elements(vectors, id_col, vec_col)
         .groupBy(id_col)
-        .agg(
-            F.sum((F.col("val") * F.col("val")).cast(DOT_DEC))
-            .cast("double")
-            .alias("norm2")
-        )
+        .agg(F.sum(F.col("val") * F.col("val")).alias("norm2"))
     )
 
 
@@ -58,9 +59,9 @@ def cosine_pairs(
 ) -> DataFrame:
     """(query_id, target_id, cosine) for the full query x target grid.
 
-    Physical shape: position-join of exploded elements, partial+final
-    decimal sum per pair — a shuffle keyed on pos then (q, t), both
-    AQE-coalesced. Self-pairs are excluded.
+    Physical shape: broadcast the (small) query elements, stream the
+    target corpus map-side, partial+final integer sum per pair.
+    Self-pairs are excluded.
     """
     q = _elements(queries, id_col, vec_col).selectExpr(
         f"{id_col} as query_id", "pos", "val as qval"
@@ -68,15 +69,14 @@ def cosine_pairs(
     t = _elements(targets, id_col, vec_col).selectExpr(
         f"{id_col} as target_id", "pos", "val as tval"
     )
+    # the query set is small by construction — broadcast it so the
+    # target corpus streams map-side (no shuffle of the big side, and
+    # no skew from the 64-distinct-values pos join key)
     dots = (
-        q.join(t, "pos")
+        F.broadcast(q).join(t, "pos")
         .where(F.col("query_id") != F.col("target_id"))
         .groupBy("query_id", "target_id")
-        .agg(
-            F.sum((F.col("qval") * F.col("tval")).cast(DOT_DEC))
-            .cast("double")
-            .alias("dot")
-        )
+        .agg(F.sum(F.col("qval") * F.col("tval")).alias("dot"))
     )
     qn = norms2(queries, id_col, vec_col).selectExpr(
         f"{id_col} as query_id", "norm2 as qn2"
@@ -91,10 +91,9 @@ def cosine_pairs(
             "query_id",
             "target_id",
             (
-                F.col("dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("tn2")))
-            )
-            .cast("decimal(10,8)")
-            .alias("cosine"),
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("tn2").cast("double")))
+            ).alias("cosine"),
         )
     )
 
@@ -146,7 +145,7 @@ def lsh_bucketed_topk(
     bucketed = vectors.withColumn("bucket", sign_bucket(vec_col, n_planes))
     elems = bucketed.select(
         F.col(id_col), F.col("bucket"), F.posexplode(vec_col).alias("pos", "val")
-    ).withColumn("val", F.col("val").cast("double"))
+    ).withColumn("val", F.floor(F.col("val").cast("double") * QSCALE))
     q = elems.selectExpr(
         f"{id_col} as query_id", "bucket", "pos", "val as qval"
     )
@@ -158,11 +157,7 @@ def lsh_bucketed_topk(
         q.join(t, ["bucket", "pos"])
         .where(F.col("query_id") != F.col("target_id"))
         .groupBy("query_id", "target_id")
-        .agg(
-            F.sum((F.col("qval") * F.col("tval")).cast(DOT_DEC))
-            .cast("double")
-            .alias("dot")
-        )
+        .agg(F.sum(F.col("qval") * F.col("tval")).alias("dot"))
     )
     n2 = norms2(vectors, id_col, vec_col)
     qn = n2.selectExpr(f"{id_col} as query_id", "norm2 as qn2")
@@ -174,10 +169,9 @@ def lsh_bucketed_topk(
             "query_id",
             "target_id",
             (
-                F.col("dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("tn2")))
-            )
-            .cast("decimal(10,8)")
-            .alias("cosine"),
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("tn2").cast("double")))
+            ).alias("cosine"),
         )
     )
     return topk(pairs, k)

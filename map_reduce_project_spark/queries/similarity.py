@@ -15,17 +15,17 @@ from map_reduce_project_spark.sources.io import read_table
 
 OFFSET = 100000
 
-# Shared oracle scaffolding: exploded elements + decimal-exact norms.
-# DuckDB's unnest/generate_subscripts mirror posexplode; decimal(38,18)
-# sums make the cosine bit-identical to the Spark side.
+# Shared oracle scaffolding: exploded elements quantized to int64
+# fixed point (floor(val * 2^24)) exactly like operators.similarity —
+# dot products and norms are exact integer arithmetic in both engines.
 _EL = """
 el AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-         CAST(unnest(embedding) AS DOUBLE) AS val
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 16777216) AS BIGINT) AS val
   FROM {src}
 ),
 n2 AS (
-  SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(38,18))) AS DOUBLE) AS norm2
+  SELECT vec_id, SUM(val * val) AS norm2
   FROM el GROUP BY vec_id
 )
 """
@@ -43,14 +43,14 @@ ANN_BRUTE_SQL = (
     + """,
 dots AS (
   SELECT q.vec_id AS query_id, t.vec_id AS target_id,
-         CAST(SUM(CAST(q.val * t.val AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         SUM(q.val * t.val) AS dot
   FROM el q JOIN el t ON q.pos = t.pos AND q.vec_id <> t.vec_id
   WHERE q.vec_id % 100 = 0
   GROUP BY q.vec_id, t.vec_id
 ),
 cos AS (
   SELECT query_id, target_id,
-         CAST(dot / (SQRT(qn.norm2) * SQRT(tn.norm2)) AS DECIMAL(10,8)) AS cosine
+         CAST(dot AS DOUBLE) / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(tn.norm2 AS DOUBLE))) AS cosine
   FROM dots
   JOIN n2 qn ON qn.vec_id = query_id
   JOIN n2 tn ON tn.vec_id = target_id
@@ -81,23 +81,23 @@ WITH b AS (
 ),
 el AS (
   SELECT vec_id, bucket, generate_subscripts(embedding, 1) AS pos,
-         CAST(unnest(embedding) AS DOUBLE) AS val
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 16777216) AS BIGINT) AS val
   FROM b
 ),
 n2 AS (
-  SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(38,18))) AS DOUBLE) AS norm2
+  SELECT vec_id, SUM(val * val) AS norm2
   FROM el GROUP BY vec_id
 ),
 dots AS (
   SELECT q.vec_id AS query_id, t.vec_id AS target_id,
-         CAST(SUM(CAST(q.val * t.val AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         SUM(q.val * t.val) AS dot
   FROM el q JOIN el t ON q.bucket = t.bucket AND q.pos = t.pos
                      AND q.vec_id <> t.vec_id
   GROUP BY q.vec_id, t.vec_id
 ),
 cos AS (
   SELECT query_id, target_id,
-         CAST(dot / (SQRT(qn.norm2) * SQRT(tn.norm2)) AS DECIMAL(10,8)) AS cosine
+         CAST(dot AS DOUBLE) / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(tn.norm2 AS DOUBLE))) AS cosine
   FROM dots
   JOIN n2 qn ON qn.vec_id = query_id
   JOIN n2 tn ON tn.vec_id = target_id
@@ -139,16 +139,16 @@ WITH corpus AS (
     + """,
 dots AS (
   SELECT q.vec_id AS query_id, t.vec_id AS target_id,
-         CAST(SUM(CAST(q.val * t.val AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         SUM(q.val * t.val) AS dot
   FROM el q JOIN el t ON q.pos = t.pos AND q.vec_id <> t.vec_id
   GROUP BY q.vec_id, t.vec_id
 )
 SELECT query_id, target_id,
-       CAST(dot / (SQRT(qn.norm2) * SQRT(tn.norm2)) AS DECIMAL(10,8)) AS cosine
+       CAST(dot AS DOUBLE) / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(tn.norm2 AS DOUBLE))) AS cosine
 FROM dots
 JOIN n2 qn ON qn.vec_id = query_id
 JOIN n2 tn ON tn.vec_id = target_id
-WHERE CAST(dot / (SQRT(qn.norm2) * SQRT(tn.norm2)) AS DECIMAL(10,8)) >= 0.99
+WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(tn.norm2 AS DOUBLE))) >= 0.99
   AND query_id < target_id
 """
 )

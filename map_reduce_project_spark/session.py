@@ -39,8 +39,9 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
+        default = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8
         shuffle_partitions = int(
-            os.environ.get("SPARK_GRAFT_SHUFFLE", os.cpu_count() or 8)
+            os.environ.get("SPARK_GRAFT_SHUFFLE", default)
         )
 
     builder = (
@@ -49,6 +50,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-based coalescing, not parallelism-first: small shuffles
+        # collapse to few tasks (an iterative fixed point schedules
+        # thousands of tasks otherwise); big shuffles still fan out to
+        # the advisory size, so cluster-scale plans are unaffected
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
