@@ -2,6 +2,7 @@ from map_reduce_project_spark.graph.ccf import (
     CCFResult,
     ccf_dedup,
     ccf_iterate,
+    ccf_iterate_secondary_sort_conformance,
     component_count,
     component_summary,
     connected_components,
@@ -16,6 +17,7 @@ __all__ = [
     "CCFResult",
     "ccf_dedup",
     "ccf_iterate",
+    "ccf_iterate_secondary_sort_conformance",
     "component_count",
     "component_summary",
     "connected_components",

@@ -126,11 +126,53 @@ def ccf_iterate_secondary_sort(pairs: DataFrame) -> DataFrame:
     value != min — SURVEY.md §2.4-S2). The DataFrame formulation needs
     no sort at all (``F.min`` is the streaming min), so the scalable
     plan is identical to Basic; we keep the name as the API-parity
-    alias and document the deviation: duplicate-min self-pairs are not
-    emitted. All 34 reference experiments produce identical iteration
+    alias. All 34 reference experiments produce identical iteration
     counts for both variants (experiment_results.csv), so goldens hold.
+    For inputs where the variants CAN diverge (both orientations of an
+    edge present, S2), ``ccf_iterate_secondary_sort_conformance``
+    reproduces the reference's exact emission set.
     """
     return ccf_iterate(pairs)
+
+
+def ccf_iterate_secondary_sort_conformance(pairs: DataFrame) -> DataFrame:
+    """Bit-exact SecondarySort emission semantics (S2 conformance mode).
+
+    The reference emits the ENTIRE sorted tail after the head
+    (ccf_connected_components.py:143-145): occurrences of the min value
+    beyond the first become counted ``(min, min)`` self-pairs, which the
+    Basic variant filters out. Reproduced here without any per-group
+    sort or collect: tail occurrences of the min are ranked with a
+    window and every occurrence after the first is emitted. Used by
+    conformance tests; the scalable path stays ``ccf_iterate``.
+    """
+    from pyspark.sql.window import Window
+
+    und = _undirected(pairs)
+    mins = und.groupBy("src").agg(F.min("dst").alias("_min"))
+    matched = und.join(mins, "src").where(F.col("_min") < F.col("src"))
+
+    key_pairs = (
+        mins.where(F.col("_min") < F.col("src"))
+        .select("src", F.col("_min").alias("dst"))
+        .withColumn(_NEW, F.lit(False))
+    )
+    tail_ne = matched.where(F.col("dst") != F.col("_min")).select(
+        F.col("dst").alias("src"), F.col("_min").alias("dst")
+    )
+    dup_min = (
+        matched.where(F.col("dst") == F.col("_min"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy("dst")
+            ),
+        )
+        .where(F.col("_rn") >= 2)
+        .select(F.col("dst").alias("src"), F.col("_min").alias("dst"))
+    )
+    val_pairs = tail_ne.unionAll(dup_min).withColumn(_NEW, F.lit(True))
+    return key_pairs.unionAll(val_pairs)
 
 
 def ccf_dedup(pairs: DataFrame) -> DataFrame:
@@ -148,6 +190,7 @@ def connected_components(
     edges: DataFrame,
     use_secondary_sort: bool = False,
     max_iterations: int = MAX_ITERATIONS,
+    conformance: bool = False,
 ) -> CCFResult:
     """Fixed-point driver (reference O8, ccf_connected_components.py:190-230).
 
@@ -160,7 +203,14 @@ def connected_components(
     lexicographically smallest node ID in the node's component; the
     representative itself is not a row (S3).
     """
-    iterate_fn = ccf_iterate_secondary_sort if use_secondary_sort else ccf_iterate
+    if use_secondary_sort:
+        iterate_fn = (
+            ccf_iterate_secondary_sort_conformance
+            if conformance
+            else ccf_iterate_secondary_sort
+        )
+    else:
+        iterate_fn = ccf_iterate
 
     pairs = edges.select(
         F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")

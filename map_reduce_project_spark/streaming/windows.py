@@ -83,7 +83,9 @@ def stream_session_counts(
 
 
 def run_stream_to_memory(
-    streaming_df: DataFrame, query_name: str | None = None
+    streaming_df: DataFrame,
+    query_name: str | None = None,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Run a streaming aggregation to completion (availableNow) into a
     memory sink; returns the result as a batch DataFrame."""
@@ -92,7 +94,7 @@ def run_stream_to_memory(
     query = (
         streaming_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

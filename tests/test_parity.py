@@ -1,0 +1,168 @@
+"""Reference-parity surface: experiment sweep harness, SecondarySort
+conformance semantics (S2), CSV/JSON source-sink parity, pandas-UDF
+twins, custom stateful sessionizer."""
+
+from __future__ import annotations
+
+import csv
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_project_spark.functions import (
+    quality_score_pandas,
+    token_count_udf,
+)
+from map_reduce_project_spark.graph import connected_components
+from map_reduce_project_spark.graph.experiments import (
+    CSV_FIELDS,
+    _run,
+    write_csv,
+)
+from map_reduce_project_spark.graph.generators import (
+    edges_df,
+    generate_random_graph,
+)
+from map_reduce_project_spark.operators.text import bpe_token_count, quality_score
+from map_reduce_project_spark.sources import (
+    read_csv,
+    read_json,
+    read_table,
+    write_json,
+    write_parquet,
+)
+from map_reduce_project_spark.sources.io import write_csv as sink_csv
+
+
+def test_s2_secondary_sort_divergence(spark):
+    # Both orientations of one edge: the duplicate min makes the
+    # reference's SecondarySort emit a counted (min,min) self-pair,
+    # costing one extra iteration; final mappings agree (S2).
+    edges = edges_df(spark, [("a", "b"), ("b", "a")])
+    basic = connected_components(edges)
+    conf = connected_components(
+        edges, use_secondary_sort=True, conformance=True
+    )
+    assert basic.iterations == 1
+    assert conf.iterations == 2
+    assert conf.new_pair_counts[0] == 1  # the (a,a) self-pair emission
+    assert {(r.node, r.component) for r in basic.mapping.collect()} == {
+        ("b", "a")
+    }
+    assert {(r.node, r.component) for r in conf.mapping.collect()} == {
+        ("b", "a")
+    }
+
+
+def test_s2_conformance_agrees_on_canonical_inputs(spark):
+    # On canonically-oriented graphs (the reference's generators) the
+    # conformance variant matches Basic exactly, iterations included.
+    edges = generate_random_graph(60, 120, seed=11)
+    basic = connected_components(edges_df(spark, edges))
+    conf = connected_components(
+        edges_df(spark, edges), use_secondary_sort=True, conformance=True
+    )
+    assert basic.iterations == conf.iterations
+    assert {tuple(r) for r in basic.mapping.collect()} == {
+        tuple(r) for r in conf.mapping.collect()
+    }
+
+
+def test_experiment_run_and_csv(spark, tmp_path):
+    edges = generate_random_graph(50, 100, seed=42)
+    rows = [
+        _run(spark, "random_graph", edges, 50, use_secondary_sort=False),
+        _run(spark, "random_graph", edges, 50, use_secondary_sort=True),
+    ]
+    assert rows[0]["iterations"] == 5  # reference golden
+    assert rows[0]["components"] == 1
+    assert rows[0]["algorithm"] == "Basic"
+    assert rows[1]["algorithm"] == "SecondarySort"
+    out = tmp_path / "results.csv"
+    write_csv(rows, str(out))
+    with open(out) as f:
+        got = list(csv.DictReader(f))
+    assert len(got) == 2
+    assert list(got[0].keys()) == CSV_FIELDS
+    assert got[0]["iterations"] == "5"
+
+
+def test_csv_json_roundtrip(spark, tmp_path, sf0001):
+    nation = read_table(spark, sf0001, "nation")
+    csv_path = str(tmp_path / "nation_csv")
+    json_path = str(tmp_path / "nation_json")
+    sink_csv(nation, csv_path)
+    write_json(nation, json_path)
+
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    from_csv = read_csv(spark, csv_path, schema)
+    from_json = read_json(spark, json_path, schema)
+    want = {tuple(r) for r in nation.collect()}
+    assert {tuple(r) for r in from_csv.collect()} == want
+    assert {tuple(r) for r in from_json.collect()} == want
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path, sf0001):
+    orders = read_table(spark, sf0001, "orders")
+    path = str(tmp_path / "orders_by_status")
+    write_parquet(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path)
+    filtered = back.where(F.col("o_orderstatus") == "F")
+    want = orders.where(F.col("o_orderstatus") == "F").count()
+    assert filtered.count() == want
+    # partition pruning: the predicate appears as a partition filter
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_pandas_udf_twins_match_expressions(spark, sf0001):
+    docs = read_table(spark, sf0001, "documents").limit(100)
+    expr = {
+        r.doc_id: (r.bpe_tokens, )
+        for r in bpe_token_count(docs).collect()
+    }
+    udf = {
+        r.doc_id: (r.bpe,)
+        for r in docs.select(
+            "doc_id", token_count_udf("text").alias("bpe")
+        ).collect()
+    }
+    assert expr == udf
+
+    q_expr = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    q_udf = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", quality_score_pandas("text").alias("q")
+        ).collect()
+    }
+    for k in q_expr:
+        assert q_udf[k] == pytest.approx(q_expr[k], abs=1e-12)
+
+
+def test_stateful_sessionizer(spark, sf0001):
+    from map_reduce_project_spark.queries.events import ev_sessions_q
+    from map_reduce_project_spark.streaming import stream_events
+    from map_reduce_project_spark.streaming.stateful import (
+        sessionize_with_state,
+    )
+    from map_reduce_project_spark.streaming.windows import run_stream_to_memory
+
+    stream = stream_events(spark, sf0001).select("ts", "user_id", "value")
+    out = run_stream_to_memory(
+        sessionize_with_state(stream),
+        query_name="sessions_state",
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.session_start_us): r.n_events for r in out.collect()
+    }
+    batch = {
+        (r.user_id, int(r.session_start.timestamp() * 1_000_000)): r.n_events
+        for r in ev_sessions_q(spark, sf0001).collect()
+    }
+    # closed sessions must agree with the batch twin; open sessions
+    # (the last per user) may be withheld until the event-time timeout
+    assert got
+    for key, n in got.items():
+        assert batch[key] == n
