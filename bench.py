@@ -32,6 +32,7 @@ from map_reduce_project_spark.graph import (
     generate_cluster_graph,
     generate_random_graph,
 )
+
 from map_reduce_project_spark.graph.generators import edges_df
 from map_reduce_project_spark.queries import all_queries
 
@@ -67,7 +68,9 @@ def main() -> None:
     # cost — BASELINE.md's reference numbers carry ~5 s of equivalent
     # fixed overhead inside every run; ours is reported as startup_sec
     spark.range(1000).selectExpr("sum(id)").collect()
-    connected_components(edges_df(spark, generate_chain_graph(30)))
+    connected_components(
+        edges_df(spark, generate_random_graph(500, 1500, seed=42))
+    )
     startup = time.perf_counter() - t0
 
     timings: dict[str, float] = {}

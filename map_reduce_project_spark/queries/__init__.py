@@ -24,6 +24,7 @@ class Query:
 
 def all_queries() -> dict[str, Query]:
     from map_reduce_project_spark.queries import (
+        advanced,
         dedup,
         events,
         graph_queries,
@@ -42,6 +43,7 @@ def all_queries() -> dict[str, Query]:
         text,
         events,
         multimodal,
+        advanced,
     ):
         for q in mod.QUERIES:
             if q.name in registry:

@@ -1,0 +1,126 @@
+"""Remaining operator-category coverage: cube grouping sets, RANGE
+window frames, array higher-order functions, approximate distinct."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from map_reduce_project_spark.queries import Query
+from map_reduce_project_spark.sources.io import read_table
+
+DEC = "decimal(18,2)"
+
+
+def q20_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all 4 grouping sets."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+    )
+
+
+Q20_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q21_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per-customer revenue within the last 30 days of
+    each order (event-time window frame, not row-count frame)."""
+    orders = read_table(spark, sf_dir, "orders")
+    day = F.unix_timestamp("o_orderdate") / 86400
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_revenue"),
+        F.count("*").over(w).alias("trailing_30d_orders"),
+    )
+
+
+Q21_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_30d_revenue,
+  COUNT(*) OVER w AS trailing_30d_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(epoch(o_orderdate) / 86400 AS BIGINT)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q22_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column:
+    filter/transform/aggregate (exact int arithmetic via quantization),
+    sort/slice — the array-manipulation surface."""
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 200
+    )
+    qarr = F.expr(
+        "transform(embedding, v -> cast(floor(cast(v as double) * 16777216) as bigint))"
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.expr(
+            "size(filter(embedding, v -> v > 0))"
+        ).cast("long").alias("n_positive"),
+        F.aggregate(
+            qarr, F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("qsum"),
+        F.expr(
+            "aggregate(transform(embedding, v -> cast(floor(cast(v as double) * 16777216) as bigint)),"
+            " cast(0 as bigint), (acc, v) -> greatest(acc, abs(v)))"
+        ).alias("qmax_abs"),
+        F.element_at(
+            F.expr(
+                "slice(sort_array(transform(embedding, v -> cast(floor(cast(v as double) * 16777216) as bigint)), false), 1, 1)"
+            ),
+            1,
+        ).alias("qtop"),
+    )
+
+
+Q22_SQL = """
+SELECT vec_id,
+  CAST(LEN(embedding) AS BIGINT) AS dim,
+  CAST(LEN(list_filter(embedding, v -> v > 0)) AS BIGINT) AS n_positive,
+  CAST(list_sum(list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 16777216) AS BIGINT))) AS BIGINT) AS qsum,
+  CAST(list_max(list_transform(embedding, v -> ABS(CAST(FLOOR(CAST(v AS DOUBLE) * 16777216) AS BIGINT)))) AS BIGINT) AS qmax_abs,
+  CAST(list_max(list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 16777216) AS BIGINT))) AS BIGINT) AS qtop
+FROM embeddings
+WHERE vec_id < 200
+"""
+
+
+def q23_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct counts — the 100 TB-scale substitute for
+    exact COUNT(DISTINCT). Sketch internals differ per engine, so the
+    driver records a rows-only check; accuracy is pinned by a pytest
+    tolerance test against the exact counts."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+QUERIES = [
+    Query("q20_cube", q20_cube, Q20_SQL, "CUBE grouping sets"),
+    Query("q21_range_frame", q21_range_frame, Q21_SQL, "RANGE window frame (trailing 30 days)"),
+    Query("q22_array_functions", q22_array_functions, Q22_SQL, "array filter/transform/aggregate/sort HOFs"),
+    Query("q23_approx_distinct", q23_approx_distinct, None, "HyperLogLog approx distinct (rows-only)"),
+]

@@ -50,11 +50,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # size-based coalescing, not parallelism-first: small shuffles
-        # collapse to few tasks (an iterative fixed point schedules
-        # thousands of tasks otherwise); big shuffles still fan out to
-        # the advisory size, so cluster-scale plans are unaffected
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelism-first coalescing (the default, made explicit):
+        # AQE never coalesces below default parallelism, so iterative
+        # checkpoints keep map-side parallelism = cores. (Measured: with
+        # parallelismFirst=false a 2M-edge CCF iteration coalesced to 3
+        # partitions and ran on 3 of 32 cores.) Tiny-graph loops bypass
+        # AQE entirely via the fixed-point driver's small path.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos

@@ -166,3 +166,21 @@ def test_stateful_sessionizer(spark, sf0001):
     assert got
     for key, n in got.items():
         assert batch[key] == n
+
+
+def test_approx_distinct_tolerance(spark, sf0001):
+    from map_reduce_project_spark.queries.advanced import q23_approx_distinct
+
+    approx = {
+        r.l_returnflag: r.approx_orders
+        for r in q23_approx_distinct(spark, sf0001).collect()
+    }
+    li = read_table(spark, sf0001, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05
