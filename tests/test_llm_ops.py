@@ -177,3 +177,26 @@ def test_multimodal_metadata_roundtrip(spark, docs):
 def test_decode_media_stub_gates_real_modalities():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
+
+
+def test_mllib_minhash_lsh_finds_duplicates(spark, docs):
+    from map_reduce_project_spark.operators.mllib_lsh import minhash_lsh_pairs
+
+    pairs = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs  # exact duplicates always survive
+    assert not any({a, b} == {4, 5} for a, b in pairs)
+
+
+def test_mllib_brp_lsh_recall(spark, vectors):
+    from map_reduce_project_spark.operators.mllib_lsh import brp_lsh_neighbors
+
+    out = brp_lsh_neighbors(
+        vectors, vectors.where("vec_id = 0"), k=2, num_hash_tables=8
+    ).collect()
+    ranked = [r.target_id for r in sorted(out, key=lambda r: r.rank)]
+    # nearest euclidean neighbors of [1,0,0,0]: the identical vector 4,
+    # then vector 1
+    assert ranked[0] == 4
+    assert ranked[1] == 1
