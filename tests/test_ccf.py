@@ -91,11 +91,12 @@ def test_isolated_edge_and_two_components(spark):
 
 # --- iteration-count conformance goldens (reference experiment_results.csv) --
 
-CHAIN_GOLDENS = {10: 6, 50: 8}  # larger chains (100/200/500 -> 9/10/12) in bench
-RANDOM_GOLDENS = {(50, 100): (5, 1)}
+CHAIN_GOLDENS = {10: 6, 50: 8, 100: 9}  # 200/500 -> 10/12 covered by the sweep CLI
+RANDOM_GOLDENS = {(50, 100): (5, 1), (100, 300): (5, 1)}
 CLUSTER_GOLDENS = {
     (5, 20, 0): (6, 5),
     (5, 20, 4): (7, 2),
+    (10, 50, 9): (9, 4),
 }
 
 
