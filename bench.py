@@ -33,7 +33,7 @@ from map_reduce_project_spark.graph import (
     generate_random_graph,
 )
 
-from map_reduce_project_spark.graph.generators import edges_df
+from map_reduce_project_spark.graph.generators import edges_df, random_graph_df
 from map_reduce_project_spark.queries import all_queries
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,6 +83,14 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t, 3)
         assert res.converged and n_comp >= 1
 
+    # scale probe: fully distributed graph (spark.range generator, no
+    # driver-side edge list) — exercises the AQE/partition-sizing path
+    t = time.perf_counter()
+    res = connected_components(random_graph_df(spark, 250_000, 500_000, seed=42))
+    n_comp = component_count(res.mapping)
+    timings["ccf_random_df_500k"] = round(time.perf_counter() - t, 3)
+    assert res.converged and n_comp >= 1
+
     registry = all_queries()
     for name in HEADLINERS:
         fn = registry[name].fn
@@ -97,7 +105,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "end-to-end wall seconds: 3 reference CCF benchmark configs + 10 engine headline queries",
+                "metric": "end-to-end wall seconds: 3 reference CCF benchmark configs + distributed 500k-edge CC + 10 engine headline queries",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -124,3 +124,38 @@ QUERIES = [
     Query("q22_array_functions", q22_array_functions, Q22_SQL, "array filter/transform/aggregate/sort HOFs"),
     Query("q23_approx_distinct", q23_approx_distinct, None, "HyperLogLog approx distinct (rows-only)"),
 ]
+
+
+def q24_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators.scale.salted_agg) under
+    the oracle gate: results must equal the plain one-phase GROUP BY.
+    At 100 TB this is the shape for skewed group keys whose post-combine
+    state still overwhelms one reducer."""
+    from map_reduce_project_spark.operators.scale import salted_agg
+
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "p", F.col("o_totalprice").cast(DEC)
+    )
+    out = salted_agg(
+        orders,
+        ["o_orderstatus"],
+        {"n_orders": "count(*)", "revenue": "sum(p)"},
+        n_salts=8,
+    )
+    return out.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+Q24_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+QUERIES.append(
+    Query("q24_salted_agg", q24_salted_segment_revenue, Q24_SQL, "skew-safe two-phase salted aggregation")
+)

@@ -48,6 +48,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # runtime-settable; required even when the caller's session was
         # built without it (the round driver builds its own session)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ts becomes TIMESTAMP_LTZ below; pin the session to UTC so
+        # window/date_trunc semantics match the UTC-naive DuckDB oracle
+        # even on a session built without get_spark
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
