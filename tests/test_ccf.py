@@ -194,3 +194,14 @@ def test_parquet_roundtrip_edges(spark, tmp_path, sf0001):
     # ("c:" < "o:"), customers are representatives -> rows == orders.
     assert res.mapping.count() == orders.count()
     assert component_count(res.mapping) == orders.select("o_custkey").distinct().count()
+
+
+def test_join_formulation_agrees_with_window(spark):
+    # the skew-robust groupBy+join iterate must produce the identical
+    # emission set (incl. the _ccf_new flags) as the fused-window default
+    from map_reduce_project_spark.graph import ccf_iterate, ccf_iterate_join
+
+    edges = edges_df(spark, generate_cluster_graph(5, 20, 4, seed=42))
+    a = {tuple(r) for r in ccf_iterate(edges).collect()}
+    b = {tuple(r) for r in ccf_iterate_join(edges).collect()}
+    assert a == b
