@@ -7,22 +7,23 @@ min-label-propagation MapReduce algorithm of Kardes, Agrawal, Wang & Sun
 re-expresses the same semantics as a Catalyst-planned DataFrame fixed
 point. Structural wins over the reference (see SURVEY.md §3.4/§4):
 
-- ``groupByKey`` + collect-all-neighbors is replaced by
-  ``groupBy("src").agg(F.min("dst"))`` — partial (map-side) aggregation
-  shrinks a high-degree hub's shuffle traffic to one row per map
-  partition instead of shipping every neighbor to one reducer
-  (the O(N)-reducer-memory + hub-skew problem flagged in the
-  reference's own RESULTS.md:119).
+- ``groupByKey`` + collect-all-neighbors is replaced by a fused
+  single-window pass (first value = group min + row number -> both
+  emission branches in ONE full shuffle); the reference needs a full
+  groupByKey shuffle with O(N) reducer memory (its own RESULTS.md:119
+  flags the hub-skew consequence) plus a second dedup shuffle. A
+  groupBy-min + join formulation (``ccf_iterate_join``) remains for
+  extreme hub skew, where AQE can split a join but not a window.
 - The convergence counter is a deterministic ``count()`` aggregate on
   the new-pair branch, not an accumulator (Spark accumulators over-count
   under task retry; reference CCFConnectedComponents.scala:197).
-- One eager materialization per iteration via
-  ``localCheckpoint(eager=True)``, which both pins the iteration result
-  AND truncates lineage — the reference's ``cache()+count()`` protocol
-  (ccf_connected_components.py:219-221) pins but leaves an ever-growing
-  RDD DAG, and its Python variant additionally re-executes the reduce
-  phase twice per iteration (unpersist-before-downstream-action at
-  ccf_connected_components.py:87).
+- One materialization per iteration via a lazy ``localCheckpoint``
+  whose convergence count is the single action — pins the iteration
+  result AND truncates lineage in ONE job. The reference's
+  ``cache()+count()`` protocol (ccf_connected_components.py:219-221)
+  runs two actions per iteration and leaves an ever-growing RDD DAG;
+  its Python variant additionally re-executes the reduce phase twice
+  (unpersist-before-downstream-action at ccf_connected_components.py:87).
 
 Semantic fine print preserved (SURVEY.md §2.4):
 - S1: node IDs are strings; min is LEXICOGRAPHIC ("10" < "2").
@@ -225,6 +226,7 @@ def connected_components(
     use_secondary_sort: bool = False,
     max_iterations: int = MAX_ITERATIONS,
     conformance: bool = False,
+    skew_robust: bool = False,
 ) -> CCFResult:
     """Fixed-point driver (reference O8, ccf_connected_components.py:190-230).
 
@@ -243,6 +245,10 @@ def connected_components(
             if conformance
             else ccf_iterate_secondary_sort
         )
+    elif skew_robust:
+        # groupBy+join formulation: AQE can skew-split the join when a
+        # hub node's adjacency would overwhelm one window partition
+        iterate_fn = ccf_iterate_join
     else:
         iterate_fn = ccf_iterate
 

@@ -1,9 +1,11 @@
 """Event-time windowing queries over the events table — the batch
 semantics of the streaming operators in
 map_reduce_project_spark.streaming (same F.window / F.session_window
-expressions run under Structured Streaming with watermarks; DuckDB
-cannot replay watermarks, so the streaming variants are test-only
-while these batch twins carry the oracle check).
+expressions run under Structured Streaming with watermarks). DuckDB
+cannot replay watermarks, so the batch twins carry the per-window
+oracle checks; ``ev_tumbling_streaming`` additionally runs the REAL
+Structured Streaming pipeline to completion (availableNow) and
+hash-checks its final state against the same oracle.
 """
 
 from __future__ import annotations
@@ -150,3 +152,37 @@ QUERIES = [
     Query("ev_sessions_30min", ev_sessions_q, EV_SESSIONS_SQL, "30-min-gap session windows (F.session_window)"),
     Query("ev_user_daily", ev_user_daily_q, EV_USER_DAILY_SQL, "per-user activity rollup"),
 ]
+
+
+def ev_tumbling_streaming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING path under the oracle gate: run the watermarked
+    tumbling aggregation as a Structured Streaming query
+    (availableNow trigger) into a memory sink and return the final
+    table — Spark guarantees it converges to the batch semantics, so
+    the same DuckDB oracle must hash-match."""
+    from map_reduce_project_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_events,
+        stream_tumbling_counts,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    return run_stream_to_memory(stream_tumbling_counts(stream))
+
+
+EV_TUMBLING_STREAM_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES.append(
+    Query(
+        "ev_tumbling_streaming",
+        ev_tumbling_streaming_q,
+        EV_TUMBLING_STREAM_SQL,
+        "watermarked Structured Streaming tumbling agg (availableNow), hash-checked vs the batch oracle",
+    )
+)

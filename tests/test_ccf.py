@@ -205,3 +205,11 @@ def test_join_formulation_agrees_with_window(spark):
     a = {tuple(r) for r in ccf_iterate(edges).collect()}
     b = {tuple(r) for r in ccf_iterate_join(edges).collect()}
     assert a == b
+
+
+def test_skew_robust_fixed_point(spark):
+    edges = generate_cluster_graph(5, 20, 4, seed=42)
+    a = connected_components(edges_df(spark, edges))
+    b = connected_components(edges_df(spark, edges), skew_robust=True)
+    assert mapping_set(a) == mapping_set(b)
+    assert a.iterations == b.iterations
