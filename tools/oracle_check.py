@@ -4,7 +4,10 @@ Runs every registry query on Spark AND its oracle SQL on DuckDB over
 the same parquet tables, then compares row count, sorted column names,
 and an order-insensitive value hash. Usage:
 
-    python tools/oracle_check.py [sf_dir] [query ...]
+    python tools/oracle_check.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` builds a bare SparkSession (no get_spark configs) to
+reproduce the round driver's session seam.
 
 Exit code 0 iff every checked query matches.
 """
@@ -61,8 +64,12 @@ def value_hash(lines: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     con = duckdb.connect()
     for t in TABLES:
@@ -70,7 +77,18 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    spark = get_spark("oracle-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("oracle-check")
     registry = all_queries()
     failures = []
     for name, q in sorted(registry.items()):
