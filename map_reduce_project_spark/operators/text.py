@@ -130,3 +130,43 @@ def fingerprint(
             "bow_fp"
         ),
     )
+
+
+# Rabin-Karp-style rolling hash (token-level): base/modulus chosen so
+# every intermediate fits int64 (acc < 2^31, *131 + 24-bit code < 2^39)
+# and the fold is reproducible in any engine with integer semantics.
+ROLL_B = 131
+ROLL_M = (1 << 31) - 1
+
+
+def rolling_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Document fingerprints via polynomial rolling hashes.
+
+    - ``doc_fp``: the rolling hash folded over every token's 24-bit
+      md5 code — an order-sensitive whole-document fingerprint.
+    - ``win_fp``: winnowing-lite — the minimum rolling hash over all
+      k-token windows; robust to appends/truncation (two documents
+      sharing their minimal window collide), the classic
+      local-fingerprint selection for near-dup detection at scale.
+    """
+    codes = (
+        f"transform(split({text_col}, ' '), "
+        f"t -> cast(conv(substring(md5(t), 1, 6), 16, 10) as bigint))"
+    )
+    fold = (
+        f"aggregate({{arr}}, cast(0 as bigint), "
+        f"(acc, c) -> (acc * {ROLL_B} + c) % {ROLL_M})"
+    )
+    doc_fp = fold.format(arr=codes)
+    win_fp = (
+        f"array_min(transform("
+        f"sequence(1, greatest(size({codes}) - {k - 1}, 1)), "
+        f"i -> {fold.format(arr=f'slice({codes}, i, {k})')}))"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.expr(doc_fp).alias("doc_fp"),
+        F.expr(win_fp).alias("win_fp"),
+    )

@@ -113,3 +113,31 @@ QUERIES = [
     Query("text_quality", quality_q, QUALITY_SQL, "C4/Gopher-style quality ratios + composite score"),
     Query("text_fingerprint", fingerprint_q, FINGERPRINT_SQL, "raw + bag-of-words md5 fingerprints"),
 ]
+
+
+def rolling_fp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_project_spark.operators.text import rolling_fingerprint
+
+    return rolling_fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+_CODES = "list_transform(string_split(text, ' '), t -> ('0x' || substr(md5(t), 1, 6))::BIGINT)"
+_FOLD = "list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), (acc, c) -> (acc * 131 + c) % 2147483647)"
+
+ROLLING_FP_SQL = f"""
+SELECT doc_id,
+  {_FOLD.format(arr=_CODES)} AS doc_fp,
+  list_min(list_transform(
+    generate_series(1, greatest(len({_CODES}) - 2, 1)),
+    i -> {_FOLD.format(arr=f"({_CODES})[i:i+2]")})) AS win_fp
+FROM documents
+"""
+
+QUERIES.append(
+    Query(
+        "text_rolling_fingerprint",
+        rolling_fp_q,
+        ROLLING_FP_SQL,
+        "Rabin-Karp rolling-hash doc fingerprint + winnowing-lite min-window hash",
+    )
+)

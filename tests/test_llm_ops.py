@@ -200,3 +200,22 @@ def test_mllib_brp_lsh_recall(spark, vectors):
     # then vector 1
     assert ranked[0] == 4
     assert ranked[1] == 1
+
+
+def test_rolling_fingerprint_semantics(spark):
+    from map_reduce_project_spark.operators.text import rolling_fingerprint
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta appended tail"),  # superset
+        (3, "totally different words in here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in rolling_fingerprint(df).collect()}
+    # whole-doc hash is order/extent sensitive
+    assert out[1].doc_fp != out[2].doc_fp
+    # winnowing-lite min-window hash survives appends when the minimal
+    # window is shared (doc2 contains all of doc1's windows)
+    assert out[2].win_fp <= out[1].win_fp
+    assert out[1].win_fp != out[3].win_fp
+    assert all(0 <= r.doc_fp < (1 << 31) for r in out.values())
