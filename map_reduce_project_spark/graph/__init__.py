@@ -13,6 +13,11 @@ from map_reduce_project_spark.graph.generators import (
     generate_cluster_graph,
     generate_random_graph,
 )
+from map_reduce_project_spark.graph.star import (
+    connected_components_star,
+    large_star,
+    small_star,
+)
 
 __all__ = [
     "CCFResult",
@@ -23,6 +28,9 @@ __all__ = [
     "component_count",
     "component_summary",
     "connected_components",
+    "connected_components_star",
+    "large_star",
+    "small_star",
     "generate_chain_graph",
     "generate_cluster_graph",
     "generate_random_graph",

@@ -20,6 +20,7 @@ from map_reduce_project_spark.graph.ccf import (
     component_summary,
     connected_components,
 )
+from map_reduce_project_spark.graph.star import connected_components_star
 from map_reduce_project_spark.queries import Query
 from map_reduce_project_spark.sources.io import read_table
 
@@ -73,6 +74,15 @@ def cc_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).mapping
 
 
+def cc_star_orders_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternating large-star/small-star CC (Kiveris et al., SoCC 2014)
+    over the same bipartite graph — the O(log n)-round scale-path
+    alternative to CCF's O(diameter) loop (graph/star.py). Produces
+    the identical (node, component) mapping, so it shares CCF's exact
+    SQL oracle."""
+    return connected_components_star(_order_edges(spark, sf_dir)).mapping
+
+
 def cc_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-size distribution of the flagship graph (O10/O11 agg)."""
     mapping = connected_components(_order_edges(spark, sf_dir)).mapping
@@ -95,5 +105,6 @@ QUERIES = [
     Query("cc_orders_bipartite", cc_orders_bipartite, CC_ORDERS_SQL, "CCF fixed point, bipartite flagship (exact oracle)"),
     Query("cc_orders_summary", cc_orders_summary, CC_SUMMARY_SQL, "component membership summary w/ representative re-add"),
     Query("cc_part_supplier", cc_part_supplier, None, "CCF multi-iteration co-occurrence graph (rows-only)"),
+    Query("cc_star_orders_bipartite", cc_star_orders_bipartite, CC_ORDERS_SQL, "large-star/small-star CC, O(log n) rounds (exact oracle)"),
     Query("cc_component_sizes", cc_component_sizes, CC_SIZES_SQL, "component size histogram"),
 ]

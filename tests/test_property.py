@@ -6,7 +6,10 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from map_reduce_project_spark.graph import connected_components
+from map_reduce_project_spark.graph import (
+    connected_components,
+    connected_components_star,
+)
 from map_reduce_project_spark.graph.generators import edges_df
 
 node = st.integers(min_value=0, max_value=30).map(str)
@@ -56,3 +59,17 @@ def test_ccf_matches_union_find(spark, edges):
     assert res.converged
     # representative never self-maps (S3)
     assert all(n != c for n, c in got)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(edge, min_size=1, max_size=40))
+def test_star_matches_union_find(spark, edges):
+    expected = union_find_mapping(edges)
+    res = connected_components_star(edges_df(spark, edges))
+    got = {(r.node, r.component) for r in res.mapping.collect()}
+    assert got == expected
+    assert res.converged

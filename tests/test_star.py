@@ -1,0 +1,64 @@
+"""Alternating large-star/small-star CC (graph/star.py): golden,
+mapping equality vs CCF, and the O(log n) round-count advantage on
+high-diameter graphs (Kiveris et al., SoCC 2014)."""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_project_spark.graph import (
+    connected_components,
+    connected_components_star,
+    generate_chain_graph,
+    generate_cluster_graph,
+    generate_random_graph,
+)
+from map_reduce_project_spark.graph.generators import edges_df
+
+from tests.test_ccf import FIG5_EDGES, FIG5_EXPECTED, mapping_set
+
+
+def test_star_golden_figure5(spark):
+    res = connected_components_star(edges_df(spark, FIG5_EDGES))
+    assert mapping_set(res) == FIG5_EXPECTED
+    assert res.converged
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        generate_chain_graph(50),
+        generate_random_graph(200, 400, seed=42),
+        generate_cluster_graph(5, 10, 3, seed=42),
+        # duplicate edges, both orientations, repeated pairs
+        [("b", "a"), ("a", "b"), ("b", "a"), ("c", "b"), ("e", "a")],
+        # lexicographic trap: "10" < "2"
+        [("2", "10"), ("10", "3")],
+    ],
+    ids=["chain50", "random200", "cluster5x10", "dups", "lexico"],
+)
+def test_star_matches_ccf(spark, edges):
+    ccf = connected_components(edges_df(spark, edges))
+    star = connected_components_star(edges_df(spark, edges))
+    assert mapping_set(star) == mapping_set(ccf)
+    assert star.converged
+
+
+def test_star_rounds_sublinear_on_chain(spark):
+    # CCF needs O(diameter) iterations on a chain (the reference's own
+    # worst case: 12 iterations for chain-500); star converges in
+    # O(log n) rounds — this is the reason the algorithm exists.
+    n = 200
+    edges = generate_chain_graph(n)
+    ccf = connected_components(edges_df(spark, edges))
+    star = connected_components_star(edges_df(spark, edges))
+    assert mapping_set(star) == mapping_set(ccf)
+    assert star.iterations < ccf.iterations
+
+
+def test_star_empty_and_self_loop(spark):
+    res = connected_components_star(
+        edges_df(spark, [("a", "a")])
+    )
+    assert mapping_set(res) == set()
+    assert res.converged
