@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from map_reduce_project_spark.operators.similarity import (
     brute_force_topk,
     cosine_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from map_reduce_project_spark.queries import Query
@@ -110,6 +111,15 @@ SELECT query_id, target_id, cosine, rank FROM (
 """
 
 
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (MLlib, seeded), each query
+    searches its n_probe nearest cells. Approximate by construction —
+    driver records a rows-only check; recall vs brute force is pinned
+    by tests/test_llm_ops.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=3, n_centroids=16, n_probe=3)
+
+
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vectors: cosine >= 0.99 among a sampled
     duplicate-injected corpus (every sampled vector has one exact copy)."""
@@ -157,5 +167,6 @@ WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(tn.norm2
 QUERIES = [
     Query("ann_brute_force_topk", ann_brute_force_q, ANN_BRUTE_SQL, "exact cosine top-5 for sampled query vectors"),
     Query("ann_lsh_bucketed_topk", ann_lsh_bucketed_q, ANN_LSH_SQL, "sign-bucket ANN top-3 within LSH buckets"),
+    Query("ann_ivf_topk", ann_ivf_q, None, "IVF ANN: k-means cells + n_probe search (rows-only; recall-tested)"),
     Query("embedding_neardup", embedding_neardup_q, EMB_NEARDUP_SQL, "cosine >= 0.99 near-duplicate vector pairs"),
 ]

@@ -25,6 +25,7 @@ from map_reduce_project_spark.operators.multimodal import (
 from map_reduce_project_spark.operators.similarity import (
     brute_force_topk,
     cosine_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
     sign_bucket,
 )
@@ -200,6 +201,31 @@ def test_mllib_brp_lsh_recall(spark, vectors):
     # then vector 1
     assert ranked[0] == 4
     assert ranked[1] == 1
+
+
+def test_ivf_exhaustive_probe_matches_brute_force(spark, vectors):
+    # probing every cell degenerates IVF to exact search: the top-k
+    # (query, target) sets must equal brute force (cosines are computed
+    # double-fold vs quantized-int, so compare pair sets, not floats)
+    ivf = ivf_topk(vectors, k=2, n_centroids=2, n_probe=2)
+    bf = brute_force_topk(vectors, vectors, k=2)
+    ivf_set = {(r.query_id, r.target_id) for r in ivf.collect()}
+    bf_set = {(r.query_id, r.target_id) for r in bf.collect()}
+    assert ivf_set == bf_set
+
+
+def test_ivf_recall_on_real_embeddings(spark, sf0001):
+    from map_reduce_project_spark.sources import read_table
+
+    emb = read_table(spark, sf0001, "embeddings")
+    ivf = ivf_topk(emb, k=3, n_centroids=16, n_probe=3)
+    bf = brute_force_topk(emb, emb, k=3)
+    ivf_set = {(r.query_id, r.target_id) for r in ivf.collect()}
+    bf_set = {(r.query_id, r.target_id) for r in bf.collect()}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    # measured 0.58 with 3/16 probes on the sf0.001 corpus; the floor
+    # leaves headroom for kmeans partitioning jitter across sessions
+    assert recall >= 0.4
 
 
 def test_rolling_fingerprint_semantics(spark):
