@@ -44,6 +44,46 @@ def shingles_expr(k: int = 3, text_col: str = "text"):
     )
 
 
+def shingle_document_frequency(
+    shingled: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(shingle, df): number of distinct documents containing each
+    shingle — one dropDuplicates + one count aggregate."""
+    return (
+        shingled.dropDuplicates([id_col, "shingle"])
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def prune_hot_shingles(
+    shingled: DataFrame, max_df: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop shingles that occur in more than ``max_df`` documents.
+
+    Boilerplate resistance for corpus-scale near-dedup: shingles shared
+    by a large fraction of the corpus (site chrome, license headers,
+    navigation text) put unrelated documents into the same LSH buckets
+    — the classic hot-bucket blowup — while carrying no dedup signal.
+    Pruning them BEFORE the minhash both fixes recall (signatures spend
+    their hash budget on discriminative shingles) and kills the skew
+    (no more corpus-sized buckets to pair-join).
+
+    The hot set is tiny by construction (shingle frequency is zipfian;
+    only the head crosses any sensible max_df), so it broadcasts, and
+    the prune is a broadcast LEFT ANTI join — no shuffle of the
+    shingle stream. Documents consisting entirely of boilerplate lose
+    all their shingles and drop out of NEAR-dup detection; exact dedup
+    (``exact_dedup``) still catches their literal copies.
+    """
+    hot = (
+        shingle_document_frequency(shingled, id_col)
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return shingled.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: group by content key, keep the smallest id.
 
@@ -68,16 +108,23 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
     k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: columns h0..h{n-1} (hex strings).
 
     One explode + one grouped aggregate computing all n mins in a
     single pass (partial aggregation map-side, so shuffle volume is
     one row per doc per partition, not one per shingle).
+
+    ``max_df``: if set, shingles occurring in more than max_df
+    documents are pruned before hashing (``prune_hot_shingles``) —
+    the boilerplate-resistance knob for web-scale corpora.
     """
     shingled = docs.select(
         F.col(id_col), F.explode(shingles_expr(k, text_col)).alias("shingle")
     )
+    if max_df is not None:
+        shingled = prune_hot_shingles(shingled, max_df, id_col)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
         for s in range(num_hashes)

@@ -135,6 +135,42 @@ JOIN sizes nb ON nb.doc_id = i.id_b
 WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
 """
 
+def dedup_minhash_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates with document-frequency pruning of hot
+    shingles (boilerplate resistance): shingles in more than 5% of the
+    corpus are dropped before hashing. The 5%-of-corpus threshold is
+    computed with integer division on both sides so the hash check is
+    exact."""
+    corpus = _injected_corpus(spark, sf_dir)
+    max_df = corpus.count() // 20  # metadata-sized driver action
+    sigs = minhash_signatures(corpus, num_hashes=NUM_HASHES, max_df=max_df)
+    return lsh_candidate_pairs(
+        lsh_buckets(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+    )
+
+
+DEDUP_MINHASH_PRUNED_SQL = f"""
+WITH {CORPUS_CTE},
+{SHINGLE_CTE},
+dfreq AS (
+  SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle
+),
+kept AS (
+  SELECT s.doc_id, s.shingle
+  FROM sh s JOIN dfreq USING (shingle)
+  WHERE dfreq.df <= (SELECT COUNT(*) // 20 FROM corpus)
+),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM kept GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_hash)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b FROM cands
+"""
+
+
 _SIMHASH_BITS = 16
 _SUM_COLS = ",\n    ".join(
     f"sum(CASE WHEN ('0x' || substr(th, {i + 1}, 1))::INT % 2 = 1 "
@@ -166,4 +202,5 @@ QUERIES = [
     Query("dedup_minhash_candidates", dedup_minhash_candidates_q, DEDUP_MINHASH_SQL, "MinHash+LSH near-dup candidate pairs"),
     Query("dedup_jaccard_verified", dedup_jaccard_q, DEDUP_JACCARD_SQL, "exact n-gram Jaccard over LSH candidates"),
     Query("dedup_simhash", dedup_simhash_q, DEDUP_SIMHASH_SQL, "16-bit SimHash signatures"),
+    Query("dedup_minhash_pruned", dedup_minhash_pruned_q, DEDUP_MINHASH_PRUNED_SQL, "MinHash+LSH with document-frequency pruning of hot shingles"),
 ]

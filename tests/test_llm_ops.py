@@ -79,6 +79,47 @@ def test_jaccard_verify_scores(spark, docs):
     assert (4, 5) not in scores  # no shared shingles -> no inter row
 
 
+def test_hot_shingle_pruning_kills_boilerplate_buckets(spark):
+    from map_reduce_project_spark.operators.dedup import (
+        prune_hot_shingles,
+        shingle_document_frequency,
+        shingles_expr,
+    )
+
+    # every doc shares the same long boilerplate prefix (think site
+    # chrome / license header); bodies are disjoint. Long enough that
+    # un-pruned LSH deterministically buckets the docs together (md5 is
+    # fixed, so this test is not flaky).
+    boiler = "copyright acme corp all rights reserved " * 5
+    rows = [(i, f"{boiler}body{i} alpha{i} beta{i} gamma{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shingled = docs.select(
+        F.col("doc_id"), F.explode(shingles_expr(3)).alias("shingle")
+    )
+
+    dfreq = {r.shingle: r.df for r in shingle_document_frequency(shingled).collect()}
+    assert dfreq["copyright acme corp"] == 6
+
+    # without pruning, boilerplate shingles put docs in shared LSH
+    # buckets; with max_df=3 those shingles vanish and the disjoint
+    # bodies produce zero candidate pairs. 1-row bands make the
+    # un-pruned control sensitive (any shared min hash buckets a
+    # pair); the pruned corpus has fully disjoint shingle sets, so
+    # banding cannot matter there.
+    sigs = minhash_signatures(docs, max_df=3)
+    cands = lsh_candidate_pairs(lsh_buckets(sigs, bands=12))
+    assert cands.count() == 0
+
+    sigs_raw = minhash_signatures(docs)
+    cands_raw = lsh_candidate_pairs(lsh_buckets(sigs_raw, bands=12))
+    assert cands_raw.count() > 0
+
+    pruned = prune_hot_shingles(shingled, max_df=3)
+    kept = {r.shingle for r in pruned.collect()}
+    assert "copyright acme corp" not in kept
+    assert any(s.startswith("body") for s in kept)
+
+
 def test_simhash_identical_for_duplicates(spark, docs):
     sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert sigs[1] == sigs[2]
