@@ -186,3 +186,44 @@ QUERIES.append(
         "watermarked Structured Streaming tumbling agg (availableNow), hash-checked vs the batch oracle",
     )
 )
+
+
+def ev_attribution_streaming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join under the oracle gate:
+    purchases joined to their preceding hour of clicks per user, run
+    as a real Structured Streaming append query (availableNow) — the
+    interval condition bounds the join state, and the final emitted
+    set equals the batch join, so a plain SQL oracle hash-checks it."""
+    from map_reduce_project_spark.streaming.sinks import (
+        purchase_attribution_stream,
+    )
+    from map_reduce_project_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    joined = purchase_attribution_stream(stream, "1 hour", "2 hours")
+    return run_stream_to_memory(joined, output_mode="append")
+
+
+EV_ATTRIBUTION_STREAM_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS purchase_value,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+QUERIES.append(
+    Query(
+        "ev_attribution_streaming",
+        ev_attribution_streaming_q,
+        EV_ATTRIBUTION_STREAM_SQL,
+        "watermarked stream-stream interval join (purchase<-clicks), hash-checked vs the batch join oracle",
+    )
+)

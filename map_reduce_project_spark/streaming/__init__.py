@@ -1,3 +1,10 @@
+from map_reduce_project_spark.streaming.sinks import (
+    foreach_batch_parquet,
+    kafka_source,
+    parse_kafka_json,
+    purchase_attribution,
+    purchase_attribution_stream,
+)
 from map_reduce_project_spark.streaming.windows import (
     run_stream_to_memory,
     stream_events,
@@ -6,6 +13,11 @@ from map_reduce_project_spark.streaming.windows import (
 )
 
 __all__ = [
+    "foreach_batch_parquet",
+    "kafka_source",
+    "parse_kafka_json",
+    "purchase_attribution",
+    "purchase_attribution_stream",
     "run_stream_to_memory",
     "stream_events",
     "stream_session_counts",
