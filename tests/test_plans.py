@@ -1,0 +1,81 @@
+"""Physical-plan shape tests (map_reduce_project_spark.plans):
+the scale contract is asserted, not hoped for. A change that silently
+de-optimizes a headline query (kills pushdown, drops a broadcast,
+adds a shuffle to the CCF loop) fails here instead of at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_project_spark.graph.ccf import ccf_iterate, ccf_iterate_join
+from map_reduce_project_spark.plans import (
+    codegen_fraction,
+    num_exchanges,
+    pushed_filters,
+    scan_columns,
+    uses_broadcast_join,
+)
+from map_reduce_project_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return all_queries()
+
+
+def test_filter_reaches_parquet_scan(spark, registry):
+    df = registry["q2_filter_project"].fn(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderstatus" in pushed  # EqualTo pushed into the scan
+    assert "o_totalprice" in pushed  # GreaterThan pushed into the scan
+
+
+def test_scan_prunes_columns(spark, registry):
+    df = registry["q2_filter_project"].fn(spark, SF)
+    cols = scan_columns(df)
+    # orders has 9 columns; the query needs exactly these 5
+    assert cols == {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+    }
+
+
+def test_small_dims_broadcast(spark, registry):
+    # region/nation/supplier are small dims — the 5-way star join must
+    # plan broadcast hash joins, not sort-merge shuffles of lineitem
+    df = registry["q5_region_revenue"].fn(spark, SF)
+    assert uses_broadcast_join(df)
+
+
+def test_ccf_iterate_is_single_shuffle(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    assert num_exchanges(ccf_iterate(edges)) == 1
+    # the skew-robust join formulation trades that for AQE-splittable
+    # joins — more exchanges by design
+    assert num_exchanges(ccf_iterate_join(edges)) > 1
+
+
+def test_agg_query_stays_in_codegen(spark, registry):
+    # whole-stage codegen annotations are only emitted on non-adaptive
+    # plans; toggle AQE off just for the plan build
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry["q1_pricing_summary"].fn(spark, SF)
+        assert codegen_fraction(df) >= 0.5
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_groupby_is_one_shuffle(spark, registry):
+    # partial+final hash aggregation: exactly one exchange for a
+    # single groupBy — more would mean Catalyst lost the partial agg
+    df = registry["q1_pricing_summary"].fn(spark, SF)
+    assert num_exchanges(df) == 1
