@@ -1,0 +1,148 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+keyless point-in-interval (range) join, expressed as compositions of
+DataFrame primitives — no cross joins, no Python, no custom Catalyst.
+
+The reference has no joins at all (SURVEY.md §2.3 — its only
+join-like step is folded into a reducer); these two are the standard
+temporal operators a training-data/eventlog pipeline needs, named in
+the engine north star as first-class custom operators.
+
+- ``asof_join``: per key, match each left row to the latest right row
+  with right_ts <= left_ts (backward; or earliest >= for forward).
+  Physical shape: ONE shuffle — tag both sides, union, and run a
+  single ``last_value(ignoreNulls) over (partition by key order by
+  ts, side rows unbounded preceding)`` window: at equal (key, ts) the
+  right row sorts first, so exact-timestamp matches are visible, and
+  every left row reads the running latest right payload. This is the
+  sort-merge formulation databases use, minus any join operator —
+  cost is one sort of |L|+|R|, never |L|x|R|.
+- ``interval_point_join``: points joined into intervals with NO equi
+  key. The naive plan is a cross join with a range filter (quadratic
+  at scale); the scalable plan buckets the domain: each interval
+  explodes into the fixed-width buckets it covers (bounded fan-out =
+  interval_width/bucket + 1), each point hashes to exactly one
+  bucket, and the pair becomes an equi-join on the bucket id with an
+  exact range post-filter. A point matches an interval in exactly one
+  bucket (the point's own), so no dedup pass is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """As-of (left) join: all left columns, plus each right column as
+    ``{right_prefix}{name}`` from the matched right row (nulls when no
+    right row qualifies).
+
+    backward: latest right with right_ts <= left_ts.
+    forward:  earliest right with right_ts >= left_ts.
+    Ties on right_ts within a key are resolved by whichever sorts
+    last (backward) / first (forward) in the window order —
+    pre-deduplicate the right side per (key, ts) for fully
+    deterministic output.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+
+    l_payload = F.struct(*[F.col(c) for c in left.columns]).alias("_l")
+    r_payload = F.struct(*[F.col(c) for c in right.columns]).alias("_r")
+    l_type = left.select(l_payload).schema[0].dataType
+    r_type = right.select(r_payload).schema[0].dataType
+
+    tagged_l = left.select(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(key_cols)],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        l_payload,
+        F.lit(None).cast(r_type).alias("_r"),
+    )
+    tagged_r = right.select(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(key_cols)],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_type).alias("_l"),
+        r_payload,
+    )
+    both = tagged_l.unionByName(tagged_r)
+
+    keys = [f"_k{i}" for i in range(len(key_cols))]
+    if direction == "backward":
+        # right rows (side 0) sort before left at equal ts -> `<=`
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("_r", ignorenulls=True).over(w)
+    else:
+        # reverse scan (ts desc): the running last right payload is
+        # the EARLIEST right_ts >= left_ts; side asc keeps right rows
+        # visible at equal ts, matching `>=`
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("_r", ignorenulls=True).over(w)
+
+    out = both.withColumn("_match", matched).where(F.col("_side") == 1)
+    cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_match.{c}").alias(f"{right_prefix}{c}") for c in right.columns
+    ]
+    return out.select(*cols)
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    point_prefix: str = "",
+    interval_prefix: str = "iv_",
+) -> DataFrame:
+    """Keyless range join: rows (point ⨝ interval) with
+    lo <= point < hi, via fixed-width bucketing (see module doc).
+
+    ``point_col``/``lo_col``/``hi_col`` must be integral (cast
+    timestamps to epoch micros first); ``bucket_width`` in the same
+    unit. Choose bucket_width >= the typical interval width so the
+    per-interval fan-out stays ~2 buckets; at cluster scale the
+    bucket id is the shuffle key, so narrower buckets = more
+    parallelism (and more interval replicas) — a tunable, not a
+    correctness knob.
+    """
+    p = points.select(
+        *[F.col(c).alias(f"{point_prefix}{c}") for c in points.columns],
+        (F.floor(F.col(point_col) / bucket_width)).alias("_bucket"),
+        F.col(point_col).alias("_x"),
+    )
+    iv = intervals.where(F.col(hi_col) > F.col(lo_col)).select(
+        *[F.col(c).alias(f"{interval_prefix}{c}") for c in intervals.columns],
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width),
+                F.floor((F.col(hi_col) - 1) / bucket_width),
+            )
+        ).alias("_bucket"),
+        F.col(lo_col).alias("_lo"),
+        F.col(hi_col).alias("_hi"),
+    )
+    return (
+        p.join(iv, "_bucket")
+        .where((F.col("_x") >= F.col("_lo")) & (F.col("_x") < F.col("_hi")))
+        .drop("_bucket", "_x", "_lo", "_hi")
+    )

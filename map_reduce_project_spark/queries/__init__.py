@@ -31,6 +31,7 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         relational,
         similarity,
+        temporal,
         text,
     )
 
@@ -44,6 +45,7 @@ def all_queries() -> dict[str, Query]:
         events,
         multimodal,
         advanced,
+        temporal,
     ):
         for q in mod.QUERIES:
             if q.name in registry:

@@ -1,0 +1,119 @@
+"""Temporal-join queries over the events table: as-of join and
+keyless point-in-interval range join (operators/joins.py), each with
+an exact DuckDB oracle (DuckDB has native ASOF JOIN; the range join
+oracles as a plain inequality join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_project_spark.operators.joins import (
+    asof_join,
+    interval_point_join,
+)
+from map_reduce_project_spark.queries import Query
+from map_reduce_project_spark.sources.io import read_table
+
+BLAST_US = 300_000_000  # 5 minutes in microseconds
+
+
+def _typed(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.where(F.col("event_type") == event_type)
+
+
+def asof_click_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's LATEST preceding click
+    (as-of backward) — the single-winner variant of last-touch
+    attribution. The right side is pre-deduplicated per (user_id, ts)
+    so ties cannot make the match nondeterministic."""
+    purchases = _typed(spark, sf_dir, "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = (
+        _typed(spark, sf_dir, "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="ts",
+        direction="backward",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("right_click_id").alias("click_id"),
+        F.col("right_ts").alias("click_ts"),
+    )
+
+
+ASOF_CLICK_SQL = """
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts,
+       c.click_id, c.ts AS click_ts
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
+"""
+
+
+def range_error_blast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases inside the 5-minute blast window after ANY error
+    event — a keyless point-in-interval join (bucketed equi-join on
+    fixed-width time buckets, operators/joins.py), NOT a cross join."""
+    purchases = _typed(spark, sf_dir, "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.unix_micros("ts").alias("pt_us"),
+    )
+    errors = _typed(spark, sf_dir, "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+        F.unix_micros("ts").alias("lo_us"),
+        (F.unix_micros("ts") + F.lit(BLAST_US)).alias("hi_us"),
+    )
+    out = interval_point_join(
+        purchases,
+        errors,
+        point_col="pt_us",
+        lo_col="lo_us",
+        hi_col="hi_us",
+        bucket_width=BLAST_US,
+    )
+    return out.select(
+        "purchase_id",
+        "purchase_ts",
+        F.col("iv_error_id").alias("error_id"),
+        F.col("iv_error_ts").alias("error_ts"),
+    )
+
+
+RANGE_BLAST_SQL = """
+SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+       e.event_id AS error_id, e.ts AS error_ts
+FROM events p
+JOIN events e
+  ON p.ts >= e.ts AND p.ts < e.ts + INTERVAL 5 MINUTE
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+"""
+
+
+QUERIES = [
+    Query("asof_click_attribution", asof_click_attribution_q, ASOF_CLICK_SQL, "as-of backward join: purchase -> latest preceding click per user (DuckDB ASOF oracle)"),
+    Query("range_error_blast", range_error_blast_q, RANGE_BLAST_SQL, "keyless point-in-interval join via time bucketing (inequality-join oracle)"),
+]
