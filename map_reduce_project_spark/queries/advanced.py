@@ -156,6 +156,94 @@ FROM orders
 GROUP BY o_orderstatus
 """
 
+def q25_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not derivable from cube/rollup): per
+    status, per priority, and the grand total — one pass, Catalyst
+    Expand operator (DataFrame.groupingSets, Spark 4)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+    )
+
+
+Q25_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q26_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/dense_rank over per-customer order history (unique
+    (orderdate, orderkey) tiebreak keeps every engine's ordering
+    identical)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w)
+        ).alias("delta_prev"),
+        F.dense_rank()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate"))
+        .cast("long")
+        .alias("date_rank"),
+    )
+
+
+Q26_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+  LAG(o_totalprice) OVER w AS prev_price,
+  LEAD(o_totalprice) OVER w AS next_price,
+  o_totalprice - LAG(o_totalprice) OVER w AS delta_prev,
+  CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS date_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75) of lineitem
+    quantity per return flag — Spark `percentile` and DuckDB
+    `quantile_cont` share the (n-1)*p linear-interpolation definition."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        F.count("*").alias("n"),
+    )
+
+
+Q27_SQL = """
+SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.25) AS p25,
+  quantile_cont(l_quantity, 0.5) AS p50,
+  quantile_cont(l_quantity, 0.75) AS p75,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES.append(
     Query("q24_salted_agg", q24_salted_segment_revenue, Q24_SQL, "skew-safe two-phase salted aggregation")
+)
+QUERIES.extend(
+    [
+        Query("q25_grouping_sets", q25_grouping_sets, Q25_SQL, "arbitrary GROUPING SETS in one Expand pass"),
+        Query("q26_lag_lead", q26_lag_lead, Q26_SQL, "lag/lead/dense_rank over per-customer order history"),
+        Query("q27_percentiles", q27_percentiles, Q27_SQL, "exact interpolated percentiles per group"),
+    ]
 )
