@@ -1,0 +1,102 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+`rand()`-based sampling is the wrong tool at cluster scale: it is
+task-retry-unstable (a re-executed partition draws different rows, so
+two actions over the same "sample" can disagree), partitioning-
+dependent, and not reproducible across engines. Every operator here
+derives its randomness from a salted md5 of the ROW CONTENT instead:
+
+- the same row always lands in the same split/sample, regardless of
+  partitioning, retries, cluster size, or engine (the DuckDB oracle
+  runs the same expressions);
+- adding data never reshuffles existing assignments (critical for
+  train/test splits that must stay frozen as a corpus grows);
+- the salt gives independent draws for independent uses.
+
+The hash bucket is the first 8 md5 hex digits as an integer — uniform
+on [0, 2^32) — taken modulo 10000 for basis-point precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10000  # basis-point granularity
+
+
+def hash_bucket(id_col: str, salt: str) -> Column:
+    """Deterministic uniform bucket in [0, 10000) from a salted md5 of
+    the id column (portable: DuckDB spells it
+    ('0x' || substr(md5(...), 1, 8))::BIGINT % 10000)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _BUCKETS
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with the given weights
+    (must sum to 1.0); adds a ``split`` string column.
+
+    E.g. ``hash_split(docs, "doc_id", {"train": .8, "valid": .1,
+    "test": .1})``. Assignment is a pure function of (salt, id):
+    stable under repartitioning, retries, and corpus growth.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1.0, got {total}")
+    bucket = hash_bucket(id_col, salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(round(cum * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    salt: str = "sample",
+) -> DataFrame:
+    """Content-hash Bernoulli sample: keeps each row iff its salted
+    bucket falls below fraction. Same properties as hash_split."""
+    return df.where(hash_bucket(id_col, salt) < int(round(fraction * _BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sample (the reproducible twin of
+    ``DataFrame.sampleBy``): each stratum keeps its own fraction;
+    strata absent from ``fractions`` are dropped."""
+    bucket = hash_bucket(id_col, salt)
+    cond = None
+    for value, frac in fractions.items():
+        this = (F.col(strata_col) == value) & (
+            bucket < int(round(frac * _BUCKETS))
+        )
+        cond = this if cond is None else cond | this
+    return df.where(cond if cond is not None else F.lit(False))

@@ -116,6 +116,69 @@ def quality_score(
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term set.
+
+    Fully declarative — the corpus statistics (N, avgdl, per-term df)
+    are aggregates broadcast back into the scoring expression, never
+    driver-side collects, so the plan scales to any corpus:
+
+      idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)        [Lucene form]
+      tfnorm  = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+      score   = sum over query terms idf * tfnorm
+
+    Output: (id, score double rounded to 4 decimals — ln is not
+    correctly-rounded IEEE, so raw doubles may differ in the last ulp
+    across engines; 4 decimals is far above that noise and far below
+    any ranking decision).
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    hits = tok.where(F.col("tok").isin(terms))
+    tf = hits.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    df_t = hits.groupBy("tok").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "tfnorm",
+            (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum(F.col("idf") * F.col("tfnorm")), 4).alias("score"))
+    )
+
+
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

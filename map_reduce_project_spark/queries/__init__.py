@@ -29,6 +29,7 @@ def all_queries() -> dict[str, Query]:
         events,
         graph_queries,
         multimodal,
+        pipeline,
         relational,
         similarity,
         temporal,
@@ -46,6 +47,7 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         advanced,
         temporal,
+        pipeline,
     ):
         for q in mod.QUERIES:
             if q.name in registry:

@@ -1,0 +1,90 @@
+"""Deterministic sampling/split operators (operators/sampling.py) and
+BM25 scoring: stability properties rand() cannot give."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_project_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+)
+from map_reduce_project_spark.operators.text import bm25_scores
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).select(F.col("id"))
+
+
+def test_split_is_partitioning_invariant(spark, ids):
+    w = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    a = {r.id: r.split for r in hash_split(ids, "id", w).collect()}
+    b = {
+        r.id: r.split
+        for r in hash_split(ids.repartition(7), "id", w).collect()
+    }
+    assert a == b  # assignment is a pure function of the id
+    assert set(a.values()) == {"train", "valid", "test"}
+
+
+def test_split_proportions_and_totality(spark, ids):
+    w = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    counts = {
+        r.split: r.n
+        for r in hash_split(ids, "id", w).groupBy("split").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert sum(counts.values()) == 2000  # every row assigned
+    assert 1400 < counts["train"] < 1800  # md5-uniform within reason
+    assert counts["valid"] < 400 and counts["test"] < 400
+
+
+def test_split_rejects_bad_weights(spark, ids):
+    with pytest.raises(ValueError):
+        hash_split(ids, "id", {"a": 0.5, "b": 0.4})
+
+
+def test_sample_fraction_nesting(spark, ids):
+    # bucket < threshold makes smaller fractions subsets of larger
+    # ones under the same salt — growing a sample never resamples
+    s5 = {r.id for r in deterministic_sample(ids, "id", 0.05).collect()}
+    s20 = {r.id for r in deterministic_sample(ids, "id", 0.20).collect()}
+    assert s5 <= s20
+    assert len(s5) > 0
+    # different salts draw independently
+    other = {
+        r.id for r in deterministic_sample(ids, "id", 0.05, salt="x").collect()
+    }
+    assert other != s5
+
+
+def test_stratified_sample_strata(spark):
+    rows = [(i, "A" if i % 2 == 0 else "B") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = stratified_sample(df, "grp", {"A": 0.5}, id_col="id")
+    got = out.collect()
+    assert all(r.grp == "A" for r in got)  # stratum B dropped
+    assert 150 < len(got) < 350  # ~50% of 500 A-rows
+
+
+def test_bm25_ranking_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler filler"),
+            (2, "spark filler filler filler filler filler"),
+            (3, "rare filler filler filler filler filler"),
+            (4, "filler filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.score for r in bm25_scores(docs, ["spark", "rare"]).collect()}
+    assert 4 not in out  # no query terms -> no row
+    assert out[1] > out[2]  # higher tf wins within a term
+    # 'rare' appears in 1 doc, 'spark' in 2 -> rare has higher idf,
+    # so the single-occurrence rare doc outscores the single-occurrence
+    # spark doc
+    assert out[3] > out[2]
