@@ -227,3 +227,34 @@ QUERIES.append(
         "watermarked stream-stream interval join (purchase<-clicks), hash-checked vs the batch join oracle",
     )
 )
+
+
+def ev_dedup_streaming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the gate: the event stream unioned
+    with itself (at-least-once redelivery) deduped with
+    dropDuplicatesWithinWatermark must converge to exactly the
+    original table — state stays bounded by the watermark, unlike a
+    plain streaming dropDuplicates."""
+    from map_reduce_project_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_dedup_events,
+        stream_events,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    doubled = stream.unionAll(stream)
+    return run_stream_to_memory(
+        stream_dedup_events(doubled), output_mode="append"
+    )
+
+
+EV_DEDUP_STREAM_SQL = "SELECT * FROM events"
+
+QUERIES.append(
+    Query(
+        "ev_dedup_streaming",
+        ev_dedup_streaming_q,
+        EV_DEDUP_STREAM_SQL,
+        "streaming dropDuplicatesWithinWatermark on a duplicate-injected stream, hash-checked vs the raw table",
+    )
+)

@@ -20,6 +20,7 @@ from map_reduce_project_spark.graph.ccf import (
     component_summary,
     connected_components,
 )
+from map_reduce_project_spark.graph.analytics import triangle_count
 from map_reduce_project_spark.graph.star import connected_components_star
 from map_reduce_project_spark.queries import Query
 from map_reduce_project_spark.sources.io import read_table
@@ -101,10 +102,51 @@ SELECT n_members, COUNT(*) AS n_components FROM (
 """
 
 
+def cc_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-purchase graph (parts appearing in the
+    same order). The engine counts with DEGREE ordering (hub-safe at
+    scale, graph/analytics.py); the oracle counts with plain id
+    ordering — the count is orientation-invariant, so they must agree
+    exactly."""
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+        .alias("x")
+        .join(
+            li.select("l_orderkey", "l_partkey").dropDuplicates().alias("y"),
+            "l_orderkey",
+        )
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").cast("string").alias("src"),
+            F.col("y.l_partkey").cast("string").alias("dst"),
+        )
+    )
+    return triangle_count(edges)
+
+
+CC_TRIANGLES_SQL = """
+WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM ip x JOIN ip y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+),
+nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*)
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+"""
+
+
 QUERIES = [
     Query("cc_orders_bipartite", cc_orders_bipartite, CC_ORDERS_SQL, "CCF fixed point, bipartite flagship (exact oracle)"),
     Query("cc_orders_summary", cc_orders_summary, CC_SUMMARY_SQL, "component membership summary w/ representative re-add"),
     Query("cc_part_supplier", cc_part_supplier, None, "CCF multi-iteration co-occurrence graph (rows-only)"),
     Query("cc_star_orders_bipartite", cc_star_orders_bipartite, CC_ORDERS_SQL, "large-star/small-star CC, O(log n) rounds (exact oracle)"),
+    Query("cc_triangles", cc_triangles_q, CC_TRIANGLES_SQL, "degree-ordered triangle count of the co-purchase graph"),
     Query("cc_component_sizes", cc_component_sizes, CC_SIZES_SQL, "component size histogram"),
 ]

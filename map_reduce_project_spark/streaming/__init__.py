@@ -7,6 +7,7 @@ from map_reduce_project_spark.streaming.sinks import (
 )
 from map_reduce_project_spark.streaming.windows import (
     run_stream_to_memory,
+    stream_dedup_events,
     stream_events,
     stream_session_counts,
     stream_tumbling_counts,
@@ -19,6 +20,7 @@ __all__ = [
     "purchase_attribution",
     "purchase_attribution_stream",
     "run_stream_to_memory",
+    "stream_dedup_events",
     "stream_events",
     "stream_session_counts",
     "stream_tumbling_counts",

@@ -82,6 +82,23 @@ def stream_session_counts(
     )
 
 
+def stream_dedup_events(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on
+    event_id — the unbounded-stream twin of batch dropDuplicates.
+
+    State holds one entry per key only until the watermark passes it
+    (bounded, unlike a plain streaming dropDuplicates whose state
+    grows forever); duplicates arriving within the watermark window
+    are suppressed, which is the at-least-once-ingest dedup contract:
+    re-deliveries land seconds-to-minutes after the original, never
+    beyond the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_stream_to_memory(
     streaming_df: DataFrame,
     query_name: str | None = None,

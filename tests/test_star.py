@@ -56,6 +56,27 @@ def test_star_rounds_sublinear_on_chain(spark):
     assert star.iterations < ccf.iterations
 
 
+def test_triangle_count_known_graphs(spark):
+    from map_reduce_project_spark.graph.analytics import triangle_count
+
+    def count(edges):
+        row = triangle_count(edges_df(spark, edges)).collect()[0]
+        return (row.n_nodes, row.n_edges, row.n_triangles)
+
+    # K4: 4 triangles; duplicate + reversed edges must not change it
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d"), ("b", "a"), ("a", "b")]
+    assert count(k4) == (4, 6, 4)
+    # chain: none
+    assert count(generate_chain_graph(10)) == (10, 9, 0)
+    # one triangle + a pendant edge, plus a self-loop to ignore
+    tri = [("x", "y"), ("y", "z"), ("x", "z"), ("z", "w"), ("w", "w")]
+    assert count(tri) == (4, 4, 1)
+    # hub star (skew case for naive orientation): no triangles
+    star = [("h", str(i)) for i in range(20)]
+    assert count(star) == (21, 20, 0)
+
+
 def test_star_empty_and_self_loop(spark):
     res = connected_components_star(
         edges_df(spark, [("a", "a")])

@@ -15,6 +15,7 @@ from map_reduce_project_spark.streaming import (
     purchase_attribution,
     purchase_attribution_stream,
     run_stream_to_memory,
+    stream_dedup_events,
     stream_events,
     stream_session_counts,
     stream_tumbling_counts,
@@ -94,6 +95,22 @@ def test_foreach_batch_parquet_idempotent(spark, sf0001):
     sink(batch0, 0)
     again = spark.read.parquet(out)
     assert again.count() == n_first
+
+
+def test_stream_dedup_within_watermark(spark, sf0001):
+    # duplicate-injected stream: every event delivered twice; the
+    # streaming dedup must converge to the batch distinct set
+    from map_reduce_project_spark.sources import read_table
+
+    stream = stream_events(spark, sf0001)
+    doubled = stream.unionAll(stream)  # at-least-once redelivery
+    deduped = stream_dedup_events(doubled)
+    assert deduped.isStreaming
+    got = run_stream_to_memory(deduped, output_mode="append")
+
+    n_batch = read_table(spark, sf0001, "events").count()
+    assert got.count() == n_batch
+    assert got.select("event_id").distinct().count() == n_batch
 
 
 def test_parse_kafka_json_batch_twin(spark):
