@@ -1,4 +1,5 @@
-"""Graph analytics beyond connected components: triangle counting.
+"""Graph analytics beyond connected components: triangle counting,
+multi-source BFS shortest hops, and integer fixed-point PageRank.
 
 Implements the degree-ordered triangle count (Suri & Vassilvitskii,
 WWW 2011 — the MapReduce formulation; also Cohen 2009): orient every
@@ -50,6 +51,100 @@ def degree_oriented_edges(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 10
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any seed node, capped
+    at ``max_hops``. Returns (node, hop) for every REACHED node
+    (unreached nodes are absent, mirroring the CCF mapping's S3
+    convention of omitting what was never emitted).
+
+    Frontier-expansion formulation: each iteration joins only the
+    NEW frontier against the adjacency list, anti-joins the visited
+    set, and checkpoints both (lineage truncation per the same O9
+    discipline as the CCF loop). Each node enters the frontier at
+    most once, so total work is O(edges) across all iterations —
+    unlike a Bellman-Ford-style "min over neighbors until fixpoint"
+    which rescans every edge every round. Frontier and visited sets
+    stay hash-partitioned on ``node``, so the anti-join and the
+    union ride one exchange per iteration.
+    """
+    und = _undirected(edges).dropDuplicates(["src", "dst"])
+    frontier = (
+        seeds.select("node").distinct().withColumn("hop", F.lit(0))
+    ).localCheckpoint(eager=True)
+    visited = frontier
+    for h in range(1, max_hops + 1):
+        frontier = (
+            und.join(
+                frontier.select(F.col("node").alias("src")),
+                "src",
+                "inner",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+        ).localCheckpoint(eager=True)
+        if not frontier.take(1):
+            break
+        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+    return visited
+
+
+def pagerank_int(
+    edges: DataFrame, iterations: int = 5, scale: int = 10**12
+) -> DataFrame:
+    """PageRank over the undirected simple graph, in exact int64
+    fixed-point arithmetic. Returns (node, rank) with rank in units
+    of 1/``scale``.
+
+    Every operation is integer (floor division for the per-neighbor
+    share, integer sum for the gather, floor division for the 0.85
+    damping), so the result is bit-identical regardless of summation
+    order — that's what lets a DuckDB recursive-CTE oracle hash-match
+    a distributed Spark run, where float contributions would differ
+    in the last ulp by reduction order. Semantics: init 1/N, damping
+    d=0.85, rank' = 0.15/N + d * sum(rank_u / deg_u). No dangling
+    mass: the undirected expansion gives every node out-degree >= 1.
+
+    Scale shape: per iteration one shuffle for the gather
+    (groupBy(dst).sum) — the contribs join is map-side against the
+    degree table partitioned the same as ranks — plus a checkpoint
+    to truncate lineage (plan growth is the iterative-loop killer,
+    SURVEY §4.4).
+    """
+    und = _undirected(edges).dropDuplicates(["src", "dst"])
+    deg = (
+        und.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .withColumnRenamed("src", "node")
+    ).localCheckpoint(eager=True)
+    n = deg.count()
+    init = scale // n
+    teleport = (15 * init) // 100
+    ranks = deg.select("node", F.lit(init).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(deg, "node")
+            .select(
+                F.col("node").alias("src"),
+                F.expr("rank div deg").alias("c"),
+            )
+            .join(und, "src")
+            .select(F.col("dst").alias("node"), "c")
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(
+                (F.lit(teleport) + F.expr("(85 * sum(c)) div 100")).alias(
+                    "rank"
+                )
+            )
+        ).localCheckpoint(eager=True)
+    return ranks
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:

@@ -20,7 +20,11 @@ from map_reduce_project_spark.graph.ccf import (
     component_summary,
     connected_components,
 )
-from map_reduce_project_spark.graph.analytics import triangle_count
+from map_reduce_project_spark.graph.analytics import (
+    bfs_hops,
+    pagerank_int,
+    triangle_count,
+)
 from map_reduce_project_spark.graph.star import connected_components_star
 from map_reduce_project_spark.queries import Query
 from map_reduce_project_spark.sources.io import read_table
@@ -142,6 +146,84 @@ SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
 """
 
 
+def _part_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    ).dropDuplicates()
+
+
+def bfs_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hops over the part-supplier bipartite graph,
+    seeded at nation-0 suppliers. Iterative frontier expansion
+    (graph/analytics.py:bfs_hops) checked EXACTLY against a DuckDB
+    recursive CTE — integer hop counts are summation-order-free, so
+    the hash gate covers an iterative algorithm end-to-end."""
+    supplier = read_table(spark, sf_dir, "supplier")
+    seeds = supplier.where(F.col("s_nationkey") == 0).select(
+        F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node")
+    )
+    return bfs_hops(_part_supplier_edges(spark, sf_dir), seeds, max_hops=6)
+
+
+BFS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), walk AS (
+  SELECT 's:' || s_suppkey AS node, 0 AS hop
+  FROM supplier WHERE s_nationkey = 0
+  UNION
+  SELECT und.dst AS node, walk.hop + 1 AS hop
+  FROM walk JOIN und ON und.src = walk.node
+  WHERE walk.hop < 6
+)
+SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
+"""
+
+
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 iterations, d=0.85) over the same graph in exact
+    int64 fixed-point units of 1e-12 (graph/analytics.py:pagerank_int)
+    — integer floor-div arithmetic makes the distributed result
+    bit-identical to the DuckDB recursive-CTE oracle, putting a
+    second iterative algorithm under the exact hash gate."""
+    return pagerank_int(
+        _part_supplier_edges(spark, sf_dir), iterations=5, scale=10**12
+    )
+
+
+PAGERANK_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), deg AS (
+  SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src
+), consts AS (
+  SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS init,
+         CAST((15 * (1000000000000 // COUNT(*))) // 100 AS BIGINT) AS tp
+  FROM deg
+), pr AS (
+  SELECT 0 AS it, node, (SELECT init FROM consts) AS rank FROM deg
+  UNION ALL
+  SELECT pr.it + 1 AS it, und.dst AS node,
+         (SELECT tp FROM consts) + (85 * SUM(pr.rank // deg.deg)) // 100
+           AS rank
+  FROM pr
+  JOIN deg ON deg.node = pr.node
+  JOIN und ON und.src = pr.node
+  WHERE pr.it < 5
+  GROUP BY pr.it, und.dst
+)
+SELECT node, rank FROM pr WHERE it = 5
+"""
+
+
 QUERIES = [
     Query("cc_orders_bipartite", cc_orders_bipartite, CC_ORDERS_SQL, "CCF fixed point, bipartite flagship (exact oracle)"),
     Query("cc_orders_summary", cc_orders_summary, CC_SUMMARY_SQL, "component membership summary w/ representative re-add"),
@@ -149,4 +231,6 @@ QUERIES = [
     Query("cc_star_orders_bipartite", cc_star_orders_bipartite, CC_ORDERS_SQL, "large-star/small-star CC, O(log n) rounds (exact oracle)"),
     Query("cc_triangles", cc_triangles_q, CC_TRIANGLES_SQL, "degree-ordered triangle count of the co-purchase graph"),
     Query("cc_component_sizes", cc_component_sizes, CC_SIZES_SQL, "component size histogram"),
+    Query("bfs_part_supplier", bfs_part_supplier, BFS_SQL, "multi-source BFS hops vs recursive-CTE oracle (exact)"),
+    Query("pagerank_part_supplier", pagerank_part_supplier, PAGERANK_SQL, "int64 fixed-point PageRank vs recursive-CTE oracle (exact)"),
 ]

@@ -83,3 +83,53 @@ def test_star_empty_and_self_loop(spark):
     )
     assert mapping_set(res) == set()
     assert res.converged
+
+
+def test_bfs_hops_chain_and_disconnect(spark):
+    from map_reduce_project_spark.graph.analytics import bfs_hops
+
+    # chain 0-1-2-3-4 plus an unreachable island (x, y)
+    edges = edges_df(
+        spark, [(str(i), str(i + 1)) for i in range(4)] + [("x", "y")]
+    )
+    seeds = spark.createDataFrame([("0",)], "node string")
+    got = {(r.node, r.hop) for r in bfs_hops(edges, seeds).collect()}
+    assert got == {("0", 0), ("1", 1), ("2", 2), ("3", 3), ("4", 4)}
+
+    # max_hops cap truncates the frontier
+    got = {
+        (r.node, r.hop)
+        for r in bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {("0", 0), ("1", 1), ("2", 2)}
+
+    # multi-source: min hop wins; seed on the island reaches it
+    seeds2 = spark.createDataFrame([("0",), ("4",), ("x",)], "node string")
+    got = {(r.node, r.hop) for r in bfs_hops(edges, seeds2).collect()}
+    assert got == {
+        ("0", 0), ("4", 0), ("x", 0),
+        ("1", 1), ("3", 1), ("y", 1),
+        ("2", 2),
+    }
+
+
+def test_pagerank_int_properties(spark):
+    from map_reduce_project_spark.graph.analytics import pagerank_int
+
+    # undirected chain a-b-c: symmetric ends, heavier middle
+    edges = edges_df(spark, [("a", "b"), ("b", "c")])
+    scale = 10**12
+    ranks = {
+        r.node: r.rank
+        for r in pagerank_int(edges, iterations=10, scale=scale).collect()
+    }
+    assert set(ranks) == {"a", "b", "c"}
+    assert ranks["a"] == ranks["c"]  # symmetry is exact in integer math
+    assert ranks["b"] > ranks["a"]
+    # total mass stays ~1 (floor-div loses < 1 unit per node per iter)
+    total = sum(ranks.values())
+    assert abs(total - scale) < 10 * 3 * 10  # iters * nodes * slack
+    # regular graph (triangle): exactly uniform at every iteration
+    tri = edges_df(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    r3 = {r.node: r.rank for r in pagerank_int(tri, iterations=3).collect()}
+    assert len(set(r3.values())) == 1
