@@ -247,3 +247,106 @@ QUERIES.extend(
         Query("q27_percentiles", q27_percentiles, Q27_SQL, "exact interpolated percentiles per group"),
     ]
 )
+
+
+def q28_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order-priority columns per order status
+    (df.groupBy().pivot() with an EXPLICIT value list — never let
+    pivot run its distinct-scan job at 100 TB; the oracle is the
+    equivalent conditional aggregation, which is also exactly the
+    physical plan Spark lowers pivot to)."""
+    orders = read_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)))
+    )
+    cols = [F.col("o_orderstatus")] + [
+        F.col(f"`{p}`").cast("double").alias(f"rev_p{i + 1}")
+        for i, p in enumerate(prios)
+    ]
+    return pivoted.select(*cols)
+
+
+Q28_SQL = """
+SELECT o_orderstatus,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p1,
+  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p2,
+  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p3,
+  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p4,
+  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p5
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q29_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking-window surface in one pass: ntile
+    quartiles, percent_rank, cume_dist per customer ordered by
+    (totalprice, orderkey) — the unique tiebreaker makes every rank
+    deterministic, and percent_rank/cume_dist are exact small-int
+    ratios so the doubles are bit-identical across engines."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+Q29_SQL = """
+SELECT o_custkey, o_orderkey,
+  NTILE(4) OVER w AS quartile,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q30_vector_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode of the embedding vectors (posexplode keeps the
+    ordinal) -> per-dimension moments over int64-quantized values
+    (floor(x * 2^24): float32 -> double is exact and the power-of-two
+    scaling only shifts the exponent, so both engines see identical
+    integers). The explode is a narrow 1->64 flatMap — no shuffle
+    until the 64-group aggregate."""
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 500
+    )
+    q = F.floor(F.col("x") * (1 << 24)).cast("long")
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select("dim", q.alias("q"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("q").alias("sum_q"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+    )
+
+
+Q30_SQL = """
+SELECT dim, COUNT(*) AS n, SUM(q) AS sum_q, MIN(q) AS min_q, MAX(q) AS max_q
+FROM (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(unnest(embedding) * 16777216) AS BIGINT) AS q
+  FROM embeddings WHERE vec_id < 500
+)
+GROUP BY dim
+"""
+
+
+QUERIES.extend(
+    [
+        Query("q28_pivot", q28_pivot, Q28_SQL, "pivot with explicit value list (conditional-agg oracle)"),
+        Query("q29_rank_suite", q29_rank_suite, Q29_SQL, "ntile/percent_rank/cume_dist ranking windows"),
+        Query("q30_vector_unnest", q30_vector_unnest, Q30_SQL, "posexplode embeddings -> per-dimension quantized moments"),
+    ]
+)

@@ -258,3 +258,77 @@ QUERIES.append(
         "streaming dropDuplicatesWithinWatermark on a duplicate-injected stream, hash-checked vs the raw table",
     )
 )
+
+
+def ev_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase per user
+    (the MATCH_RECOGNIZE-style sequential pattern, composed from
+    stage-wise min-timestamp joins: stage k's earliest event must be
+    STRICTLY after stage k-1's). Each stage is one agg + one
+    broadcast-size join on user_id — at 100 TB the stage tables are
+    tiny (one row per converting user) so only the base scans are
+    heavy, and they prune to one event_type each."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def stage(etype: str, prev: DataFrame, prev_col: str, out: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id", prev_col)
+            .agg(F.min("ts").alias(out))
+        )
+
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    click = stage("click", signup, "signup_ts", "click_ts")
+    purchase = stage("purchase", click.select("user_id", "click_ts"), "click_ts", "purchase_ts")
+    return (
+        signup.join(click.select("user_id", "click_ts"), "user_id", "left")
+        .join(purchase.select("user_id", "purchase_ts"), "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("click_ts").isNotNull().cast("int")
+                + F.col("purchase_ts").isNotNull().cast("int")
+            ).alias("stage_reached"),
+            "signup_ts",
+            "click_ts",
+            "purchase_ts",
+        )
+    )
+
+
+EV_FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN s ON s.user_id = e.user_id AND e.ts > s.signup_ts
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.click_ts
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT s.user_id,
+  1 + CAST(c.user_id IS NOT NULL AS INT) + CAST(p.user_id IS NOT NULL AS INT)
+    AS stage_reached,
+  s.signup_ts, c.click_ts, p.purchase_ts
+FROM s LEFT JOIN c ON c.user_id = s.user_id
+       LEFT JOIN p ON p.user_id = s.user_id
+"""
+
+QUERIES.append(
+    Query(
+        "ev_funnel",
+        ev_funnel_q,
+        EV_FUNNEL_SQL,
+        "ordered signup->click->purchase funnel (sequential pattern match)",
+    )
+)
