@@ -350,3 +350,89 @@ QUERIES.extend(
         Query("q30_vector_unnest", q30_vector_unnest, Q30_SQL, "posexplode embeddings -> per-dimension quantized moments"),
     ]
 )
+
+
+def q31_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax/argmin as a pure AGGREGATION (max_by/min_by
+    over a struct ordering key with the unique orderkey tiebreak) —
+    bounded per-group state with full map-side partial aggregation,
+    the scale path for "row of the extreme" questions that q8 answers
+    with a rank window (which must shuffle-sort EVERY row)."""
+    orders = read_table(spark, sf_dir, "orders")
+    best = F.struct("o_totalprice", "o_orderkey")
+    first = F.struct("o_orderdate", "o_orderkey")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", best).alias("best_orderkey"),
+        F.max("o_totalprice").alias("best_price"),
+        F.min_by("o_orderkey", first).alias("first_orderkey"),
+        F.min("o_orderdate").alias("first_orderdate"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+Q31_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC) AS rf
+  FROM orders
+), agg AS (
+  SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_totalprice) AS best_price,
+         MIN(o_orderdate) AS first_orderdate
+  FROM orders GROUP BY o_custkey
+)
+SELECT a.o_custkey, b.o_orderkey AS best_orderkey, a.best_price,
+       f.o_orderkey AS first_orderkey, a.first_orderdate, a.n_orders
+FROM agg a
+JOIN ranked b ON b.o_custkey = a.o_custkey AND b.rb = 1
+JOIN ranked f ON f.o_custkey = a.o_custkey AND f.rf = 1
+"""
+
+
+def q32_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing (from_json with an explicit schema — one
+    parse per row instead of one per get_json_object path) plus the
+    map-type surface (map_from_arrays / element_at / map_keys)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        "event_type",
+        F.from_json(
+            "props", StructType([StructField("k", LongType())])
+        ).alias("p"),
+    ).select(
+        "event_id",
+        "event_type",
+        F.col("p.k").alias("k"),
+        F.map_from_arrays(
+            F.array(F.lit("k")), F.array(F.col("p.k"))
+        ).alias("m"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.element_at("m", "k")).alias("sum_k"),
+        F.sum(F.size(F.map_keys("m"))).alias("total_keys"),
+        F.min("k").alias("min_k"),
+    )
+
+
+Q32_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  SUM(1) AS total_keys,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES.extend(
+    [
+        Query("q31_argmax", q31_argmax, Q31_SQL, "max_by/min_by argmax aggregation (bounded-state top-1)"),
+        Query("q32_json_struct", q32_json_struct, Q32_SQL, "typed from_json + map functions"),
+    ]
+)

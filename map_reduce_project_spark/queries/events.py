@@ -332,3 +332,52 @@ QUERIES.append(
         "ordered signup->click->purchase funnel (sequential pattern match)",
     )
 )
+
+
+def ev_time_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: week -> day ->
+    hour in ONE pass via ROLLUP on the truncated-timestamp hierarchy
+    (a single Expand + one shuffle, instead of three scans + three
+    aggs — the continuous-aggregate shape at 100 TB). grouping_id
+    labels the grain; both engines use the same Monday-start
+    date_trunc('week')."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("week", "ts").alias("week"),
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+        )
+        .rollup("week", "day", "hour")
+        .agg(
+            F.grouping_id().alias("grain"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+EV_TIME_ROLLUP_SQL = """
+WITH b AS (
+  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         date_trunc('hour', ts) AS hour, value
+  FROM events
+)
+SELECT week, day, hour,
+  CAST(GROUPING(week, day, hour) AS BIGINT) AS grain,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM b
+GROUP BY ROLLUP (week, day, hour)
+"""
+
+QUERIES.append(
+    Query(
+        "ev_time_rollup",
+        ev_time_rollup_q,
+        EV_TIME_ROLLUP_SQL,
+        "multi-granularity time rollup (week/day/hour) in one Expand pass",
+    )
+)
