@@ -73,3 +73,90 @@ def test_star_matches_union_find(spark, edges):
     got = {(r.node, r.component) for r in res.mapping.collect()}
     assert got == expected
     assert res.converged
+
+
+def python_bfs(edges, seeds, max_hops):
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    hops = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        frontier = {
+            v for u in frontier for v in adj.get(u, ()) if v not in hops
+        }
+        for v in frontier:
+            hops[v] = h
+        if not frontier:
+            break
+    return set(hops.items())
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(edge, min_size=1, max_size=40),
+    st.lists(node, min_size=1, max_size=3),
+)
+def test_bfs_matches_python_oracle(spark, edges, seeds):
+    from map_reduce_project_spark.graph.analytics import bfs_hops
+
+    # seeds must exist in the graph OR be isolated seed-only nodes —
+    # bfs_hops reports them at hop 0 either way, as does the oracle
+    expected = python_bfs(edges, set(seeds), max_hops=5)
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {
+        (r.node, r.hop)
+        for r in bfs_hops(edges_df(spark, edges), sdf, max_hops=5).collect()
+    }
+    assert got == expected
+
+
+def python_pagerank_int(edges, iterations, scale):
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    adj: dict[str, list[str]] = {}
+    for a, b in sorted(und):
+        adj.setdefault(a, []).append(b)
+    n = len(adj)
+    init = scale // n
+    tp = (15 * init) // 100
+    rank = {u: init for u in adj}
+    for _ in range(iterations):
+        incoming: dict[str, int] = {}
+        for u, nbrs in adj.items():
+            c = rank[u] // len(nbrs)
+            for v in nbrs:
+                incoming[v] = incoming.get(v, 0) + c
+        rank = {v: tp + (85 * s) // 100 for v, s in incoming.items()}
+    return set(rank.items())
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(edge, min_size=1, max_size=40))
+def test_pagerank_int_matches_python_oracle(spark, edges):
+    from map_reduce_project_spark.graph.analytics import pagerank_int
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    # integer fixed-point arithmetic: the distributed result must be
+    # BIT-IDENTICAL to the sequential one, not merely close
+    expected = python_pagerank_int(edges, iterations=3, scale=10**9)
+    got = {
+        (r.node, r.rank)
+        for r in pagerank_int(
+            edges_df(spark, edges), iterations=3, scale=10**9
+        ).collect()
+    }
+    assert got == expected
