@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -95,3 +96,92 @@ def extract_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(process, METADATA_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def resize_media(payload: bytes, modality: str, w: int, h: int) -> bytes:
+    """Resize stub: a real engine calls PIL/libvips here. The fake
+    modality produces a deterministic derived payload (md5-chained to
+    the target geometry) so downstream stages and tests have stable
+    bytes to hash."""
+    if modality.startswith("fake/"):
+        seed = hashlib.md5(payload + f"|{w}x{h}".encode()).digest()
+        return (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]
+    raise NotImplementedError(
+        f"no resizer for modality {modality!r} in this environment"
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """1:1 Arrow-batched resize stage over (doc_id, modality, payload).
+
+    Same mapInPandas shape as ``extract_metadata``; the output payload
+    is the resized bytes (w*h*3 for the fake modality — an RGB buffer
+    stand-in). Partitioning is preserved: a narrow transform, no
+    shuffle, safe to chain before a write or a featurize stage.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                resize_media(p, m, width, height)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "payload": out,
+                    "width": [width] * len(out),
+                    "height": [height] * len(out),
+                }
+            )
+
+    return media.mapInPandas(process, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """1:N frame-sampling stage (the video shape: one row in, one row
+    per sampled frame out — mapInPandas is the right tool because the
+    fan-out ratio is data-dependent, which a pandas_udf can't express).
+
+    The fake "video" has ``len(payload) // 32`` frames; every_n-th is
+    sampled and fingerprinted. A real engine swaps the body for an
+    ffmpeg keyframe pull with identical schema and batch shape.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, md5s = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // 32
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    md5s.append(
+                        hashlib.md5(payload[i * 32 : (i + 1) * 32]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": md5s}
+            )
+
+    return media.mapInPandas(process, FRAMES_SCHEMA)

@@ -35,3 +35,38 @@ FROM documents
 QUERIES = [
     Query("mm_extract_metadata", mm_metadata_q, MM_METADATA_SQL, "Arrow-batched binary payload metadata extraction (mapInPandas)"),
 ]
+
+
+def mm_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1:N mapInPandas fan-out) rolled up per doc —
+    the sampled-frame COUNTS are pure functions of payload length, so
+    the data-dependent explode is still under the exact hash gate."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.operators.multimodal import sample_frames
+
+    docs = read_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_fake_payload(docs), every_n=10)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.max("frame_idx").alias("max_frame_idx"),
+    )
+
+
+MM_FRAMES_SQL = """
+SELECT doc_id,
+  CAST((octet_length(encode(text)) // 32 + 9) // 10 AS BIGINT) AS n_sampled,
+  CAST(((octet_length(encode(text)) // 32 + 9) // 10 - 1) * 10 AS BIGINT)
+    AS max_frame_idx
+FROM documents
+WHERE octet_length(encode(text)) >= 32
+"""
+
+QUERIES.append(
+    Query(
+        "mm_frame_sample",
+        mm_frame_sample_q,
+        MM_FRAMES_SQL,
+        "1:N frame sampling via mapInPandas, counts hash-checked",
+    )
+)

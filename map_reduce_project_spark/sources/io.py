@@ -116,3 +116,31 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    modality: str = "application/octet-stream",
+) -> DataFrame:
+    """Raw media ingest via Spark's binaryFile source: one row per
+    file, (path, modality, payload, n_bytes). The object-storage
+    ingest path for images/audio/video — files become partition-local
+    binary rows (no driver transfer), ready for the mapInPandas
+    decode/resize/frame-sample stages in operators.multimodal.
+    ``spark.sql.files.maxPartitionBytes`` governs packing of small
+    files into partitions at scale.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    return df.select(
+        "path",
+        F.lit(modality).alias("modality"),
+        F.col("content").alias("payload"),
+        F.col("length").alias("n_bytes"),
+    )
