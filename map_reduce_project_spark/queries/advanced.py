@@ -436,3 +436,41 @@ QUERIES.extend(
         Query("q32_json_struct", q32_json_struct, Q32_SQL, "typed from_json + map functions"),
     ]
 )
+
+
+# One SQL text, two engines: the query IS the oracle. This is the
+# engine's raw-SQL entry point (register_views + spark.sql) exercising
+# constructs the DataFrame queries express as joins: a correlated
+# EXISTS, a correlated scalar subquery, and an uncorrelated scalar
+# subquery. Catalyst decorrelates both into joins at plan time.
+Q33_SQL = """
+SELECT c.c_custkey, c.c_name,
+  (SELECT COUNT(*) FROM orders o
+   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    AS n_open_orders
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_totalprice > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                 / COUNT(*) * 1.5
+                          FROM orders o2)
+)
+"""
+
+
+def q33_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL surface: the exact oracle text runs through spark.sql
+    over the registered views — correlated EXISTS + correlated scalar
+    subquery + uncorrelated scalar subquery, decorrelated by Catalyst
+    into semi/aggregate joins (assert with .explain: no per-row
+    re-execution, unlike a naive nested-loop interpreter)."""
+    from map_reduce_project_spark.sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q33_SQL)
+
+
+QUERIES.append(
+    Query("q33_sql_surface", q33_sql_surface, Q33_SQL, "raw spark.sql entry: correlated EXISTS + scalar subqueries, one SQL text for both engines")
+)
