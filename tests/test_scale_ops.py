@@ -102,3 +102,25 @@ def test_bucketed_join_has_no_shuffle(spark, sf0001):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_observed_quality_single_pass(spark):
+    from map_reduce_project_spark.operators.observe import (
+        observed_filter,
+        observed_quality,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id long, v string"
+    )
+    out, obs = observed_quality(df, ["v"], name="q")
+    assert out.count() == 4
+    assert obs.get == {"n_rows": 4, "nulls_v": 2}
+
+    filtered, before, after = observed_filter(
+        df, F.col("v").isNotNull(), name="f"
+    )
+    assert filtered.count() == 2
+    assert before.get["n_rows"] == 4
+    assert after.get["n_rows"] == 2
