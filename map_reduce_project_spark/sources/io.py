@@ -144,3 +144,19 @@ def read_binary_files(
         F.col("content").alias("payload"),
         F.col("length").alias("n_bytes"),
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — same columnar pushdown/pruning story as parquet for
+    shops standardized on ORC."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text ingest: one row per line, column ``value`` — the entry
+    point for log/corpus files before text-analysis operators."""
+    return spark.read.text(path)

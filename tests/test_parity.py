@@ -184,3 +184,23 @@ def test_approx_distinct_tolerance(spark, sf0001):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) / n < 0.05
+
+
+def test_orc_and_text_roundtrip(spark, tmp_path):
+    from map_reduce_project_spark.sources.io import (
+        read_orc,
+        read_text_lines,
+        write_orc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "id long, name string"
+    )
+    write_orc(df, str(tmp_path / "t.orc"))
+    back = read_orc(spark, str(tmp_path / "t.orc"))
+    assert back.schema == df.schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+    (tmp_path / "lines.txt").write_text("one\ntwo\nthree\n")
+    lines = read_text_lines(spark, str(tmp_path / "lines.txt"))
+    assert [r.value for r in lines.collect()] == ["one", "two", "three"]
