@@ -127,10 +127,12 @@ def random_graph_df(
     return (
         spark.range(n_edges)
         .select(
-            (F.abs(F.xxhash64(F.col("id"), F.lit(seed))) % n_nodes).alias("a"),
-            (F.abs(F.xxhash64(F.col("id"), F.lit(seed + 1))) % n_nodes).alias(
-                "b"
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(n_nodes)).alias(
+                "a"
             ),
+            F.pmod(
+                F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(n_nodes)
+            ).alias("b"),
         )
         .where(F.col("a") != F.col("b"))
         .select(

@@ -230,6 +230,65 @@ def jaccard_verify(
     )
 
 
+def simhash_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-band candidate generation + exact Hamming verification
+    over SimHash signatures — the same bucketed equi-join shape as the
+    MinHash LSH band join, so the same 100 TB scale properties.
+
+    Pigeonhole guarantee: two signatures within ``max_hamming`` bits
+    differ in at most ``max_hamming`` bands, so with
+    ``bands > max_hamming`` they agree EXACTLY on at least one band —
+    banding is a lossless candidate generator for the Hamming
+    threshold (defaults: 4 bands of 4 bits cover max_hamming=3 for
+    16-bit signatures). Candidates are verified with one
+    ``bit_count(xor)`` per pair, so verification cost is proportional
+    to candidates, never corpus².
+
+    Output: (id_a, id_b, hamming bigint), id_a < id_b, distinct.
+    """
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), b * band_width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_bits"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("band")
+    ).select(id_col, "simhash", "band.band_idx", "band.band_bits")
+    a = banded.selectExpr(
+        f"{id_col} as id_a", "simhash as sh_a", "band_idx", "band_bits"
+    )
+    b = banded.selectExpr(
+        f"{id_col} as id_b", "simhash as sh_b", "band_idx", "band_bits"
+    )
+    return (
+        a.join(b, ["band_idx", "band_bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -20,7 +20,7 @@ from pyspark.ml.feature import (
     NGram,
     RegexTokenizer,
 )
-from pyspark.ml.linalg import Vectors, VectorUDT
+from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -84,9 +84,12 @@ def brp_lsh_neighbors(
     """Approximate euclidean nearest neighbors via MLlib
     BucketedRandomProjectionLSH. Returns (query_id, target_id,
     euclidean_distance, rank)."""
-    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    # array_to_vector is JVM-native (no row-at-a-time Python)
     feats = vectors.select(
-        F.col(id_col), to_vec(F.col(vec_col)).alias("_features")
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "_features"
+        ),
     )
     brp = BucketedRandomProjectionLSH(
         inputCol="_features",
@@ -97,7 +100,8 @@ def brp_lsh_neighbors(
     )
     model = brp.fit(feats)
     qfeats = queries.select(
-        F.col(id_col).alias("query_id"), to_vec(F.col(vec_col)).alias("_qf")
+        F.col(id_col).alias("query_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_qf"),
     )
     from pyspark.sql.window import Window
 

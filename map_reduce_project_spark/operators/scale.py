@@ -69,7 +69,10 @@ def salted_join(
     """
     big_salted = big.withColumn(
         "_salt",
-        (F.abs(F.xxhash64(*big.columns)) % n_salts).cast("int"),
+        # pmod, not abs+%: abs(Long.MIN_VALUE) stays negative in
+        # non-ANSI Spark, and a negative salt would silently drop the
+        # row from an inner join against the replicated small side
+        F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int"),
     )
     salts = F.explode(
         F.array(*[F.lit(i) for i in range(n_salts)])

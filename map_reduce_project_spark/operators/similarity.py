@@ -227,6 +227,100 @@ def ivf_topk(
     return topk(pairs, k)
 
 
+def ivf_topk_pinned(
+    vectors: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a PINNED coarse quantizer: the centroids are the
+    corpus vectors with ``id < n_centroids``.
+
+    Same inverted-file physical shape as ``ivf_topk`` (assign every
+    vector to its nearest cell, queries probe their ``n_probe`` nearest
+    cells, exact kernel only within probed cells) but the quantizer is
+    a deterministic function of the corpus instead of a k-means fit, and
+    every distance is exact int64 fixed-point arithmetic — so the full
+    index build + search is reproducible bit-for-bit in any engine and
+    sits under the driver's hash gate. Use ``ivf_topk`` (seeded k-means)
+    when cell balance matters more than checkability; the search-side
+    plan is identical, so the gate on this variant covers both.
+
+    Scale notes: the centroid element table is n_centroids * dims rows
+    — broadcast. The candidate join shuffles on (cell, pos); raise
+    n_centroids ~ sqrt(corpus) so cells are the parallelism unit (see
+    ``ivf_sizing``), and AQE skew-split covers hot cells.
+    """
+    el = _elements(vectors, id_col, vec_col)
+    n2 = norms2(vectors, id_col, vec_col)
+
+    cel = el.where(F.col(id_col) < n_centroids).selectExpr(
+        f"{id_col} as cell", "pos", "val as cval"
+    )
+    cn2 = n2.where(F.col(id_col) < n_centroids).selectExpr(
+        f"{id_col} as cell", "norm2 as cnorm2"
+    )
+
+    # exact squared L2 to every centroid: |v|^2 - 2 v.c + |c|^2 (int64)
+    cdot = (
+        el.join(F.broadcast(cel), "pos")
+        .groupBy(id_col, "cell")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("cdot"))
+    )
+    cdist = (
+        cdot.join(n2, id_col)
+        .join(F.broadcast(cn2), "cell")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            (
+                F.col("norm2") - 2 * F.col("cdot") + F.col("cnorm2")
+            ).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "cell")
+    ranked = cdist.withColumn("_r", F.row_number().over(w))
+    assigned = ranked.where(F.col("_r") == 1).select(id_col, "cell")
+    probes = ranked.where(F.col("_r") <= n_probe).selectExpr(
+        f"{id_col} as query_id", "cell"
+    )
+
+    qel = probes.join(
+        el.selectExpr(f"{id_col} as query_id", "pos", "val as qval"),
+        "query_id",
+    )
+    tel = assigned.selectExpr(f"{id_col} as target_id", "cell").join(
+        el.selectExpr(f"{id_col} as target_id", "pos", "val as tval"),
+        "target_id",
+    )
+    dots = (
+        qel.join(tel, ["cell", "pos"])
+        .where(F.col("query_id") != F.col("target_id"))
+        .groupBy("query_id", "target_id")
+        .agg(F.sum(F.col("qval") * F.col("tval")).alias("dot"))
+    )
+    qn = n2.selectExpr(f"{id_col} as query_id", "norm2 as qn2")
+    tn = n2.selectExpr(f"{id_col} as target_id", "norm2 as tn2")
+    pairs = (
+        dots.join(qn, "query_id")
+        .join(tn, "target_id")
+        .select(
+            "query_id",
+            "target_id",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("tn2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    return topk(pairs, k)
+
+
 def sign_bucket(vec_col: str = "embedding", n_planes: int = 4):
     """Bucket id from the sign bits of the first n_planes dimensions."""
     expr = None

@@ -36,7 +36,7 @@ def all_queries() -> dict[str, Query]:
         text,
     )
 
-    registry: dict[str, Query] = {}
+    by_name: dict[str, Query] = {}
     for mod in (
         relational,
         graph_queries,
@@ -50,9 +50,32 @@ def all_queries() -> dict[str, Query]:
         pipeline,
     ):
         for q in mod.QUERIES:
-            if q.name in registry:
+            if q.name in by_name:
                 raise ValueError(f"duplicate query name: {q.name}")
-            registry[q.name] = q
+            by_name[q.name] = q
+
+    # The driver's correctness gate checks the FIRST 50 registry
+    # entries per round. Order queries so the ones with the least
+    # accumulated driver evidence come first: everything never checked
+    # in round 1 (advanced/temporal/pipeline/multimodal/ev_time_rollup)
+    # plus every query changed this round, then the proven remainder in
+    # stable module order.
+    priority = [
+        *(q.name for q in advanced.QUERIES),
+        *(q.name for q in temporal.QUERIES),
+        *(q.name for q in pipeline.QUERIES),
+        *(q.name for q in multimodal.QUERIES),
+        "ev_time_rollup",
+        "dedup_simhash_pairs",
+        "q17_json_extract",
+        "cc_orders_summary",
+        "cc_part_supplier",
+        "ann_ivf_topk",
+    ]
+    registry: dict[str, Query] = {n: by_name[n] for n in priority}
+    for name, q in by_name.items():
+        if name not in registry:
+            registry[name] = q
     return registry
 
 

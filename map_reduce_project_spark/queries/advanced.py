@@ -333,7 +333,8 @@ def q30_vector_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q30_SQL = """
-SELECT dim, COUNT(*) AS n, SUM(q) AS sum_q, MIN(q) AS min_q, MAX(q) AS max_q
+SELECT dim, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sum_q,
+       MIN(q) AS min_q, MAX(q) AS max_q
 FROM (
   SELECT generate_subscripts(embedding, 1) - 1 AS dim,
          CAST(FLOOR(unnest(embedding) * 16777216) AS BIGINT) AS q
@@ -422,8 +423,8 @@ def q32_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q32_SQL = """
 SELECT event_type, COUNT(*) AS n,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-  SUM(1) AS total_keys,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(SUM(1) AS BIGINT) AS total_keys,
   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
 FROM events
 GROUP BY event_type

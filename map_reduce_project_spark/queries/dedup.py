@@ -19,6 +19,7 @@ from map_reduce_project_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     simhash,
+    simhash_candidate_pairs,
 )
 from map_reduce_project_spark.queries import Query
 from map_reduce_project_spark.sources.io import read_table
@@ -197,7 +198,40 @@ SELECT doc_id, CAST({_SIG_EXPR} AS BIGINT) AS simhash FROM sums
 """
 
 
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS over the duplicate-injected corpus:
+    Hamming-band bucketed equi-join (pigeonhole-lossless for
+    max_hamming=3 at 4 bands) + exact bit_count(xor) verification."""
+    corpus = _injected_corpus(spark, sf_dir)
+    sigs = simhash(corpus, bits=_SIMHASH_BITS)
+    return simhash_candidate_pairs(
+        sigs, bits=_SIMHASH_BITS, bands=4, max_hamming=3
+    )
+
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH {CORPUS_CTE},
+tok AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS th FROM corpus
+),
+sums AS (SELECT doc_id, {_SUM_COLS} FROM tok GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({_SIG_EXPR} AS BIGINT) AS simhash FROM sums),
+bands AS (
+  SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 4)) & 15 AS band_bits
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b USING (band_idx, band_bits)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cands WHERE hamming <= 3
+"""
+
+
 QUERIES = [
+    Query("dedup_simhash_pairs", dedup_simhash_pairs_q, DEDUP_SIMHASH_PAIRS_SQL, "SimHash Hamming-band near-dup pairs (lossless banding + exact verify)"),
     Query("dedup_exact", dedup_exact_q, DEDUP_EXACT_SQL, "exact dedup via content-hash group-by"),
     Query("dedup_minhash_candidates", dedup_minhash_candidates_q, DEDUP_MINHASH_SQL, "MinHash+LSH near-dup candidate pairs"),
     Query("dedup_jaccard_verified", dedup_jaccard_q, DEDUP_JACCARD_SQL, "exact n-gram Jaccard over LSH candidates"),

@@ -50,14 +50,27 @@ FROM orders
 
 
 def cc_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Component membership summary (O11) over the flagship mapping."""
+    """Component membership summary (O11) over the flagship mapping.
+
+    The library API (``component_summary``) keeps ``members`` as a
+    typed array<string>; this gate query serializes it with
+    ``concat_ws`` because the driver's pandas canonicalizer cannot
+    sort/hash list cells (unhashable-list crash in round 1).
+    """
     mapping = connected_components(_order_edges(spark, sf_dir)).mapping
-    return component_summary(mapping)
+    summary = component_summary(mapping)
+    return summary.select(
+        "component",
+        F.concat_ws("|", "members").alias("members"),
+        "size",
+    )
 
 
 CC_SUMMARY_SQL = """
 SELECT 'c:' || o_custkey AS component,
-       list_sort(list_append(list('o:' || o_orderkey), 'c:' || o_custkey)) AS members,
+       array_to_string(
+         list_sort(list_append(list('o:' || o_orderkey), 'c:' || o_custkey)),
+         '|') AS members,
        COUNT(*) + 1 AS size
 FROM orders
 GROUP BY o_custkey
@@ -68,8 +81,11 @@ def cc_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCF over the part-supplier co-occurrence graph from lineitem.
 
     A real multi-iteration fixed point: parts sharing a supplier and
-    suppliers sharing a part collapse into components. Rows-only driver
-    check; semantics pinned by the union-find property tests.
+    suppliers sharing a part collapse into components. Checked EXACTLY
+    against a DuckDB recursive-CTE min-label-propagation oracle (the
+    same bounded-recursion pattern as the BFS/PageRank oracles; the BFS
+    oracle shows 6 hops span the graph, so 12 propagation rounds are
+    safely past the fixed point at gate scale).
     """
     li = read_table(spark, sf_dir, "lineitem")
     edges = li.select(
@@ -77,6 +93,29 @@ def cc_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
     ).dropDuplicates()
     return connected_components(edges).mapping
+
+
+CC_PART_SUPPLIER_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), nodes AS (
+  SELECT DISTINCT src AS n FROM und
+), und2 AS (  -- self-loops so every node keeps its own label each round
+  SELECT src, dst FROM und UNION SELECT n, n FROM nodes
+), lab AS (
+  SELECT 0 AS it, n AS node, n AS lab FROM nodes
+  UNION ALL
+  SELECT lab.it + 1 AS it, und2.dst AS node, MIN(lab.lab) AS lab
+  FROM lab JOIN und2 ON und2.src = lab.node
+  WHERE lab.it < 12
+  GROUP BY lab.it, und2.dst
+)
+SELECT node, lab AS component FROM lab
+WHERE it = 12 AND node <> lab
+"""
 
 
 def cc_star_orders_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,7 +266,7 @@ SELECT node, rank FROM pr WHERE it = 5
 QUERIES = [
     Query("cc_orders_bipartite", cc_orders_bipartite, CC_ORDERS_SQL, "CCF fixed point, bipartite flagship (exact oracle)"),
     Query("cc_orders_summary", cc_orders_summary, CC_SUMMARY_SQL, "component membership summary w/ representative re-add"),
-    Query("cc_part_supplier", cc_part_supplier, None, "CCF multi-iteration co-occurrence graph (rows-only)"),
+    Query("cc_part_supplier", cc_part_supplier, CC_PART_SUPPLIER_SQL, "CCF multi-iteration fixed point vs min-label-propagation oracle (exact)"),
     Query("cc_star_orders_bipartite", cc_star_orders_bipartite, CC_ORDERS_SQL, "large-star/small-star CC, O(log n) rounds (exact oracle)"),
     Query("cc_triangles", cc_triangles_q, CC_TRIANGLES_SQL, "degree-ordered triangle count of the co-purchase graph"),
     Query("cc_component_sizes", cc_component_sizes, CC_SIZES_SQL, "component size histogram"),

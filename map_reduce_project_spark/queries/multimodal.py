@@ -26,7 +26,9 @@ SELECT doc_id,
   'fake/image' AS modality,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
   md5(text) AS payload_md5,
-  CAST(64 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS width,
+  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+            ELSE 64 + (('0x' || substr(hex(encode(text)), 1, 2))::INT % 64)
+       END AS BIGINT) AS width,
   CAST(64 + octet_length(encode(text)) % 64 AS BIGINT) AS height
 FROM documents
 """

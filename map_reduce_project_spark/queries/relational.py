@@ -554,7 +554,7 @@ def q17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q17_SQL = """
 SELECT event_type,
   COUNT(*) AS n_events,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from map_reduce_project_spark.operators.similarity import (
     brute_force_topk,
     cosine_pairs,
-    ivf_topk,
+    ivf_topk_pinned,
     lsh_bucketed_topk,
 )
 from map_reduce_project_spark.queries import Query
@@ -112,12 +112,65 @@ SELECT query_id, target_id, cosine, rank FROM (
 
 
 def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer (MLlib, seeded), each query
-    searches its n_probe nearest cells. Approximate by construction —
-    driver records a rows-only check; recall vs brute force is pinned
-    by tests/test_llm_ops.py."""
+    """IVF ANN with a pinned coarse quantizer (centroids = vectors with
+    vec_id < 16): the full inverted-file build + n_probe search is
+    exact int64 arithmetic, so it runs under the hash gate. The k-means
+    variant (operators.similarity.ivf_topk) shares this search plan and
+    is recall-tested in tests/test_llm_ops.py."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, k=3, n_centroids=16, n_probe=3)
+    return ivf_topk_pinned(emb, k=3, n_centroids=16, n_probe=3)
+
+
+ANN_IVF_SQL = (
+    "WITH "
+    + _EL.format(src="embeddings")
+    + """,
+cel AS (SELECT vec_id AS cell, pos, val AS cval FROM el WHERE vec_id < 16),
+cn2 AS (SELECT vec_id AS cell, norm2 AS cnorm2 FROM n2 WHERE vec_id < 16),
+cdist AS (
+  SELECT el.vec_id, cel.cell,
+         MAX(n2.norm2) - 2 * SUM(el.val * cel.cval) + MAX(cn2.cnorm2) AS dist2
+  FROM el
+  JOIN cel ON cel.pos = el.pos
+  JOIN n2 ON n2.vec_id = el.vec_id
+  JOIN cn2 ON cn2.cell = cel.cell
+  GROUP BY el.vec_id, cel.cell
+),
+ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS r
+  FROM cdist
+),
+assigned AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM ranked WHERE r <= 3),
+qel AS (
+  SELECT p.query_id, p.cell, el.pos, el.val AS qval
+  FROM probes p JOIN el ON el.vec_id = p.query_id
+),
+tel AS (
+  SELECT a.vec_id AS target_id, a.cell, el.pos, el.val AS tval
+  FROM assigned a JOIN el ON el.vec_id = a.vec_id
+),
+dots AS (
+  SELECT q.query_id, t.target_id, SUM(q.qval * t.tval) AS dot
+  FROM qel q JOIN tel t ON t.cell = q.cell AND t.pos = q.pos
+  WHERE q.query_id <> t.target_id
+  GROUP BY q.query_id, t.target_id
+),
+cos AS (
+  SELECT query_id, target_id,
+         CAST(dot AS DOUBLE) / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(tn.norm2 AS DOUBLE))) AS cosine
+  FROM dots
+  JOIN n2 qn ON qn.vec_id = query_id
+  JOIN n2 tn ON tn.vec_id = target_id
+)
+SELECT query_id, target_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, target_id) AS BIGINT) AS rank
+  FROM cos
+) WHERE rank <= 3
+"""
+)
 
 
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,6 +220,6 @@ WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(tn.norm2
 QUERIES = [
     Query("ann_brute_force_topk", ann_brute_force_q, ANN_BRUTE_SQL, "exact cosine top-5 for sampled query vectors"),
     Query("ann_lsh_bucketed_topk", ann_lsh_bucketed_q, ANN_LSH_SQL, "sign-bucket ANN top-3 within LSH buckets"),
-    Query("ann_ivf_topk", ann_ivf_q, None, "IVF ANN: k-means cells + n_probe search (rows-only; recall-tested)"),
+    Query("ann_ivf_topk", ann_ivf_q, ANN_IVF_SQL, "IVF ANN: pinned quantizer cells + n_probe search (exact oracle)"),
     Query("embedding_neardup", embedding_neardup_q, EMB_NEARDUP_SQL, "cosine >= 0.99 near-duplicate vector pairs"),
 ]

@@ -9,17 +9,25 @@ and an order-insensitive value hash. Usage:
 ``--vanilla`` builds a bare SparkSession (no get_spark configs) to
 reproduce the round driver's session seam.
 
+Canonicalization is PANDAS-BASED, byte-matching the driver's: the
+Spark result goes through ``toPandas()``, the DuckDB result through
+``.df()``, then both are column-sorted, row-sorted via
+``sort_values``, and hashed cell-wise through ``str``. This preserves
+dtype seams the old repr-based canon hid (round 1's q17 escape:
+DuckDB ``SUM(BIGINT)`` returns HUGEINT -> pandas float64/object,
+which stringifies differently from Spark's int64) and crashes on
+array-typed cells exactly like the driver does.
+
 Exit code 0 iff every checked query matches.
 """
 
 from __future__ import annotations
 
 import hashlib
-import math
 import sys
-from datetime import date, datetime
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -28,31 +36,19 @@ from map_reduce_project_spark.queries import all_queries  # noqa: E402
 from map_reduce_project_spark.sources.io import TABLES  # noqa: E402
 
 
-def canon_value(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, (datetime, date)):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
-
-
-def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    sorted_cols = [cols[i] for i in order]
-    out = sorted(
-        "\x1f".join(canon_value(row[i]) for i in order) for row in rows
-    )
-    return sorted_cols, out
+def canon_pdf(pdf: pd.DataFrame) -> tuple[list[str], list[str]]:
+    """(sorted column names, sorted stringified row lines) — the
+    driver's canon: sort_values over every column, then str cells."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(
+            list(pdf.columns), kind="mergesort"
+        ).reset_index(drop=True)
+    cells = pdf.astype(str)
+    lines = [
+        "\x1f".join(row) for row in cells.itertuples(index=False, name=None)
+    ]
+    return list(pdf.columns), lines
 
 
 def value_hash(lines: list[str]) -> str:
@@ -100,24 +96,20 @@ def main() -> int:
             print(f"{name:35s} ROWS-ONLY  rows={n}")
             continue
         try:
-            sdf = q.fn(spark, sf_dir).collect()
-            scols = q.fn(spark, sf_dir).columns
-            srows = [tuple(r) for r in sdf]
+            spdf = q.fn(spark, sf_dir).toPandas()
+            sc, sl = canon_pdf(spdf)
         except Exception as e:
-            print(f"{name:35s} SPARK-ERROR {e}")
+            print(f"{name:35s} SPARK-ERROR {str(e).splitlines()[0][:160]}")
             failures.append(name)
             continue
         try:
-            res = con.execute(q.oracle)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(q.oracle).df()
+            dc, dl = canon_pdf(dpdf)
         except Exception as e:
-            print(f"{name:35s} DUCKDB-ERROR {str(e).splitlines()[0]}")
+            print(f"{name:35s} DUCKDB-ERROR {str(e).splitlines()[0][:160]}")
             failures.append(name)
             continue
 
-        sc, sl = canon_rows(scols, srows)
-        dc, dl = canon_rows(dcols, drows)
         ok_cols = sc == dc
         ok_count = len(sl) == len(dl)
         ok_hash = value_hash(sl) == value_hash(dl)
