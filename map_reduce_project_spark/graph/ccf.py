@@ -61,6 +61,69 @@ class CCFResult:
     iterations: int
     converged: bool
     new_pair_counts: list[int]
+    iterate_path: str = "window"  # window | join | secondary_sort | local
+
+# Hub-skew autodetect: a window partition cannot be AQE-skew-split, so
+# when any node's (undirected) degree reaches this many rows the loop
+# switches to the groupBy+join formulation, which AQE can split. The
+# probe itself (one groupBy-count + max) only runs when the graph is
+# big enough that a degree could plausibly cross the threshold.
+SKEW_DEGREE_THRESHOLD = 1_000_000
+
+
+def ccf_fixed_point_local(
+    edge_list: list[tuple[str, str]],
+    max_iterations: int = MAX_ITERATIONS,
+) -> tuple[list[tuple[str, str]], int, bool, list[int]]:
+    """Pure-Python CCF fixed point — the small-graph fast path.
+
+    Semantics-identical to the distributed loop (S1-S5: string
+    lexicographic min, Basic emission rules, per-occurrence new-pair
+    counting, ordered-pair dedup, converging iteration counted), so
+    iteration counts and mappings are bit-for-bit the same — pinned by
+    tests/test_ccf_local.py property tests.
+
+    Why it exists: below ~10^5 edges the distributed loop's cost is
+    pure scheduling (~0.4-0.5 s/iteration of stage setup at any
+    parallelism — the data plane is microseconds), which is the one
+    reference capability (sub-second JVM-loop latency on tiny graphs)
+    a Python-driven Spark loop cannot match. At that scale the
+    Spark-first answer is the same one Catalyst applies to local
+    relations: don't distribute. The distributed loop remains the only
+    path above the threshold and is benchmarked separately
+    (bench.py ccf_random_df_500k).
+
+    Returns (deduped final pairs, iterations, converged, per-iteration
+    new-pair counts).
+    """
+    cur: list[tuple[str, str]] = [
+        (s, d) for s, d in edge_list if s is not None and d is not None
+    ]
+    iterations = 0
+    converged = False
+    counts: list[int] = []
+    while iterations < max_iterations:
+        iterations += 1
+        adj: dict[str, list[str]] = {}
+        for s, d in cur:
+            adj.setdefault(s, []).append(d)
+            adj.setdefault(d, []).append(s)
+        new_count = 0
+        emitted: set[tuple[str, str]] = set()
+        for src, values in adj.items():
+            mn = min(values)
+            if mn < src:
+                emitted.add((src, mn))
+                for v in values:
+                    if v != mn:
+                        emitted.add((v, mn))
+                        new_count += 1
+        counts.append(new_count)
+        cur = list(emitted)
+        if new_count == 0:
+            converged = True
+            break
+    return cur, iterations, converged, counts
 
 
 def _undirected(pairs: DataFrame) -> DataFrame:
@@ -232,7 +295,9 @@ def connected_components(
     use_secondary_sort: bool = False,
     max_iterations: int = MAX_ITERATIONS,
     conformance: bool = False,
-    skew_robust: bool = False,
+    skew_robust: bool | None = None,
+    local_threshold: int | None = None,
+    skew_degree_threshold: int = SKEW_DEGREE_THRESHOLD,
 ) -> CCFResult:
     """Fixed-point driver (reference O8, ccf_connected_components.py:190-230).
 
@@ -241,26 +306,82 @@ def connected_components(
     new-pair branch -> lazy dedup feeding the next pass. Stops when the
     new-pair count is 0 (the converging iteration is counted, S4).
 
+    ``skew_robust``: None (default) = autodetect — when the graph is
+    large enough that a single node's adjacency could overwhelm one
+    window partition, probe the max undirected degree and switch to the
+    AQE-skew-splittable ``ccf_iterate_join`` if it crosses
+    ``skew_degree_threshold``. True/False force the choice.
+
+    ``local_threshold``: if set and the edge count is at or below it,
+    run ``ccf_fixed_point_local`` on the driver instead of the
+    distributed loop (identical semantics; see its docstring for why).
+    Callers with reference-harness-scale graphs (bench, experiment
+    sweep) opt in; the default stays distributed.
+
     Returns the (node, component) mapping where component is the
     lexicographically smallest node ID in the node's component; the
     representative itself is not a row (S3).
     """
+    pairs = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    )
+
+    spark = edges.sparkSession
+    n_edges = pairs.count()
+
+    if local_threshold is not None and n_edges <= local_threshold:
+        import pandas as pd
+
+        rows = pairs.collect()
+        final, iterations, converged, counts = ccf_fixed_point_local(
+            [(r[0], r[1]) for r in rows], max_iterations
+        )
+        pdf = pd.DataFrame(
+            {
+                "node": pd.Series([p[0] for p in final], dtype=object),
+                "component": pd.Series([p[1] for p in final], dtype=object),
+            }
+        )
+        mapping = spark.createDataFrame(pdf, schema="node string, component string")
+        return CCFResult(
+            mapping=mapping,
+            iterations=iterations,
+            converged=converged,
+            new_pair_counts=counts,
+            iterate_path="local",
+        )
+
     if use_secondary_sort:
         iterate_fn = (
             ccf_iterate_secondary_sort_conformance
             if conformance
             else ccf_iterate_secondary_sort
         )
-    elif skew_robust:
-        # groupBy+join formulation: AQE can skew-split the join when a
-        # hub node's adjacency would overwhelm one window partition
-        iterate_fn = ccf_iterate_join
+        path = "secondary_sort"
     else:
-        iterate_fn = ccf_iterate
-
-    pairs = edges.select(
-        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
-    )
+        if skew_robust is None:
+            # only probe degrees when a degree could plausibly cross
+            # the threshold (max degree <= 2 * edges)
+            skew_robust = (
+                2 * n_edges >= skew_degree_threshold
+                and (
+                    _undirected(pairs)
+                    .groupBy("src")
+                    .count()
+                    .agg(F.max("count"))
+                    .collect()[0][0]
+                    or 0
+                )
+                >= skew_degree_threshold
+            )
+        if skew_robust:
+            # groupBy+join formulation: AQE can skew-split the join when
+            # a hub node's adjacency would overwhelm one window partition
+            iterate_fn = ccf_iterate_join
+            path = "join"
+        else:
+            iterate_fn = ccf_iterate
+            path = "window"
 
     # Size the loop's shuffles from the data, not from session defaults.
     # Pair volume peaks at roughly GROWTH x the input edges; partitions
@@ -270,8 +391,6 @@ def connected_components(
     # per-stage adaptive barriers cost ~0.5s/iteration, which dominates
     # sub-second stages, so it is disabled while the loop runs SMALL
     # graphs and left on (skew-join splitting, coalescing) at scale.
-    spark = edges.sparkSession
-    n_edges = pairs.count()
     target = max(4, min(int(n_edges * _GROWTH / _ROWS_PER_PARTITION) + 1, 20000))
     small = target <= 64
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -315,6 +434,7 @@ def connected_components(
         iterations=iterations,
         converged=converged,
         new_pair_counts=counts,
+        iterate_path=path,
     )
 
 

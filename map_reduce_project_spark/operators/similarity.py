@@ -34,6 +34,30 @@ from pyspark.sql.window import Window
 QSCALE = 1 << 24  # fixed-point scale for exact integer dot products
 
 
+def ivf_sizing(corpus_size: int) -> tuple[int, int]:
+    """(n_centroids, n_probe) for a corpus: cells ~ sqrt(N) (the IVF
+    balance point between per-cell candidate volume and centroid-table
+    size), probes ~ cells/16 (recall/latency knee). The gate queries
+    keep the demo-sized 16/3; scale callers feed this to ``ivf_topk``
+    so cells — not machines — are the parallelism unit."""
+    import math
+
+    n_centroids = max(16, math.isqrt(max(1, corpus_size)))
+    n_probe = max(1, n_centroids // 16)
+    return n_centroids, n_probe
+
+
+def lsh_planes_sizing(corpus_size: int, target_bucket_size: int = 1024) -> int:
+    """n_planes so the expected sign-LSH bucket holds about
+    ``target_bucket_size`` vectors: 2^n_planes buckets over the corpus.
+    The demo default of 4 planes (16 buckets) would bottleneck
+    shuffle-key cardinality at scale; 1B vectors / 1k-vector buckets
+    needs ~20 planes."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, corpus_size / target_bucket_size))))
+
+
 def _elements(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, pos, val double): exploded vector elements."""
     return vectors.select(

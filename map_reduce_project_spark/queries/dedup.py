@@ -173,15 +173,24 @@ SELECT id_a, id_b FROM cands
 
 
 _SIMHASH_BITS = 16
-_SUM_COLS = ",\n    ".join(
-    f"sum(CASE WHEN ('0x' || substr(th, {i + 1}, 1))::INT % 2 = 1 "
-    f"THEN 1 ELSE -1 END) AS s{i}"
-    for i in range(_SIMHASH_BITS)
-)
-_SIG_EXPR = " + ".join(
-    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)"
-    for i in range(_SIMHASH_BITS)
-)
+
+
+def _sum_cols(bits: int) -> str:
+    return ",\n    ".join(
+        f"sum(CASE WHEN ('0x' || substr(th, {i + 1}, 1))::INT % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+
+
+def _sig_expr(bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+
+
+_SUM_COLS = _sum_cols(_SIMHASH_BITS)
+_SIG_EXPR = _sig_expr(_SIMHASH_BITS)
 
 
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,14 +207,19 @@ SELECT doc_id, CAST({_SIG_EXPR} AS BIGINT) AS simhash FROM sums
 """
 
 
+_PAIR_BITS = 32  # 4 bands x 8 bits: 256 bucket values per band
+
+
 def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRS over the duplicate-injected corpus:
     Hamming-band bucketed equi-join (pigeonhole-lossless for
-    max_hamming=3 at 4 bands) + exact bit_count(xor) verification."""
+    max_hamming=3 at 4 bands) + exact bit_count(xor) verification.
+    32-bit signatures so band buckets have 256 values — buckets scale
+    with the corpus instead of collapsing to 16 mega-buckets."""
     corpus = _injected_corpus(spark, sf_dir)
-    sigs = simhash(corpus, bits=_SIMHASH_BITS)
+    sigs = simhash(corpus, bits=_PAIR_BITS)
     return simhash_candidate_pairs(
-        sigs, bits=_SIMHASH_BITS, bands=4, max_hamming=3
+        sigs, bits=_PAIR_BITS, bands=4, max_hamming=3
     )
 
 
@@ -214,10 +228,12 @@ WITH {CORPUS_CTE},
 tok AS (
   SELECT doc_id, md5(unnest(string_split(text, ' '))) AS th FROM corpus
 ),
-sums AS (SELECT doc_id, {_SUM_COLS} FROM tok GROUP BY doc_id),
-sig AS (SELECT doc_id, CAST({_SIG_EXPR} AS BIGINT) AS simhash FROM sums),
+sums AS (SELECT doc_id, {_sum_cols(_PAIR_BITS)} FROM tok GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({_sig_expr(_PAIR_BITS)} AS BIGINT) AS simhash
+        FROM sums),
 bands AS (
-  SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 4)) & 15 AS band_bits
+  SELECT doc_id, simhash, b AS band_idx,
+         (simhash >> (b * 8)) & 255 AS band_bits
   FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)
 ),
 cands AS (
