@@ -30,7 +30,9 @@ from map_reduce_project_spark.graph.generators import (
     edges_df,
     generate_chain_graph,
     generate_cluster_graph,
+    generate_cluster_graph_scala,
     generate_random_graph,
+    generate_random_graph_scala,
 )
 
 CSV_FIELDS = [
@@ -100,12 +102,21 @@ def _run(
 def run_sweep(
     spark: SparkSession,
     progress: Callable[[str], None] | None = None,
+    scala_rng: bool = False,
 ) -> list[dict]:
-    """All 34 reference configs x both variants."""
+    """All 34 reference configs x both variants.
+
+    ``scala_rng=True`` regenerates the reference's SECOND published
+    result set (experiment_results_scala.csv): same configs, but edge
+    sets drawn with the bit-exact java.util.Random reimplementation —
+    iteration/component parity pinned by tests/test_scala_rng.py.
+    """
     say = progress or (lambda s: None)
+    gen_random = generate_random_graph_scala if scala_rng else generate_random_graph
+    gen_cluster = generate_cluster_graph_scala if scala_rng else generate_cluster_graph
     rows: list[dict] = []
     for n_nodes, n_edges in RANDOM_CONFIGS:
-        edges = generate_random_graph(n_nodes, n_edges, seed=42)
+        edges = gen_random(n_nodes, n_edges, seed=42)
         for sec in (False, True):
             rows.append(_run(spark, "random_graph", edges, n_nodes, sec))
             say(f"random {n_nodes}/{n_edges} sec={sec}: {rows[-1]['iterations']} iters")
@@ -115,7 +126,7 @@ def run_sweep(
             rows.append(_run(spark, "chain_graph", edges, n, sec))
             say(f"chain {n} sec={sec}: {rows[-1]['iterations']} iters")
     for n_clusters, per, inter in CLUSTER_CONFIGS:
-        edges = generate_cluster_graph(n_clusters, per, inter, seed=42)
+        edges = gen_cluster(n_clusters, per, inter, seed=42)
         for sec in (False, True):
             rows.append(
                 _run(
@@ -143,12 +154,16 @@ def write_csv(rows: list[dict], path: str) -> None:
 def main() -> None:
     from map_reduce_project_spark import get_spark
 
-    out = sys.argv[1] if len(sys.argv) > 1 else "experiment_results.csv"
-    # fail on an unwritable output path BEFORE the ~2-minute sweep
+    argv = [a for a in sys.argv[1:] if a != "--scala-rng"]
+    scala_rng = "--scala-rng" in sys.argv[1:]
+    out = argv[0] if argv else "experiment_results.csv"
+    # fail on an unwritable output path BEFORE the sweep
     with open(out, "w"):
         pass
     spark = get_spark("ccf-experiments")
-    rows = run_sweep(spark, progress=lambda s: print(s, flush=True))
+    rows = run_sweep(
+        spark, progress=lambda s: print(s, flush=True), scala_rng=scala_rng
+    )
     write_csv(rows, out)
     print(f"wrote {len(rows)} rows to {out}")
 

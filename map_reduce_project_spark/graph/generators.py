@@ -82,6 +82,61 @@ def generate_cluster_graph(
     return edges
 
 
+# --- Scala-RNG modes (the reference's second published result set) ---------
+# The reference also ran its sweep from Scala (ccf_experiments_scala.scala:
+# 21-55) with scala.util.Random, producing experiment_results_scala.csv on
+# DIFFERENT edge sets (RNG divergence documented in its report). These
+# reproduce those edge sets bit-for-bit via the pure-Python JavaRandom.
+
+
+def generate_random_graph_scala(
+    n_nodes: int, n_edges: int, seed: int = 42
+) -> list[tuple[str, str]]:
+    """Scala generateRandomGraph: rejection-sample canonical pairs into
+    a LinkedHashSet (insertion-ordered, so even edge ORDER matches)
+    until exactly n_edges distinct edges exist."""
+    from map_reduce_project_spark.graph.javarandom import JavaRandom
+
+    rng = JavaRandom(seed)
+    edges: dict[tuple[str, str], None] = {}
+    while len(edges) < n_edges:
+        a = rng.next_int(n_nodes)
+        b = rng.next_int(n_nodes)
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            edges.setdefault((str(lo), str(hi)))
+    return list(edges)
+
+
+def generate_cluster_graph_scala(
+    n_clusters: int,
+    nodes_per_cluster: int,
+    inter_edges: int = 0,
+    seed: int = 42,
+) -> list[tuple[str, str]]:
+    """Scala generateClusterGraph: identical deterministic intra-cluster
+    chains + skip-2 edges; bridges draw a full Fisher-Yates shuffle of
+    the cluster list (n_clusters-1 nextInt calls), take the first two,
+    then one nextInt per endpoint — the exact Scala draw order."""
+    from map_reduce_project_spark.graph.javarandom import JavaRandom
+
+    edges: list[tuple[str, str]] = []
+    for c in range(n_clusters):
+        base = c * nodes_per_cluster
+        for i in range(nodes_per_cluster - 1):
+            edges.append((str(base + i), str(base + i + 1)))
+            if i + 2 < nodes_per_cluster:
+                edges.append((str(base + i), str(base + i + 2)))
+
+    rng = JavaRandom(seed)
+    for _ in range(inter_edges):
+        cs = rng.shuffle(list(range(n_clusters)))[:2]
+        n1 = cs[0] * nodes_per_cluster + rng.next_int(nodes_per_cluster)
+        n2 = cs[1] * nodes_per_cluster + rng.next_int(nodes_per_cluster)
+        edges.append((str(n1), str(n2)))
+    return edges
+
+
 def edges_df(
     spark: SparkSession, edges: list[tuple[str, str]]
 ) -> DataFrame:
