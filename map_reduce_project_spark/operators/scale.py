@@ -81,6 +81,116 @@ def salted_join(
     return big_salted.join(small_rep, [key, "_salt"], how).drop("_salt")
 
 
+def bloom_prune_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    n_buckets: int = 1 << 16,
+) -> DataFrame:
+    """Join with a Bloom-style pre-filter on the big side.
+
+    The small (already-filtered) side is reduced to its SET of occupied
+    coarse hash buckets — at most ``n_buckets`` ints, bounded no matter
+    how many keys the small side has — and the big side is pruned with
+    a broadcast LEFT SEMI join on the bucket id (one xxhash64 probe per
+    row, no shuffle of the big side) BEFORE the exact join runs. False
+    positives (distinct keys sharing a bucket) survive the pre-filter
+    but are eliminated by the exact join, so results are identical to a
+    plain join — the pre-filter only cuts the rows the shuffle has to
+    move, which is the point at 100 TB: this is the manual spelling of
+    runtime dynamic filtering (Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` injects the
+    same shape automatically when thresholds allow; this operator makes
+    it explicit, portable, and usable when the dim side is derived).
+
+    Use when the small side is too large to broadcast its raw keys but
+    its bucket set is not — the gap where neither broadcast-hash-join
+    nor plain shuffle join is ideal.
+    """
+    buckets = (
+        small.select(
+            F.pmod(F.xxhash64(key), F.lit(n_buckets)).alias("_bucket")
+        )
+        .distinct()
+    )
+    pruned = (
+        big.withColumn("_bucket", F.pmod(F.xxhash64(key), F.lit(n_buckets)))
+        .join(F.broadcast(buckets), "_bucket", "left_semi")
+        .drop("_bucket")
+    )
+    return pruned.join(small, key, how)
+
+
+def zorder_key(cols: list[str], bits: int = 16):
+    """Morton (Z-order) interleaved-bit key over non-negative integer
+    columns already scaled into [0, 2^bits).
+
+    Sorting/range-partitioning by this key clusters rows that are close
+    in EVERY dimension into the same files, so each file's per-column
+    min/max ranges are narrow and parquet row-group / file skipping
+    prunes multi-dimensional predicates — the standard data-layout
+    lever (Delta/Iceberg OPTIMIZE ZORDER) expressed as a plain column.
+    Pure bit arithmetic: shiftright/AND/shiftleft fold entirely inside
+    whole-stage codegen.
+    """
+    ndim = len(cols)
+    expr = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(
+                F.lit(1)
+            )
+            expr = expr + F.shiftleft(bit, i * ndim + j)
+    return expr
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write parquet clustered by the Z-order of ``cols``:
+    range-partition on the interleaved key (equal-size files via
+    sampled range bounds), sort within partitions, one file per
+    partition. Readers filtering on ANY of ``cols`` then skip whole
+    files/row-groups on min/max stats instead of scanning everything —
+    at 100 TB this is the difference between reading a few files and
+    reading the lake. tests/test_scale_ops.py pins the locality (per-
+    file key ranges shrink vs an unordered layout)."""
+    # Rescale every dim to the full [0, 2^bits) range first: Morton
+    # interleaving assumes comparable per-dim magnitudes — a 100-value
+    # dim next to a 100k-value dim would contribute nothing to the
+    # leading key bits and get no clustering. One tiny min/max agg.
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"_min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_max_{c}") for c in cols],
+    ).collect()[0]
+    top = float((1 << bits) - 1)
+    scaled = df
+    for c in cols:
+        lo, hi = bounds[f"_min_{c}"], bounds[f"_max_{c}"]
+        span = (hi - lo) or 1.0
+        scaled = scaled.withColumn(
+            f"_z_{c}",
+            F.floor((F.col(c).cast("double") - lo) * (top / span)).cast(
+                "long"
+            ),
+        )
+    keyed = scaled.withColumn(
+        "_zkey", zorder_key([f"_z_{c}" for c in cols], bits)
+    ).drop(*[f"_z_{c}" for c in cols])
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -66,7 +66,9 @@ def all_queries() -> dict[str, Query]:
         *(q.name for q in pipeline.QUERIES),
         *(q.name for q in multimodal.QUERIES),
         "ev_time_rollup",
+        "ev_sessions_streaming",
         "dedup_simhash_pairs",
+        "dedup_cluster_canonical",
         "q17_json_extract",
         "cc_orders_summary",
         "cc_part_supplier",

@@ -431,10 +431,56 @@ GROUP BY event_type
 """
 
 
+def q34_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join with a Bloom-style runtime pre-filter
+    (operators/scale.py:bloom_prune_join): the selective part-dim
+    filter is reduced to a bounded coarse-bucket set, broadcast, and
+    applied to the lineitem scan as a semi join BEFORE the exact join —
+    the manual spelling of runtime dynamic filtering. Exact by
+    construction (the final join removes bucket false positives), so
+    the oracle is the plain join."""
+    from map_reduce_project_spark.operators.scale import bloom_prune_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 5)
+        .select("p_partkey", "p_brand")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        bloom_prune_join(li, part, "p_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q34_SQL = """
+SELECT p_brand,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 5
+GROUP BY p_brand
+"""
+
+
 QUERIES.extend(
     [
         Query("q31_argmax", q31_argmax, Q31_SQL, "max_by/min_by argmax aggregation (bounded-state top-1)"),
         Query("q32_json_struct", q32_json_struct, Q32_SQL, "typed from_json + map functions"),
+        Query("q34_bloom_prune_join", q34_bloom_prune_join, Q34_SQL, "Bloom-bucket runtime pre-filter join (manual dynamic filtering)"),
     ]
 )
 

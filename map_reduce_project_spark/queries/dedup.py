@@ -21,6 +21,7 @@ from map_reduce_project_spark.operators.dedup import (
     simhash,
     simhash_candidate_pairs,
 )
+from map_reduce_project_spark.graph.ccf import connected_components
 from map_reduce_project_spark.queries import Query
 from map_reduce_project_spark.sources.io import read_table
 
@@ -172,6 +173,78 @@ SELECT id_a, id_b FROM cands
 """
 
 
+def dedup_cluster_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical web-scale dedup pipeline END-TO-END: MinHash
+    signatures -> LSH band buckets -> candidate pairs -> exact Jaccard
+    verification -> connected components over the verified pair graph
+    -> keep the numerically smallest doc_id per near-dup cluster.
+
+    Near-duplication is not transitive, so pair lists alone cannot
+    answer "which copies do I drop?" — clustering the pair graph can,
+    and CCF is exactly that operator (composition, not new code). The
+    pair graph is tiny relative to the corpus (cost ∝ verified pairs),
+    so CC runs on the small-graph local path here; at corpus scale the
+    same edges feed the distributed loop unchanged. doc_ids are
+    zero-padded before the lexicographic min so the canonical is the
+    NUMERIC min. Output: (doc_id, canonical_id) for every non-canonical
+    member of a cluster — the drop list.
+    """
+    corpus = _injected_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_hashes=NUM_HASHES)
+    cands = lsh_candidate_pairs(
+        lsh_buckets(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+    )
+    verified = jaccard_verify(corpus, cands, threshold=0.5)
+    edges = verified.select(
+        F.lpad(F.col("id_a").cast("string"), 6, "0").alias("src"),
+        F.lpad(F.col("id_b").cast("string"), 6, "0").alias("dst"),
+    )
+    res = connected_components(edges, local_threshold=500_000)
+    return res.mapping.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("canonical_id"),
+    )
+
+
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE {LSH_CTES},
+sset AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sset GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sset a ON a.doc_id = c.id_a
+  JOIN sset b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+vpairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
+),
+e AS (
+  SELECT lpad(CAST(id_a AS VARCHAR), 6, '0') AS src,
+         lpad(CAST(id_b AS VARCHAR), 6, '0') AS dst
+  FROM vpairs
+),
+und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+gnodes AS (SELECT DISTINCT src AS n FROM und),
+und2 AS (SELECT src, dst FROM und UNION SELECT n, n FROM gnodes),
+lab AS (
+  SELECT 0 AS it, n AS node, n AS lab FROM gnodes
+  UNION ALL
+  SELECT lab.it + 1 AS it, und2.dst AS node, MIN(lab.lab) AS lab
+  FROM lab JOIN und2 ON und2.src = lab.node
+  WHERE lab.it < 16
+  GROUP BY lab.it, und2.dst
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(lab AS BIGINT) AS canonical_id
+FROM lab WHERE it = 16 AND node <> lab
+"""
+
+
 _SIMHASH_BITS = 16
 
 
@@ -248,6 +321,7 @@ SELECT id_a, id_b, hamming FROM cands WHERE hamming <= 3
 
 QUERIES = [
     Query("dedup_simhash_pairs", dedup_simhash_pairs_q, DEDUP_SIMHASH_PAIRS_SQL, "SimHash Hamming-band near-dup pairs (lossless banding + exact verify)"),
+    Query("dedup_cluster_canonical", dedup_cluster_canonical_q, DEDUP_CLUSTER_SQL, "full dedup pipeline: LSH -> Jaccard -> CC clustering -> canonical keep"),
     Query("dedup_exact", dedup_exact_q, DEDUP_EXACT_SQL, "exact dedup via content-hash group-by"),
     Query("dedup_minhash_candidates", dedup_minhash_candidates_q, DEDUP_MINHASH_SQL, "MinHash+LSH near-dup candidate pairs"),
     Query("dedup_jaccard_verified", dedup_jaccard_q, DEDUP_JACCARD_SQL, "exact n-gram Jaccard over LSH candidates"),

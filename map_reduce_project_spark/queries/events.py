@@ -178,6 +178,33 @@ FROM events
 GROUP BY 1, 2
 """
 
+def ev_sessions_streaming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming session windows under the oracle gate: the
+    watermarked session_window aggregation (merging session state
+    across events) runs as a real Structured Streaming query to
+    completion and its final state is hash-checked against the same
+    lag-gap SQL oracle as the batch twin — covering Spark's
+    session-state merge path, not just tumbling windows."""
+    from map_reduce_project_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_events,
+        stream_session_counts,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    return run_stream_to_memory(stream_session_counts(stream))
+
+
+QUERIES.append(
+    Query(
+        "ev_sessions_streaming",
+        ev_sessions_streaming_q,
+        EV_SESSIONS_SQL,
+        "Structured Streaming session windows, final state vs lag-gap oracle",
+    )
+)
+
+
 QUERIES.append(
     Query(
         "ev_tumbling_streaming",

@@ -132,9 +132,94 @@ GROUP BY tf.doc_id
 """
 
 
+def pipeline_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full training-data curation pass in ONE declarative plan:
+    quality scoring + language ID + exact dedup -> the kept corpus.
+
+    The composition every 100 TB pre-training pipeline runs: compute
+    C4/Gopher-style quality heuristics and the language heuristic per
+    document (pure codegen expressions over the scan), drop exact
+    duplicates (hash-agg keep-min, left-semi join back — broadcastable
+    at gate scale, shuffle-partitioned at corpus scale), keep documents
+    that clear the quality threshold and the language filter. All
+    predicates are over bit-deterministic values (the same expressions
+    already hash-checked by text_quality/text_language_id), so the kept
+    SET is engine-exact, not approximately similar.
+
+    Runs on the duplicate-injected corpus so the dedup stage has real
+    work; output is the kept (doc_id, n_tokens, pred_lang, quality).
+    """
+    from map_reduce_project_spark.operators.dedup import exact_dedup
+    from map_reduce_project_spark.operators.text import (
+        language_id,
+        quality_score,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    q = quality_score(corpus).select("doc_id", "n_tokens", "quality")
+    lang = language_id(corpus).select("doc_id", "pred_lang")
+    keep = exact_dedup(corpus, ["text"], "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        q.join(lang, "doc_id")
+        .join(keep, "doc_id", "left_semi")
+        .where((F.col("quality") >= 0.3) & (F.col("pred_lang") == "en"))
+        .select("doc_id", "n_tokens", "pred_lang", "quality")
+    )
+
+
+CURATION_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+    CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+    CAST(LEN(list_filter(string_split(text, ' '), t -> t IN ({{stops}}))) AS DOUBLE)
+      / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+    LENGTH(regexp_replace(text, '[^\\x{{{{4e00}}}}-\\x{{{{9fff}}}}]', '', 'g')) > 0 AS has_cjk
+  FROM corpus
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN has_cjk THEN 'cjk'
+         WHEN stopword_ratio >= 0.05 THEN 'en'
+         ELSE 'other' END AS pred_lang,
+    CASE WHEN n_tokens < 5 THEN 0.0
+         WHEN distinct_ratio < 0.1 THEN 0.0
+         ELSE distinct_ratio * 0.5 + stopword_ratio * 0.25
+              + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.25
+    END AS quality
+  FROM m
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text))
+SELECT s.doc_id, s.n_tokens, s.pred_lang, s.quality
+FROM scored s JOIN keep USING (doc_id)
+WHERE s.quality >= 0.3 AND s.pred_lang = 'en'
+"""
+
+
+def _curation_sql() -> str:
+    from map_reduce_project_spark.operators.text import EN_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return CURATION_SQL.format(stops=stops)
+
+
 QUERIES = [
     Query("split_train_test", split_train_test_q, SPLIT_SQL, "deterministic 80/10/10 content-hash dataset split"),
     Query("sample_stratified", sample_stratified_q, SAMPLE_STRAT_SQL, "per-stratum deterministic sample (reproducible sampleBy)"),
     Query("sample_documents", sample_documents_q, SAMPLE_DOCS_SQL, "content-hash Bernoulli corpus sample"),
     Query("text_bm25", text_bm25_q, BM25_SQL, "BM25 relevance scoring with in-plan corpus statistics"),
+    Query("pipeline_curation", pipeline_curation_q, _curation_sql(), "quality + language + exact-dedup curation pass (kept corpus)"),
 ]

@@ -70,15 +70,21 @@ def stream_tumbling_counts(
 def stream_session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:
-    """Watermarked session windows — streaming twin of ev_sessions_q."""
+    """Watermarked session windows — streaming twin of ev_sessions_q,
+    with the identical output columns so the final state hash-matches
+    the batch sessions oracle."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap))
         .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
         )
-        .select("user_id", "n_events", "sum_value")
+        .select(
+            "user_id", "session_start", "last_event", "n_events", "sum_value"
+        )
     )
 
 

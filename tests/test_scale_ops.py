@@ -124,3 +124,71 @@ def test_observed_quality_single_pass(spark):
     assert filtered.count() == 2
     assert before.get["n_rows"] == 4
     assert after.get["n_rows"] == 2
+
+
+def test_bloom_prune_join_exact_and_broadcast(spark, sf001):
+    from map_reduce_project_spark.operators.scale import bloom_prune_join
+    from map_reduce_project_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf001, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
+    part = (
+        read_table(spark, sf001, "part")
+        .where(F.col("p_size") <= 5)
+        .select("p_partkey", "p_brand")
+    )
+    pruned = bloom_prune_join(li, part, "p_partkey")
+    plain = li.join(part, "p_partkey")
+    assert pruned.count() == plain.count()
+    got = {tuple(r) for r in pruned.collect()}
+    want = {tuple(r) for r in plain.collect()}
+    assert got == want
+    # the bucket pre-filter must be a broadcast semi join (no shuffle
+    # of the big side before the exact join)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_zorder_locality_and_skipping(spark, sf001, tmp_path):
+    from map_reduce_project_spark.operators.scale import (
+        write_zordered,
+        zorder_key,
+    )
+    from map_reduce_project_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+
+    # two independent dims, both bounded < 2^16
+    li = read_table(spark, sf001, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "z")
+    rpath = str(tmp_path / "r")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=8)
+    # unordered baseline: same file count, no clustering
+    li.repartition(8).write.mode("overwrite").parquet(rpath)
+
+    def avg_span(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .withColumn("_f", F.input_file_name())
+            .groupBy("_f")
+            .agg((F.max(col) - F.min(col)).alias("span"))
+        )
+        return per_file.agg(F.avg("span")).collect()[0][0]
+
+    # z-ordered files cover a fraction of each dim's domain; random
+    # files cover essentially all of it
+    for c in ("l_partkey", "l_suppkey"):
+        assert avg_span(zpath, c) < 0.7 * avg_span(rpath, c), c
+
+    # row counts survive the layout change
+    assert spark.read.parquet(zpath).count() == li.count()
+
+    # the morton key interleaves correctly: (x=1,y=0) -> 1, (0,1) -> 2,
+    # (1,1) -> 3, (2,3) -> 0b1110 = 14
+    probe = spark.createDataFrame(
+        [(1, 0), (0, 1), (1, 1), (2, 3)], "x long, y long"
+    ).select(zorder_key(["x", "y"], bits=4).alias("z"))
+    assert [r["z"] for r in probe.collect()] == [1, 2, 3, 14]
