@@ -67,6 +67,7 @@ def all_queries() -> dict[str, Query]:
         *(q.name for q in multimodal.QUERIES),
         "ev_time_rollup",
         "ev_sessions_streaming",
+        "ev_sessions_stateful",
         "dedup_simhash_pairs",
         "dedup_cluster_canonical",
         "q17_json_extract",

@@ -287,6 +287,74 @@ QUERIES.append(
 )
 
 
+def ev_sessions_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator under the hash gate: the
+    applyInPandasWithState sessionizer (Arrow-batched per-key state
+    machine with an event-time timeout) run as a real Structured
+    Streaming append query to completion. Its emission rule is exactly
+    SQL-expressible: a session is emitted iff it was closed by a
+    gap-crossing successor event, or its event-time timeout
+    (last_event_ms + gap_ms) fell strictly before the final watermark
+    (max_ts_ms - delay_ms) — verified byte-exact against the lag-gap
+    oracle. Integer columns only (float accumulation order inside the
+    Python state machine is not oracle-reproducible; sum_value stays
+    library API, pytest-checked)."""
+    from map_reduce_project_spark.streaming.stateful import (
+        sessionize_with_state,
+    )
+    from map_reduce_project_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    stream = stream_events(spark, sf_dir).select("ts", "user_id", "value")
+    out = run_stream_to_memory(
+        sessionize_with_state(stream), output_mode="append"
+    )
+    return out.select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    )
+
+
+EV_SESSIONS_STATEFUL_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+),
+sess AS (
+  SELECT user_id, session_id,
+    MAX(session_id) OVER (PARTITION BY user_id) AS max_sid,
+    MIN(epoch_us(ts)) AS session_start_us,
+    MAX(epoch_us(ts)) AS session_end_us,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, session_id
+),
+wm AS (SELECT (MAX(epoch_us(ts)) // 1000) - 3600000 AS wm_ms FROM events)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM sess, wm
+WHERE session_id < max_sid
+   OR ((session_end_us // 1000) + 1800000) < wm_ms
+"""
+
+QUERIES.append(
+    Query(
+        "ev_sessions_stateful",
+        ev_sessions_stateful_q,
+        EV_SESSIONS_STATEFUL_SQL,
+        "applyInPandasWithState sessionizer (event-time timeout), emitted set vs lag-gap+watermark oracle",
+    )
+)
+
+
 def ev_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup -> click -> purchase per user
     (the MATCH_RECOGNIZE-style sequential pattern, composed from
