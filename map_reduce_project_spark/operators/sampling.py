@@ -82,6 +82,57 @@ def deterministic_sample(
     return df.where(hash_bucket(id_col, salt) < int(round(fraction * _BUCKETS)))
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_bp: Column,
+    salt: str = "weighted",
+) -> DataFrame:
+    """Per-row weighted Bernoulli sample: keep each row with
+    probability ``weight_bp``/10000 (integer basis points, clamped to
+    [0, 10000]). The keep decision is an exact integer comparison of
+    the salted content-hash bucket against the row's own weight —
+    reproducible across engines, partitionings, and retries, unlike
+    ``rand() < p``. This is the quality-weighted corpus downsampling
+    primitive: derive ``weight_bp`` from a quality score and feed the
+    kept set straight into training."""
+    w = F.greatest(F.lit(0), F.least(F.lit(_BUCKETS), weight_bp.cast("long")))
+    return df.where(hash_bucket(id_col, salt) < w)
+
+
+def importance_upsample(
+    df: DataFrame,
+    id_col: str,
+    weight_bp: Column,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Importance upsampling (epoch replication): emit each row
+    floor(w) times plus one more with probability frac(w), where the
+    weight is ``weight_bp``/10000 in integer basis points (w=25000 ->
+    2 copies always, a 3rd with p=0.5). The fractional draw is the
+    same exact content-hash comparison as ``weighted_sample``; copies
+    are materialized with ``explode(sequence(...))`` — pure JVM
+    expressions, no shuffle, output size = sum of weights. Adds a
+    ``copy_idx`` column (0-based) so downstream shuffles spread the
+    replicas. This is the high-quality-data epoch-multiplier used when
+    mixing corpora for training (e.g. wiki x3, web x0.7)."""
+    w = F.greatest(F.lit(0), weight_bp.cast("long"))
+    whole = (w / _BUCKETS).cast("long")
+    extra = F.when(hash_bucket(id_col, salt) < w % _BUCKETS, 1).otherwise(0)
+    n = (whole + extra).alias("_n_copies")
+    return (
+        df.withColumn("_n_copies", n)
+        .where(F.col("_n_copies") > 0)
+        .withColumn(
+            "copy_idx",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_n_copies") - 1)
+            ),
+        )
+        .drop("_n_copies")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

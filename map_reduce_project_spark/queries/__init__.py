@@ -68,6 +68,8 @@ def all_queries() -> dict[str, Query]:
         "ev_time_rollup",
         "ev_sessions_streaming",
         "ev_sessions_stateful",
+        "sample_weighted",
+        "sample_epoch_mix",
         "dedup_simhash_pairs",
         "dedup_cluster_canonical",
         "q17_json_extract",

@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 from map_reduce_project_spark.operators.sampling import (
     deterministic_sample,
     hash_split,
+    importance_upsample,
     stratified_sample,
+    weighted_sample,
 )
 from map_reduce_project_spark.operators.text import bm25_scores
 from map_reduce_project_spark.queries import Query
@@ -93,6 +95,61 @@ SAMPLE_DOCS_SQL = f"""
 SELECT doc_id, lang, n_chars
 FROM documents
 WHERE {_BUCKET.format(salt="sample", id="doc_id")} < 500
+"""
+
+
+def sample_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted Bernoulli sample: each document kept with
+    probability min(20*n_chars, 10000)/10000 — the quality-weighted
+    downsampling primitive (here weight = document length in lieu of a
+    model score). Keep decision is an exact integer compare of the
+    content-hash bucket against the per-row weight."""
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, "doc_id", F.least(F.col("n_chars") * 20, F.lit(10000))
+    ).select("doc_id", "source", "n_chars")
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE {_BUCKET.format(salt="weighted", id="doc_id")}
+      < GREATEST(0, LEAST(10000, LEAST(n_chars * 20, 10000)))
+"""
+
+
+def sample_epoch_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing epoch replication: per-source epoch weights
+    (0.25x / 1.0x / 1.75x / 2.5x by source id mod 4) applied with
+    importance_upsample — whole copies always, the fractional copy by
+    exact content-hash draw. The emitted (doc_id, copy_idx) multiset
+    IS the training-mix manifest."""
+    docs = read_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("long")
+    weight = F.lit(2500) + (src_num % 4) * 7500
+    return importance_upsample(docs, "doc_id", weight).select(
+        "doc_id", "source", "copy_idx"
+    )
+
+
+SAMPLE_EPOCH_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+    2500 + (CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4) * 7500
+      AS wbp,
+    {_BUCKET.format(salt="epoch", id="doc_id")} AS bucket
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+    (wbp // 10000)
+      + CASE WHEN bucket < wbp % 10000 THEN 1 ELSE 0 END AS n_copies
+  FROM w
+)
+SELECT doc_id, source,
+  CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_idx
+FROM n
+WHERE n_copies > 0
 """
 
 
@@ -220,6 +277,8 @@ QUERIES = [
     Query("split_train_test", split_train_test_q, SPLIT_SQL, "deterministic 80/10/10 content-hash dataset split"),
     Query("sample_stratified", sample_stratified_q, SAMPLE_STRAT_SQL, "per-stratum deterministic sample (reproducible sampleBy)"),
     Query("sample_documents", sample_documents_q, SAMPLE_DOCS_SQL, "content-hash Bernoulli corpus sample"),
+    Query("sample_weighted", sample_weighted_q, SAMPLE_WEIGHTED_SQL, "per-row weighted Bernoulli sample (quality-weighted downsampling)"),
+    Query("sample_epoch_mix", sample_epoch_mix_q, SAMPLE_EPOCH_SQL, "corpus-mixing epoch replication (importance upsampling manifest)"),
     Query("text_bm25", text_bm25_q, BM25_SQL, "BM25 relevance scoring with in-plan corpus statistics"),
     Query("pipeline_curation", pipeline_curation_q, _curation_sql(), "quality + language + exact-dedup curation pass (kept corpus)"),
 ]

@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from map_reduce_project_spark.operators.sampling import (
     deterministic_sample,
     hash_split,
+    importance_upsample,
     stratified_sample,
+    weighted_sample,
 )
 from map_reduce_project_spark.operators.text import bm25_scores
 
@@ -69,6 +71,46 @@ def test_stratified_sample_strata(spark):
     got = out.collect()
     assert all(r.grp == "A" for r in got)  # stratum B dropped
     assert 150 < len(got) < 350  # ~50% of 500 A-rows
+
+
+def test_weighted_sample_bounds(spark, ids):
+    # weight 0 keeps nothing; weight 10000 keeps everything;
+    # intermediate weights keep a monotone subset per row weight
+    none = weighted_sample(ids, "id", F.lit(0)).count()
+    everything = weighted_sample(ids, "id", F.lit(10_000)).count()
+    assert none == 0 and everything == 2000
+    # out-of-range weights clamp rather than misbehave
+    assert weighted_sample(ids, "id", F.lit(99_999)).count() == 2000
+    half = weighted_sample(ids, "id", F.lit(5_000)).count()
+    assert 800 < half < 1200
+    # keep decision is per-row deterministic across repartitioning
+    a = {r.id for r in weighted_sample(ids, "id", F.lit(5_000)).collect()}
+    b = {
+        r.id
+        for r in weighted_sample(
+            ids.repartition(7), "id", F.lit(5_000)
+        ).collect()
+    }
+    assert a == b
+
+
+def test_importance_upsample_copies(spark, ids):
+    # whole part always replicated: weight 2.0 -> exactly 2 copies/row
+    out = importance_upsample(ids, "id", F.lit(20_000))
+    assert out.count() == 4000
+    per = out.groupBy("id").count().collect()
+    assert all(r["count"] == 2 for r in per)
+    # copy_idx enumerates replicas from 0
+    idx = {
+        (r.id, r.copy_idx) for r in out.collect()
+    }
+    assert (0, 0) in idx and (0, 1) in idx
+    # fractional part: weight 1.5 -> between 1 and 2 copies, mean ~1.5
+    frac = importance_upsample(ids, "id", F.lit(15_000))
+    n = frac.count()
+    assert 2000 <= n <= 4000 and 2800 < n < 3200
+    # weight 0 drops the row entirely
+    assert importance_upsample(ids, "id", F.lit(0)).count() == 0
 
 
 def test_bm25_ranking_semantics(spark):
