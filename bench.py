@@ -71,6 +71,13 @@ def main() -> None:
     connected_components(
         edges_df(spark, generate_random_graph(500, 1500, seed=42))
     )
+    # warm the dedup path at the smallest SF: the wide minhash
+    # aggregate + LSH join compile ~8 s of generated code on first
+    # use; running it once on 500 docs makes the timed sf0.1 runs
+    # measure the data plane, not the one-time codegen
+    registry_warm = all_queries()
+    for warm_q in ("dedup_minhash_candidates", "dedup_jaccard_verified"):
+        registry_warm[warm_q].fn(spark, "/root/testdata/sf0.001").count()
     startup = time.perf_counter() - t0
 
     timings: dict[str, float] = {}

@@ -224,25 +224,44 @@ def jaccard_verify(
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over distinct-shingle
     sets — all bigint counts, so the double division is deterministic.
-    """
-    shingle_sets = docs.select(
-        F.col(id_col), F.explode(shingles_expr(k, text_col)).alias("shingle")
-    ).dropDuplicates([id_col, "shingle"])
-    sizes = shingle_sets.groupBy(id_col).agg(F.count("*").alias("n"))
 
-    sa = shingle_sets.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingle_sets.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        candidates.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    Only documents that appear in a candidate pair are shingled at
+    all: the candidate id set (small by LSH construction — it is the
+    whole point of banding that |candidates| << |corpus|) broadcasts
+    as a semi-join filter on the raw docs, so the explode, the
+    distinct-shingle shuffle, and the size aggregate all run over
+    candidate docs only instead of the full corpus.
+    """
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionAll(candidates.select(F.col("id_b").alias(id_col)))
+        .dropDuplicates()
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    cand_docs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    # one shuffle builds each candidate doc's distinct-shingle ARRAY;
+    # the pair joins then move one array per doc instead of one row
+    # per (doc, shingle) — the per-pair intersection is a local
+    # array_intersect, bounded by document length, never corpus size
+    shingle_sets = (
+        cand_docs.select(
+            F.col(id_col),
+            F.explode(shingles_expr(k, text_col)).alias("shingle"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sset"))
+    )
+    sa = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
+    sb = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_inter"),
+            F.size("set_a").alias("n_a"),
+            F.size("set_b").alias("n_b"),
+        )
         .select(
             "id_a",
             "id_b",

@@ -31,11 +31,15 @@ BANDS = 4
 
 
 def _injected_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_project_spark.operators.scale import fan_out
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     copy = docs.select(
         (F.col("doc_id") + OFFSET).alias("doc_id"), F.col("text")
     )
-    return docs.unionAll(copy)
+    # single-file scan -> fan out so the shingle/hash map work runs
+    # on every core, not one (operators.scale.fan_out)
+    return fan_out(docs.unionAll(copy))
 
 
 CORPUS_CTE = f"""
@@ -267,7 +271,9 @@ _SIG_EXPR = _sig_expr(_SIMHASH_BITS)
 
 
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    from map_reduce_project_spark.operators.scale import fan_out
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     return simhash(docs, bits=_SIMHASH_BITS)
 
 
