@@ -179,6 +179,44 @@ def bm25_scores(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size overlapping token windows per document — the
+    context-window chunking stage of an embedding/pretraining
+    pipeline. Chunk i covers tokens [i*stride, i*stride + size); the
+    chunk count is 1 + max(0, ceil((n_tokens - size)/stride)) so every
+    token lands in at least one chunk.
+
+    Pure generator expressions (posexplode over transform/sequence —
+    JVM-side, codegen): the fan-out never leaves the row's task, so
+    the op is embarrassingly parallel at any corpus size. The Python
+    UDTF twin lives in functions/udtfs.py (ChunkDocument); the
+    ``text_chunks`` / ``text_chunks_udtf`` queries pin both to one
+    oracle.
+
+    Output: (id, chunk_idx, chunk, n_tokens).
+    """
+    w = f"split({text_col}, ' ')"
+    n_chunks = f"greatest((size({w}) - {size} + {stride - 1}) div {stride}, 0)"
+    chunks = F.expr(
+        f"transform(sequence(0, {n_chunks}),"
+        f" i -> concat_ws(' ', slice({w}, i * {stride} + 1, {size})))"
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk",
+        F.size(F.split(F.col("chunk"), " ")).cast("long").alias("n_tokens"),
+    )
+
+
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

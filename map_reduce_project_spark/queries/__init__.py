@@ -70,6 +70,8 @@ def all_queries() -> dict[str, Query]:
         "ev_sessions_stateful",
         "sample_weighted",
         "sample_epoch_mix",
+        "text_chunks",
+        "text_chunks_udtf",
         "dedup_simhash_pairs",
         "dedup_cluster_canonical",
         "q17_json_extract",

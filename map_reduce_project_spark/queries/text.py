@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from map_reduce_project_spark.operators.text import (
     EN_STOPWORDS,
     bpe_token_count,
+    chunk_documents,
     fingerprint,
     language_id,
     quality_score,
@@ -132,6 +133,63 @@ SELECT doc_id,
     i -> {_FOLD.format(arr=f"({_CODES})[i:i+2]")})) AS win_fp
 FROM documents
 """
+
+def text_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking via generator EXPRESSIONS (JVM fast
+    path): 64-token windows, stride 48."""
+    return chunk_documents(read_table(spark, sf_dir, "documents"), 64, 48)
+
+
+def text_chunks_udtf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunking through the Python UDTF path (LATERAL
+    table-valued function, Spark 4 `@udtf`) — one oracle pins both
+    implementations row-for-row. The UDTF is the API-surface/reference
+    twin; production uses the expression plan of ``text_chunks``."""
+    from map_reduce_project_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM _docs_for_udtf d, LATERAL chunk_document(d.text, 64, 48) c
+        """
+    )
+
+
+CHUNKS_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(0, greatest((len(toks) - 64 + 47) // 48, 0)))
+      AS chunk_idx
+  FROM w
+)
+SELECT doc_id,
+  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk,
+  CAST(len(toks[chunk_idx*48+1 : chunk_idx*48+64]) AS BIGINT) AS n_tokens
+FROM c
+"""
+
+QUERIES.append(
+    Query(
+        "text_chunks",
+        text_chunks_q,
+        CHUNKS_SQL,
+        "64-token/stride-48 context-window chunking (generator expressions)",
+    )
+)
+
+QUERIES.append(
+    Query(
+        "text_chunks_udtf",
+        text_chunks_udtf_q,
+        CHUNKS_SQL,
+        "the same chunking through a Python UDTF (LATERAL TVF) — twin under one oracle",
+    )
+)
 
 QUERIES.append(
     Query(

@@ -204,3 +204,40 @@ def test_orc_and_text_roundtrip(spark, tmp_path):
     (tmp_path / "lines.txt").write_text("one\ntwo\nthree\n")
     lines = read_text_lines(spark, str(tmp_path / "lines.txt"))
     assert [r.value for r in lines.collect()] == ["one", "two", "three"]
+
+
+def test_chunk_udtf_matches_expression(spark):
+    """ChunkDocument (Python UDTF) and chunk_documents (generator
+    expressions) must agree row-for-row, including the edge cases the
+    corpus doesn't exercise: empty text, consecutive spaces, and docs
+    shorter than one window."""
+    from map_reduce_project_spark.functions.udtfs import register_udtfs
+    from map_reduce_project_spark.operators.text import chunk_documents
+
+    register_udtfs(spark)
+    rows = [
+        (1, ""),
+        (2, "one"),
+        (3, "a  b"),  # double space -> empty token
+        (4, " ".join(f"t{i}" for i in range(5))),
+        (5, " ".join(f"t{i}" for i in range(7))),  # 2 chunks at size 5/stride 3
+        (6, " ".join(f"t{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {
+        (r.doc_id, r.chunk_idx): (r.chunk, r.n_tokens)
+        for r in chunk_documents(df, 5, 3).collect()
+    }
+    df.createOrReplaceTempView("_chunk_test_docs")
+    udtf = {
+        (r.doc_id, r.chunk_idx): (r.chunk, r.n_tokens)
+        for r in spark.sql(
+            "SELECT d.doc_id, c.* FROM _chunk_test_docs d, "
+            "LATERAL chunk_document(d.text, 5, 3) c"
+        ).collect()
+    }
+    assert expr == udtf
+    # every token of doc 6 appears in some chunk; strides overlap by 2
+    assert (6, 0) in expr and expr[(6, 0)][1] == 5
+    n6 = max(i for d, i in expr if d == 6) + 1
+    assert n6 == 13  # ceil((40-5)/3)+1
