@@ -72,6 +72,8 @@ def all_queries() -> dict[str, Query]:
         "sample_epoch_mix",
         "text_chunks",
         "text_chunks_udtf",
+        "q35_udaf_median",
+        "ev_gaps_grouped",
         "dedup_simhash_pairs",
         "dedup_cluster_canonical",
         "q17_json_extract",

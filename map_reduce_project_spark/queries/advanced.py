@@ -521,3 +521,47 @@ def q33_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.append(
     Query("q33_sql_surface", q33_sql_surface, Q33_SQL, "raw spark.sql entry: correlated EXISTS + scalar subqueries, one SQL text for both engines")
 )
+
+
+def q35_udaf_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF (GROUPED_AGG) under the exact gate: per-priority
+    median order value in cents. Cents are exact int64 (decimal cast
+    then scale), and the UDAF's avg-of-middles median is the same one
+    IEEE division DuckDB's median(BIGINT) performs — so a PYTHON
+    aggregation hash-matches the SQL oracle bit-for-bit.
+
+    Scale note (functions/udafs.py): GROUPED_AGG has no partial
+    aggregation — each group's column ships to Python whole. Fine for
+    bounded groups (5 priorities here); for million-row groups use
+    built-in percentile_approx or the exact two-pass percentile of
+    q27 instead.
+    """
+    from map_reduce_project_spark.functions.udafs import median_long_udaf
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    return (
+        orders.select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(median_long_udaf("cents").alias("median_cents"))
+    )
+
+
+Q35_SQL = """
+SELECT o_orderpriority,
+  median(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+    AS median_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+QUERIES.append(
+    Query(
+        "q35_udaf_median",
+        q35_udaf_median_q,
+        Q35_SQL,
+        "pandas GROUPED_AGG UDAF: exact int64-cents median vs DuckDB median(BIGINT)",
+    )
+)

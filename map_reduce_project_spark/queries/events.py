@@ -476,3 +476,35 @@ QUERIES.append(
         "multi-granularity time rollup (week/day/hour) in one Expand pass",
     )
 )
+
+
+def ev_gaps_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas under the exact gate: per-user
+    inter-event gaps in integer microseconds, computed by a per-group
+    Python function (functions/udafs.event_gaps_grouped) and
+    hash-matched against the lag-window oracle. Pins the batch
+    grouped-map path — shuffle on key, per-group Arrow batch, Python,
+    Arrow back — with bit-exact output."""
+    from map_reduce_project_spark.functions.udafs import event_gaps_grouped
+
+    ev = read_table(spark, sf_dir, "events")
+    return event_gaps_grouped(ev)
+
+
+EV_GAPS_SQL = """
+SELECT user_id, event_id,
+  COALESCE(
+    epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id),
+    -1) AS gap_us
+FROM events
+"""
+
+QUERIES.append(
+    Query(
+        "ev_gaps_grouped",
+        ev_gaps_grouped_q,
+        EV_GAPS_SQL,
+        "grouped-map applyInPandas per-user event gaps vs lag-window oracle (exact integers)",
+    )
+)

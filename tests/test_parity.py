@@ -241,3 +241,17 @@ def test_chunk_udtf_matches_expression(spark):
     assert (6, 0) in expr and expr[(6, 0)][1] == 5
     n6 = max(i for d, i in expr if d == 6) + 1
     assert n6 == 13  # ceil((40-5)/3)+1
+
+
+def test_udaf_median_even_odd(spark):
+    """median_long_udaf: middle element for odd counts, IEEE average
+    of the two middles for even — on exact int64 inputs."""
+    from map_reduce_project_spark.functions.udafs import median_long_udaf
+
+    rows = [("a", v) for v in (5, 1, 3)] + [("b", v) for v in (10, 20, 31, 40)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r.g: r.m
+        for r in df.groupBy("g").agg(median_long_udaf("v").alias("m")).collect()
+    }
+    assert got == {"a": 3.0, "b": 25.5}
