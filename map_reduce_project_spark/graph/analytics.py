@@ -173,3 +173,56 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def k_core(
+    edges: DataFrame, k: int, max_iterations: int = 50
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling: repeatedly drop
+    every node whose degree in the surviving subgraph is below ``k``
+    until the edge set is stable; return (node, deg) for the core.
+
+    Per iteration: one degree aggregate + two broadcast-or-shuffle
+    semi-joins + a count (the one materializing action, pinning the
+    iterate via localCheckpoint exactly like the CCF loop). Peeling is
+    monotone — the edge set only shrinks — so iterations are bounded
+    by the longest removal cascade (1-2 rounds on dense random
+    graphs, O(n) worst case on chains); each round's cost is
+    proportional to the SURVIVING subgraph, so late rounds are cheap.
+    Synchronous semantics (all degrees computed before any removal)
+    is what makes the result engine-exact: the DuckDB oracle peels in
+    lockstep via a bounded recursive CTE (KCORE_SQL in
+    queries/graph_queries.py).
+
+    ``edges`` is an undirected edge list (first two columns used);
+    self-loops and duplicates are removed.
+    """
+    a, b = edges.columns[0], edges.columns[1]
+    canon = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    cur = _undirected(canon)
+    n_cur = cur.count()
+    for _ in range(max_iterations):
+        if n_cur == 0:
+            break
+        deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("src")
+        nxt = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            break
+        cur, n_cur = nxt, n_nxt
+    if n_cur == 0:
+        return cur.groupBy("src").agg(
+            F.count("*").alias("deg")
+        ).select(F.col("src").alias("node"), "deg")
+    return cur.groupBy("src").agg(F.count("*").cast("long").alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )

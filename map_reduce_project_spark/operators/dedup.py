@@ -262,6 +262,11 @@ def jaccard_verify(
             F.size("set_a").alias("n_a"),
             F.size("set_b").alias("n_b"),
         )
+        # zero-overlap pairs are not near-duplicates at any threshold
+        # (and the pre-rewrite shingle-join formulation never emitted
+        # them) — drop before the ratio so threshold=0.0 keeps the
+        # "no shared shingles, no row" contract
+        .where(F.col("n_inter") > 0)
         .select(
             "id_a",
             "id_b",

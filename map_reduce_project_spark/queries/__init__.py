@@ -74,6 +74,8 @@ def all_queries() -> dict[str, Query]:
         "text_chunks_udtf",
         "q35_udaf_median",
         "ev_gaps_grouped",
+        "ev_path_ngrams",
+        "kcore_part_supplier",
         "dedup_simhash_pairs",
         "dedup_cluster_canonical",
         "q17_json_extract",

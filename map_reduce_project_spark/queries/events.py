@@ -508,3 +508,63 @@ QUERIES.append(
         "grouped-map applyInPandas per-user event gaps vs lag-window oracle (exact integers)",
     )
 )
+
+
+def ev_path_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: global frequency of event-type
+    trigrams along each user's time-ordered event path (the
+    MATCH_RECOGNIZE-adjacent "common journeys" query).
+
+    One shuffle total: sort_array over collect_list of (ts, event_id,
+    type) structs orders each user's path inside the aggregate (no
+    window sort pass), the trigram fan-out is a generator expression
+    over the ordered array, and the global count is a map-side-
+    combinable hash agg over at most |event_types|^3 keys — at 100 TB
+    the output stays tiny regardless of input size."""
+    ev = read_table(spark, sf_dir, "events")
+    path = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(ts, event_id,"
+                " event_type))), s -> s.event_type)"
+            ).alias("path")
+        )
+    )
+    grams = path.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(path) - 2, 0)),"
+                " i -> concat_ws('>', slice(path, i, 3)))"
+            )
+        ).alias("trigram")
+    )
+    return grams.groupBy("trigram").agg(
+        F.count("*").alias("n").cast("long").alias("n")
+    )
+
+
+EV_PATH_NGRAMS_SQL = """
+WITH p AS (
+  SELECT user_id,
+         list(event_type ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(path) - 2, 0)),
+           i -> array_to_string(path[i:i+2], '>'))) AS trigram
+  FROM p
+)
+SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM g GROUP BY trigram
+"""
+
+QUERIES.append(
+    Query(
+        "ev_path_ngrams",
+        ev_path_ngrams_q,
+        EV_PATH_NGRAMS_SQL,
+        "event-path trigram mining over time-ordered user journeys (one shuffle)",
+    )
+)

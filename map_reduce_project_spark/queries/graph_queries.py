@@ -22,6 +22,7 @@ from map_reduce_project_spark.graph.ccf import (
 )
 from map_reduce_project_spark.graph.analytics import (
     bfs_hops,
+    k_core,
     pagerank_int,
     triangle_count,
 )
@@ -263,7 +264,47 @@ SELECT node, rank FROM pr WHERE it = 5
 """
 
 
+def kcore_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the low-volume part-supplier graph (lineitems with
+    l_quantity < 6 — sparse enough that peeling removes real mass):
+    iterative synchronous peeling (graph/analytics.py:k_core) checked
+    EXACTLY against a bounded recursive-CTE oracle that peels in
+    lockstep — a third iterative algorithm under the hash gate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.where(F.col("l_quantity") < 6)
+        .select(
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    return k_core(edges, k=4)
+
+
+KCORE_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem WHERE l_quantity < 6
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), peel AS (
+  SELECT 0 AS it, src, dst FROM und
+  UNION ALL
+  SELECT it + 1 AS it, src, dst FROM (
+    SELECT it, src, dst,
+      COUNT(*) OVER (PARTITION BY src) AS dsrc,
+      COUNT(*) OVER (PARTITION BY dst) AS ddst
+    FROM peel
+  ) WHERE it < 8 AND dsrc >= 4 AND ddst >= 4
+)
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM peel WHERE it = 8 GROUP BY src
+"""
+
+
 QUERIES = [
+    Query("kcore_part_supplier", kcore_part_supplier, KCORE_SQL, "k-core decomposition by synchronous peeling vs lockstep recursive-CTE oracle (exact)"),
     Query("cc_orders_bipartite", cc_orders_bipartite, CC_ORDERS_SQL, "CCF fixed point, bipartite flagship (exact oracle)"),
     Query("cc_orders_summary", cc_orders_summary, CC_SUMMARY_SQL, "component membership summary w/ representative re-add"),
     Query("cc_part_supplier", cc_part_supplier, CC_PART_SUPPLIER_SQL, "CCF multi-iteration fixed point vs min-label-propagation oracle (exact)"),

@@ -160,3 +160,61 @@ def test_pagerank_int_matches_python_oracle(spark, edges):
         ).collect()
     }
     assert got == expected
+
+
+def python_k_core(edges, k):
+    """Synchronous peeling oracle: all degrees computed before any
+    removal each round."""
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    while True:
+        deg = {}
+        for a, _ in und:
+            deg[a] = deg.get(a, 0) + 1
+        nxt = {(a, b) for a, b in und if deg[a] >= k and deg[b] >= k}
+        if nxt == und:
+            break
+        und = nxt
+    deg = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    return deg
+
+
+def test_k_core_chain_cascade(spark):
+    """A chain peels from the ends inward one round per node — the
+    deep-cascade case (every round removes exactly two nodes): the
+    2-core of a pure chain is empty, reached only after len/2 rounds."""
+    from map_reduce_project_spark.graph.analytics import k_core
+
+    chain = [(str(i), str(i + 1)) for i in range(12)]
+    got = {
+        (r.node, r.deg)
+        for r in k_core(edges_df(spark, chain), k=2).collect()
+    }
+    assert got == set()
+    # a chain with a 4-cycle welded on keeps exactly the cycle
+    cyc = chain + [("100", "101"), ("101", "102"), ("102", "103"), ("103", "100"), ("0", "100")]
+    got2 = {
+        (r.node, r.deg)
+        for r in k_core(edges_df(spark, cyc), k=2).collect()
+    }
+    assert got2 == {(n, 2) for n in ("100", "101", "102", "103")}
+    assert python_k_core(cyc, 2) == {n: d for n, d in got2}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(edge, min_size=1, max_size=40), st.integers(min_value=2, max_value=4))
+def test_k_core_matches_python_oracle(spark, edges, k):
+    from map_reduce_project_spark.graph.analytics import k_core
+
+    expected = python_k_core(edges, k)
+    got = {r.node: r.deg for r in k_core(edges_df(spark, edges), k=k).collect()}
+    assert got == expected
