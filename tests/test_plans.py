@@ -105,3 +105,25 @@ def test_funnel_stage_scans_prune_event_type(spark, registry):
     df = registry["ev_funnel"].fn(spark, SF)
     pushed = " ".join(pushed_filters(df))
     assert "event_type" in pushed
+
+
+def test_chunking_is_shuffle_free(spark, registry):
+    # context-window chunking is scan -> generate -> project: the
+    # fan-out must stay inside the row's task, no exchange anywhere
+    df = registry["text_chunks"].fn(spark, SF)
+    assert num_exchanges(df) == 0
+
+
+def test_path_ngrams_is_two_shuffles(spark, registry):
+    # one exchange groups events per user (ordered inside the agg via
+    # sort_array, no window sort pass), one aggregates global trigram
+    # counts; nothing else
+    df = registry["ev_path_ngrams"].fn(spark, SF)
+    assert num_exchanges(df) == 2
+
+
+def test_jaccard_prunes_to_candidates_with_broadcast(spark, registry):
+    # the verify stage must semi-join docs against the (small)
+    # candidate id set via broadcast before any shingle explode
+    df = registry["dedup_jaccard_verified"].fn(spark, SF)
+    assert uses_broadcast_join(df)
