@@ -72,3 +72,46 @@ QUERIES.append(
         "1:N frame sampling via mapInPandas, counts hash-checked",
     )
 )
+
+
+def mm_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1:1 Arrow-batched resize stage under the exact gate: the
+    fake resizer's output bytes are md5-chained to the input payload
+    and target geometry, so the RESIZED PAYLOAD ITSELF is
+    oracle-reconstructible — the oracle rebuilds the byte stream in
+    hex-string space (DuckDB md5/repeat/substring are VARCHAR-only)
+    and both sides compare md5-of-lowercase-hex of the full buffer."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.operators.multimodal import resize_images
+
+    docs = read_table(spark, sf_dir, "documents")
+    resized = resize_images(attach_fake_payload(docs), 8, 8)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.lower(F.hex("payload"))).alias("resized_hex_md5"),
+    )
+
+
+# 8x8 RGB buffer = 192 bytes = 13 repeats of the 16-byte md5 seed,
+# truncated; in hex space that is 384 chars of the repeated md5 hex
+MM_RESIZE_SQL = """
+SELECT doc_id,
+  CAST(8 AS BIGINT) AS width,
+  CAST(8 AS BIGINT) AS height,
+  CAST(192 AS BIGINT) AS n_bytes,
+  md5(substring(repeat(md5(text || '|8x8'), 13), 1, 384)) AS resized_hex_md5
+FROM documents
+"""
+
+QUERIES.append(
+    Query(
+        "mm_resize",
+        mm_resize_q,
+        MM_RESIZE_SQL,
+        "1:1 mapInPandas resize stage; resized payload bytes oracle-reconstructed in hex space",
+    )
+)
