@@ -217,6 +217,85 @@ def chunk_documents(
     )
 
 
+def global_rank_ids(
+    df: DataFrame, order_cols: list, id_name: str = "id"
+) -> DataFrame:
+    """Contiguous 0-based ids in a total order — WITHOUT the
+    single-partition global window.
+
+    ``row_number() OVER (ORDER BY ...)`` funnels every row through one
+    reducer; at corpus scale that is THE anti-pattern. The scalable
+    shape is the two-pass zipWithIndex: range-partition by the order
+    columns, rank within each partition (parallel windows), collect
+    only the per-partition COUNTS to the driver (one tiny row per
+    partition), and add the exclusive-prefix-sum offset back as a
+    broadcast map. Ids depend only on the total order (the order
+    columns must be a unique key), not on where the range boundaries
+    land, so the result is deterministic and engine-exact.
+
+    Output: input columns + ``id_name``.
+    """
+    from pyspark.sql.window import Window
+
+    ordered = df.repartitionByRange(*order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    # pin the materialized partitions: range boundaries come from a
+    # per-plan sample, so the counts job and the id job MUST see the
+    # same physical partitioning, not two re-executions of it
+    with_pid = ordered.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
+    # one tiny row per partition: the only driver-side data
+    counts = sorted(
+        (r._pid, r.n)
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    offset_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("_pid"),
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(*order_cols)
+    )
+    return (
+        with_pid.withColumn(
+            id_name, (offset_expr + local - 1).cast("long")
+        )
+        .drop("_pid")
+    )
+
+
+def build_vocab(
+    docs: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus token vocabulary with contiguous ids by descending
+    frequency (ties broken lexicographically) — the tokenizer-training
+    precursor. One explode + one count aggregate + the two-pass
+    ``global_rank_ids`` assignment; no global single-reducer stage.
+
+    Output: (token, n, token_id).
+    """
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    return global_rank_ids(
+        counts, [F.col("n").desc(), F.col("token").asc()], id_name="token_id"
+    )
+
+
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

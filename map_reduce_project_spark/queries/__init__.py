@@ -76,6 +76,7 @@ def all_queries() -> dict[str, Query]:
         "ev_gaps_grouped",
         "ev_path_ngrams",
         "kcore_part_supplier",
+        "text_vocab",
         "dedup_simhash_pairs",
         "dedup_cluster_canonical",
         "q17_json_extract",

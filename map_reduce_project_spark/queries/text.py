@@ -199,3 +199,41 @@ QUERIES.append(
         "Rabin-Karp rolling-hash doc fingerprint + winnowing-lite min-window hash",
     )
 )
+
+
+def text_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with contiguous frequency-ranked ids
+    (operators/text.build_vocab): the two-pass zipWithIndex id
+    assignment (parallel per-partition windows + tiny driver offset
+    map) hash-matched against the oracle's global row_number — proving
+    the scalable formulation computes exactly the single-reducer
+    answer."""
+    from map_reduce_project_spark.operators.text import build_vocab
+
+    return build_vocab(
+        read_table(spark, sf_dir, "documents"), min_count=2
+    )
+
+
+VOCAB_SQL = """
+WITH c AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+n AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY token
+  HAVING COUNT(*) >= 2
+)
+SELECT token, n,
+  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS BIGINT)
+    AS token_id
+FROM n
+"""
+
+QUERIES.append(
+    Query(
+        "text_vocab",
+        text_vocab_q,
+        VOCAB_SQL,
+        "frequency-ranked vocabulary; scalable two-pass contiguous ids vs global row_number oracle",
+    )
+)

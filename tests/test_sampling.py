@@ -130,3 +130,27 @@ def test_bm25_ranking_semantics(spark):
     # so the single-occurrence rare doc outscores the single-occurrence
     # spark doc
     assert out[3] > out[2]
+
+
+def test_global_rank_ids_contiguous_and_invariant(spark):
+    """Two-pass id assignment: ids are the exact total-order ranks,
+    contiguous from 0, and invariant to input partitioning."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.operators.text import global_rank_ids
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 37 % 4999).alias("k"), F.col("id").alias("v")
+    )
+    out = global_rank_ids(df, [F.col("k").asc(), F.col("v").asc()], "rid")
+    rows = out.orderBy("rid").collect()
+    assert [r.rid for r in rows] == list(range(5000))
+    expected = sorted(((r.k, r.v) for r in df.collect()))
+    assert [(r.k, r.v) for r in rows] == expected
+    # invariant under a different input partitioning
+    out2 = global_rank_ids(
+        df.repartition(13), [F.col("k").asc(), F.col("v").asc()], "rid"
+    )
+    assert {(r.k, r.v, r.rid) for r in out2.collect()} == {
+        (r.k, r.v, r.rid) for r in rows
+    }
