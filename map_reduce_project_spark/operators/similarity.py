@@ -400,3 +400,34 @@ def lsh_bucketed_topk(
         )
     )
     return topk(pairs, k)
+
+
+def quantize_int8(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the FAISS-SQ8-style
+    storage compressor: 4x smaller than float32, dot products stay
+    usable): q = sign(v) * trunc(127 * |v| / max|v|), computed ENTIRELY
+    in exact int64 fixed-point arithmetic on the 2^24-quantized
+    elements so the codes are bit-identical on any engine — truncating
+    division on non-negative operands avoids the floor-vs-trunc
+    divergence between engines.
+
+    One explode + one per-vector max + one co-partitioned join (both
+    sides already hashed on the id — exchange reuse): cost is linear
+    in corpus size, no corpus-wide stage. Output: (id, pos 1-based,
+    q int8-ranged int, scale int64); a zero vector quantizes to all
+    zeros with scale 0.
+    """
+    el = _elements(vectors, id_col, vec_col)
+    scale = el.groupBy(id_col).agg(F.max(F.abs("val")).alias("scale"))
+    sign = F.when(F.col("val") < 0, F.lit(-1)).otherwise(F.lit(1))
+    q = F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+        sign * F.expr("(abs(val) * 127) div scale")
+    )
+    return el.join(scale, id_col).select(
+        F.col(id_col),
+        (F.col("pos") + 1).alias("pos"),
+        q.cast("int").alias("q"),
+        F.col("scale"),
+    )

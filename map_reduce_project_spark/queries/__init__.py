@@ -77,6 +77,7 @@ def all_queries() -> dict[str, Query]:
         "ev_path_ngrams",
         "kcore_part_supplier",
         "text_vocab",
+        "emb_quantize_int8",
         "dedup_simhash_pairs",
         "dedup_cluster_canonical",
         "q17_json_extract",

@@ -223,3 +223,36 @@ QUERIES = [
     Query("ann_ivf_topk", ann_ivf_q, ANN_IVF_SQL, "IVF ANN: pinned quantizer cells + n_probe search (exact oracle)"),
     Query("embedding_neardup", embedding_neardup_q, EMB_NEARDUP_SQL, "cosine >= 0.99 near-duplicate vector pairs"),
 ]
+
+
+def emb_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization under the exact gate: every code
+    byte and per-vector scale hash-checked (operators/similarity.
+    quantize_int8 — exact int64 fixed-point, truncating division)."""
+    from map_reduce_project_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(read_table(spark, sf_dir, "embeddings"))
+
+
+QUANTIZE_SQL = f"""
+WITH {_EL.format(src="embeddings")}
+, s AS (
+  SELECT vec_id, MAX(ABS(val)) AS scale FROM el GROUP BY vec_id
+)
+SELECT el.vec_id, CAST(el.pos AS BIGINT) AS pos,
+  CAST(CASE WHEN s.scale = 0 THEN 0
+       ELSE (CASE WHEN el.val < 0 THEN -1 ELSE 1 END)
+            * ((ABS(el.val) * 127) // s.scale)
+  END AS INT) AS q,
+  s.scale
+FROM el JOIN s USING (vec_id)
+"""
+
+QUERIES.append(
+    Query(
+        "emb_quantize_int8",
+        emb_quantize_int8_q,
+        QUANTIZE_SQL,
+        "symmetric int8 embedding quantization, every code byte exact",
+    )
+)
