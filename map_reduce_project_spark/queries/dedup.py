@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from map_reduce_project_spark.operators.dedup import (
     exact_dedup,
     jaccard_verify,
+    minhash_dedup_fused,
     lsh_buckets,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -114,12 +115,14 @@ SELECT id_a, id_b FROM cands
 
 
 def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fused shingle-once pipeline: the gate corpus is 100% duplicated,
+    # the regime where minhash_dedup_fused beats the candidate-pruned
+    # two-pass composition (2.8x at sf0.1 — see its docstring for the
+    # |candidates| << |corpus| trade-off where jaccard_verify wins)
     corpus = _injected_corpus(spark, sf_dir)
-    sigs = minhash_signatures(corpus, num_hashes=NUM_HASHES)
-    cands = lsh_candidate_pairs(
-        lsh_buckets(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+    return minhash_dedup_fused(
+        corpus, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5
     )
-    return jaccard_verify(corpus, cands, threshold=0.5)
 
 
 DEDUP_JACCARD_SQL = f"""

@@ -14,6 +14,7 @@ from map_reduce_project_spark.operators.dedup import (
     jaccard_verify,
     lsh_buckets,
     lsh_candidate_pairs,
+    minhash_dedup_fused,
     minhash_signatures,
     simhash,
 )
@@ -64,6 +65,22 @@ def test_minhash_lsh_finds_duplicates(spark, docs):
     }
     assert (1, 2) in pairs  # exact dup always a candidate
     assert not any({a, b} == {4, 5} for a, b in pairs)  # disjoint texts
+
+
+def test_minhash_dedup_fused_matches_two_pass(spark, docs):
+    """The shingle-once fused pipeline must emit exactly the rows the
+    composable minhash -> LSH -> jaccard_verify path emits."""
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(lsh_buckets(sigs))
+    two_pass = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_verify(docs, cands, threshold=0.3).collect()
+    }
+    fused = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_fused(docs, threshold=0.3).collect()
+    }
+    assert fused == two_pass and fused  # identical and non-empty
 
 
 def test_jaccard_verify_scores(spark, docs):
