@@ -147,6 +147,59 @@ def pagerank_int(
     return ranks
 
 
+def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), made DETERMINISTIC: every node simultaneously adopts
+    the most frequent label among its neighbors, ties broken by the
+    lexicographically smallest label. Returns (node, community) after
+    ``rounds`` rounds; initial label = the node's own id.
+
+    Distinct from connected components: CC's min-label fixed point
+    collapses everything reachable into one label, while LPA's mode
+    update finds DENSELY connected groups inside a component — the
+    community structure a curation pipeline uses to diversify or
+    down-weight near-clique content farms.
+
+    Classic LPA breaks ties randomly and updates asynchronously;
+    both are non-reproducible on a cluster (partition order changes
+    the result). The synchronous min-tie-break variant is a pure
+    function of the graph, which is what lets an unrolled SQL oracle
+    hash-match it round for round.
+
+    Per round: one join of the (deduped, undirected) edge list with
+    the label table — both hash-partitioned on the join key — one
+    (node, label) count aggregate with map-side partials, and one
+    row_number window over the per-node counts (partition cardinality
+    = a node's distinct neighbor labels, bounded by degree; hub-skew
+    handling falls back on the same AQE-skew consideration as the CCF
+    window vs join trade-off). Checkpoint per round truncates lineage
+    (SURVEY §4.4 discipline).
+    """
+    from pyspark.sql.window import Window
+
+    und = _undirected(edges).dropDuplicates(["src", "dst"])
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("community")
+    )
+    for _ in range(rounds):
+        nbr_labels = und.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "community")
+        labels = (
+            nbr_labels.groupBy("node", "community")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "community")
+        ).localCheckpoint(eager=True)
+    return labels
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Single-row DataFrame (n_nodes, n_edges, n_triangles) for the
     undirected simple graph induced by ``edges``."""

@@ -355,6 +355,56 @@ def minhash_dedup_fused(
     )
 
 
+def ngram_contamination(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    n-grams with an evaluation/benchmark set.
+
+    The standard LLM-pretraining hygiene step (e.g. GPT-3 appendix C,
+    PaLM/Llama dedup sections): any training document containing an
+    n-gram that also appears in an eval set is contaminated — it can
+    leak test answers into the model. Output, one row per contaminated
+    training doc: (id, n_hits, n_grams, contamination) where n_hits is
+    the number of DISTINCT training-doc n-grams found in the eval set,
+    n_grams the doc's distinct n-gram count, contamination their ratio
+    (bigint/bigint division — deterministic double).
+
+    Scale shape: eval sets are tiny relative to a 100 TB corpus (a few
+    thousand benchmark documents), so their distinct n-gram set is
+    BROADCAST and the train-side probe is a map-side hash semi-join —
+    no shuffle of the corpus n-gram stream; the only shuffle is the
+    per-doc count aggregate (map-side partials). For eval sets too big
+    to broadcast, swap the broadcast hint for a plain equi-join on the
+    n-gram hash — same plan shape as the LSH band join.
+    """
+    eval_grams = (
+        eval_docs.select(F.explode(shingles_expr(n, text_col)).alias("gram"))
+        .dropDuplicates()
+    )
+    train_grams = train_docs.select(
+        F.col(id_col), F.explode(shingles_expr(n, text_col)).alias("gram")
+    ).dropDuplicates([id_col, "gram"])
+    totals = train_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.join(totals, id_col).select(
+        id_col,
+        "n_hits",
+        "n_grams",
+        (F.col("n_hits").cast("double") / F.col("n_grams").cast("double")).alias(
+            "contamination"
+        ),
+    )
+
+
 def simhash_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

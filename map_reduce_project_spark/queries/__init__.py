@@ -80,6 +80,8 @@ def all_queries() -> dict[str, Query]:
         "emb_quantize_int8",
         "dedup_simhash_pairs",
         "dedup_cluster_canonical",
+        "decontaminate_train",
+        "lpa_communities",
         "q17_json_extract",
         "cc_orders_summary",
         "cc_part_supplier",

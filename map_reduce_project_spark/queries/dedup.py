@@ -328,7 +328,46 @@ SELECT id_a, id_b, hamming FROM cands WHERE hamming <= 3
 """
 
 
+def decontaminate_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over a deterministic eval split:
+    doc_id % 7 == 3 is the held-out benchmark, the rest is the training
+    corpus; training docs sharing any word 5-gram with the benchmark
+    are flagged with hit counts and contamination ratio."""
+    from map_reduce_project_spark.operators.dedup import ngram_contamination
+    from map_reduce_project_spark.operators.scale import fan_out
+
+    docs = fan_out(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    eval_docs = docs.where(F.col("doc_id") % 7 == 3)
+    train_docs = docs.where(F.col("doc_id") % 7 != 3)
+    return ngram_contamination(train_docs, eval_docs, n=5)
+
+
+DECONTAMINATE_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 4, 1)),
+           i -> array_to_string(w[i:i+4], ' '))) AS gram
+  FROM toks
+),
+ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 7 = 3),
+tr AS (SELECT DISTINCT doc_id, gram FROM sh WHERE doc_id % 7 <> 3),
+totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM tr GROUP BY doc_id),
+hits AS (
+  SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id
+)
+SELECT h.doc_id, h.n_hits, t.n_grams,
+       CAST(h.n_hits AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS contamination
+FROM hits h JOIN totals t ON t.doc_id = h.doc_id
+"""
+
+
 QUERIES = [
+    Query("decontaminate_train", decontaminate_train_q, DECONTAMINATE_SQL, "benchmark decontamination: word 5-gram overlap of train docs vs a held-out eval split"),
     Query("dedup_simhash_pairs", dedup_simhash_pairs_q, DEDUP_SIMHASH_PAIRS_SQL, "SimHash Hamming-band near-dup pairs (lossless banding + exact verify)"),
     Query("dedup_cluster_canonical", dedup_cluster_canonical_q, DEDUP_CLUSTER_SQL, "full dedup pipeline: LSH -> Jaccard -> CC clustering -> canonical keep"),
     Query("dedup_exact", dedup_exact_q, DEDUP_EXACT_SQL, "exact dedup via content-hash group-by"),

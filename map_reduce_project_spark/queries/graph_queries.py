@@ -23,6 +23,7 @@ from map_reduce_project_spark.graph.ccf import (
 from map_reduce_project_spark.graph.analytics import (
     bfs_hops,
     k_core,
+    label_propagation,
     pagerank_int,
     triangle_count,
 )
@@ -264,6 +265,42 @@ SELECT node, rank FROM pr WHERE it = 5
 """
 
 
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities (2
+    rounds, min tie-break) over the part-supplier bipartite graph —
+    checked EXACTLY against a 2-level unrolled SQL oracle computing
+    the same neighbor-label mode with the same tie-break. Community
+    detection is a different question from connectivity (cc_*): LPA
+    finds the dense groups inside a component."""
+    return label_propagation(_part_supplier_edges(spark, sf_dir), rounds=2)
+
+
+LPA_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), l1 AS (
+  SELECT node, community FROM (
+    SELECT und.dst AS node, und.src AS community,
+           ROW_NUMBER() OVER (PARTITION BY und.dst
+                              ORDER BY COUNT(*) DESC, und.src) AS rn
+    FROM und GROUP BY und.dst, und.src
+  ) WHERE rn = 1
+), l2 AS (
+  SELECT node, community FROM (
+    SELECT und.dst AS node, l1.community AS community,
+           ROW_NUMBER() OVER (PARTITION BY und.dst
+                              ORDER BY COUNT(*) DESC, l1.community) AS rn
+    FROM und JOIN l1 ON l1.node = und.src
+    GROUP BY und.dst, l1.community
+  ) WHERE rn = 1
+)
+SELECT node, community FROM l2
+"""
+
+
 def kcore_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-core of the low-volume part-supplier graph (lineitems with
     l_quantity < 6 — sparse enough that peeling removes real mass):
@@ -304,6 +341,7 @@ FROM peel WHERE it = 8 GROUP BY src
 
 
 QUERIES = [
+    Query("lpa_communities", lpa_communities, LPA_SQL, "deterministic synchronous label-propagation communities vs unrolled mode oracle (exact)"),
     Query("kcore_part_supplier", kcore_part_supplier, KCORE_SQL, "k-core decomposition by synchronous peeling vs lockstep recursive-CTE oracle (exact)"),
     Query("cc_orders_bipartite", cc_orders_bipartite, CC_ORDERS_SQL, "CCF fixed point, bipartite flagship (exact oracle)"),
     Query("cc_orders_summary", cc_orders_summary, CC_SUMMARY_SQL, "component membership summary w/ representative re-add"),

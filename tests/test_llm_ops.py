@@ -83,6 +83,23 @@ def test_minhash_dedup_fused_matches_two_pass(spark, docs):
     assert fused == two_pass and fused  # identical and non-empty
 
 
+def test_ngram_contamination(spark, docs):
+    """Doc 1's text reused verbatim as the eval set: docs 1-3 share
+    5-grams with it; docs 4-5 share none and emit no row."""
+    from map_reduce_project_spark.operators.dedup import ngram_contamination
+
+    eval_docs = docs.where(F.col("doc_id") == 1)
+    train = docs.where(F.col("doc_id") != 1)
+    out = {
+        r.doc_id: (r.n_hits, r.n_grams, r.contamination)
+        for r in ngram_contamination(train, eval_docs, n=5).collect()
+    }
+    assert out[2][2] == 1.0  # exact copy: fully contaminated
+    n_hits_3, n_grams_3, ratio_3 = out[3]
+    assert 0.0 < ratio_3 < 1.0 and n_hits_3 < n_grams_3  # near copy
+    assert 4 not in out and 5 not in out  # disjoint texts
+
+
 def test_jaccard_verify_scores(spark, docs):
     cands = spark.createDataFrame(
         [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"

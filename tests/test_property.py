@@ -218,3 +218,72 @@ def test_k_core_matches_python_oracle(spark, edges, k):
     expected = python_k_core(edges, k)
     got = {r.node: r.deg for r in k_core(edges_df(spark, edges), k=k).collect()}
     assert got == expected
+
+
+def python_lpa(edges, rounds):
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    adj: dict[str, list[str]] = {}
+    for a, b in sorted(und):
+        adj.setdefault(a, []).append(b)
+    label = {u: u for u in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for u, nbrs in adj.items():
+            counts: dict[str, int] = {}
+            for v in nbrs:
+                counts[label[v]] = counts.get(label[v], 0) + 1
+            # max count, tie -> lexicographically smallest label
+            nxt[u] = min(counts, key=lambda l: (-counts[l], l))
+        label = nxt
+    return set(label.items())
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(edge, min_size=1, max_size=40), st.integers(min_value=1, max_value=3))
+def test_label_propagation_matches_python_oracle(spark, edges, rounds):
+    from map_reduce_project_spark.graph.analytics import label_propagation
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    expected = python_lpa(edges, rounds)
+    got = {
+        (r.node, r.community)
+        for r in label_propagation(edges_df(spark, edges), rounds=rounds).collect()
+    }
+    assert got == expected
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two 4-cliques joined by one bridge: connectivity is a single
+    component, but LPA assigns each clique its own community."""
+    from map_reduce_project_spark.graph.analytics import label_propagation
+
+    def clique(prefix, ids):
+        return [
+            (f"{prefix}{i}", f"{prefix}{j}")
+            for i in ids
+            for j in ids
+            if i < j
+        ]
+
+    edges = clique("a", range(4)) + clique("b", range(4)) + [("a0", "b0")]
+    labels = {
+        r.node: r.community
+        for r in label_propagation(edges_df(spark, edges), rounds=3).collect()
+    }
+    a_comms = {labels[f"a{i}"] for i in range(4)}
+    b_comms = {labels[f"b{i}"] for i in range(4)}
+    assert len(a_comms) == 1 and len(b_comms) == 1
+    assert a_comms != b_comms
+
+    res_cc = connected_components(edges_df(spark, edges))
+    comps = {r.component for r in res_cc.mapping.collect()}
+    assert comps == {"a0"}  # one component, two communities
