@@ -82,6 +82,7 @@ def all_queries() -> dict[str, Query]:
         "dedup_cluster_canonical",
         "decontaminate_train",
         "lpa_communities",
+        "dedup_incremental",
         "q17_json_extract",
         "cc_orders_summary",
         "cc_part_supplier",

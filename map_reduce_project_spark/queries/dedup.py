@@ -328,6 +328,85 @@ SELECT id_a, id_b, hamming FROM cands WHERE hamming <= 3
 """
 
 
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-index dedup: the index is documents with
+    doc_id % 3 != 0, the incoming batch is a copy of ALL documents at
+    doc_id + OFFSET — so two-thirds of the batch has an exact index
+    twin and the rest only matches via natural near-dup overlap.
+    Each flagged batch doc names its best index match."""
+    from map_reduce_project_spark.operators.dedup import incremental_dedup
+    from map_reduce_project_spark.operators.scale import fan_out
+
+    docs = fan_out(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    index_docs = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.select((F.col("doc_id") + OFFSET).alias("doc_id"), "text")
+    return incremental_dedup(index_docs, batch, threshold=0.5)
+
+
+def _side_ctes(name: str, src: str) -> str:
+    """Shingle/signature/band CTE chain for one side of the
+    incremental-dedup oracle (same hash formulas as LSH_CTES)."""
+    sig_cols = ",\n    ".join(
+        f"min(md5('{s}|' || shingle)) AS h{s}" for s in range(NUM_HASHES)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(h{b * 3} || '|' || h{b * 3 + 1} || '|' || h{b * 3 + 2}) AS band_hash"
+        f" FROM {name}sig"
+        for b in range(BANDS)
+    )
+    return f"""
+{name}toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
+{name}sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 2, 1)),
+           i -> array_to_string(w[i:i+2], ' '))) AS shingle
+  FROM {name}toks
+),
+{name}sig AS (SELECT doc_id, {sig_cols} FROM {name}sh GROUP BY doc_id),
+{name}bands AS ({band_selects}),
+{name}sset AS (SELECT DISTINCT doc_id, shingle FROM {name}sh),
+{name}sizes AS (SELECT doc_id, COUNT(*) AS n FROM {name}sset GROUP BY doc_id)
+"""
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+bat AS (SELECT doc_id + {OFFSET} AS doc_id, text FROM documents),
+{_side_ctes("i", "idx")},
+{_side_ctes("b", "bat")},
+cands AS (
+  SELECT DISTINCT bb.doc_id AS id_b, ib.doc_id AS id_i
+  FROM bbands bb JOIN ibands ib
+    ON ib.band_idx = bb.band_idx AND ib.band_hash = bb.band_hash
+),
+inter AS (
+  SELECT c.id_b, c.id_i, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN bsset b ON b.doc_id = c.id_b
+  JOIN isset i ON i.doc_id = c.id_i AND i.shingle = b.shingle
+  GROUP BY c.id_b, c.id_i
+),
+scored AS (
+  SELECT x.id_b, x.id_i,
+         CAST(n_inter AS DOUBLE) / CAST(nb.n + ni.n - n_inter AS DOUBLE)
+           AS jaccard
+  FROM inter x
+  JOIN bsizes nb ON nb.doc_id = x.id_b
+  JOIN isizes ni ON ni.doc_id = x.id_i
+)
+SELECT id_b AS doc_id, id_i AS dup_of, jaccard FROM (
+  SELECT id_b, id_i, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY id_b
+                            ORDER BY jaccard DESC, id_i) AS rn
+  FROM scored WHERE jaccard >= 0.5
+) WHERE rn = 1
+"""
+
+
 def decontaminate_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over a deterministic eval split:
     doc_id % 7 == 3 is the held-out benchmark, the rest is the training
@@ -367,6 +446,7 @@ FROM hits h JOIN totals t ON t.doc_id = h.doc_id
 
 
 QUERIES = [
+    Query("dedup_incremental", dedup_incremental_q, DEDUP_INCREMENTAL_SQL, "incremental batch-vs-index dedup: new batch matched against the existing corpus only"),
     Query("decontaminate_train", decontaminate_train_q, DECONTAMINATE_SQL, "benchmark decontamination: word 5-gram overlap of train docs vs a held-out eval split"),
     Query("dedup_simhash_pairs", dedup_simhash_pairs_q, DEDUP_SIMHASH_PAIRS_SQL, "SimHash Hamming-band near-dup pairs (lossless banding + exact verify)"),
     Query("dedup_cluster_canonical", dedup_cluster_canonical_q, DEDUP_CLUSTER_SQL, "full dedup pipeline: LSH -> Jaccard -> CC clustering -> canonical keep"),

@@ -83,6 +83,23 @@ def test_minhash_dedup_fused_matches_two_pass(spark, docs):
     assert fused == two_pass and fused  # identical and non-empty
 
 
+def test_incremental_dedup_names_best_index_match(spark, docs):
+    """Index holds docs 1 and 4; the batch brings an exact copy (2),
+    a near copy (3), and an unrelated doc (5). Each flagged batch doc
+    points at index doc 1; doc 5 survives (no row)."""
+    from map_reduce_project_spark.operators.dedup import incremental_dedup
+
+    index_docs = docs.where(F.col("doc_id").isin(1, 4))
+    batch = docs.where(F.col("doc_id").isin(2, 3, 5))
+    out = {
+        r.doc_id: (r.dup_of, r.jaccard)
+        for r in incremental_dedup(index_docs, batch, threshold=0.3).collect()
+    }
+    assert out[2] == (1, 1.0)
+    assert out[3][0] == 1 and 0.3 <= out[3][1] < 1.0
+    assert 5 not in out
+
+
 def test_ngram_contamination(spark, docs):
     """Doc 1's text reused verbatim as the eval set: docs 1-3 share
     5-grams with it; docs 4-5 share none and emit no row."""

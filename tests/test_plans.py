@@ -123,7 +123,36 @@ def test_path_ngrams_is_two_shuffles(spark, registry):
 
 
 def test_jaccard_prunes_to_candidates_with_broadcast(spark, registry):
-    # the verify stage must semi-join docs against the (small)
-    # candidate id set via broadcast before any shingle explode
+    # the two-pass verify operator must semi-join docs against the
+    # (small) candidate id set via broadcast before any shingle
+    # explode (the gate query itself now runs the fused single-pass
+    # plan, tested below)
+    from map_reduce_project_spark.operators.dedup import jaccard_verify
+    from map_reduce_project_spark.sources.io import read_table
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    plan = jaccard_verify(docs, cands)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_fused_dedup_is_single_shingle_pass(spark, registry):
+    # the fused pipeline must shingle ONCE: the per-doc signature+set
+    # table is checkpointed, so banding and both verification sides
+    # scan the materialized RDD — the only remaining Generate is the
+    # band-struct explode; the shingle explode appears zero times
     df = registry["dedup_jaccard_verified"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # band-struct explode only (once per candidate-join side, off the
+    # materialized table); the expensive shingle explode appears zero
+    # times
+    assert plan.count("Generate explode") == 2
+    assert "transform(sequence" not in plan  # no shingle recompute
+    assert "ExistingRDD" in plan  # checkpointed per-doc table
+
+
+def test_contamination_broadcasts_eval_grams(spark, registry):
+    # the eval n-gram set must broadcast; the train-side n-gram
+    # stream joins map-side, never shuffling on the gram key
+    df = registry["decontaminate_train"].fn(spark, SF)
     assert uses_broadcast_join(df)
