@@ -133,6 +133,38 @@ def importance_upsample(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Domain balancing: keep at most ``cap`` rows per group, ranked
+    by ``order_col`` DESC with ``id_col`` as the deterministic
+    tiebreaker. The curation step that stops a handful of giant
+    domains (or sources, or languages) from dominating the training
+    mix — e.g. cap every registered domain at K documents, ranked by
+    quality score.
+
+    One shuffle on the group key + a row_number window. At 100 TB the
+    skew risk is the window partition of a mega-domain; for that
+    regime pre-filter with an approximate per-group count and only
+    window the groups actually above the cap (everything else passes
+    untouched) — the same two-tier shape as the hot-shingle prune.
+    Output: the surviving rows plus their ``rank_in_group``.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .where(F.col("rank_in_group") <= cap)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

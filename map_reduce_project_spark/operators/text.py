@@ -44,6 +44,38 @@ def text_stats(
     )
 
 
+def repetition_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition fractions (the Gopher/MassiveText
+    repetition filters, Rae et al. 2021 §A1.1): fraction of duplicate
+    word n-grams for n=2 and n=3. Highly repetitive documents (SEO
+    keyword stuffing, template spam, degenerate generations) score
+    high and get filtered before training.
+
+    dup_ngram_frac_n = 1 - distinct_ngrams / total_ngrams — bigint /
+    bigint, so the double is deterministic. The n-gram arrays are
+    built lazily with higher-order functions and never exploded: the
+    whole operator is a narrow per-row projection inside the scan
+    stage — zero shuffles at any corpus size.
+    """
+    from map_reduce_project_spark.operators.dedup import shingles_expr
+
+    out = [F.col(id_col)]
+    for n in (2, 3):
+        grams = shingles_expr(n, text_col)
+        total = F.size(grams).cast("long")
+        distinct = F.size(F.array_distinct(grams)).cast("long")
+        out += [
+            total.alias(f"n_{n}grams"),
+            (
+                F.lit(1.0)
+                - distinct.cast("double") / total.cast("double")
+            ).alias(f"dup_{n}gram_frac"),
+        ]
+    return docs.select(*out)
+
+
 def bpe_token_count(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

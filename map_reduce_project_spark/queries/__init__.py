@@ -83,6 +83,8 @@ def all_queries() -> dict[str, Query]:
         "decontaminate_train",
         "lpa_communities",
         "dedup_incremental",
+        "text_repetition",
+        "domain_balance",
         "q17_json_extract",
         "cc_orders_summary",
         "cc_part_supplier",

@@ -273,7 +273,32 @@ def _curation_sql() -> str:
     return CURATION_SQL.format(stops=stops)
 
 
+def domain_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at 10 documents, keeping the longest (n_chars
+    DESC, doc_id tiebreak) — the domain-balancing step that stops a
+    few giant sources from dominating the training mix."""
+    from map_reduce_project_spark.operators.sampling import cap_per_group
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return cap_per_group(
+        docs, group_col="source", order_col="n_chars", id_col="doc_id", cap=10
+    )
+
+
+DOMAIN_BALANCE_SQL = """
+SELECT doc_id, source, n_chars, rank_in_group FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rank_in_group
+  FROM documents
+) WHERE rank_in_group <= 10
+"""
+
+
 QUERIES = [
+    Query("domain_balance", domain_balance_q, DOMAIN_BALANCE_SQL, "per-source document cap (domain balancing), deterministic ranking"),
     Query("split_train_test", split_train_test_q, SPLIT_SQL, "deterministic 80/10/10 content-hash dataset split"),
     Query("sample_stratified", sample_stratified_q, SAMPLE_STRAT_SQL, "per-stratum deterministic sample (reproducible sampleBy)"),
     Query("sample_documents", sample_documents_q, SAMPLE_DOCS_SQL, "content-hash Bernoulli corpus sample"),

@@ -107,7 +107,37 @@ FROM documents
 """
 
 
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_project_spark.operators.text import repetition_metrics
+
+    return repetition_metrics(read_table(spark, sf_dir, "documents"))
+
+
+# mirror of shingles_expr(n): slice-beyond-end semantics give
+# greatest(len-n+1, 1) grams (a short doc yields one whole-text gram)
+def _gram_list(n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(len(w) - {n - 1}, 1)),"
+        f" i -> array_to_string(w[i:i+{n - 1}], ' '))"
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, {_gram_list(2)} AS g2, {_gram_list(3)} AS g3 FROM toks)
+SELECT doc_id,
+  CAST(len(g2) AS BIGINT) AS n_2grams,
+  1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+    AS dup_2gram_frac,
+  CAST(len(g3) AS BIGINT) AS n_3grams,
+  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+    AS dup_3gram_frac
+FROM g
+"""
+
+
 QUERIES = [
+    Query("text_repetition", text_repetition_q, TEXT_REPETITION_SQL, "Gopher-style duplicate n-gram fractions (repetition filter), shuffle-free"),
     Query("text_stats", text_stats_q, TEXT_STATS_SQL, "token/char statistics per document"),
     Query("text_bpe_tokens", bpe_tokens_q, BPE_TOKENS_SQL, "whitespace + BPE-ish regex token counts"),
     Query("text_language_id", language_id_q, LANGID_SQL, "stopword-density + script language heuristic"),

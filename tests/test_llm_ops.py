@@ -117,6 +117,32 @@ def test_ngram_contamination(spark, docs):
     assert 4 not in out and 5 not in out  # disjoint texts
 
 
+def test_repetition_metrics(spark):
+    from map_reduce_project_spark.operators.text import repetition_metrics
+
+    rows = [
+        (1, "spam spam spam spam spam"),  # 4 bigrams, all identical
+        (2, "one two three four five"),  # no repeats
+        (3, "hi"),  # shorter than n: one whole-text gram, frac 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert out[1].n_2grams == 4 and out[1].dup_2gram_frac == 0.75
+    assert out[2].dup_2gram_frac == 0.0 and out[2].dup_3gram_frac == 0.0
+    assert out[3].n_2grams == 1 and out[3].dup_2gram_frac == 0.0
+
+
+def test_cap_per_group(spark):
+    from map_reduce_project_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "a" if i < 5 else "b", 100 - i) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score long")
+    out = cap_per_group(df, "grp", "score", "doc_id", cap=2).collect()
+    kept = {(r.grp, r.doc_id, r.rank_in_group) for r in out}
+    # group a: ids 0..4, scores 100..96 -> keep 0,1; group b: ids 5..7 -> keep 5,6
+    assert kept == {("a", 0, 1), ("a", 1, 2), ("b", 5, 1), ("b", 6, 2)}
+
+
 def test_jaccard_verify_scores(spark, docs):
     cands = spark.createDataFrame(
         [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
