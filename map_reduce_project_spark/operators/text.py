@@ -304,6 +304,77 @@ def global_rank_ids(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-packing manifest: concatenate the corpus's token
+    streams in ``id_col`` order and slice into fixed ``context_len``
+    windows (the GPT-style "concatenate and chunk" batching step).
+    Each document gets its global token start offset and which
+    context window (bin) it starts in.
+
+    The global exclusive prefix sum over token counts is computed with
+    the same two-pass shape as ``global_rank_ids`` — range-partition
+    by id, per-partition running sums in parallel windows, and only
+    one tiny (partition, token_sum) row per partition reaches the
+    driver to build the broadcast offset map. No single-reducer global
+    window at any corpus size.
+
+    Output: (id, n_tokens, start_offset, bin_id, offset_in_bin) —
+    all bigint arithmetic, so engine-exact.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    with_pid = (
+        toks.repartitionByRange(id_col)
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r._pid, r.s)
+        for r in with_pid.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid, s in counts:
+        offsets[pid] = acc
+        acc += s
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        with_pid.withColumn(
+            "start_offset", (offset_expr + local_excl).cast("long")
+        )
+        .drop("_pid")
+        .select(
+            id_col,
+            "n_tokens",
+            "start_offset",
+            # integer div, not /: double division loses exactness on
+            # large int64 offsets
+            F.expr(f"start_offset div {context_len}").alias("bin_id"),
+            (F.col("start_offset") % context_len).alias("offset_in_bin"),
+        )
+    )
+
+
 def build_vocab(
     docs: DataFrame,
     min_count: int = 2,

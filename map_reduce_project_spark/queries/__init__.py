@@ -84,6 +84,7 @@ def all_queries() -> dict[str, Query]:
         "lpa_communities",
         "dedup_incremental",
         "text_repetition",
+        "text_pack_manifest",
         "domain_balance",
         "q17_json_extract",
         "cc_orders_summary",

@@ -136,7 +136,32 @@ FROM g
 """
 
 
+def text_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_project_spark.operators.text import pack_sequences
+
+    return pack_sequences(
+        read_table(spark, sf_dir, "documents"), context_len=2048
+    )
+
+
+TEXT_PACK_SQL = """
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 2048 AS bin_id,
+       start_offset % 2048 AS offset_in_bin
+FROM (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(len(string_split(text, ' ')))
+                OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS start_offset
+  FROM documents
+)
+"""
+
+
 QUERIES = [
+    Query("text_pack_manifest", text_pack_q, TEXT_PACK_SQL, "GPT-style sequence-packing manifest via scalable two-pass prefix sum"),
     Query("text_repetition", text_repetition_q, TEXT_REPETITION_SQL, "Gopher-style duplicate n-gram fractions (repetition filter), shuffle-free"),
     Query("text_stats", text_stats_q, TEXT_STATS_SQL, "token/char statistics per document"),
     Query("text_bpe_tokens", bpe_tokens_q, BPE_TOKENS_SQL, "whitespace + BPE-ish regex token counts"),

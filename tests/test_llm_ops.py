@@ -117,6 +117,18 @@ def test_ngram_contamination(spark, docs):
     assert 4 not in out and 5 not in out  # disjoint texts
 
 
+def test_pack_sequences_offsets(spark):
+    from map_reduce_project_spark.operators.text import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (3 + i))) for i in range(6)]  # 3,4,5,6,7,8 tokens
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    out = {r.doc_id: r for r in pack_sequences(df, context_len=10).collect()}
+    # exclusive prefix sums of 3,4,5,6,7 -> 0,3,7,12,18,25
+    assert [out[i].start_offset for i in range(6)] == [0, 3, 7, 12, 18, 25]
+    assert [out[i].bin_id for i in range(6)] == [0, 0, 0, 1, 1, 2]
+    assert out[3].offset_in_bin == 2 and out[5].offset_in_bin == 5
+
+
 def test_repetition_metrics(spark):
     from map_reduce_project_spark.operators.text import repetition_metrics
 
