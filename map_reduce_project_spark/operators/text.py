@@ -375,6 +375,91 @@ def pack_sequences(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed local fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): every window of ``w``
+    consecutive k-token rolling hashes contributes its minimum, and
+    the distinct selected values are the document's fingerprint set.
+    Winnowing's guarantee: two documents sharing a token run of at
+    least w+k-1 tokens MUST share a fingerprint — the substring-level
+    dedup signal that shingle-set Jaccard (whole-doc similarity)
+    dilutes away when a long quote sits inside an otherwise-unrelated
+    document.
+
+    Classic winnowing records positions (rightmost-min) for match
+    LOCALIZATION; candidate pairing only needs the selected VALUES,
+    so the per-window plain min (deterministic under ties) suffices.
+
+    Everything is lazy higher-order functions over the token array —
+    codes, k-gram hashes, window minima, distinct — zero explodes,
+    zero shuffles: a narrow projection inside the scan stage.
+    Output: (id, fps array<bigint>).
+    """
+    codes = (
+        f"transform(split({text_col}, ' '), "
+        f"t -> cast(conv(substring(md5(t), 1, 6), 16, 10) as bigint))"
+    )
+    fold = (
+        f"aggregate({{arr}}, cast(0 as bigint), "
+        f"(acc, c) -> (acc * {ROLL_B} + c) % {ROLL_M})"
+    )
+    hashes = (
+        f"transform(sequence(1, greatest(size({codes}) - {k - 1}, 1)), "
+        f"i -> {fold.format(arr=f'slice({codes}, i, {k})')})"
+    )
+    winnowed = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size({hashes}) - {w - 1}, 1)), "
+        f"j -> array_min(slice({hashes}, j, {w}))))"
+    )
+    return docs.select(F.col(id_col), F.expr(winnowed).alias("fps"))
+
+
+def substring_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate pairs sharing any winnowed fingerprint — substring-
+    level near-dup detection (long shared quotes, boilerplate blocks,
+    wrapped copies). Same bucketed equi-join shape as the LSH band
+    join: explode the (small) fingerprint sets, self-join on the
+    fingerprint value, never all-pairs. ``max_df`` prunes fingerprints
+    appearing in more than that many documents (corpus-wide
+    boilerplate) with a broadcast anti-join before pairing — the
+    hot-bucket control, same as the hot-shingle prune.
+    Output: (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w).select(
+        F.col(id_col), F.explode("fps").alias("fp")
+    )
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def build_vocab(
     docs: DataFrame,
     min_count: int = 2,

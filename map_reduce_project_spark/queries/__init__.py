@@ -66,6 +66,7 @@ def all_queries() -> dict[str, Query]:
         *(q.name for q in pipeline.QUERIES),
         *(q.name for q in multimodal.QUERIES),
         "ev_time_rollup",
+        "ev_retention_cohorts",
         "ev_sessions_streaming",
         "ev_sessions_stateful",
         "sample_weighted",
@@ -83,6 +84,7 @@ def all_queries() -> dict[str, Query]:
         "decontaminate_train",
         "lpa_communities",
         "dedup_incremental",
+        "dedup_winnow_pairs",
         "text_repetition",
         "text_pack_manifest",
         "domain_balance",

@@ -407,6 +407,49 @@ SELECT id_b AS doc_id, id_i AS dup_of, jaccard FROM (
 """
 
 
+def dedup_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint substring-overlap pairs (MOSS) over the
+    injected-duplicate corpus: every injected copy must share all its
+    fingerprints with its twin; natural long shared runs also pair."""
+    from map_reduce_project_spark.operators.text import substring_overlap_pairs
+
+    corpus = _injected_corpus(spark, sf_dir)
+    return substring_overlap_pairs(corpus, k=3, w=4)
+
+
+_W_CODES = (
+    "list_transform(string_split(text, ' '),"
+    " t -> ('0x' || substr(md5(t), 1, 6))::BIGINT)"
+)
+_W_FOLD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}),"
+    " (acc, c) -> (acc * 131 + c) % 2147483647)"
+)
+
+DEDUP_WINNOW_SQL = f"""
+WITH {CORPUS_CTE},
+coded AS (SELECT doc_id, {_W_CODES} AS codes FROM corpus),
+hashed AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(codes) - 2, 1)),
+           i -> {_W_FOLD.format(arr="codes[i:i+2]")}) AS hashes
+  FROM coded
+),
+winnowed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(hashes) - 3, 1)),
+           j -> list_min(hashes[j:j+3]))) AS fps
+  FROM hashed
+),
+fps AS (SELECT doc_id, unnest(fps) AS fp FROM winnowed)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM fps a JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def decontaminate_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over a deterministic eval split:
     doc_id % 7 == 3 is the held-out benchmark, the rest is the training
@@ -447,6 +490,7 @@ FROM hits h JOIN totals t ON t.doc_id = h.doc_id
 
 QUERIES = [
     Query("dedup_incremental", dedup_incremental_q, DEDUP_INCREMENTAL_SQL, "incremental batch-vs-index dedup: new batch matched against the existing corpus only"),
+    Query("dedup_winnow_pairs", dedup_winnow_q, DEDUP_WINNOW_SQL, "MOSS winnowed-fingerprint substring-overlap candidate pairs"),
     Query("decontaminate_train", decontaminate_train_q, DECONTAMINATE_SQL, "benchmark decontamination: word 5-gram overlap of train docs vs a held-out eval split"),
     Query("dedup_simhash_pairs", dedup_simhash_pairs_q, DEDUP_SIMHASH_PAIRS_SQL, "SimHash Hamming-band near-dup pairs (lossless banding + exact verify)"),
     Query("dedup_cluster_canonical", dedup_cluster_canonical_q, DEDUP_CLUSTER_SQL, "full dedup pipeline: LSH -> Jaccard -> CC clustering -> canonical keep"),

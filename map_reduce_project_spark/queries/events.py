@@ -146,7 +146,53 @@ GROUP BY user_id
 """
 
 
+def ev_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their
+    first signup event; for each (cohort week, weeks-since-signup)
+    cell, how many distinct cohort members were active that week.
+    Two aggregates + one join, all keyed on user_id/cohort — the
+    standard product-analytics matrix, exact in integers."""
+    ev = read_table(spark, sf_dir, "events")
+    cohorts = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date(F.date_trunc("week", "ts"))).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).dropDuplicates()
+    return (
+        activity.join(cohorts, "user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+EV_RETENTION_SQL = """
+WITH cohorts AS (
+  SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+)
+SELECT c.cohort_week,
+       CAST((a.week - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohorts c ON c.user_id = a.user_id
+WHERE a.week >= c.cohort_week
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
+    Query("ev_retention_cohorts", ev_retention_q, EV_RETENTION_SQL, "weekly signup-cohort retention matrix (two aggs + one join)"),
     Query("ev_tumbling_hourly", ev_tumbling_q, EV_TUMBLING_SQL, "hourly tumbling window agg (F.window)"),
     Query("ev_sliding_15min", ev_sliding_q, EV_SLIDING_SQL, "1h/15min sliding windows (F.window w/ slide)"),
     Query("ev_sessions_30min", ev_sessions_q, EV_SESSIONS_SQL, "30-min-gap session windows (F.session_window)"),

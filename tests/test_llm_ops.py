@@ -117,6 +117,33 @@ def test_ngram_contamination(spark, docs):
     assert 4 not in out and 5 not in out  # disjoint texts
 
 
+def test_winnowing_guarantee(spark):
+    """Winnowing's theorem: a shared token run of >= w+k-1 tokens
+    forces a shared fingerprint. k=3, w=4 -> runs of 6+ must collide;
+    disjoint-vocabulary docs must not."""
+    from map_reduce_project_spark.operators.text import (
+        substring_overlap_pairs,
+        winnow_fingerprints,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    rows = [
+        (1, f"intro words here {quote} outro trailing text"),
+        (2, f"{quote} totally different continuation tokens follow now"),
+        (3, "nothing in common with either of those documents at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in substring_overlap_pairs(df, k=3, w=4).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    # fingerprint sets are nonempty and deduped
+    fps = {r.doc_id: r.fps for r in winnow_fingerprints(df).collect()}
+    assert all(len(v) == len(set(v)) > 0 for v in fps.values())
+
+
 def test_pack_sequences_offsets(spark):
     from map_reduce_project_spark.operators.text import pack_sequences
 
