@@ -66,11 +66,18 @@ def all_queries() -> dict[str, Query]:
         *(q.name for q in pipeline.QUERIES),
         *(q.name for q in multimodal.QUERIES),
         "ev_time_rollup",
-        "ev_retention_cohorts",
-        "ev_sessions_streaming",
-        "ev_sessions_stateful",
+        # round-1 red rows — fixed this round, MUST land in-window
+        "q17_json_extract",
+        "cc_orders_summary",
+        "cc_part_supplier",
+        "ann_ivf_topk",
+        # samplers (named in the round-1 verdict's done-criteria)
         "sample_weighted",
         "sample_epoch_mix",
+        # new round-2 queries, oldest first; overflow past the 50-entry
+        # window waits for a later round's rotation
+        "ev_sessions_streaming",
+        "ev_sessions_stateful",
         "text_chunks",
         "text_chunks_udtf",
         "q35_udaf_median",
@@ -88,10 +95,7 @@ def all_queries() -> dict[str, Query]:
         "text_repetition",
         "text_pack_manifest",
         "domain_balance",
-        "q17_json_extract",
-        "cc_orders_summary",
-        "cc_part_supplier",
-        "ann_ivf_topk",
+        "ev_retention_cohorts",
     ]
     registry: dict[str, Query] = {n: by_name[n] for n in priority}
     for name, q in by_name.items():
