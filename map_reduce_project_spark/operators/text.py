@@ -484,6 +484,100 @@ def build_vocab(
     )
 
 
+# PII patterns restricted to the regex subset Java (Spark) and RE2
+# (DuckDB) evaluate identically: no backrefs, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction — the compliance pass every training-data
+    pipeline runs before anything else touches the text: emails,
+    North-American phone numbers, and dotted-quad IPs are replaced
+    with typed placeholder tokens, and per-document match counts are
+    emitted for audit aggregation.
+
+    Pure `regexp_extract_all` / `regexp_replace` expressions — JVM
+    whole-stage codegen, a narrow per-row projection with no shuffle:
+    at 100 TB this runs at scan speed and the only cost is the regex
+    engine. The three patterns are disjoint (emails contain '@',
+    phones dashes, IPs dots between digit runs), so count-then-replace
+    order cannot double-count.
+
+    Output: (id, redacted, n_emails, n_phones, n_ips).
+    """
+
+    def n(pat: str) -> F.Column:
+        return F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).cast("long")
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return docs.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        n(PII_EMAIL_RE).alias("n_emails"),
+        n(PII_PHONE_RE).alias("n_phones"),
+        n(PII_IP_RE).alias("n_ips"),
+    )
+
+
+def unigram_familiarity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-frequency familiarity score — the integer-exact stand-in
+    for unigram-LM perplexity filtering: each document is scored by
+    the corpus-wide occurrence counts of its own tokens. Documents of
+    rare/garbled tokens score low (high 'perplexity'), boilerplate of
+    ubiquitous tokens scores high; both tails are the usual quality-
+    filter cut candidates. Sums of counts stay in int64 (exact in any
+    engine), and ``mean_freq`` is a single IEEE division of those
+    integers — unlike sum-of-float-logs, this is bit-reproducible.
+
+    Plan: one explode, a token-keyed count aggregate (partial map-side
+    combine), a join back on token, and a per-doc aggregate. The
+    token->freq table is Zipf-small relative to the corpus — at 100 TB
+    broadcast it (AQE picks this up from size stats) so the join back
+    is shuffle-free; the per-doc agg then reuses the explode's
+    partitioning.
+
+    Output: (id, n_tokens, sum_freq, min_freq, mean_freq).
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    freqs = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    return (
+        tok.join(freqs, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+            F.min("freq").alias("min_freq"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_freq",
+            "min_freq",
+            (F.col("sum_freq").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "mean_freq"
+            ),
+        )
+    )
+
+
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

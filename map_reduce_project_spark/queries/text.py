@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from map_reduce_project_spark.operators.text import (
     EN_STOPWORDS,
@@ -160,7 +161,96 @@ FROM (
 """
 
 
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus with deterministically injected
+    synthetic PII (the raw documents are clean word-soup): emails on
+    doc_id%3, phones on doc_id%4, IPs on doc_id%5 — so the oracle can
+    verify both the redacted text and the per-type audit counts."""
+    from map_reduce_project_spark.operators.text import scrub_pii
+
+    d = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit(" call 555-123-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" from 10.0."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+            F.lit(" logged"),
+        ),
+    ).otherwise(F.lit(""))
+    corpus = d.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text")
+    )
+    return scrub_pii(corpus)
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\d{3}-\\d{3}-\\d{4}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+PII_SCRUB_SQL = f"""
+WITH pii AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 7 % 256 AS VARCHAR) || ' logged' ELSE '' END
+    AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{_PII_EMAIL}', '<EMAIL>', 'g'),
+    '{_PII_PHONE}', '<PHONE>', 'g'),
+    '{_PII_IP}', '<IP>', 'g') AS redacted,
+  CAST(LEN(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(LEN(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+  CAST(LEN(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ips
+FROM pii
+"""
+
+
+def unigram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_project_spark.operators.text import unigram_familiarity
+
+    return unigram_familiarity(read_table(spark, sf_dir, "documents"))
+
+
+UNIGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+freqs AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY token
+)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(f.freq) AS BIGINT) AS sum_freq,
+  CAST(MIN(f.freq) AS BIGINT) AS min_freq,
+  CAST(CAST(SUM(f.freq) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    AS mean_freq
+FROM tok t JOIN freqs f ON f.token = t.token
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = [
+    Query("text_pii_scrub", pii_scrub_q, PII_SCRUB_SQL, "PII redaction (emails/phones/IPs) with per-type audit counts; scan-speed regex projection"),
+    Query("text_unigram_scores", unigram_q, UNIGRAM_SQL, "integer-exact unigram-LM familiarity scores (corpus-frequency quality filter)"),
     Query("text_pack_manifest", text_pack_q, TEXT_PACK_SQL, "GPT-style sequence-packing manifest via scalable two-pass prefix sum"),
     Query("text_repetition", text_repetition_q, TEXT_REPETITION_SQL, "Gopher-style duplicate n-gram fractions (repetition filter), shuffle-free"),
     Query("text_stats", text_stats_q, TEXT_STATS_SQL, "token/char statistics per document"),

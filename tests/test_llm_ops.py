@@ -475,3 +475,35 @@ def test_read_binary_files(spark, tmp_path):
         ("a.bin", b"\x01\x02\x03", 3, "fake/image"),
         ("b.bin", b"\xff" * 10, 10, "fake/image"),
     }
+
+
+def test_scrub_pii(spark):
+    from map_reduce_project_spark.operators.text import scrub_pii
+
+    rows = [
+        (1, "reach bob.smith+x@mail-host.org or 415-555-1234 thanks"),
+        (2, "server 192.168.0.1 and 10.0.0.255 pinged"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (1, 1, 0)
+    assert out[1].redacted == "reach <EMAIL> or <PHONE> thanks"
+    assert out[2].n_ips == 2
+    assert out[2].redacted == "server <IP> and <IP> pinged"
+    assert out[3].redacted == "nothing sensitive here"
+    assert (out[3].n_emails, out[3].n_phones, out[3].n_ips) == (0, 0, 0)
+
+
+def test_unigram_familiarity(spark):
+    from map_reduce_project_spark.operators.text import unigram_familiarity
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # corpus freqs: a=2, b=2, c=1
+    out = {r.doc_id: r for r in unigram_familiarity(df).collect()}
+    assert (out[1].n_tokens, out[1].sum_freq, out[1].min_freq) == (3, 6, 2)
+    assert out[1].mean_freq == 2.0
+    assert (out[2].n_tokens, out[2].sum_freq, out[2].min_freq) == (2, 3, 1)
+    assert out[2].mean_freq == 1.5
