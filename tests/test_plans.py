@@ -156,3 +156,32 @@ def test_contamination_broadcasts_eval_grams(spark, registry):
     # stream joins map-side, never shuffling on the gram key
     df = registry["decontaminate_train"].fn(spark, SF)
     assert uses_broadcast_join(df)
+
+
+def test_pii_scrub_is_shuffle_free_scan(spark, registry):
+    # redaction must run at scan speed: a narrow regex projection with
+    # zero exchanges, reading only the two columns it needs
+    df = registry["text_pii_scrub"].fn(spark, SF)
+    assert num_exchanges(df) == 0
+    assert scan_columns(df) == {"doc_id", "text"}
+
+
+def test_winnow_pairs_reuses_fingerprint_exchange(spark, registry):
+    # winnowed fingerprints fold inside the scan stage (no explode
+    # until pairing); the fp self-join + pair count must plan ONE
+    # exchange with the second side a ReusedExchange
+    df = registry["dedup_winnow_pairs"].fn(spark, SF)
+    assert num_exchanges(df) == 1
+
+
+def test_unigram_join_broadcasts_freq_table(spark, registry):
+    # token->freq is Zipf-small: the join back must not shuffle the
+    # exploded token stream a second time (freq agg + doc agg only)
+    df = registry["text_unigram_scores"].fn(spark, SF)
+    assert num_exchanges(df) == 2
+
+
+def test_retention_cohort_shuffle_budget(spark, registry):
+    # two aggs + distinct + join, all user-keyed: 4 exchanges max
+    df = registry["ev_retention_cohorts"].fn(spark, SF)
+    assert num_exchanges(df) <= 4
