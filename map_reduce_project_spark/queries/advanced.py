@@ -565,3 +565,87 @@ QUERIES.append(
         "pandas GROUPED_AGG UDAF: exact int64-cents median vs DuckDB median(BIGINT)",
     )
 )
+
+
+def q36_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample variance/stddev/covariance/
+    correlation) made hash-exact: built-in corr()/stddev() accumulate
+    doubles in partition order (not reproducible across engines), so
+    the moments are aggregated as exact integers instead — cents in
+    int64, product sums in DECIMAL(38,0) — and every derived statistic
+    is ONE fixed expression tree of IEEE ops (-, *, /, sqrt are all
+    correctly rounded) over identically-rounded double casts of those
+    exact sums. Verified bit-identical to DuckDB on every moment.
+
+    Single shuffle: broadcast the customer dim, one grouped aggregate;
+    at 100 TB the partial aggregation combines map-side so the
+    exchange carries 6 numbers per (segment, partition)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    xc = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    yc = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    j = o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("c_mktsegment").alias("seg"), xc.alias("xc"), yc.alias("yc")
+    )
+    m = j.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum((F.col("xc") * F.col("yc")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("yc") * F.col("yc")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    var_x = (F.col("sxx") - sxd * sxd / nd) / (nd - F.lit(1.0))
+    var_y = (F.col("syy") - syd * syd / nd) / (nd - F.lit(1.0))
+    covar = (F.col("sxy") - sxd * syd / nd) / (nd - F.lit(1.0))
+    return m.select(
+        "seg",
+        F.col("n").alias("n_orders"),
+        (sxd / nd).alias("mean_acctbal_cents"),
+        (syd / nd).alias("mean_price_cents"),
+        F.sqrt(var_x).alias("stddev_acctbal"),
+        F.sqrt(var_y).alias("stddev_price"),
+        covar.alias("covar_samp"),
+        (covar / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr"),
+    )
+
+
+Q36_SQL = """
+WITH j AS (
+  SELECT c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+  FROM orders JOIN customer ON c_custkey = o_custkey
+), m AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+    CAST(SUM(CAST(xc*yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(xc*xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(yc*yc AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM j GROUP BY seg
+)
+SELECT seg, n AS n_orders,
+  CAST(sx AS DOUBLE) / n AS mean_acctbal_cents,
+  CAST(sy AS DOUBLE) / n AS mean_price_cents,
+  sqrt((sxx - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) / (n - 1.0)) AS stddev_acctbal,
+  sqrt((syy - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n) / (n - 1.0)) AS stddev_price,
+  (sxy - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n) / (n - 1.0) AS covar_samp,
+  ((sxy - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n) / (n - 1.0))
+    / (sqrt((sxx - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) / (n - 1.0))
+       * sqrt((syy - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n) / (n - 1.0))) AS corr
+FROM m
+"""
+
+
+QUERIES.append(
+    Query("q36_stats_suite", q36_stats_suite, Q36_SQL, "sample stddev/covar/corr from exact integer moments (hash-exact statistical aggregates)")
+)
