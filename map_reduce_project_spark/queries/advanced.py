@@ -649,3 +649,47 @@ FROM m
 QUERIES.append(
     Query("q36_stats_suite", q36_stats_suite, Q36_SQL, "sample stddev/covar/corr from exact integer moments (hash-exact statistical aggregates)")
 )
+
+
+def q37_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling: fixed-width histogram of order totals
+    (the doc-length/price-distribution profile every curation run
+    reports). Buckets via exact integer floor-division of cents —
+    `width_bucket` semantics without float boundary ambiguity — and
+    per-bucket count/sum partials combine map-side: one scan + one
+    tiny shuffle regardless of corpus size."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    # 25_000_00-cent ($25k) buckets, clamped to [0, 24]
+    bucket = F.least(F.greatest(cents / 2500000, F.lit(0)), F.lit(24)).cast(
+        "bigint"
+    )
+    return (
+        o.select(bucket.alias("bucket"), cents.alias("cents"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+Q37_SQL = """
+WITH b AS (
+  SELECT least(greatest(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 2500000, 0), 24) AS bucket,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+  CAST(MIN(cents) AS BIGINT) AS min_cents,
+  CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM b GROUP BY bucket
+"""
+
+
+QUERIES.append(
+    Query("q37_histogram", q37_histogram, Q37_SQL, "fixed-width histogram profile via exact integer binning (one scan, map-side combine)")
+)
