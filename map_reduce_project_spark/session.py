@@ -59,8 +59,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
-        # timestamp — read as long and normalize in sources.io.read_table
+        # events.parquet has shipped both TIMESTAMP(NANOS) and
+        # TIMESTAMP(MICROS, ntz) across testdata generations; nanos
+        # reads as long under this conf, and sources.io.read_table
+        # normalizes either shape to a UTC timestamp
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

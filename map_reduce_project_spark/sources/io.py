@@ -39,24 +39,39 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reaches the scan as ReadSchema/PushedFilters (verify with
     ``df.explain("formatted")``).
 
-    events.ts is TIMESTAMP(NANOS) in the parquet footer; Spark reads it
-    as a nanos long (spark.sql.legacy.parquet.nanosAsLong) and we
-    normalize to a microsecond timestamp here — the same truncation
-    DuckDB applies when it reads TIMESTAMP_NS as TIMESTAMP.
+    events.ts has shipped in two physical shapes across testdata
+    generations — TIMESTAMP(NANOS) (reads as a nanos long under
+    spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ). Normalize both
+    to a UTC TIMESTAMP_LTZ at microsecond precision: watermarks and
+    streaming event time require LTZ, and a UTC-pinned session makes
+    window/date_trunc semantics match the UTC-naive DuckDB oracle.
     """
     if name == "events":
         # runtime-settable; required even when the caller's session was
         # built without it (the round driver builds its own session)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # ts becomes TIMESTAMP_LTZ below; pin the session to UTC so
-        # window/date_trunc semantics match the UTC-naive DuckDB oracle
-        # even on a session built without get_spark
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    if name == "events":
+        df = _normalize_event_ts(df)
+    return df
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """ts (bigint nanos | timestamp_ntz | timestamp) -> UTC timestamp.
+
+    The NTZ cast relies on the session timezone being UTC (pinned in
+    read_table / stream_events before any read), so the wall-clock
+    micros are reinterpreted as the same UTC instant.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

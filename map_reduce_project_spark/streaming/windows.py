@@ -32,10 +32,15 @@ def stream_events(
 ) -> DataFrame:
     """events.parquet as a file stream (schema pinned from a batch read).
 
-    The nanos ts arrives as bigint under nanosAsLong; normalize to a
-    microsecond timestamp exactly like sources.io.read_table.
+    ts arrives as bigint nanos (nanosAsLong) or TIMESTAMP_NTZ micros
+    depending on the testdata generation; normalize to a UTC
+    TIMESTAMP exactly like sources.io.read_table — watermarks reject
+    NTZ event-time columns.
     """
+    from map_reduce_project_spark.sources.io import _normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # the file-stream source needs a directory; glob-filter to the one file
@@ -45,11 +50,7 @@ def stream_events(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return stream
+    return _normalize_event_ts(stream)
 
 
 def stream_tumbling_counts(
