@@ -71,11 +71,16 @@ def bfs_hops(
     stay hash-partitioned on ``node``, so the anti-join and the
     union ride one exchange per iteration.
     """
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
     und = _undirected(edges).dropDuplicates(["src", "dst"])
     frontier = (
         seeds.select("node").distinct().withColumn("hop", F.lit(0))
     ).localCheckpoint(eager=True)
     visited = frontier
+    cycler = CheckpointCycler(edges.sparkSession)
     for h in range(1, max_hops + 1):
         frontier = (
             und.join(
@@ -89,8 +94,14 @@ def bfs_hops(
             .withColumn("hop", F.lit(h))
         ).localCheckpoint(eager=True)
         if not frontier.take(1):
+            # hop h-1's generation backs the returned `visited` —
+            # never cycled past, so its blocks stay live
             break
         visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+        # hop h-1's (frontier, visited) pair is dead now that hop h's
+        # pair is materialized; hop h's frontier stays live for the
+        # next join (see graph/checkpointing.py safety note)
+        cycler.cycle()
     return visited
 
 
@@ -126,6 +137,14 @@ def pagerank_int(
     init = scale // n
     teleport = (15 * init) // 100
     ranks = deg.select("node", F.lit(init).alias("rank"))
+
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
+    # constructed after `deg`'s checkpoint: deg is loop-invariant and
+    # must survive every round (cycler never touches pre-known ids)
+    cycler = CheckpointCycler(edges.sparkSession)
     for _ in range(iterations):
         contribs = (
             ranks.join(deg, "node")
@@ -144,6 +163,9 @@ def pagerank_int(
                 )
             )
         ).localCheckpoint(eager=True)
+        # round i-1's ranks are dead once round i is materialized
+        # (eager checkpoint above); the final round is never released
+        cycler.cycle()
     return ranks
 
 
@@ -177,6 +199,10 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
     und = _undirected(edges).dropDuplicates(["src", "dst"])
     labels = (
         und.select(F.col("src").alias("node"))
@@ -186,6 +212,7 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
     w = Window.partitionBy("node").orderBy(
         F.col("cnt").desc(), F.col("community")
     )
+    cycler = CheckpointCycler(edges.sparkSession)
     for _ in range(rounds):
         nbr_labels = und.join(
             labels.withColumnRenamed("node", "src"), "src"
@@ -197,6 +224,9 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
             .where(F.col("_rn") == 1)
             .select("node", "community")
         ).localCheckpoint(eager=True)
+        # previous round's labels are dead once this round's are
+        # materialized; the final round is never released
+        cycler.cycle()
     return labels
 
 
@@ -256,8 +286,13 @@ def k_core(
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
     )
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
     cur = _undirected(canon)
     n_cur = cur.count()
+    cycler = CheckpointCycler(edges.sparkSession)
     for _ in range(max_iterations):
         if n_cur == 0:
             break
@@ -270,8 +305,12 @@ def k_core(
         )
         n_nxt = nxt.count()
         if n_nxt == n_cur:
+            # `cur` (the previous generation) is the result here — it
+            # was NOT cycled past, so its blocks are still live
             break
         cur, n_cur = nxt, n_nxt
+        # committed to advancing: the generation before `nxt` is dead
+        cycler.cycle()
     if n_cur == 0:
         return cur.groupBy("src").agg(
             F.count("*").alias("deg")

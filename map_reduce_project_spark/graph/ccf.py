@@ -67,8 +67,15 @@ class CCFResult:
 # when any node's (undirected) degree reaches this many rows the loop
 # switches to the groupBy+join formulation, which AQE can split. The
 # probe itself (one groupBy-count + max) only runs when the graph is
-# big enough that a degree could plausibly cross the threshold.
+# big enough that a degree could plausibly cross the threshold, and
+# switches to an edge SAMPLE above _PROBE_EXACT_ROWS undirected rows:
+# a hub near the threshold appears in the sample thousands of times
+# (expected hits = degree x fraction), so the scaled-up estimate
+# concentrates tightly; the 2x safety factor on the comparison leans
+# toward the join path, which is always correct, merely ~1.6x slower
+# per iteration when skew was absent.
 SKEW_DEGREE_THRESHOLD = 1_000_000
+_PROBE_EXACT_ROWS = 4_000_000
 
 
 def ccf_fixed_point_local(
@@ -361,19 +368,32 @@ def connected_components(
     else:
         if skew_robust is None:
             # only probe degrees when a degree could plausibly cross
-            # the threshold (max degree <= 2 * edges)
-            skew_robust = (
-                2 * n_edges >= skew_degree_threshold
-                and (
-                    _undirected(pairs)
-                    .groupBy("src")
+            # the threshold (max degree <= 2 * edges); above
+            # _PROBE_EXACT_ROWS the probe samples the edge list so its
+            # cost stays bounded no matter the graph size
+            skew_robust = False
+            if 2 * n_edges >= skew_degree_threshold:
+                undirected = _undirected(pairs)
+                fraction = min(1.0, _PROBE_EXACT_ROWS / (2 * n_edges))
+                if fraction < 1.0:
+                    undirected = undirected.sample(
+                        withReplacement=False, fraction=fraction, seed=42
+                    )
+                max_seen = (
+                    undirected.groupBy("src")
                     .count()
                     .agg(F.max("count"))
                     .collect()[0][0]
                     or 0
                 )
-                >= skew_degree_threshold
-            )
+                # scale the sampled max back up; 2x safety factor
+                # (sampling noise only matters for hubs near the
+                # threshold, where either path is acceptable)
+                skew_robust = (
+                    max_seen / fraction >= skew_degree_threshold / 2
+                    if fraction < 1.0
+                    else max_seen >= skew_degree_threshold
+                )
         if skew_robust:
             # groupBy+join formulation: AQE can skew-split the join when
             # a hub node's adjacency would overwhelm one window partition
@@ -401,9 +421,14 @@ def connected_components(
     if pairs.rdd.getNumPartitions() > target:
         pairs = pairs.coalesce(target)
 
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
     iterations = 0
     converged = False
     counts: list[int] = []
+    cycler = CheckpointCycler(spark)
 
     try:
         while iterations < max_iterations:
@@ -416,6 +441,13 @@ def connected_components(
             combined = iterate_fn(pairs).localCheckpoint(eager=False)
             new_pair_count = combined.where(F.col(_NEW)).count()
             counts.append(new_pair_count)
+
+            # iteration i's checkpoint blocks are garbage the moment
+            # iteration i+1 materializes (the count above): release
+            # them now instead of waiting for driver GC (see
+            # graph/checkpointing.py — pinned storage stays ~2
+            # iterations wide instead of growing with depth)
+            cycler.cycle()
 
             pairs = ccf_dedup(combined)
 

@@ -140,6 +140,12 @@ def connected_components_star(
     changes: list[int] = []
     prev_fp = None
 
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
+    cycler = CheckpointCycler(spark)
+
     try:
         # canonicalize once so round-0 fingerprint is comparable
         pairs = small_star(large_star(pairs)).dropDuplicates(
@@ -147,6 +153,7 @@ def connected_components_star(
         ).localCheckpoint(eager=False)
         rounds = 1
         prev_fp = fingerprint(pairs)
+        cycler.cycle()
         changes.append(1)
 
         while rounds < max_rounds:
@@ -156,6 +163,10 @@ def connected_components_star(
             ).localCheckpoint(eager=False)
             fp = fingerprint(nxt)
             pairs = nxt
+            # round r-1's checkpoint is dead once round r is
+            # materialized (fingerprint above); round r survives as
+            # the result if we break below
+            cycler.cycle()
             if fp == prev_fp:
                 converged = True
                 changes.append(0)
