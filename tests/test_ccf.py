@@ -213,3 +213,24 @@ def test_skew_robust_fixed_point(spark):
     b = connected_components(edges_df(spark, edges), skew_robust=True)
     assert mapping_set(a) == mapping_set(b)
     assert a.iterations == b.iterations
+
+
+def test_loop_releases_checkpoint_blocks(spark):
+    # the loop must not retain one checkpoint generation per
+    # iteration: after convergence at most the final generation (plus
+    # anything persisted before the loop) may remain — the per-round
+    # blocks are freed by CheckpointCycler the moment the next round
+    # materializes (graph/checkpointing.py)
+    from map_reduce_project_spark.graph.checkpointing import (
+        _persistent_rdd_ids,
+    )
+
+    before = _persistent_rdd_ids(spark)
+    edges = edges_df(spark, generate_chain_graph(40))  # multi-iteration
+    res = connected_components(edges)
+    assert res.iterations >= 3
+    leaked = _persistent_rdd_ids(spark) - before
+    # final generation = one checkpointed RDD backing res.mapping
+    assert len(leaked) <= 1
+    # and the result is still readable after all the unpersists
+    assert res.mapping.count() == 39
