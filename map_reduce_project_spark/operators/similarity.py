@@ -431,3 +431,100 @@ def quantize_int8(
         q.cast("int").alias("q"),
         F.col("scale"),
     )
+
+
+def arrow_brute_force_topk(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via ``mapInArrow`` — the zero-copy Python
+    data plane (Arrow batches straight into numpy, no pandas
+    materialization, no per-row serialization).
+
+    Same semantics and same fixed-point arithmetic as
+    ``brute_force_topk`` (results are bit-identical; pinned by
+    tests/test_llm_ops.py), different physical strategy:
+
+    - the (small, by the same contract as ``cosine_pairs``) query set
+      is collected once and closed over as an int64 matrix;
+    - the target corpus STREAMS through ``mapInArrow`` — zero
+      shuffles, zero explode: each Arrow batch does one int64
+      (batch x dim) @ (dim x n_queries) matmul, exact by the QSCALE
+      argument in the module docstring;
+    - each batch emits only its LOCAL top-k per query under the
+      global total order (cosine desc, target_id asc), so the final
+      window ranks k x n_batches candidate rows, not the full
+      n_queries x corpus grid. The global top-k is a subset of the
+      union of batch-local top-ks, so batch boundaries cannot change
+      the result.
+
+    At 100 TB this is the preferred brute-force formulation: the only
+    exchange in the plan is the final window over the pruned
+    candidates. The position-join variant remains for engines without
+    Arrow and as the oracle-shaped twin.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids_l = [r[0] for r in qrows]
+    qi = np.floor(
+        np.asarray([r[1] for r in qrows], dtype=np.float64) * QSCALE
+    ).astype(np.int64)
+    qn2 = (qi * qi).sum(axis=1)  # <= dims * (2^24)^2 — fits int64
+    qids = np.asarray(qids_l, dtype=np.int64)
+
+    out_schema = "query_id long, target_id long, cosine double"
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            col = batch.column(1)
+            flat = col.flatten()
+            lens = np.diff(col.offsets.to_numpy())
+            if len(lens) == 0:
+                continue
+            dim = int(lens[0])
+            if not (lens == dim).all():  # pragma: no cover
+                raise ValueError("ragged embedding column")
+            ti = np.floor(
+                flat.to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(-1, dim)
+                * QSCALE
+            ).astype(np.int64)
+            tn2 = (ti * ti).sum(axis=1)
+            dots = ti @ qi.T  # (n_targets, n_queries), exact int64
+            cos = dots.astype(np.float64) / (
+                np.sqrt(qn2.astype(np.float64))[None, :]
+                * np.sqrt(tn2.astype(np.float64))[:, None]
+            )
+            out_q, out_t, out_c = [], [], []
+            for j in range(len(qids)):
+                cj = cos[:, j]
+                mask = ids != qids[j]
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                # batch-local top-k under (cosine desc, target_id asc):
+                # lexsort's last key is primary
+                order = cand[np.lexsort((ids[cand], -cj[cand]))][:k]
+                out_q.extend([qids[j]] * len(order))
+                out_t.extend(ids[order].tolist())
+                out_c.extend(cj[order].tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q, type=pa.int64()),
+                    pa.array(out_t, type=pa.int64()),
+                    pa.array(out_c, type=pa.float64()),
+                ],
+                names=["query_id", "target_id", "cosine"],
+            )
+
+    candidates = targets.select(
+        F.col(id_col), F.col(vec_col)
+    ).mapInArrow(fn, out_schema)
+    return topk(candidates, k)

@@ -96,6 +96,7 @@ def all_queries() -> dict[str, Query]:
         "text_pack_manifest",
         "domain_balance",
         "ev_retention_cohorts",
+        "ann_arrow_topk",
     ]
     registry: dict[str, Query] = {n: by_name[n] for n in priority}
     for name, q in by_name.items():

@@ -256,3 +256,55 @@ QUERIES.append(
         "symmetric int8 embedding quantization, every code byte exact",
     )
 )
+
+
+def ann_arrow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow data-plane twin of ann_brute_force_topk: the corpus
+    streams through ``mapInArrow`` (zero-copy Arrow -> numpy int64
+    matmul, batch-local top-k pruning), so the only exchange in the
+    plan is the final candidate window. Bit-identical to the
+    position-join formulation — same QSCALE fixed point, same IEEE
+    double cosine — which is what the shared-shape oracle checks."""
+    from map_reduce_project_spark.operators.similarity import (
+        arrow_brute_force_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 200 == 0)
+    return arrow_brute_force_topk(queries, emb, k=3)
+
+
+ANN_ARROW_SQL = (
+    "WITH "
+    + _EL.format(src="embeddings")
+    + """,
+dots AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+         SUM(q.val * t.val) AS dot
+  FROM el q JOIN el t ON q.pos = t.pos AND q.vec_id <> t.vec_id
+  WHERE q.vec_id % 200 = 0
+  GROUP BY q.vec_id, t.vec_id
+),
+cos AS (
+  SELECT query_id, target_id,
+         CAST(dot AS DOUBLE) / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(tn.norm2 AS DOUBLE))) AS cosine
+  FROM dots
+  JOIN n2 qn ON qn.vec_id = query_id
+  JOIN n2 tn ON tn.vec_id = target_id
+)
+SELECT query_id, target_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, target_id) AS BIGINT) AS rank
+  FROM cos
+) WHERE rank <= 3
+"""
+)
+
+QUERIES.append(
+    Query(
+        "ann_arrow_topk",
+        ann_arrow_q,
+        ANN_ARROW_SQL,
+        "mapInArrow zero-copy cosine top-3: streamed corpus, batch-local pruning",
+    )
+)

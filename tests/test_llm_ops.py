@@ -507,3 +507,36 @@ def test_unigram_familiarity(spark):
     assert out[1].mean_freq == 2.0
     assert (out[2].n_tokens, out[2].sum_freq, out[2].min_freq) == (2, 3, 1)
     assert out[2].mean_freq == 1.5
+
+
+def test_arrow_topk_bit_identical_to_position_join(spark, sf0001):
+    # same fixed-point arithmetic, different data plane: the
+    # mapInArrow formulation must reproduce the position-join
+    # brute force EXACTLY (ids, ranks, and every cosine bit), and
+    # batch boundaries must not leak into the result (forced tiny
+    # Arrow batches => many batch-local top-k prunings)
+    from map_reduce_project_spark.operators.similarity import (
+        arrow_brute_force_topk,
+        brute_force_topk,
+    )
+
+    from map_reduce_project_spark.sources.io import read_table
+
+    emb = read_table(spark, sf0001, "embeddings")
+    queries = emb.where("vec_id % 50 = 0")
+    expected = {
+        (r.query_id, r.target_id, r.rank, float(r.cosine))
+        for r in brute_force_topk(queries, emb, k=4).collect()
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            (r.query_id, r.target_id, r.rank, float(r.cosine))
+            for r in arrow_brute_force_topk(queries, emb, k=4).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    assert got == expected
