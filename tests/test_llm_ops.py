@@ -333,8 +333,13 @@ def test_multimodal_metadata_roundtrip(spark, docs):
 
 
 def test_decode_media_stub_gates_real_modalities():
+    # modalities WITHOUT a header parser still raise (full decode
+    # needs media libs); a known format with corrupt bytes errors
+    # loudly rather than inventing metadata
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image/png")
+        decode_media(b"\x00\x01", "video/mp4")
+    with pytest.raises(ValueError):
+        decode_media(b"\x89PNG", "image/png")  # truncated header
 
 
 def test_mllib_minhash_lsh_finds_duplicates(spark, docs):
@@ -540,3 +545,58 @@ def test_arrow_topk_bit_identical_to_position_join(spark, sf0001):
             "spark.sql.execution.arrow.maxRecordsPerBatch", old
         )
     assert got == expected
+
+
+def test_real_header_decoders(spark):
+    # REAL format metadata: crafted-on-the-fly valid headers for
+    # PNG/JPEG/BMP/PPM and a stdlib-`wave`-written WAV, extracted
+    # through the same Spark mapInPandas stage as the fake modality
+    import io
+    import struct as st
+    import wave
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + st.pack(">I", 13) + b"IHDR"
+        + st.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0)
+        + b"\x00" * 4
+    )
+    bmp = b"BM" + b"\x00" * 16 + st.pack("<ii", 320, -200) + b"\x00" * 10
+    ppm = b"P6\n# comment\n12 7\n255\n" + b"\x00" * (12 * 7 * 3)
+    jpeg = (
+        b"\xff\xd8"                      # SOI
+        + b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 8
+        + b"\xff\xc4" + st.pack(">H", 4) + b"\x00\x00"   # DHT (skipped)
+        + b"\xff\xc0" + st.pack(">H", 11)                # SOF0
+        + b"\x08" + st.pack(">HH", 99, 123) + b"\x01" + b"\x00" * 3
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 2 * 500)  # 500 stereo frames
+    wav = buf.getvalue()
+
+    rows = [
+        (1, "image/png", png, 640, 480),
+        (2, "image/bmp", bmp, 320, 200),
+        (3, "image/x-portable-pixmap", ppm, 12, 7),
+        (4, "image/jpeg", jpeg, 123, 99),
+        (5, "audio/wav", wav, 500, 2),  # samples/channel, channels
+    ]
+    media = spark.createDataFrame(
+        [(i, m, bytearray(p)) for i, m, p, _, _ in rows],
+        "doc_id long, modality string, payload binary",
+    )
+    got = {r.doc_id: (r.width, r.height) for r in
+           extract_metadata(media).collect()}
+    for i, _, _, w_, h_ in rows:
+        assert got[i] == (w_, h_), (i, got[i], (w_, h_))
+
+
+def test_unknown_modality_still_raises(spark):
+    from map_reduce_project_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00", "video/mp4")

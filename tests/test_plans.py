@@ -185,3 +185,13 @@ def test_retention_cohort_shuffle_budget(spark, registry):
     # two aggs + distinct + join, all user-keyed: 4 exchanges max
     df = registry["ev_retention_cohorts"].fn(spark, SF)
     assert num_exchanges(df) <= 4
+
+
+def test_arrow_topk_single_exchange(spark, registry):
+    # mapInArrow corpus streaming: the ONLY exchange in the plan is
+    # the final window over the batch-pruned candidates — no shuffle
+    # of the corpus, no explode, no join
+    df = registry["ann_arrow_topk"].fn(spark, SF)
+    assert num_exchanges(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
