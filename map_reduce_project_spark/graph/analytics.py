@@ -318,3 +318,63 @@ def k_core(
     return cur.groupBy("src").agg(F.count("*").cast("long").alias("deg")).select(
         F.col("src").alias("node"), "deg"
     )
+
+
+def bounded_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+) -> DataFrame:
+    """Bellman-Ford min-plus: exact shortest distances over paths of
+    at most ``rounds`` edges, from every seed node simultaneously.
+
+    ``edges`` is a DIRECTED weighted edge list (src, dst, w long) —
+    callers wanting undirected semantics pass the symmetric expansion.
+    ``seeds`` provides a ``node`` column (distance 0). Returns
+    (node, dist) for every node reachable within ``rounds`` hops;
+    unreached nodes are absent (the S3 convention all the graph
+    operators share). Integer weights keep every distance exact, so
+    the whole relaxation runs under the hash gate against a DuckDB
+    recursive-CTE oracle (SSSP_SQL in queries/graph_queries.py).
+
+    Per round: one shuffle join (dist hash-partitioned on node, edges
+    on src — the partitioning is reused round over round) + one
+    partial+final min aggregate + one eager localCheckpoint, with the
+    previous round's blocks freed by the CheckpointCycler. Hub skew
+    lands in the JOIN, which AQE can split — this loop has no window
+    formulation to outgrow. Bounded rounds is the production contract
+    for 100 TB graphs: distances stabilize within graph diameter,
+    and each round's cost is one edge-list join regardless of round
+    number.
+    """
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
+    e = edges.select(
+        F.col(edges.columns[0]).alias("src"),
+        F.col(edges.columns[1]).alias("dst"),
+        F.col(edges.columns[2]).cast("long").alias("w"),
+    )
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    cycler = CheckpointCycler(edges.sparkSession)
+    for _ in range(rounds):
+        cand = dist.join(
+            e.withColumnRenamed("src", "node"), "node"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionAll(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        ).localCheckpoint(eager=True)
+        # previous round's distances are dead once this round's are
+        # materialized (eager checkpoint); final round backs the result
+        cycler.cycle()
+    return dist

@@ -97,6 +97,7 @@ def all_queries() -> dict[str, Query]:
         "domain_balance",
         "ev_retention_cohorts",
         "ann_arrow_topk",
+        "sssp_part_supplier",
     ]
     registry: dict[str, Query] = {n: by_name[n] for n in priority}
     for name, q in by_name.items():

@@ -340,6 +340,53 @@ FROM peel WHERE it = 8 GROUP BY src
 """
 
 
+
+def sssp_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted SSSP (Bellman-Ford min-plus, 3 relaxation
+    rounds) over the part-supplier bipartite graph: edge weight =
+    MIN integer l_quantity per (part, supplier) pair, seeds = nation-0
+    suppliers at distance 0. Integer weights make every distance
+    exact, so the whole iterative relaxation hash-matches the DuckDB
+    recursive-CTE oracle (graph/analytics.py:bounded_sssp)."""
+    from map_reduce_project_spark.graph.analytics import bounded_sssp
+
+    li = read_table(spark, sf_dir, "lineitem")
+    weighted = li.groupBy(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("a"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("b"),
+    ).agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    und = weighted.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(
+        weighted.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "w"
+        )
+    )
+    supplier = read_table(spark, sf_dir, "supplier")
+    seeds = supplier.where(F.col("s_nationkey") == 0).select(
+        F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node")
+    )
+    return bounded_sssp(und, seeds, rounds=3)
+
+
+SSSP_SQL = """
+WITH RECURSIVE e AS (
+  SELECT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst,
+         MIN(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+), und AS (
+  SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e
+), walk AS (
+  SELECT 's:' || s_suppkey AS node, CAST(0 AS BIGINT) AS dist, 0 AS hop
+  FROM supplier WHERE s_nationkey = 0
+  UNION
+  SELECT und.dst AS node, walk.dist + und.w AS dist, walk.hop + 1 AS hop
+  FROM walk JOIN und ON und.src = walk.node
+  WHERE walk.hop < 3
+)
+SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+"""
+
 QUERIES = [
     Query("lpa_communities", lpa_communities, LPA_SQL, "deterministic synchronous label-propagation communities vs unrolled mode oracle (exact)"),
     Query("kcore_part_supplier", kcore_part_supplier, KCORE_SQL, "k-core decomposition by synchronous peeling vs lockstep recursive-CTE oracle (exact)"),
@@ -351,4 +398,5 @@ QUERIES = [
     Query("cc_component_sizes", cc_component_sizes, CC_SIZES_SQL, "component size histogram"),
     Query("bfs_part_supplier", bfs_part_supplier, BFS_SQL, "multi-source BFS hops vs recursive-CTE oracle (exact)"),
     Query("pagerank_part_supplier", pagerank_part_supplier, PAGERANK_SQL, "int64 fixed-point PageRank vs recursive-CTE oracle (exact)"),
+    Query("sssp_part_supplier", sssp_part_supplier, SSSP_SQL, "bounded Bellman-Ford weighted SSSP vs recursive-CTE oracle (exact)"),
 ]

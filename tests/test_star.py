@@ -133,3 +133,17 @@ def test_pagerank_int_properties(spark):
     tri = edges_df(spark, [("a", "b"), ("b", "c"), ("a", "c")])
     r3 = {r.node: r.rank for r in pagerank_int(tri, iterations=3).collect()}
     assert len(set(r3.values())) == 1
+
+
+def test_bounded_sssp_prefers_cheaper_two_hop_path(spark):
+    from map_reduce_project_spark.graph.analytics import bounded_sssp
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("a", "c", 5), ("c", "d", 1)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    one = {r.node: r.dist for r in bounded_sssp(edges, seeds, rounds=1).collect()}
+    assert one == {"a": 0, "b": 1, "c": 5}  # direct edge only
+    three = {r.node: r.dist for r in bounded_sssp(edges, seeds, rounds=3).collect()}
+    assert three == {"a": 0, "b": 1, "c": 2, "d": 3}  # relaxed via b
