@@ -183,3 +183,70 @@ def stratified_sample(
         )
         cond = this if cond is None else cond | this
     return df.where(cond if cond is not None else F.lit(False))
+
+
+def hash_order(id_col: str, salt: str) -> Column:
+    """Full 32-bit deterministic order key (same salted-md5 family as
+    ``hash_bucket`` but un-bucketed): uniform on [0, 2^32), so ties
+    are vanishingly rare and per-group rank-order is a frozen uniform
+    shuffle of the group."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    total_target: int,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based group rebalancing at alpha = 0.5 (the
+    multilingual-pretraining mix rule: sample group g proportionally
+    to count_g^alpha, flattening head groups and boosting tail ones).
+
+    Integer-exact end to end so it runs under the hash gate:
+    weight_g = isqrt(count_g) (FLOOR(SQRT(double)) is exact for
+    counts < ~4.5e15 — sqrt is correctly rounded and the nearest
+    integer boundary is > 1 ulp away below that), target_g =
+    (total_target * weight_g) // sum(weights), and each group keeps
+    its target_g documents of smallest ``hash_order`` — a frozen
+    uniform draw, reproducible across engines/partitions/retries.
+
+    Scale shape: one count aggregate, the target table broadcast
+    back, one per-group rank window over the hash order. The window
+    partition = one group; for a head group with billions of rows,
+    swap the exact rank for the probabilistic threshold variant
+    (``weighted_sample`` with weight_bp = 10000 * target_g/count_g)
+    and accept +-sqrt(n) count noise — the usual exactness/skew
+    trade, same consideration as the CCF window-vs-join paths.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("grp_count"))
+    weights = counts.withColumn(
+        "w",
+        F.expr("CAST(FLOOR(SQRT(CAST(grp_count AS DOUBLE))) AS BIGINT)"),
+    )
+    total_w = weights.agg(F.sum("w").alias("sum_w"))
+    targets = weights.crossJoin(F.broadcast(total_w)).select(
+        group_col,
+        "grp_count",
+        F.expr(f"({total_target} * w) div sum_w").alias("grp_target"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            hash_order(id_col, salt), F.col(id_col)
+        )
+    )
+    return (
+        df.withColumn("rk", rk.cast("long"))
+        .join(F.broadcast(targets), group_col)
+        .where(F.col("rk") <= F.col("grp_target"))
+        .select(id_col, group_col, "grp_count", "grp_target", "rk")
+    )

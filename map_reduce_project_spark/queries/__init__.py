@@ -98,6 +98,7 @@ def all_queries() -> dict[str, Query]:
         "ev_retention_cohorts",
         "ann_arrow_topk",
         "sssp_part_supplier",
+        "sample_lang_temperature",
     ]
     registry: dict[str, Query] = {n: by_name[n] for n in priority}
     for name, q in by_name.items():

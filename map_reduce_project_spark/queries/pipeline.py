@@ -297,6 +297,49 @@ SELECT doc_id, source, n_chars, rank_in_group FROM (
 """
 
 
+
+def sample_lang_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.5 temperature rebalancing of the language mix: each
+    language's target = 200 * isqrt(count) / sum(isqrt(count)),
+    filled by the frozen hash-order draw — head languages flatten,
+    tail languages keep share (operators/sampling.py:
+    temperature_sample). All-integer arithmetic, exact hash match."""
+    from map_reduce_project_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(
+        docs, group_col="lang", id_col="doc_id", total_target=200,
+        salt="lang_temp",
+    )
+
+
+SAMPLE_TEMP_SQL = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS grp_count,
+         CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT SUM(w) AS sum_w FROM counts
+), targets AS (
+  SELECT lang, grp_count,
+         CAST((200 * w) // sum_w AS BIGINT) AS grp_target
+  FROM counts CROSS JOIN tot
+), ranked AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('lang_temp|' || doc_id), 1, 8))::BIGINT,
+                    doc_id
+         ) AS BIGINT) AS rk
+  FROM documents
+)
+SELECT doc_id, ranked.lang AS lang, grp_count, grp_target, rk
+FROM ranked JOIN targets ON ranked.lang = targets.lang
+WHERE rk <= grp_target
+"""
+
 QUERIES = [
     Query("domain_balance", domain_balance_q, DOMAIN_BALANCE_SQL, "per-source document cap (domain balancing), deterministic ranking"),
     Query("split_train_test", split_train_test_q, SPLIT_SQL, "deterministic 80/10/10 content-hash dataset split"),
@@ -306,4 +349,5 @@ QUERIES = [
     Query("sample_epoch_mix", sample_epoch_mix_q, SAMPLE_EPOCH_SQL, "corpus-mixing epoch replication (importance upsampling manifest)"),
     Query("text_bm25", text_bm25_q, BM25_SQL, "BM25 relevance scoring with in-plan corpus statistics"),
     Query("pipeline_curation", pipeline_curation_q, _curation_sql(), "quality + language + exact-dedup curation pass (kept corpus)"),
+    Query("sample_lang_temperature", sample_lang_temperature_q, SAMPLE_TEMP_SQL, "alpha=0.5 temperature language-mix rebalancing, integer-exact"),
 ]

@@ -154,3 +154,31 @@ def test_global_rank_ids_contiguous_and_invariant(spark):
     assert {(r.k, r.v, r.rid) for r in out2.collect()} == {
         (r.k, r.v, r.rid) for r in rows
     }
+
+
+def test_temperature_sample_flattens_head_groups(spark):
+    from map_reduce_project_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    # 400 'en' vs 100 'fr': raw share 80/20; alpha=0.5 weights
+    # isqrt(400)=20 vs isqrt(100)=10 -> targets 2:1 (66/33 of 100)
+    rows = [(i, "en" if i < 400 else "fr") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(
+        df, group_col="lang", id_col="doc_id", total_target=99
+    )
+    got = {
+        r.lang: (r.grp_count, r.grp_target)
+        for r in out.select("lang", "grp_count", "grp_target")
+        .distinct()
+        .collect()
+    }
+    assert got == {"en": (400, 66), "fr": (100, 33)}
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert sizes == {"en": 66, "fr": 33}  # exact fill, not probabilistic
+    # frozen draw: same rows on a re-run
+    again = {r.doc_id for r in temperature_sample(
+        df, "lang", "doc_id", 99).collect()}
+    assert again == {r.doc_id for r in out.collect()}
