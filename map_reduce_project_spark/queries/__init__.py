@@ -99,6 +99,7 @@ def all_queries() -> dict[str, Query]:
         "ann_arrow_topk",
         "sssp_part_supplier",
         "sample_lang_temperature",
+        "curation_funnel",
     ]
     registry: dict[str, Query] = {n: by_name[n] for n in priority}
     for name, q in by_name.items():

@@ -340,6 +340,66 @@ FROM ranked JOIN targets ON ranked.lang = targets.lang
 WHERE rk <= grp_target
 """
 
+
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade attrition funnel in ONE scan: survivors after
+    each cumulative curation rule (length band -> min token count ->
+    target languages -> exact-dup keep-first), as conditional sums in
+    a single aggregate. This is the observability half of a curation
+    pipeline — the per-rule attrition report that tells you WHICH rule
+    ate the corpus before you ship a training mix. The only exchanges
+    are the dedup rank window and the final single-row aggregate."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    f = docs.select(
+        F.col("n_chars").between(200, 1200).alias("len_ok"),
+        (F.size(F.split(F.col("text"), " ")) >= 30).alias("tok_ok"),
+        F.col("lang").isin("en", "es", "de", "fr").alias("lang_ok"),
+        (rk == 1).alias("uniq_ok"),
+    )
+
+    def stage(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    s1 = F.col("len_ok")
+    s2 = s1 & F.col("tok_ok")
+    s3 = s2 & F.col("lang_ok")
+    s4 = s3 & F.col("uniq_ok")
+    return f.agg(
+        F.count("*").alias("n_total"),
+        stage(s1, "n_after_len"),
+        stage(s2, "n_after_tokens"),
+        stage(s3, "n_after_lang"),
+        stage(s4, "n_after_dedup"),
+    )
+
+
+CURATION_FUNNEL_SQL = """
+WITH f AS (
+  SELECT n_chars BETWEEN 200 AND 1200 AS len_ok,
+         LEN(string_split(text, ' ')) >= 30 AS tok_ok,
+         lang IN ('en', 'es', 'de', 'fr') AS lang_ok,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+           AS uniq_ok
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_len,
+  CAST(SUM(CASE WHEN len_ok AND tok_ok THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_after_tokens,
+  CAST(SUM(CASE WHEN len_ok AND tok_ok AND lang_ok THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_after_lang,
+  CAST(SUM(CASE WHEN len_ok AND tok_ok AND lang_ok AND uniq_ok THEN 1
+    ELSE 0 END) AS BIGINT) AS n_after_dedup
+FROM f
+"""
+
 QUERIES = [
     Query("domain_balance", domain_balance_q, DOMAIN_BALANCE_SQL, "per-source document cap (domain balancing), deterministic ranking"),
     Query("split_train_test", split_train_test_q, SPLIT_SQL, "deterministic 80/10/10 content-hash dataset split"),
@@ -350,4 +410,5 @@ QUERIES = [
     Query("text_bm25", text_bm25_q, BM25_SQL, "BM25 relevance scoring with in-plan corpus statistics"),
     Query("pipeline_curation", pipeline_curation_q, _curation_sql(), "quality + language + exact-dedup curation pass (kept corpus)"),
     Query("sample_lang_temperature", sample_lang_temperature_q, SAMPLE_TEMP_SQL, "alpha=0.5 temperature language-mix rebalancing, integer-exact"),
+    Query("curation_funnel", curation_funnel_q, CURATION_FUNNEL_SQL, "single-scan filter-cascade attrition funnel (cumulative rule survivors)"),
 ]
