@@ -614,3 +614,42 @@ QUERIES.append(
         "event-path trigram mining over time-ordered user journeys (one shuffle)",
     )
 )
+
+def ev_enriched_streaming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast join under the oracle gate: each event
+    enriched with its user's market segment from the static customer
+    dim (stateless map-side hash join per micro-batch), then a
+    watermarked daily window aggregate — the canonical streaming
+    enrichment shape, hash-checked against the equivalent batch
+    join+group (streaming/windows.py:stream_enriched_segment_counts)."""
+    from map_reduce_project_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_enriched_segment_counts,
+        stream_events,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return run_stream_to_memory(
+        stream_enriched_segment_counts(stream, cust)
+    )
+
+
+EV_ENRICHED_STREAM_SQL = """
+SELECT date_trunc('day', ts) AS day_start, c_mktsegment,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+QUERIES.append(
+    Query(
+        "ev_enriched_streaming",
+        ev_enriched_streaming_q,
+        EV_ENRICHED_STREAM_SQL,
+        "stream-static broadcast enrichment + daily windowed agg (streaming)",
+    )
+)

@@ -126,3 +126,32 @@ def run_stream_to_memory(
     query.awaitTermination()
     spark = streaming_df.sparkSession
     return spark.table(name)
+
+
+def stream_enriched_segment_counts(
+    events: DataFrame,
+    dims: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment + windowed agg: the most common
+    production streaming shape (join each event to a slowly-changing
+    dimension, then aggregate). The static side is broadcast — a
+    stateless map-side hash join per micro-batch, no join state, no
+    extra watermark bookkeeping; only the downstream window agg keeps
+    state. At scale the dimension refreshes per micro-batch read, so
+    a compacted dim table stays cheap to re-broadcast."""
+    enriched = events.withWatermark("ts", watermark).join(
+        F.broadcast(dims),
+        events["user_id"] == dims["c_custkey"],
+        "inner",
+    )
+    return (
+        enriched.groupBy(
+            F.window("ts", "1 day").start.alias("day_start"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
