@@ -50,7 +50,24 @@ _NEW = "_ccf_new"
 
 # loop shuffle sizing (see connected_components)
 _GROWTH = 8  # peak pair rows ~= GROWTH x input edges
-_ROWS_PER_PARTITION = 250_000
+# Shuffle-partition sizing model: per-iteration cost ~= a*V/p + b*p
+# (data plane + per-task fixed overhead), minimized at
+# p = sqrt(V / (b/a)). _TASK_OVERHEAD_ROWS is the fitted b/a —
+# measured optima on local[32]: 17 partitions @ 4M pair rows,
+# 33 @ 16M (both within a few percent of sqrt(V/14400)); the tiny
+# reference graphs land on the floor of 4, also the measured optimum.
+# At cluster scale the sqrt optimum would exceed what fits in executor
+# memory, so _MAX_ROWS_PER_PARTITION caps per-partition volume
+# (~160 MB of string pairs) and takes over as the sizing term.
+_TASK_OVERHEAD_ROWS = 14_400
+_MAX_ROWS_PER_PARTITION = 4_000_000
+
+
+def _loop_shuffle_partitions(n_edges: int) -> int:
+    volume = n_edges * _GROWTH
+    sqrt_opt = (volume / _TASK_OVERHEAD_ROWS) ** 0.5
+    mem_floor = volume / _MAX_ROWS_PER_PARTITION
+    return max(4, min(int(max(sqrt_opt, mem_floor)) + 1, 20000))
 
 
 @dataclass
@@ -403,15 +420,13 @@ def connected_components(
             iterate_fn = ccf_iterate
             path = "window"
 
-    # Size the loop's shuffles from the data, not from session defaults.
-    # Pair volume peaks at roughly GROWTH x the input edges; partitions
-    # are sized so each holds ~ROWS_PER_PARTITION pair rows. For the
-    # reference bench graphs (15k-50k edges) this lands at the floor of
-    # 4; at paper scale (92B edges) it lands in the thousands. AQE's
-    # per-stage adaptive barriers cost ~0.5s/iteration, which dominates
-    # sub-second stages, so it is disabled while the loop runs SMALL
-    # graphs and left on (skew-join splitting, coalescing) at scale.
-    target = max(4, min(int(n_edges * _GROWTH / _ROWS_PER_PARTITION) + 1, 20000))
+    # Size the loop's shuffles from the data, not from session
+    # defaults (see _loop_shuffle_partitions: sqrt-of-volume optimum
+    # under a per-partition memory cap). AQE's per-stage adaptive
+    # barriers cost ~0.5s/iteration, which dominates sub-second
+    # stages, so it is disabled while the loop runs SMALL graphs and
+    # left on (skew-join splitting, coalescing) at scale.
+    target = _loop_shuffle_partitions(n_edges)
     small = target <= 64
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")

@@ -109,8 +109,12 @@ def connected_components_star(
         F.col(edges.columns[1]).alias("dst"),
     )
 
+    from map_reduce_project_spark.graph.ccf import (
+        _loop_shuffle_partitions,
+    )
+
     n_edges = pairs.count()
-    target = max(4, min(int(n_edges * 8 / 250_000) + 1, 20000))
+    target = _loop_shuffle_partitions(n_edges)
     small = target <= 64
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
