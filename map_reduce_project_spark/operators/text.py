@@ -632,3 +632,71 @@ def rolling_fingerprint(
         F.expr(doc_fp).alias("doc_fp"),
         F.expr(win_fp).alias("win_fp"),
     )
+
+
+def bow_cosine_pairs(
+    docs: DataFrame,
+    max_df_frac: float = 0.2,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse bag-of-words cosine similarity pairs — the token-space
+    near-dup detector that sits between exact-hash dedup and dense
+    embedding ANN: weighted by term counts (unlike Jaccard's set
+    semantics), no embedding model required (unlike dense cosine).
+
+    Candidates come from an inverted-list self-join on shared tokens,
+    with document-frequency pruning FIRST: tokens appearing in more
+    than ``max_df_frac`` of the corpus are dropped before the join —
+    the same zipfian-head trick as hot-shingle pruning; it caps every
+    token's posting list (the only quadratic-risk stage) and removes
+    stopword-driven false candidates in the same stroke. Norms are
+    computed over the pruned token space, so the cosine is exact for
+    the model it claims (integer tf dot products, one IEEE double
+    division at the end — hash-stable on any engine).
+
+    Scale shape: explode -> partial+final tf count, one DF aggregate,
+    broadcast corpus-size scalar, posting-list equi-join bounded per
+    token by max_df, partial+final integer dot aggregate. Output is
+    (id_a, id_b, dot, cosine) for pairs at or above ``threshold``.
+    """
+    tok = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    total = docs.agg(F.count("*").alias("n_docs"))
+    df = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    kept = (
+        tok.join(df, "tok")
+        .crossJoin(F.broadcast(total))
+        .where(F.col("df") <= F.col("n_docs") * max_df_frac)
+        .select(id_col, "tok", "tf")
+    )
+    n2 = kept.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = kept.selectExpr(f"{id_col} as id_a", "tok", "tf as tf_a")
+    b = kept.selectExpr(f"{id_col} as id_b", "tok", "tf as tf_b")
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = n2.selectExpr(f"{id_col} as id_a", "n2 as na")
+    nb = n2.selectExpr(f"{id_col} as id_b", "n2 as nb")
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+    ).alias("cosine")
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", "dot", cos)
+        .where(F.col("cosine") >= threshold)
+    )

@@ -382,3 +382,54 @@ QUERIES.append(
         "frequency-ranked vocabulary; scalable two-pass contiguous ids vs global row_number oracle",
     )
 )
+
+def bow_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse bag-of-words cosine pairs with in-plan DF pruning
+    (operators/text.py:bow_cosine_pairs) — integer tf dot products,
+    one IEEE double division, exact under the hash gate."""
+    from map_reduce_project_spark.operators.text import bow_cosine_pairs
+
+    return bow_cosine_pairs(read_table(spark, sf_dir, "documents"))
+
+
+BOW_COSINE_SQL = """
+WITH tok AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) GROUP BY doc_id, tok
+), total AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok
+), kept AS (
+  SELECT tok.doc_id, tok.tok, tok.tf
+  FROM tok JOIN dfreq USING (tok) CROSS JOIN total
+  WHERE dfreq.df <= total.n_docs * 0.2
+), n2 AS (
+  SELECT doc_id, SUM(tf * tf) AS n2 FROM kept GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, dot,
+       CAST(dot AS DOUBLE)
+         / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE)))
+         AS cosine
+FROM dots
+JOIN n2 na ON na.doc_id = id_a
+JOIN n2 nb ON nb.doc_id = id_b
+WHERE CAST(dot AS DOUBLE)
+      / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) >= 0.5
+"""
+
+QUERIES.append(
+    Query(
+        "text_bow_cosine",
+        bow_cosine_q,
+        BOW_COSINE_SQL,
+        "sparse bag-of-words cosine pairs, DF-pruned posting-list join",
+    )
+)
+

@@ -600,3 +600,43 @@ def test_unknown_modality_still_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00", "video/mp4")
+
+
+def test_bow_cosine_counts_weighting_beats_jaccard_sets(spark):
+    from map_reduce_project_spark.operators.text import bow_cosine_pairs
+
+    rows = [
+        (1, "alpha alpha alpha beta"),   # tf-weighted toward alpha
+        (2, "alpha alpha alpha gamma"),  # same heavy token
+        (3, "alpha beta gamma delta"),   # same SET as 1+2 union, flat tf
+        (4, "zeta eta theta iota"),      # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.cosine
+        for r in bow_cosine_pairs(df, max_df_frac=1.0, threshold=0.0).collect()
+    }
+    # count weighting: (1,2) share tf=3 on alpha -> cosine 9/sqrt(10*10)=0.9
+    assert out[(1, 2)] == pytest.approx(0.9)
+    # flat doc 3 is far from both heavy docs despite full set overlap
+    assert out[(1, 3)] < 0.7 and out[(2, 3)] < 0.7
+    assert not any(4 in p for p in out)  # disjoint vocab: no candidate row
+
+
+def test_bow_cosine_df_pruning_drops_stopword_candidates(spark):
+    from map_reduce_project_spark.operators.text import bow_cosine_pairs
+
+    # 'the' is in every doc; with max_df_frac=0.5 it is pruned, so the
+    # only surviving candidate pair is the one sharing a rare token
+    rows = [
+        (1, "the apple pie"),
+        (2, "the apple tart"),
+        (3, "the orange juice"),
+        (4, "the grape soda"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in bow_cosine_pairs(df, max_df_frac=0.5, threshold=0.0).collect()
+    }
+    assert pairs == {(1, 2)}
