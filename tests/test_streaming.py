@@ -181,3 +181,33 @@ def test_rate_source_windowed_stream(spark):
         assert rows >= 7  # several windows x users materialized
     finally:
         query.stop()
+
+
+def test_checkpoint_restart_processes_nothing_new(spark, sf0001):
+    """Exactly-once across RESTARTS: a second start() on the same
+    checkpoint must find every input file already committed and add
+    no batches — the recovery contract a production ingest relies on
+    (distinct from per-batch retry idempotency, tested above)."""
+    stream = stream_events(spark, sf0001)
+    counts = stream_tumbling_counts(stream)
+    out = os.path.join(tempfile.mkdtemp(), "restart_out")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_restart_")
+    sink = foreach_batch_parquet(out)
+
+    def run_once():
+        q = (
+            counts.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"restart_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert len(first) > 0
+    run_once()  # same checkpoint: no new input -> no new batches
+    again = spark.read.parquet(out).collect()
+    assert sorted(map(str, again)) == sorted(map(str, first))
