@@ -393,37 +393,66 @@ def incremental_dedup(
     computed in-plan (the gate has no cross-query storage), each
     checkpointed once, same as ``minhash_dedup_fused``.
     """
+    idx = _per_doc_signature_table(
+        index_docs, id_col, text_col, num_hashes, k
+    ).localCheckpoint(eager=False)
+    batch = _per_doc_signature_table(
+        batch_docs, id_col, text_col, num_hashes, k
+    ).localCheckpoint(eager=False)
+    ib = lsh_buckets(
+        idx, id_col=id_col, num_hashes=num_hashes, bands=bands
+    ).select(F.col(id_col).alias("id_i"), "band_idx", "band_hash")
+    si = idx.select(F.col(id_col).alias("id_i"), F.col("sset").alias("set_i"))
+    return _best_index_match(
+        batch, ib, si, id_col, num_hashes, bands, threshold
+    )
+
+
+def _per_doc_signature_table(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    k: int,
+) -> DataFrame:
+    """(id, h0..hN minhashes, sset shingle set) — one shingle pass."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles_expr(k, text_col)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    aggs.append(F.collect_set("shingle").alias("sset"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def _best_index_match(
+    batch: DataFrame,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """Batch per-doc table vs an index given as (id_i, band_idx,
+    band_hash) buckets + (id_i, set_i) shingle sets: LSH bucket join,
+    exact Jaccard, best match per batch doc (max jaccard, ties to the
+    smallest index id)."""
     from pyspark.sql.window import Window
 
-    def per_doc_table(docs: DataFrame) -> DataFrame:
-        sh = docs.select(
-            F.col(id_col), F.explode(shingles_expr(k, text_col)).alias("shingle")
-        )
-        aggs = [
-            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
-            for s in range(num_hashes)
-        ]
-        aggs.append(F.collect_set("shingle").alias("sset"))
-        return sh.groupBy(id_col).agg(*aggs).localCheckpoint(eager=False)
-
-    idx = per_doc_table(index_docs)
-    batch = per_doc_table(batch_docs)
     bb = lsh_buckets(batch, id_col=id_col, num_hashes=num_hashes, bands=bands)
-    ib = lsh_buckets(idx, id_col=id_col, num_hashes=num_hashes, bands=bands)
     cands = (
         bb.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
-        .join(
-            ib.select(F.col(id_col).alias("id_i"), "band_idx", "band_hash"),
-            ["band_idx", "band_hash"],
-        )
+        .join(index_bands, ["band_idx", "band_hash"])
         .select("id_b", "id_i")
         .dropDuplicates()
     )
     sb = batch.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
-    si = idx.select(F.col(id_col).alias("id_i"), F.col("sset").alias("set_i"))
     scored = (
         cands.join(sb, "id_b")
-        .join(si, "id_i")
+        .join(index_sets, "id_i")
         .select(
             "id_b",
             "id_i",
@@ -451,6 +480,76 @@ def incremental_dedup(
             F.col("id_i").alias("dup_of"),
             "jaccard",
         )
+    )
+
+
+def write_signature_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = 3,
+) -> None:
+    """Persist the dedup index so later batches never re-shingle the
+    corpus — the storage half of the incremental-dedup contract
+    (``incremental_dedup``'s docstring describes it; this implements
+    it). Layout under ``path``:
+
+    - ``bands/`` — (id, band_hash) partitioned by ``band_idx``: the
+      LSH bucket table. Partitioning by band index means a batch
+      probe prunes to the band directories it actually joins.
+    - ``docs/`` — (id, sset): per-doc distinct shingle sets for the
+      exact-Jaccard verify stage.
+
+    The corpus is shingled ONCE (single lazy checkpoint feeds both
+    writes). Appending a new snapshot = writing its rows to both
+    tables; no existing data is rewritten.
+    """
+    per_doc = _per_doc_signature_table(
+        docs, id_col, text_col, num_hashes, k
+    ).localCheckpoint(eager=False)
+    bands_df = lsh_buckets(
+        per_doc, id_col=id_col, num_hashes=num_hashes, bands=bands
+    ).select(F.col(id_col), "band_idx", "band_hash")
+    bands_df.write.mode("overwrite").partitionBy("band_idx").parquet(
+        f"{path}/bands"
+    )
+    per_doc.select(F.col(id_col), "sset").write.mode("overwrite").parquet(
+        f"{path}/docs"
+    )
+
+
+def dedup_against_signature_index(
+    spark,
+    path: str,
+    batch_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """``incremental_dedup`` with the index side read from a
+    ``write_signature_index`` layout: only the batch is shingled;
+    the index contributes a columnar scan of its bucket table (band
+    partition pruning applies) and its shingle sets. Same output
+    contract: one (id, dup_of, jaccard) row per flagged batch doc.
+    ``num_hashes``/``bands``/``k`` must match the values the index
+    was written with."""
+    batch = _per_doc_signature_table(
+        batch_docs, id_col, text_col, num_hashes, k
+    ).localCheckpoint(eager=False)
+    index_bands = spark.read.parquet(f"{path}/bands").select(
+        F.col(id_col).alias("id_i"), "band_idx", "band_hash"
+    )
+    index_sets = spark.read.parquet(f"{path}/docs").select(
+        F.col(id_col).alias("id_i"), F.col("sset").alias("set_i")
+    )
+    return _best_index_match(
+        batch, index_bands, index_sets, id_col, num_hashes, bands, threshold
     )
 
 

@@ -640,3 +640,34 @@ def test_bow_cosine_df_pruning_drops_stopword_candidates(spark):
         for r in bow_cosine_pairs(df, max_df_frac=0.5, threshold=0.0).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_persisted_signature_index_matches_in_plan(spark, docs, tmp_path):
+    """write_signature_index + dedup_against_signature_index must emit
+    exactly what the in-plan incremental_dedup emits — the persisted
+    index is the same computation with the corpus shingled once at
+    write time instead of per batch."""
+    from map_reduce_project_spark.operators.dedup import (
+        dedup_against_signature_index,
+        incremental_dedup,
+        write_signature_index,
+    )
+
+    index_docs = docs.where(F.col("doc_id").isin(1, 4))
+    batch = docs.where(F.col("doc_id").isin(2, 3, 5))
+    want = {
+        (r.doc_id, r.dup_of, r.jaccard)
+        for r in incremental_dedup(index_docs, batch, threshold=0.3).collect()
+    }
+    path = str(tmp_path / "sig_index")
+    write_signature_index(index_docs, path)
+    got = {
+        (r.doc_id, r.dup_of, r.jaccard)
+        for r in dedup_against_signature_index(
+            spark, path, batch, threshold=0.3
+        ).collect()
+    }
+    assert got == want and got
+    # the layout is the documented one: band-partitioned buckets
+    import os
+    assert any(d.startswith("band_idx=") for d in os.listdir(f"{path}/bands"))
