@@ -693,3 +693,82 @@ FROM b GROUP BY bucket
 QUERIES.append(
     Query("q37_histogram", q37_histogram, Q37_SQL, "fixed-width histogram profile via exact integer binning (one scan, map-side combine)")
 )
+
+
+def q38_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE run BY SPARK (Catalyst's recursive-CTE support,
+    new in Spark 4): transitive ancestor closure over the implicit
+    supplier binary tree (parent(k) = k div 2). Tree recursion means
+    every (node, ancestor) path is unique, so UNION ALL cannot
+    explode and the fixpoint depth is log2(max key). The DuckDB twin
+    is the same query in its dialect — both engines run a genuine
+    recursive plan, and the hash gate pins them equal."""
+    from map_reduce_project_spark.sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+      WITH RECURSIVE anc AS (
+        SELECT s_suppkey AS node, CAST(s_suppkey AS BIGINT) AS ancestor,
+               CAST(0 AS BIGINT) AS depth
+        FROM supplier
+        UNION ALL
+        SELECT node, ancestor DIV 2, depth + 1
+        FROM anc WHERE ancestor > 0
+      )
+      SELECT node, ancestor, depth FROM anc
+    """)
+
+
+Q38_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT s_suppkey AS node, CAST(s_suppkey AS BIGINT) AS ancestor,
+         CAST(0 AS BIGINT) AS depth
+  FROM supplier
+  UNION ALL
+  SELECT node, ancestor // 2, depth + 1
+  FROM anc WHERE ancestor > 0
+)
+SELECT node, ancestor, depth FROM anc
+"""
+
+QUERIES.append(
+    Query(
+        "q38_recursive_cte",
+        q38_recursive_cte,
+        Q38_SQL,
+        "Spark-side WITH RECURSIVE ancestor closure vs the same recursive query in DuckDB",
+    )
+)
+
+
+def q39_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational melt via DataFrame.unpivot (wide attribute columns
+    -> (attr, val) rows, the inverse of pivot): lowered to a single
+    Expand over one scan — no shuffle, no per-attribute pass."""
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
+
+
+Q39_SQL = """
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+"""
+
+QUERIES.append(
+    Query(
+        "q39_unpivot",
+        q39_unpivot,
+        Q39_SQL,
+        "unpivot/melt to (attr, val) rows in one Expand over one scan",
+    )
+)
