@@ -772,3 +772,38 @@ QUERIES.append(
         "unpivot/melt to (attr, val) rows in one Expand over one scan",
     )
 )
+
+
+_LATERAL_SQL_BODY = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+"""
+
+
+def q40_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery run BY SPARK (per-customer top-2
+    orders): the SQL-surface twin of the window-function top-k
+    (q8_topk_per_customer). Catalyst decorrelates the lateral into a
+    ranked join rather than re-executing the subquery per outer row;
+    DuckDB runs the identical query text, and the hash gate pins the
+    two engines equal."""
+    from map_reduce_project_spark.sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL_BODY)
+
+
+QUERIES.append(
+    Query(
+        "q40_lateral_topk",
+        q40_lateral_topk,
+        _LATERAL_SQL_BODY,
+        "correlated LATERAL subquery top-k per group, decorrelated by Catalyst",
+    )
+)
