@@ -528,3 +528,145 @@ def arrow_brute_force_topk(
         F.col(id_col), F.col(vec_col)
     ).mapInArrow(fn, out_schema)
     return topk(candidates, k)
+
+
+def write_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the pinned-quantizer inverted file so queries never
+    re-assign the corpus (the ANN counterpart of
+    dedup.write_signature_index). Layout under ``path``:
+
+    - ``cells/`` — (target_id, pos, val) element posting lists
+      partitioned by ``cell``: a probe reads only its cells'
+      directories (partition pruning on the filter the probe list
+      produces).
+    - ``norms/`` — (target_id, tn2) exact squared norms.
+    - ``centroid_elements/`` / ``centroid_norms`` — the quantizer
+      (n_centroids * dims rows; broadcast at query time).
+
+    Same exact int64 arithmetic as ``ivf_topk_pinned``: the persisted
+    index reproduces its in-plan results bit-for-bit (pinned by
+    tests). Appending a snapshot = assigning only the new vectors and
+    appending to ``cells/``/``norms/``.
+    """
+    el = _elements(vectors, id_col, vec_col)
+    n2 = norms2(vectors, id_col, vec_col)
+    cel = el.where(F.col(id_col) < n_centroids).selectExpr(
+        f"{id_col} as cell", "pos", "val as cval"
+    )
+    cn2 = n2.where(F.col(id_col) < n_centroids).selectExpr(
+        f"{id_col} as cell", "norm2 as cnorm2"
+    )
+    cdot = (
+        el.join(F.broadcast(cel), "pos")
+        .groupBy(id_col, "cell")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("cdot"))
+    )
+    cdist = (
+        cdot.join(n2, id_col)
+        .join(F.broadcast(cn2), "cell")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            (F.col("norm2") - 2 * F.col("cdot") + F.col("cnorm2")).alias(
+                "dist2"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "cell")
+    assigned = (
+        cdist.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(id_col, "cell")
+    )
+    (
+        assigned.join(el, id_col)
+        .selectExpr(f"{id_col} as target_id", "cell", "pos", "val")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    n2.selectExpr(f"{id_col} as target_id", "norm2 as tn2").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/norms")
+    cel.write.mode("overwrite").parquet(f"{path}/centroid_elements")
+    cn2.write.mode("overwrite").parquet(f"{path}/centroid_norms")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a ``write_ivf_index`` inverted file: only the QUERY side
+    is quantized in-plan; the corpus contributes columnar scans of its
+    posting lists (pruned to probed cells) and norms. Bit-identical to
+    ``ivf_topk_pinned`` run over the same corpus/queries."""
+    qel_raw = _elements(queries, id_col, vec_col)
+    qn2 = norms2(queries, id_col, vec_col)
+    cel = spark.read.parquet(f"{path}/centroid_elements")
+    cn2 = spark.read.parquet(f"{path}/centroid_norms")
+    cdot = (
+        qel_raw.join(F.broadcast(cel), "pos")
+        .groupBy(id_col, "cell")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("cdot"))
+    )
+    cdist = (
+        cdot.join(qn2, id_col)
+        .join(F.broadcast(cn2), "cell")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            (F.col("norm2") - 2 * F.col("cdot") + F.col("cnorm2")).alias(
+                "dist2"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "cell")
+    probes = (
+        cdist.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= n_probe)
+        .selectExpr(f"{id_col} as query_id", "cell")
+    )
+    qel = probes.join(
+        qel_raw.selectExpr(f"{id_col} as query_id", "pos", "val as qval"),
+        "query_id",
+    )
+    tel = spark.read.parquet(f"{path}/cells").selectExpr(
+        "target_id", "cell", "pos", "val as tval"
+    )
+    dots = (
+        qel.join(tel, ["cell", "pos"])
+        .where(F.col("query_id") != F.col("target_id"))
+        .groupBy("query_id", "target_id")
+        .agg(F.sum(F.col("qval") * F.col("tval")).alias("dot"))
+    )
+    qn = qn2.selectExpr(f"{id_col} as query_id", "norm2 as qn2")
+    tn = spark.read.parquet(f"{path}/norms").selectExpr(
+        "target_id", "tn2"
+    )
+    pairs = (
+        dots.join(qn, "query_id")
+        .join(tn, "target_id")
+        .select(
+            "query_id",
+            "target_id",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("tn2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    return topk(pairs, k)

@@ -671,3 +671,27 @@ def test_persisted_signature_index_matches_in_plan(spark, docs, tmp_path):
     # the layout is the documented one: band-partitioned buckets
     import os
     assert any(d.startswith("band_idx=") for d in os.listdir(f"{path}/bands"))
+
+
+def test_persisted_ivf_index_matches_in_plan(spark, sf0001, tmp_path):
+    from map_reduce_project_spark.operators.similarity import (
+        ivf_index_topk,
+        ivf_topk_pinned,
+        write_ivf_index,
+    )
+    from map_reduce_project_spark.sources.io import read_table
+
+    emb = read_table(spark, sf0001, "embeddings")
+    want = {
+        (r.query_id, r.target_id, r.rank, float(r.cosine))
+        for r in ivf_topk_pinned(emb, k=3, n_centroids=16, n_probe=3).collect()
+    }
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, n_centroids=16)
+    got = {
+        (r.query_id, r.target_id, r.rank, float(r.cosine))
+        for r in ivf_index_topk(spark, path, emb, k=3, n_probe=3).collect()
+    }
+    assert got == want and got
+    import os
+    assert any(d.startswith("cell=") for d in os.listdir(f"{path}/cells"))
