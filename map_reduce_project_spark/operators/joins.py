@@ -146,3 +146,44 @@ def interval_point_join(
         .where((F.col("_x") >= F.col("_lo")) & (F.col("_x") < F.col("_hi")))
         .drop("_bucket", "_x", "_lo", "_hi")
     )
+
+
+def fill_time_gaps(
+    df,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    unit: str = "hour",
+):
+    """Time-series densification: one row per (key, bucket) for EVERY
+    bucket between each key's first and last event, zero-filled where
+    the key was silent — the resample step before any
+    window/lag/trend computation that assumes contiguous buckets
+    (silence is signal; a plain groupBy silently drops it).
+
+    Shape: one bucket aggregate, one per-key span aggregate, the grid
+    generated with ``sequence`` + ``explode`` (no driver loop, no
+    cross join — each key materializes only ITS span), and one
+    co-partitioned left join. All exchanges hash on the key.
+    Output: (key, bucket_start, n_events).
+    """
+    from pyspark.sql import functions as F
+
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    counts = (
+        df.groupBy(F.col(key_col), bucket.alias("bucket_start"))
+        .agg(F.count("*").alias("_n"))
+    )
+    spans = df.groupBy(key_col).agg(
+        F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"INTERVAL 1 {unit}"))
+        ).alias("bucket_start"),
+    )
+    return grid.join(counts, [key_col, "bucket_start"], "left").select(
+        key_col,
+        "bucket_start",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+    )

@@ -653,3 +653,41 @@ QUERIES.append(
         "stream-static broadcast enrichment + daily windowed agg (streaming)",
     )
 )
+
+def ev_gap_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled hourly series per user (operators/joins.py:
+    fill_time_gaps): every hour between a user's first and last event
+    appears, with n_events = 0 where the user was silent — the
+    densification step trend/lag analyses assume."""
+    from map_reduce_project_spark.operators.joins import fill_time_gaps
+
+    return fill_time_gaps(read_table(spark, sf_dir, "events"))
+
+
+EV_GAP_FILL_SQL = """
+WITH c AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+         COUNT(*) AS n FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+  FROM s
+)
+SELECT grid.user_id, grid.bucket_start,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM grid LEFT JOIN c
+  ON c.user_id = grid.user_id AND c.bucket_start = grid.bucket_start
+"""
+
+QUERIES.append(
+    Query(
+        "ev_gap_fill",
+        ev_gap_fill_q,
+        EV_GAP_FILL_SQL,
+        "zero-filled hourly per-user series (sequence+explode densification)",
+    )
+)
