@@ -308,3 +308,63 @@ QUERIES.append(
         "mapInArrow zero-copy cosine top-3: streamed corpus, batch-local pruning",
     )
 )
+
+def rag_retrieve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval capstone: rank the corpus against a query vector
+    (vec_id 0's embedding) with the exact cosine kernel, take the
+    top 10, and join the winners back to their DOCUMENT rows — the
+    embed -> score -> top-k -> fetch-text shape every retrieval
+    pipeline runs. The score side broadcasts the single query vector
+    and streams the corpus; the fetch side joins only the 10
+    survivors against documents (broadcast the tiny side)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    hits = brute_force_topk(
+        emb.where(F.col("vec_id") == 0), emb, k=10
+    ).select(
+        F.col("target_id").alias("doc_id"), "cosine", "rank"
+    )
+    return F.broadcast(hits).join(docs, "doc_id").select(
+        "doc_id", "rank", "cosine", "lang", "source", "n_chars"
+    )
+
+
+RAG_SQL = (
+    "WITH "
+    + _EL.format(src="embeddings")
+    + """,
+dots AS (
+  SELECT t.vec_id AS doc_id, SUM(q.val * t.val) AS dot
+  FROM el q JOIN el t ON q.pos = t.pos AND t.vec_id <> 0
+  WHERE q.vec_id = 0
+  GROUP BY t.vec_id
+),
+cos AS (
+  SELECT doc_id,
+         CAST(dot AS DOUBLE) / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(tn.norm2 AS DOUBLE))) AS cosine
+  FROM dots
+  JOIN n2 qn ON qn.vec_id = 0
+  JOIN n2 tn ON tn.vec_id = doc_id
+),
+hits AS (
+  SELECT doc_id, cosine,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank
+  FROM cos
+)
+SELECT hits.doc_id, rank, cosine, lang, source, n_chars
+FROM hits JOIN documents ON documents.doc_id = hits.doc_id
+WHERE rank <= 10
+"""
+)
+
+QUERIES.append(
+    Query(
+        "rag_retrieve_topk",
+        rag_retrieve_q,
+        RAG_SQL,
+        "embed->score->top-k->fetch-text retrieval join (exact cosine kernel)",
+    )
+)
+
