@@ -671,12 +671,17 @@ def bow_cosine_pairs(
     )
     total = docs.agg(F.count("*").alias("n_docs"))
     df = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    # the pruned posting list feeds THREE consumers (norms + both join
+    # sides); checkpoint it lazily so the tokenize/DF-prune subtree
+    # runs once instead of being re-derived per consumer (same
+    # materialize-the-per-doc-table discipline as the fused MinHash
+    # pipeline — a real pipeline would persist this table)
     kept = (
         tok.join(df, "tok")
         .crossJoin(F.broadcast(total))
         .where(F.col("df") <= F.col("n_docs") * max_df_frac)
         .select(id_col, "tok", "tf")
-    )
+    ).localCheckpoint(eager=False)
     n2 = kept.groupBy(id_col).agg(
         F.sum(F.col("tf") * F.col("tf")).alias("n2")
     )

@@ -195,3 +195,33 @@ def test_arrow_topk_single_exchange(spark, registry):
     assert num_exchanges(df) == 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+
+
+def test_bow_cosine_posting_list_built_once(spark, registry):
+    # the DF-pruned posting list feeds three consumers; the lazy
+    # checkpoint must collapse the re-derivations (19 exchanges
+    # before, 3 after: tok agg, df agg, final dot agg — the posting
+    # self-join rides the checkpoint's partitioning)
+    df = registry["text_bow_cosine"].fn(spark, SF)
+    assert num_exchanges(df) <= 4
+
+
+def test_temperature_sample_broadcasts_targets(spark, registry):
+    # target table (one row per group) must broadcast back, never
+    # shuffle the corpus for it; one rank window + count aggs remain
+    df = registry["sample_lang_temperature"].fn(spark, SF)
+    assert uses_broadcast_join(df)
+    assert num_exchanges(df) <= 4
+
+
+def test_gap_fill_shuffles_only_on_key(spark, registry):
+    # bucket agg + span agg, then the grid-counts join co-partitions:
+    # two exchanges total, dim side broadcast
+    df = registry["ev_gap_fill"].fn(spark, SF)
+    assert num_exchanges(df) <= 2
+
+
+def test_curation_funnel_two_exchanges(spark, registry):
+    # dedup rank window + single-row aggregate; nothing else moves
+    df = registry["curation_funnel"].fn(spark, SF)
+    assert num_exchanges(df) <= 2
