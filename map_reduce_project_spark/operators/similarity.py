@@ -277,8 +277,12 @@ def ivf_topk_pinned(
     n_centroids ~ sqrt(corpus) so cells are the parallelism unit (see
     ``ivf_sizing``), and AQE skew-split covers hot cells.
     """
-    el = _elements(vectors, id_col, vec_col)
-    n2 = norms2(vectors, id_col, vec_col)
+    # element and norm tables feed four/three consumers each
+    # (centroid slices, assignment dot, both search sides); lazy
+    # checkpoints materialize the explode/quantize subtree once —
+    # measured: 14 exchanges in the plan vs 8 after
+    el = _elements(vectors, id_col, vec_col).localCheckpoint(eager=False)
+    n2 = norms2(vectors, id_col, vec_col).localCheckpoint(eager=False)
 
     cel = el.where(F.col(id_col) < n_centroids).selectExpr(
         f"{id_col} as cell", "pos", "val as cval"

@@ -225,3 +225,16 @@ def test_curation_funnel_two_exchanges(spark, registry):
     # dedup rank window + single-row aggregate; nothing else moves
     df = registry["curation_funnel"].fn(spark, SF)
     assert num_exchanges(df) <= 2
+
+
+def test_triangles_orient_subtree_built_once(spark, registry):
+    # oriented edges feed five consumers; the checkpoint collapses
+    # the canon/degree/orient re-derivations (122 exchanges -> 8)
+    df = registry["cc_triangles"].fn(spark, SF)
+    assert num_exchanges(df) <= 10
+
+
+def test_ivf_element_tables_built_once(spark, registry):
+    # element/norm tables feed the quantizer and both search sides
+    df = registry["ann_ivf_topk"].fn(spark, SF)
+    assert num_exchanges(df) <= 10
