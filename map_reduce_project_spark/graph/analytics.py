@@ -384,3 +384,53 @@ def bounded_sssp(
         # materialized (eager checkpoint); final round backs the result
         cycler.cycle()
     return dist
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected
+    simple graph: coeff(v) = triangles_at(v) / C(deg(v), 2).
+
+    Triangle enumeration reuses the degree-oriented wedge closure
+    (same scale argument as ``triangle_count``: out-degree bounded by
+    ~sqrt(edges) under degree ordering); per-node counts are
+    orientation-INVARIANT — every triangle touches its three nodes
+    exactly once no matter which node sources it — which is what lets
+    an id-ordered SQL oracle hash-match the degree-ordered engine.
+    All integer arithmetic plus one final IEEE division; nodes with
+    deg < 2 report 0.0. Output: (node, deg, n_triangles, coeff).
+    """
+    oriented = degree_oriented_edges(edges).localCheckpoint(eager=False)
+
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, "v").select("u", "v", "w")
+    closing = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["u", "w"], "left_semi")
+
+    at_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    deg = (
+        _undirected(oriented)
+        .groupBy("src")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .withColumnRenamed("src", "node")
+    )
+    possible = (F.col("deg") * (F.col("deg") - 1) / 2).cast("double")
+    return deg.join(at_node, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+        F.when(F.col("deg") < 2, F.lit(0.0))
+        .otherwise(
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+            / possible
+        )
+        .alias("coeff"),
+    )

@@ -387,6 +387,70 @@ WITH RECURSIVE e AS (
 SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
 """
 
+
+def cc_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the part-supplier
+    co-occurrence projection (suppliers sharing a part are linked):
+    degree-oriented enumeration on the engine side, id-ordered
+    enumeration in the oracle — per-node triangle counts are
+    orientation-invariant, so the hash gate pins them equal
+    (graph/analytics.py:clustering_coefficient)."""
+    from map_reduce_project_spark.graph.analytics import (
+        clustering_coefficient,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    # co-supplier projection on low-key parts (bounded fan-out slice)
+    pairs = (
+        li.where(F.col("l_partkey") <= 200)
+        .select("l_partkey", "l_suppkey")
+        .dropDuplicates()
+    )
+    a = pairs.selectExpr("l_partkey as pk", "l_suppkey as sa")
+    b = pairs.selectExpr("l_partkey as pk", "l_suppkey as sb")
+    edges = (
+        a.join(b, "pk")
+        .where(F.col("sa") < F.col("sb"))
+        .select(
+            F.concat(F.lit("s:"), F.col("sa")).alias("src"),
+            F.concat(F.lit("s:"), F.col("sb")).alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    return clustering_coefficient(edges)
+
+
+CLUSTERING_SQL = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+  FROM lineitem WHERE l_partkey <= 200
+), e AS (
+  SELECT DISTINCT 's:' || a.sk AS a, 's:' || b.sk AS b
+  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+), und AS (
+  SELECT a AS node, b AS other FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY node
+), tri AS (
+  SELECT ab.a AS u, ab.b AS v, bc.b AS w
+  FROM e ab JOIN e bc ON ab.b = bc.a
+  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+), at_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri
+  ) GROUP BY node
+)
+SELECT deg.node, deg.deg,
+  CAST(COALESCE(at_node.n_triangles, 0) AS BIGINT) AS n_triangles,
+  CASE WHEN deg.deg < 2 THEN 0.0
+       ELSE CAST(COALESCE(at_node.n_triangles, 0) AS DOUBLE)
+            / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1) / 2)
+  END AS coeff
+FROM deg LEFT JOIN at_node ON at_node.node = deg.node
+"""
+
 QUERIES = [
     Query("lpa_communities", lpa_communities, LPA_SQL, "deterministic synchronous label-propagation communities vs unrolled mode oracle (exact)"),
     Query("kcore_part_supplier", kcore_part_supplier, KCORE_SQL, "k-core decomposition by synchronous peeling vs lockstep recursive-CTE oracle (exact)"),
@@ -399,4 +463,5 @@ QUERIES = [
     Query("bfs_part_supplier", bfs_part_supplier, BFS_SQL, "multi-source BFS hops vs recursive-CTE oracle (exact)"),
     Query("pagerank_part_supplier", pagerank_part_supplier, PAGERANK_SQL, "int64 fixed-point PageRank vs recursive-CTE oracle (exact)"),
     Query("sssp_part_supplier", sssp_part_supplier, SSSP_SQL, "bounded Bellman-Ford weighted SSSP vs recursive-CTE oracle (exact)"),
+    Query("cc_clustering_coeff", cc_clustering_coeff, CLUSTERING_SQL, "per-node local clustering coefficient, orientation-invariant triangle counts"),
 ]

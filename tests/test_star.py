@@ -147,3 +147,22 @@ def test_bounded_sssp_prefers_cheaper_two_hop_path(spark):
     assert one == {"a": 0, "b": 1, "c": 5}  # direct edge only
     three = {r.node: r.dist for r in bounded_sssp(edges, seeds, rounds=3).collect()}
     assert three == {"a": 0, "b": 1, "c": 2, "d": 3}  # relaxed via b
+
+
+def test_clustering_coefficient_known_graph(spark):
+    from map_reduce_project_spark.graph.analytics import (
+        clustering_coefficient,
+    )
+
+    # triangle a-b-c plus pendant d on a: coeff(b)=coeff(c)=1,
+    # coeff(a)=1/3 (one closed of three possible), coeff(d)=0 (deg 1)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")],
+        "src string, dst string",
+    )
+    out = {r.node: (r.deg, r.n_triangles, r.coeff)
+           for r in clustering_coefficient(edges).collect()}
+    assert out["b"] == (2, 1, 1.0) and out["c"] == (2, 1, 1.0)
+    assert out["a"][0] == 3 and out["a"][1] == 1
+    assert out["a"][2] == pytest.approx(1 / 3)
+    assert out["d"] == (1, 0, 0.0)
