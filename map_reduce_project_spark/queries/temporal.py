@@ -117,3 +117,62 @@ QUERIES = [
     Query("asof_click_attribution", asof_click_attribution_q, ASOF_CLICK_SQL, "as-of backward join: purchase -> latest preceding click per user (DuckDB ASOF oracle)"),
     Query("range_error_blast", range_error_blast_q, RANGE_BLAST_SQL, "keyless point-in-interval join via time bucketing (inequality-join oracle)"),
 ]
+
+def linear_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the hour before
+    a purchase shares the credit equally. Credit is emitted as a
+    RATIONAL (credit_num=1, credit_den=n_touches) so the whole query
+    is integer-exact under the hash gate — the float credit is one
+    downstream division away, but the exact rational is also the
+    right thing to store (no drift when credits are re-aggregated).
+    Built on the same bounded interval join as the as-of/streaming
+    attribution (state bound = the window, never the stream)."""
+    from pyspark.sql.window import Window
+
+    from map_reduce_project_spark.streaming.sinks import (
+        purchase_attribution,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    touched = purchase_attribution(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        "1 hour",
+    )
+    n = F.count("*").over(Window.partitionBy("purchase_id"))
+    return touched.select(
+        "purchase_id",
+        "click_id",
+        F.lit(1).cast("long").alias("credit_num"),
+        n.cast("long").alias("credit_den"),
+    )
+
+
+LINEAR_ATTR_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), touched AS (
+  SELECT p.purchase_id, c.click_id
+  FROM p JOIN c ON p.user_id = c.user_id
+    AND c.click_ts <= p.purchase_ts
+    AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+)
+SELECT purchase_id, click_id,
+  CAST(1 AS BIGINT) AS credit_num,
+  CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS credit_den
+FROM touched
+"""
+
+QUERIES.append(
+    Query(
+        "linear_attribution",
+        linear_attribution_q,
+        LINEAR_ATTR_SQL,
+        "linear multi-touch attribution with exact rational credits",
+    )
+)
+
