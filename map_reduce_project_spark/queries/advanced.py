@@ -807,3 +807,72 @@ QUERIES.append(
         "correlated LATERAL subquery top-k per group, decorrelated by Catalyst",
     )
 )
+
+def q41_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median price per return flag: the
+    smallest price whose running weight reaches half the group's
+    total — one sort window for the running weight, one conditional
+    min; every operand integer (price cents, integral quantities), so
+    the tie-handling and the result are bit-exact on any engine.
+    Distinct from q27's unweighted exact percentiles: the weight
+    column changes the rank arithmetic, and the cumulative-weight
+    formulation is the one that generalizes to any quantile."""
+    from pyspark.sql.window import Window
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "cents",
+        F.sum("qty").over(w).alias("cum_w"),
+        F.sum("qty").over(tot).alias("tot_w"),
+    )
+    return (
+        cum.where(F.col("cum_w") * 2 >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").alias("weighted_median_cents"),
+            F.max("tot_w").alias("total_weight"),
+        )
+    )
+
+
+Q41_SQL = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), cum AS (
+  SELECT l_returnflag, cents,
+         SUM(qty) OVER (PARTITION BY l_returnflag ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_w,
+         SUM(qty) OVER (PARTITION BY l_returnflag) AS tot_w
+  FROM li
+)
+SELECT l_returnflag,
+  CAST(MIN(cents) AS BIGINT) AS weighted_median_cents,
+  CAST(MAX(tot_w) AS BIGINT) AS total_weight
+FROM cum WHERE cum_w * 2 >= tot_w
+GROUP BY l_returnflag
+"""
+
+QUERIES.append(
+    Query(
+        "q41_weighted_median",
+        q41_weighted_median,
+        Q41_SQL,
+        "exact weighted median via cumulative-weight window, all-integer",
+    )
+)
+
