@@ -451,6 +451,45 @@ SELECT deg.node, deg.deg,
 FROM deg LEFT JOIN at_node ON at_node.node = deg.node
 """
 
+
+def cc_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree distribution of the part-supplier bipartite
+    graph — the profiling pass that decides hub-skew strategy before
+    an iterative job (window vs join CCF path, salting, AQE hints).
+    The bucket is LENGTH(bin(degree)) - 1 = floor(log2): pure
+    integer/string arithmetic, no float log to misround at bucket
+    edges. One degree aggregate + one bucket aggregate."""
+    und = _part_supplier_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .unionAll(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    bucket = (F.length(F.bin(F.col("deg"))) - 1).cast("long")
+    return deg.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+    )
+
+
+DEGREE_PROFILE_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+  ) GROUP BY node
+)
+SELECT CAST(LENGTH(bin(deg)) - 1 AS BIGINT) AS log2_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+  CAST(MIN(deg) AS BIGINT) AS min_deg,
+  CAST(MAX(deg) AS BIGINT) AS max_deg
+FROM deg GROUP BY 1
+"""
+
 QUERIES = [
     Query("lpa_communities", lpa_communities, LPA_SQL, "deterministic synchronous label-propagation communities vs unrolled mode oracle (exact)"),
     Query("kcore_part_supplier", kcore_part_supplier, KCORE_SQL, "k-core decomposition by synchronous peeling vs lockstep recursive-CTE oracle (exact)"),
@@ -464,4 +503,5 @@ QUERIES = [
     Query("pagerank_part_supplier", pagerank_part_supplier, PAGERANK_SQL, "int64 fixed-point PageRank vs recursive-CTE oracle (exact)"),
     Query("sssp_part_supplier", sssp_part_supplier, SSSP_SQL, "bounded Bellman-Ford weighted SSSP vs recursive-CTE oracle (exact)"),
     Query("cc_clustering_coeff", cc_clustering_coeff, CLUSTERING_SQL, "per-node local clustering coefficient, orientation-invariant triangle counts"),
+    Query("cc_degree_profile", cc_degree_profile, DEGREE_PROFILE_SQL, "log2-binned degree distribution (hub-skew profiling pass)"),
 ]
