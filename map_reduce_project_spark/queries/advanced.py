@@ -876,3 +876,93 @@ QUERIES.append(
     )
 )
 
+def q42_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis, hash-exact: raw power sums up to
+    the 4th accumulated as exact integers/DECIMAL(38,0) (cents^4 at
+    ~6e30 per row leaves two orders of magnitude of headroom at sf0.1;
+    at 1e9+ rows shard the sum into per-bucket decimals or rescale
+    cents first — documented bound, same as q36's moment machinery),
+    then ONE fixed IEEE expression tree per statistic over the double
+    casts of those exact sums — identical association in the DuckDB
+    twin, so bit-equal despite the classic cancellation sensitivity
+    of the raw-moment formulas."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    j = o.select(F.col("o_orderpriority").alias("prio"), cents.alias("c"))
+    # widen to decimal BEFORE multiplying: c^3 overflows int64 at
+    # cents magnitudes (5e7^3 ~ 1e23); decimal(38,0) products stay
+    # exact to ~1e38
+    cd = F.col("c").cast("decimal(38,0)")
+    m = j.groupBy("prio").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(cd * F.col("c")).cast("double").alias("s2"),
+        F.sum(cd * F.col("c") * F.col("c")).cast("double").alias("s3"),
+        F.sum(cd * F.col("c") * F.col("c") * F.col("c"))
+        .cast("double")
+        .alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    m2 = F.col("s2") / nd - mean * mean
+    m3 = (
+        F.col("s3") / nd
+        - F.lit(3.0) * mean * (F.col("s2") / nd)
+        + F.lit(2.0) * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4") / nd
+        - F.lit(4.0) * mean * (F.col("s3") / nd)
+        + F.lit(6.0) * mean * mean * (F.col("s2") / nd)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return m.select(
+        "prio",
+        F.col("n").alias("n_orders"),
+        mean.alias("mean_cents"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("excess_kurtosis"),
+    )
+
+
+Q42_SQL = """
+WITH j AS (
+  SELECT o_orderpriority AS prio,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM orders
+), m AS (
+  SELECT prio, COUNT(*) AS n, SUM(c) AS s1,
+    CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2,
+    CAST(SUM(CAST(c AS HUGEINT) * c * c) AS DOUBLE) AS s3,
+    CAST(SUM(CAST(c AS HUGEINT) * c * c * c) AS DOUBLE) AS s4
+  FROM j GROUP BY prio
+)
+SELECT prio, CAST(n AS BIGINT) AS n_orders,
+  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+  ((s3 / CAST(n AS DOUBLE)
+    - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE)))
+    + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+  / ((s2 / CAST(n AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+     * SQRT(s2 / CAST(n AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+  AS skewness,
+  ((s4 / CAST(n AS DOUBLE)
+    - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+    + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE)))
+    - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+  / ((s2 / CAST(n AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+     * (s2 / CAST(n AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+  - 3.0 AS excess_kurtosis
+FROM m
+"""
+
+QUERIES.append(
+    Query(
+        "q42_higher_moments",
+        q42_higher_moments,
+        Q42_SQL,
+        "hash-exact skewness/kurtosis from decimal raw power sums",
+    )
+)
+
