@@ -966,3 +966,33 @@ QUERIES.append(
     )
 )
 
+_GBA_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY ALL
+"""
+
+
+def q43_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the every-non-aggregated-column shorthand both
+    engines now share (DuckDB originated it; Spark adopted it): the
+    IDENTICAL query text runs on both sides of the gate. Resolves to
+    the same partial+final hash aggregate as an explicit column
+    list."""
+    from map_reduce_project_spark.sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GBA_SQL)
+
+
+QUERIES.append(
+    Query(
+        "q43_group_by_all",
+        q43_group_by_all,
+        _GBA_SQL,
+        "GROUP BY ALL shorthand, identical query text on both engines",
+    )
+)
+
