@@ -691,3 +691,71 @@ QUERIES.append(
         "zero-filled hourly per-user series (sequence+explode densification)",
     )
 )
+
+def ev_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity anomaly detection: hours where a user's
+    event count sits more than 2 sample standard deviations above
+    their OWN hourly baseline. Baseline moments come from exact
+    integer sums (count, sum, sum of squares); the z-score is one
+    fixed IEEE expression tree per row, so the flagged set is
+    engine-exact — no model, no sketch, the workhorse monitoring op.
+    Two aggregates + one broadcastable per-user stats join."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket_start")
+    ).agg(F.count("*").cast("long").alias("n"))
+    stats = hourly.groupBy("user_id").agg(
+        F.count("*").alias("nh"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    nh = F.col("nh").cast("double")
+    mean = F.col("s1").cast("double") / nh
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / nh
+    ) / (nh - F.lit(1.0))
+    # a constant-rate user has zero variance: no baseline to deviate
+    # from, so no anomaly row (the conditional also keeps the ANSI
+    # division from ever seeing a zero divisor)
+    z = F.when(
+        (F.col("nh") > 1) & (var > 0),
+        (F.col("n").cast("double") - mean) / F.sqrt(var),
+    )
+    return (
+        hourly.join(F.broadcast(stats), "user_id")
+        .select("user_id", "bucket_start", "n", z.alias("z"))
+        .where(F.col("z") > 2.0)
+    )
+
+
+EV_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT user_id, COUNT(*) AS nh, SUM(n) AS s1, SUM(n * n) AS s2
+  FROM hourly GROUP BY user_id
+)
+SELECT user_id, bucket_start, n, z FROM (
+  SELECT hourly.user_id, bucket_start, n,
+    CASE WHEN nh > 1
+          AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))
+              / (CAST(nh AS DOUBLE) - 1.0) > 0
+         THEN (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))
+              / SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))
+                     / (CAST(nh AS DOUBLE) - 1.0))
+    END AS z
+  FROM hourly JOIN stats ON stats.user_id = hourly.user_id
+) WHERE z > 2.0
+"""
+
+QUERIES.append(
+    Query(
+        "ev_anomaly_zscore",
+        ev_anomaly_q,
+        EV_ANOMALY_SQL,
+        "per-user hourly activity anomalies (z>2 vs own baseline), engine-exact",
+    )
+)
+
