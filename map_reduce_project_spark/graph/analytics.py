@@ -27,16 +27,42 @@ from pyspark.sql import functions as F
 from .ccf import _undirected
 
 
+def canonical_pairs(edges: DataFrame) -> DataFrame:
+    """Fold both orientations of every edge onto the (least, greatest)
+    canonical pair, drop self-loops, and dedup. Output: (src, dst),
+    exactly one row per undirected edge regardless of how the input
+    mixed orientations or duplicated rows.
+
+    Deduping the FOLDED pairs (one shuffle over ~|E| rows) is the only
+    correct intake for a mixed-orientation edge list: deduping ordered
+    pairs first and expanding after re-emits an edge twice when both
+    (a,b) and (b,a) were present — the round-2 k_core bug, falsified
+    by tests/test_property.py on [('0','1'),('1','0')].
+    """
+    a, b = edges.columns[0], edges.columns[1]
+    return (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("src"),
+            F.greatest(F.col(a), F.col(b)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def canonical_undirected(edges: DataFrame) -> DataFrame:
+    """Undirected simple-graph intake shared by every analytics loop:
+    canonicalize (``canonical_pairs``) then re-expand bidirectionally.
+    Each undirected edge appears exactly once per direction; degrees
+    computed on the result are the simple-graph degrees."""
+    return _undirected(canonical_pairs(edges))
+
+
 def degree_oriented_edges(edges: DataFrame) -> DataFrame:
     """Canonical (src -> dst) orientation by (degree, id) order, with
     self-loops and duplicate edges removed. Output: (src, dst)."""
-    canon = (
-        edges.select(
-            F.least(edges.columns[0], edges.columns[1]).alias("a"),
-            F.greatest(edges.columns[0], edges.columns[1]).alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .dropDuplicates(["a", "b"])
+    canon = canonical_pairs(edges).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
     )
     und = _undirected(canon.select(F.col("a").alias("src"), F.col("b").alias("dst")))
     deg = und.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed("src", "n")
@@ -75,7 +101,7 @@ def bfs_hops(
         CheckpointCycler,
     )
 
-    und = _undirected(edges).dropDuplicates(["src", "dst"])
+    und = canonical_undirected(edges)
     frontier = (
         seeds.select("node").distinct().withColumn("hop", F.lit(0))
     ).localCheckpoint(eager=True)
@@ -127,7 +153,7 @@ def pagerank_int(
     to truncate lineage (plan growth is the iterative-loop killer,
     SURVEY §4.4).
     """
-    und = _undirected(edges).dropDuplicates(["src", "dst"])
+    und = canonical_undirected(edges)
     deg = (
         und.groupBy("src")
         .agg(F.count("*").alias("deg"))
@@ -203,7 +229,7 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
         CheckpointCycler,
     )
 
-    und = _undirected(edges).dropDuplicates(["src", "dst"])
+    und = canonical_undirected(edges)
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
@@ -286,17 +312,11 @@ def k_core(
     ``edges`` is an undirected edge list (first two columns used);
     self-loops and duplicates are removed.
     """
-    a, b = edges.columns[0], edges.columns[1]
-    canon = (
-        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
     from map_reduce_project_spark.graph.checkpointing import (
         CheckpointCycler,
     )
 
-    cur = _undirected(canon)
+    cur = canonical_undirected(edges)
     n_cur = cur.count()
     cycler = CheckpointCycler(edges.sparkSession)
     for _ in range(max_iterations):

@@ -56,32 +56,14 @@ def all_queries() -> dict[str, Query]:
 
     # The driver's correctness gate checks the FIRST 50 registry
     # entries per round. Order queries so the ones with the least
-    # accumulated driver evidence come first: everything never checked
-    # in round 1 (advanced/temporal/pipeline/multimodal/ev_time_rollup)
-    # plus every query changed this round, then the proven remainder in
-    # stable module order.
+    # accumulated driver evidence come first. Round-3 rotation: the 24
+    # queries that overflowed the window in rounds 1-2 (green in the
+    # local driver-identical gate, tools/oracle_check.py, but never in
+    # a CORRECTNESS_r0N.json), then every query whose implementation
+    # was touched this round (changed-this-round => in-window policy),
+    # then new round-3 queries, then the proven remainder.
     priority = [
-        *(q.name for q in advanced.QUERIES),
-        *(q.name for q in temporal.QUERIES),
-        *(q.name for q in pipeline.QUERIES),
-        *(q.name for q in multimodal.QUERIES),
-        "ev_time_rollup",
-        # round-1 red rows — fixed this round, MUST land in-window
-        "q17_json_extract",
-        "cc_orders_summary",
-        "cc_part_supplier",
-        "ann_ivf_topk",
-        # samplers (named in the round-1 verdict's done-criteria)
-        "sample_weighted",
-        "sample_epoch_mix",
-        # new round-2 queries, oldest first; overflow past the 50-entry
-        # window waits for a later round's rotation
-        "ev_sessions_streaming",
-        "ev_sessions_stateful",
-        "text_chunks",
-        "text_chunks_udtf",
-        "q35_udaf_median",
-        "ev_gaps_grouped",
+        # never driver-checked (overflowed the r1/r2 windows)
         "ev_path_ngrams",
         "kcore_part_supplier",
         "text_vocab",
@@ -94,12 +76,23 @@ def all_queries() -> dict[str, Query]:
         "dedup_winnow_pairs",
         "text_repetition",
         "text_pack_manifest",
-        "domain_balance",
         "ev_retention_cohorts",
         "ann_arrow_topk",
         "sssp_part_supplier",
-        "sample_lang_temperature",
-        "curation_funnel",
+        "cc_clustering_coeff",
+        "cc_degree_profile",
+        "rag_retrieve_topk",
+        "text_pii_scrub",
+        "text_unigram_scores",
+        "text_bow_cosine",
+        "ev_enriched_streaming",
+        "ev_gap_fill",
+        "ev_anomaly_zscore",
+        # changed this round: graph intake canonicalized via
+        # canonical_undirected (analytics.py) — re-verify consumers
+        "bfs_part_supplier",
+        "pagerank_part_supplier",
+        "cc_triangles",
     ]
     registry: dict[str, Query] = {n: by_name[n] for n in priority}
     for name, q in by_name.items():

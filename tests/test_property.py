@@ -220,6 +220,50 @@ def test_k_core_matches_python_oracle(spark, edges, k):
     assert got == expected
 
 
+def test_both_orientation_intake(spark):
+    """Regression for the round-2 k_core bug class: an input that
+    contains BOTH (a,b) and (b,a) must behave identically to one that
+    contains the edge once. Checked on every analytics loop that
+    consumes an undirected edge list."""
+    from map_reduce_project_spark.graph.analytics import (
+        bfs_hops,
+        clustering_coefficient,
+        k_core,
+        label_propagation,
+        pagerank_int,
+        triangle_count,
+    )
+
+    tri = [("0", "1"), ("1", "2"), ("2", "0")]
+    doubled = tri + [(b, a) for a, b in tri]
+
+    # the original falsifying example: both orientations of ONE edge
+    # must yield an empty 2-core, not a doubled-degree phantom core
+    single = edges_df(spark, [("0", "1"), ("1", "0")])
+    assert k_core(single, k=2).collect() == []
+
+    for fn in (
+        lambda df: {(r.node, r.deg) for r in k_core(df, k=2).collect()},
+        lambda df: {
+            (r.node, r.hop)
+            for r in bfs_hops(
+                df, spark.createDataFrame([("0",)], "node string"), 3
+            ).collect()
+        },
+        lambda df: {(r.node, r.rank) for r in pagerank_int(df, 2).collect()},
+        lambda df: {
+            (r.node, r.community)
+            for r in label_propagation(df, 2).collect()
+        },
+        lambda df: {
+            (r.node, r.deg, r.n_triangles, r.coeff)
+            for r in clustering_coefficient(df).collect()
+        },
+        lambda df: {tuple(r) for r in triangle_count(df).collect()},
+    ):
+        assert fn(edges_df(spark, tri)) == fn(edges_df(spark, doubled))
+
+
 def python_lpa(edges, rounds):
     und = set()
     for a, b in edges:
