@@ -464,6 +464,12 @@ def connected_components(
             # iterations wide instead of growing with depth)
             cycler.cycle()
 
+            # NB: deduping physically between rounds is a MEASURED
+            # win over fusing the dedup into the next window pass
+            # (adjacent-duplicate lag filter, one shuffle/round):
+            # converging CC emits the same (node, min) pair from many
+            # groups, so the carried duplicate volume costs more than
+            # the saved exchange (500k probe: 10.9s -> 15.4s fused)
             pairs = ccf_dedup(combined)
 
             if new_pair_count == 0:
