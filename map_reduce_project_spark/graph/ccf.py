@@ -85,14 +85,32 @@ class CCFResult:
 # switches to the groupBy+join formulation, which AQE can split. The
 # probe itself (one groupBy-count + max) only runs when the graph is
 # big enough that a degree could plausibly cross the threshold, and
-# switches to an edge SAMPLE above _PROBE_EXACT_ROWS undirected rows:
-# a hub near the threshold appears in the sample thousands of times
-# (expected hits = degree x fraction), so the scaled-up estimate
-# concentrates tightly; the 2x safety factor on the comparison leans
-# toward the join path, which is always correct, merely ~1.6x slower
-# per iteration when skew was absent.
+# switches to an edge SAMPLE above _PROBE_EXACT_ROWS undirected rows.
+# Sample sizing: the decision is "max_seen / fraction >= threshold/2",
+# i.e. a threshold-degree hub must land >= fraction*threshold/2 sample
+# hits. With a FIXED sample size the expected hits at the cut shrink
+# as the graph grows (hits = threshold * PROBE / (2*edges)) and the
+# Binomial left tail opens a false-negative path to the un-splittable
+# window plan. So the fraction is floored at
+# _PROBE_MIN_EXPECTED_HITS / threshold: a threshold hub always
+# expects >= 100 hits (tail below the 2x cut at 50 hits ~ 1e-8,
+# Chernoff), at a sample cost of 2*edges*100/threshold rows —
+# 0.02% of the edge list at the 1M default, trivially cheaper than
+# one loop iteration.
 SKEW_DEGREE_THRESHOLD = 1_000_000
 _PROBE_EXACT_ROWS = 4_000_000
+_PROBE_MIN_EXPECTED_HITS = 100
+
+
+def _probe_fraction(n_edges: int, skew_degree_threshold: int) -> float:
+    """Sampling fraction for the hub-degree probe (1.0 = exact)."""
+    return min(
+        1.0,
+        max(
+            _PROBE_EXACT_ROWS / (2 * n_edges),
+            _PROBE_MIN_EXPECTED_HITS / skew_degree_threshold,
+        ),
+    )
 
 
 def ccf_fixed_point_local(
@@ -391,7 +409,7 @@ def connected_components(
             skew_robust = False
             if 2 * n_edges >= skew_degree_threshold:
                 undirected = _undirected(pairs)
-                fraction = min(1.0, _PROBE_EXACT_ROWS / (2 * n_edges))
+                fraction = _probe_fraction(n_edges, skew_degree_threshold)
                 if fraction < 1.0:
                     undirected = undirected.sample(
                         withReplacement=False, fraction=fraction, seed=42

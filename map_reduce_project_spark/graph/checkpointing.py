@@ -25,11 +25,24 @@ from pyspark.sql import SparkSession
 
 
 def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
-    """IDs of currently-persisted RDDs (storage-level != NONE)."""
-    return {
-        info.id()
-        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    }
+    """IDs of RDDs currently MARKED persistent.
+
+    Uses ``getPersistentRDDs`` (the registration map), not
+    ``getRDDStorageInfo`` (materialized blocks), for two reasons:
+
+    - Registration happens at ``persist()``/``localCheckpoint()`` CALL
+      time, before any block exists. A lazy checkpoint created by a
+      caller before the loop is therefore already in ``known`` at
+      cycler construction and can never be claimed by the loop — even
+      if it first materializes mid-loop (the claim-scope hazard of the
+      storage-info formulation).
+    - Cost: one keySet().toArray() round-trip regardless of how many
+      RDDs are persisted, vs one ``.id()`` py4j call per RDDInfo. On a
+      fast small-graph loop the per-iteration driver round-trips are a
+      measurable fraction of the iteration.
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(rid) for rid in jmap.keySet().toArray()}
 
 
 def _unpersist_rdds(spark: SparkSession, ids: set[int]) -> None:
@@ -60,10 +73,13 @@ class CheckpointCycler:
             df.count()                     # materialize this round
             cycler.cycle()                 # free round i-1's blocks
 
-    Anything persisted before construction — by this session's other
-    queries or by loop-invariant tables — is in ``known`` and never
-    released. The final generation is never released either (it backs
-    the loop's result); it stays for the ContextCleaner.
+    Anything MARKED persistent before construction — by this session's
+    other queries, by loop-invariant tables, or by a caller's
+    still-lazy checkpoint that has not materialized yet (registration
+    happens at call time, see ``_persistent_rdd_ids``) — is in
+    ``known`` and never released. The final generation is never
+    released either (it backs the loop's result); it stays for the
+    ContextCleaner.
 
     NOT safe under concurrent persists on the same session: a
     checkpoint created by a parallel query between two ``cycle()``

@@ -23,6 +23,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -63,13 +64,15 @@ def _parse_bmp(b: bytes) -> dict:
     return {"width": abs(w), "height": abs(h)}
 
 
-def _parse_ppm(b: bytes) -> dict:
-    # P6 "<w> <h> <maxval>" header, '#' comments allowed
+def _ppm_header(b: bytes, n_fields: int = 3) -> tuple[list[int], int]:
+    # P6 "<w> <h> <maxval>" header, '#' comments allowed. Returns the
+    # parsed numeric fields and the offset just past the last one
+    # (pixel data starts after exactly ONE whitespace byte more).
     if b[:2] != b"P6":
         raise ValueError("not a binary PPM")
     fields: list[int] = []
     i = 2
-    while len(fields) < 2 and i < len(b):
+    while len(fields) < n_fields and i < len(b):
         c = b[i : i + 1]
         if c == b"#":
             i = b.find(b"\n", i)
@@ -86,28 +89,47 @@ def _parse_ppm(b: bytes) -> dict:
                 raise ValueError("bad PPM header")
             fields.append(int(b[i:j]))
             i = j
-    if len(fields) < 2:
+    if len(fields) < n_fields:
         raise ValueError("truncated PPM header")
+    return fields, i
+
+
+def _parse_ppm(b: bytes) -> dict:
+    fields, _ = _ppm_header(b, n_fields=2)
     return {"width": fields[0], "height": fields[1]}
 
 
 def _parse_jpeg(b: bytes) -> dict:
     # walk markers to the first SOF0-SOF15 frame header (skipping
-    # DHT/DAC/RST/standalone markers); dims are big-endian u16 there
+    # DHT/DAC/RST/standalone markers); dims are big-endian u16 there.
+    # Per ITU T.81 B.1.1.2, markers may be preceded by any number of
+    # 0xFF fill bytes, so runs of 0xFF collapse to one marker prefix;
+    # EOI (0xD9) and SOS (0xDA) end the header region — dims must
+    # appear before the entropy-coded scan.
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     i = 2
-    while i + 4 <= len(b):
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             i += 1
             continue
+        while i + 1 < len(b) and b[i + 1] == 0xFF:  # fill bytes
+            i += 1
+        if i + 2 > len(b):
+            break
         marker = b[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            i += 2
+            i += 2  # standalone: no length field
             continue
+        if marker in (0xD9, 0xDA):  # EOI / start-of-scan
+            break
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > len(b):
+                break
             h, w = struct.unpack(">HH", b[i + 5 : i + 9])
             return {"width": w, "height": h}
+        if i + 4 > len(b):
+            break
         (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
         i += 2 + seg_len
     raise ValueError("no JPEG frame header found")
@@ -171,6 +193,105 @@ def decode_media(payload: bytes, modality: str) -> dict:
     )
 
 
+# ---------------------------------------------------------------------------
+# Pixel-level decode — REAL for the uncompressed formats (P6 PPM and
+# 24/32-bit uncompressed BMP, pure stdlib + numpy). Compressed formats
+# (JPEG/PNG) need libjpeg/zlib-filter machinery (PIL) and stay honest
+# NotImplementedError stubs; a production engine swaps only the
+# decoder body, the Spark-side stage shape is identical.
+# ---------------------------------------------------------------------------
+
+
+def _decode_ppm_pixels(b: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 array from a binary P6 PPM (maxval <= 255)."""
+    (w, h, maxval), i = _ppm_header(b)
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    i += 1  # exactly one whitespace byte separates maxval from data
+    n = w * h * 3
+    if len(b) < i + n:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(b, dtype=np.uint8, count=n, offset=i).reshape(h, w, 3)
+
+
+def _decode_bmp_pixels(b: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB array from an uncompressed 24/32-bit BMP.
+
+    Handles the format's real quirks: pixel rows padded to 4-byte
+    boundaries, bottom-up row order (positive height) vs top-down
+    (negative), and BGR channel order.
+    """
+    if len(b) < 34 or b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", b[10:14])
+    w, h_signed = struct.unpack("<ii", b[18:26])
+    (bpp,) = struct.unpack("<H", b[28:30])
+    (compression,) = struct.unpack("<I", b[30:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    h = abs(h_signed)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3  # rows pad to 4-byte boundary
+    if len(b) < data_off + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    px = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    if h_signed > 0:
+        px = px[::-1]  # bottom-up storage -> top-down array
+    return px[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+
+
+_PIXEL_DECODERS = {
+    "image/x-portable-pixmap": _decode_ppm_pixels,
+    "image/bmp": _decode_bmp_pixels,
+}
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 array -> binary P6 PPM bytes."""
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def decode_pixels(payload: bytes, modality: str) -> np.ndarray:
+    """REAL pixel decode to an (h, w, 3) uint8 array.
+
+    Supported without media libraries: P6 PPM and uncompressed BMP.
+    The ``fake/*`` modality derives a deterministic buffer from the
+    payload bytes (same contract as ``decode_media``) so pipelines are
+    testable end-to-end. Compressed formats raise NotImplementedError
+    — swap in PIL/libvips at the decoder table, nothing else changes.
+    """
+    if modality.startswith("fake/"):
+        meta = decode_media(payload, modality)
+        w, h = meta["width"], meta["height"]
+        seed = np.frombuffer(
+            hashlib.md5(payload).digest(), dtype=np.uint8
+        )
+        reps = (w * h * 3) // len(seed) + 1
+        return np.tile(seed, reps)[: w * h * 3].reshape(h, w, 3)
+    decoder = _PIXEL_DECODERS.get(modality)
+    if decoder is not None:
+        return decoder(payload)
+    raise NotImplementedError(
+        f"no pixel decoder for modality {modality!r} in this environment"
+    )
+
+
+def resize_nearest(px: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (floor index mapping —
+    source index = out_index * in_size // out_size), pure numpy."""
+    h_in, w_in, _ = px.shape
+    rows = (np.arange(h) * h_in) // h
+    cols = (np.arange(w) * w_in) // w
+    return px[rows][:, cols]
+
+
 def attach_fake_payload(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -225,13 +346,16 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_media(payload: bytes, modality: str, w: int, h: int) -> bytes:
-    """Resize stub: a real engine calls PIL/libvips here. The fake
-    modality produces a deterministic derived payload (md5-chained to
-    the target geometry) so downstream stages and tests have stable
-    bytes to hash."""
+    """Resize: REAL (decode -> numpy nearest-neighbor -> re-encode as
+    P6 PPM) for the pixel-decodable formats; the fake modality keeps
+    its deterministic md5-chained derived payload so downstream stages
+    and tests have stable bytes to hash. Compressed inputs need
+    PIL/libvips and raise."""
     if modality.startswith("fake/"):
         seed = hashlib.md5(payload + f"|{w}x{h}".encode()).digest()
         return (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]
+    if modality in _PIXEL_DECODERS:
+        return encode_ppm(resize_nearest(decode_pixels(payload, modality), w, h))
     raise NotImplementedError(
         f"no resizer for modality {modality!r} in this environment"
     )
@@ -263,6 +387,107 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return media.mapInPandas(process, RESIZED_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL pixel-level statistics over decodable payloads, Arrow-batched.
+
+    Decodes each payload to an (h, w, 3) array and emits EXACT integer
+    channel sums (not float means — integer sums survive any
+    aggregation order, so the stage is hash-gateable against a SQL
+    oracle). This is the canonical featurize shape: binary column in,
+    fixed-schema numeric columns out, one Python stage, no shuffle.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in PIXEL_STATS_SCHEMA.fieldNames()}
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                px = decode_pixels(payload, modality)
+                sums = px.sum(axis=(0, 1), dtype=np.int64)
+                out["doc_id"].append(doc_id)
+                out["modality"].append(modality)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["n_pixels"].append(px.shape[0] * px.shape[1])
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(process, PIXEL_STATS_SCHEMA)
+
+
+def solid_color_image(doc_id: int, fmt: str) -> tuple[str, bytes]:
+    """Deterministic REAL image bytes from an integer id: a solid-color
+    w x h image as P6 PPM (even ids) or bottom-up padded 24-bit BMP
+    (odd ids). Geometry/color are simple functions of the id, so a SQL
+    oracle can predict the decoded pixel sums without parsing bytes —
+    while the engine path genuinely parses the format (header walk,
+    row padding, BGR/bottom-up for BMP)."""
+    w = 1 + doc_id % 16
+    h = 1 + (doc_id // 16) % 16
+    r, g, b = doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256
+    px = np.full((h, w, 3), (r, g, b), dtype=np.uint8)
+    if fmt == "ppm":
+        return "image/x-portable-pixmap", encode_ppm(px)
+    # hand-rolled uncompressed 24-bit bottom-up BMP with row padding
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # BGR bottom-up
+    data = rows.tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    )
+    return "image/bmp", header + data
+
+
+def attach_real_image_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Manufacture REAL image payloads (PPM for even ids, BMP for odd)
+    from the id column — mapInPandas so payload construction is
+    distributed, never driver-side."""
+    id_field = StructField("doc_id", LongType())
+    gen_schema = StructType(
+        [id_field, StructField("modality", StringType()),
+         StructField("payload", BinaryType())]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mods, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                m, p = solid_color_image(
+                    int(doc_id), "ppm" if doc_id % 2 == 0 else "bmp"
+                )
+                mods.append(m)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": mods, "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        process, gen_schema
+    )
 
 
 FRAMES_SCHEMA = StructType(

@@ -93,6 +93,11 @@ def all_queries() -> dict[str, Query]:
         "bfs_part_supplier",
         "pagerank_part_supplier",
         "cc_triangles",
+        # new in round 3: real pixel decode/resize; q23 exact-twin
+        # oracle (was the one no_oracle row)
+        "mm_pixel_stats",
+        "mm_resize_pixels",
+        "q23_approx_distinct",
     ]
     registry: dict[str, Query] = {n: by_name[n] for n in priority}
     for name, q in by_name.items():

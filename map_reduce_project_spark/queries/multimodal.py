@@ -115,3 +115,94 @@ QUERIES.append(
         "1:1 mapInPandas resize stage; resized payload bytes oracle-reconstructed in hex space",
     )
 )
+
+
+def mm_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode under the exact gate: payloads are genuine
+    P6 PPM (even ids) / padded bottom-up 24-bit BMP (odd ids) bytes
+    built distributively from doc_id, and the engine path actually
+    parses the formats (header walk, 4-byte row padding, BGR +
+    bottom-up row order). Solid-color geometry makes the decoded
+    integer channel sums SQL-predictable from doc_id arithmetic, so a
+    wrong stride / row order / channel order shows up as a hash
+    mismatch."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_image_payload,
+        pixel_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pixel_stats(attach_real_image_payload(docs))
+
+
+MM_PIXEL_STATS_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image/x-portable-pixmap'
+       ELSE 'image/bmp' END AS modality,
+  CAST(1 + doc_id % 16 AS BIGINT) AS width,
+  CAST(1 + (doc_id // 16) % 16 AS BIGINT) AS height,
+  CAST((1 + doc_id % 16) * (1 + (doc_id // 16) % 16) AS BIGINT) AS n_pixels,
+  CAST((doc_id % 256) * (1 + doc_id % 16) * (1 + (doc_id // 16) % 16)
+       AS BIGINT) AS sum_r,
+  CAST(((doc_id * 7) % 256) * (1 + doc_id % 16) * (1 + (doc_id // 16) % 16)
+       AS BIGINT) AS sum_g,
+  CAST(((doc_id * 13) % 256) * (1 + doc_id % 16) * (1 + (doc_id // 16) % 16)
+       AS BIGINT) AS sum_b
+FROM documents
+"""
+
+QUERIES.append(
+    Query(
+        "mm_pixel_stats",
+        mm_pixel_stats_q,
+        MM_PIXEL_STATS_SQL,
+        "real PPM/BMP pixel decode (padding, BGR, bottom-up) -> exact channel sums",
+    )
+)
+
+
+def mm_resize_pixels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize (numpy floor-index mapping) of real
+    PPM/BMP payloads to 5x3, re-encoded as P6 PPM — the full output
+    byte stream is md5-checked against an oracle that reconstructs it
+    in hex space (solid input -> solid output, header is a constant)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_image_payload,
+        resize_images,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    resized = resize_images(attach_real_image_payload(docs), 5, 3)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.lower(F.hex("payload"))).alias("resized_hex_md5"),
+    )
+
+
+# output payload = 11-byte header "P6\n5 3\n255\n" (hex constant below)
+# + 15 repeats of the 3-byte solid color = 56 bytes
+MM_RESIZE_PIXELS_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(5 AS BIGINT) AS width,
+  CAST(3 AS BIGINT) AS height,
+  CAST(56 AS BIGINT) AS n_bytes,
+  md5('50360a3520330a3235350a'
+      || repeat(printf('%02x%02x%02x',
+                       doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256),
+                15)) AS resized_hex_md5
+FROM documents
+"""
+
+QUERIES.append(
+    Query(
+        "mm_resize_pixels",
+        mm_resize_pixels_q,
+        MM_RESIZE_PIXELS_SQL,
+        "real pixel resize (decode -> numpy nearest -> PPM re-encode), bytes oracle-reconstructed",
+    )
+)

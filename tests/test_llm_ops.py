@@ -595,6 +595,106 @@ def test_real_header_decoders(spark):
         assert got[i] == (w_, h_), (i, got[i], (w_, h_))
 
 
+def test_jpeg_fill_bytes_and_scan_termination():
+    # ITU T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+    # fill bytes; EOI/SOS end the header region
+    import struct as st
+
+    from map_reduce_project_spark.operators.multimodal import _parse_jpeg
+
+    sof = (
+        b"\xff\xc0" + st.pack(">H", 11)
+        + b"\x08" + st.pack(">HH", 7, 9) + b"\x01" + b"\x00" * 3
+    )
+    # fill bytes before both the APP0 segment and the SOF marker
+    padded = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"                      # fill run
+        + b"\xff\xe0" + st.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xff"                          # fill run
+        + sof
+    )
+    assert _parse_jpeg(padded) == {"width": 9, "height": 7}
+
+    # standalone EOI right after SOI: clean error, not a bogus
+    # length read past the buffer
+    with pytest.raises(ValueError):
+        _parse_jpeg(b"\xff\xd8\xff\xd9")
+    # SOS before any SOF: dims can't come from entropy-coded data
+    with pytest.raises(ValueError):
+        _parse_jpeg(b"\xff\xd8\xff\xda" + st.pack(">H", 4) + b"\x00" * 40)
+
+
+def test_pixel_decode_gradient_roundtrips():
+    # REAL pixel decode: gradient patterns catch stride/row-order/
+    # channel-order mistakes that solid colors can't
+    import struct as st
+
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_pixels,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    grad = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    assert (decode_pixels(encode_ppm(grad), "image/x-portable-pixmap") == grad).all()
+
+    # top-down (negative height) 24-bit BMP with 4-byte row padding
+    w, h = 3, 4
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[:, :, ::-1].reshape(h, w * 3)  # BGR, top-down
+    data = rows.tobytes()
+    hdr = (
+        b"BM" + st.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + st.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    )
+    assert (decode_pixels(hdr + data, "image/bmp") == px).all()
+
+    # nearest-neighbor: floor index mapping golden
+    rs = resize_nearest(grad, 3, 2)
+    rr = (np.arange(2) * 5) // 2
+    cc = (np.arange(3) * 7) // 3
+    assert (rs == grad[rr][:, cc]).all()
+
+
+def test_solid_color_payloads_decode_and_resize(spark):
+    # the gate-query path end-to-end through Spark: real PPM/BMP
+    # payloads -> pixel_stats exact sums -> resize preserves color
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_image_payload,
+        pixel_stats,
+        resize_images,
+    )
+
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    media = attach_real_image_payload(ids)
+    stats = {r.doc_id: r for r in pixel_stats(media).collect()}
+    for did in range(40):
+        w, h = 1 + did % 16, 1 + (did // 16) % 16
+        r = stats[did]
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.sum_r == (did % 256) * w * h
+        assert r.sum_g == (did * 7 % 256) * w * h
+        assert r.sum_b == (did * 13 % 256) * w * h
+        assert r.modality == (
+            "image/x-portable-pixmap" if did % 2 == 0 else "image/bmp"
+        )
+    resized = {
+        r.doc_id: r for r in pixel_stats(
+            resize_images(media, 6, 2).select("doc_id", "modality", "payload")
+            .withColumn("modality", F.lit("image/x-portable-pixmap"))
+        ).collect()
+    }
+    for did in range(40):
+        r = resized[did]
+        assert (r.width, r.height) == (6, 2)
+        assert r.sum_r == (did % 256) * 12
+
+
 def test_unknown_modality_still_raises(spark):
     from map_reduce_project_spark.operators.multimodal import decode_media
 

@@ -169,11 +169,13 @@ def test_stateful_sessionizer(spark, sf0001):
 
 
 def test_approx_distinct_tolerance(spark, sf0001):
+    # q23's twin formulation folds the HLL estimate into an
+    # engine-side tolerance boolean; the exact counts must match an
+    # independently computed count-distinct and every verdict be True
     from map_reduce_project_spark.queries.advanced import q23_approx_distinct
 
-    approx = {
-        r.l_returnflag: r.approx_orders
-        for r in q23_approx_distinct(spark, sf0001).collect()
+    rows = {
+        r.l_returnflag: r for r in q23_approx_distinct(spark, sf0001).collect()
     }
     li = read_table(spark, sf0001, "lineitem")
     exact = {
@@ -182,8 +184,10 @@ def test_approx_distinct_tolerance(spark, sf0001):
         .agg(F.countDistinct("l_orderkey").alias("n"))
         .collect()
     }
+    assert set(rows) == set(exact)
     for k, n in exact.items():
-        assert abs(approx[k] - n) / n < 0.05
+        assert rows[k].exact_orders == n
+        assert rows[k].within_tolerance is True
 
 
 def test_orc_and_text_roundtrip(spark, tmp_path):

@@ -46,3 +46,19 @@ def test_lsh_planes_sizing():
     assert lsh_planes_sizing(1_048_576, target_bucket_size=1024) == 10
     assert lsh_planes_sizing(10**9, target_bucket_size=1024) == 20
     assert lsh_planes_sizing(500) >= 1
+
+
+def test_probe_fraction_floors_expected_hub_hits():
+    from map_reduce_project_spark.graph.ccf import (
+        _PROBE_MIN_EXPECTED_HITS,
+        SKEW_DEGREE_THRESHOLD,
+        _probe_fraction,
+    )
+
+    # small graphs: exact (fraction 1.0)
+    assert _probe_fraction(1_000_000, SKEW_DEGREE_THRESHOLD) == 1.0
+    # at ANY scale a threshold-degree hub expects >= the configured
+    # hit floor in the sample — the fraction may not decay below it
+    for n_edges in (10**8, 10**10, 10**12, 10**14):
+        frac = _probe_fraction(n_edges, SKEW_DEGREE_THRESHOLD)
+        assert frac * SKEW_DEGREE_THRESHOLD >= _PROBE_MIN_EXPECTED_HITS
