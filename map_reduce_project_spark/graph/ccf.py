@@ -403,11 +403,14 @@ def connected_components(
     else:
         if skew_robust is None:
             # only probe degrees when a degree could plausibly cross
-            # the threshold (max degree <= 2 * edges); above
-            # _PROBE_EXACT_ROWS the probe samples the edge list so its
-            # cost stays bounded no matter the graph size
+            # the threshold: each input pair row contributes exactly
+            # one undirected row to each of its two endpoints, so no
+            # key can exceed n_edges rows — below the threshold the
+            # probe job is provably wasted. Above _PROBE_EXACT_ROWS
+            # the probe samples the edge list so its cost stays
+            # bounded no matter the graph size
             skew_robust = False
-            if 2 * n_edges >= skew_degree_threshold:
+            if n_edges >= skew_degree_threshold:
                 undirected = _undirected(pairs)
                 fraction = _probe_fraction(n_edges, skew_degree_threshold)
                 if fraction < 1.0:

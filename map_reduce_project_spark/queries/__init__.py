@@ -98,6 +98,15 @@ def all_queries() -> dict[str, Query]:
         "mm_pixel_stats",
         "mm_resize_pixels",
         "q23_approx_distinct",
+        "q44_zorder_code",
+    ]
+    # environment-gated queries (registered only where their runtime
+    # deps exist — e.g. ev_sessions_tws needs protobuf) float to the
+    # front when present
+    priority = [n for n in priority if n in by_name] + [
+        n
+        for n in ("ev_sessions_tws",)
+        if n in by_name
     ]
     registry: dict[str, Query] = {n: by_name[n] for n in priority}
     for name, q in by_name.items():

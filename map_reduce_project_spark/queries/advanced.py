@@ -1024,3 +1024,60 @@ QUERIES.append(
     )
 )
 
+
+
+def _zorder_sql_expr(cols: list[str], bits: int) -> str:
+    """The Morton interleave as portable ANSI arithmetic — generated
+    from the same (bit, column) -> position rule as the engine-side
+    expression tree, so the two can never drift."""
+    n = len(cols)
+    terms = [
+        f"(({c} >> {b}) & 1) * {1 << (b * n + i)}"
+        for i, c in enumerate(cols)
+        for b in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+def q44_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering code under the exact gate: the
+    bit-interleave of (o_custkey, o_orderkey) bucket ordinals — the
+    layout primitive behind multi-column file pruning
+    (operators/layout.py:zorder_layout range-partitions and sorts by
+    this code; see the layout tests for the pruning property). The
+    code is pure JVM shift/and arithmetic in one codegen stage, and
+    the oracle reproduces it from the identical generated formula."""
+    from map_reduce_project_spark.operators.layout import zorder_code
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(1024)).alias("x_bucket")
+    y = F.pmod(F.col("o_orderkey"), F.lit(1024)).alias("y_bucket")
+    return orders.select(
+        "o_orderkey",
+        x,
+        y,
+        zorder_code([F.pmod(F.col("o_custkey"), F.lit(1024)),
+                     F.pmod(F.col("o_orderkey"), F.lit(1024))], bits=10)
+        .cast("long")
+        .alias("zcode"),
+    )
+
+
+Q44_SQL = f"""
+SELECT o_orderkey,
+  o_custkey % 1024 AS x_bucket,
+  o_orderkey % 1024 AS y_bucket,
+  CAST({_zorder_sql_expr(['(o_custkey % 1024)', '(o_orderkey % 1024)'], 10)}
+       AS BIGINT) AS zcode
+FROM orders
+"""
+
+QUERIES.append(
+    Query(
+        "q44_zorder_code",
+        q44_zorder_code,
+        Q44_SQL,
+        "Z-order/Morton layout code (bit interleave, pure codegen arithmetic), oracle from the same generated formula",
+    )
+)

@@ -401,6 +401,49 @@ QUERIES.append(
 )
 
 
+def ev_sessions_tws_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformWithStateInPandas sessionizer (Spark 4.x named
+    state variables + explicit event-time timers) under the SAME hash
+    gate and oracle as the applyInPandasWithState twin: identical
+    emission contract — a session is emitted iff closed by a
+    gap-crossing successor or its timer (last_event + gap) fell
+    before the final watermark."""
+    from map_reduce_project_spark.streaming.transform_state import (
+        sessionize_transform_with_state,
+    )
+    from map_reduce_project_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    stream = stream_events(spark, sf_dir).select("ts", "user_id", "value")
+    out = run_stream_to_memory(
+        sessionize_transform_with_state(stream), output_mode="append"
+    )
+    return out.select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    )
+
+
+# transformWithStateInPandas ships its state protocol over protobuf
+# (pyspark.sql.streaming.proto) — a runtime dep this container lacks,
+# so the query only registers where the API can actually run; the
+# implementation + its parity test (skip-gated the same way) live in
+# streaming/transform_state.py. applyInPandasWithState twin above is
+# the always-on gated sessionizer.
+import importlib.util as _ilu  # noqa: E402
+
+if _ilu.find_spec("google") and _ilu.find_spec("google.protobuf"):
+    QUERIES.append(
+        Query(
+            "ev_sessions_tws",
+            ev_sessions_tws_q,
+            EV_SESSIONS_STATEFUL_SQL,
+            "transformWithStateInPandas sessionizer (ValueState + event-time timers), same oracle as the applyInPandasWithState twin",
+        )
+    )
+
+
 def ev_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup -> click -> purchase per user
     (the MATCH_RECOGNIZE-style sequential pattern, composed from

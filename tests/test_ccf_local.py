@@ -84,7 +84,8 @@ def test_skew_autodetect_star_graph(spark):
 
 def test_skew_autodetect_stays_on_window_path(spark):
     # same graph, default threshold (1M): probe is skipped entirely
-    # (2 * edges < threshold) and the window path is chosen
+    # (edges < threshold => no degree can cross) and the window path
+    # is chosen
     edges = [("0", str(i)) for i in range(1, 101)]
     res = connected_components(edges_df(spark, edges))
     assert res.iterate_path == "window"

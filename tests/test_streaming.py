@@ -211,3 +211,40 @@ def test_checkpoint_restart_processes_nothing_new(spark, sf0001):
     run_once()  # same checkpoint: no new input -> no new batches
     again = spark.read.parquet(out).collect()
     assert sorted(map(str, again)) == sorted(map(str, first))
+
+
+def test_transform_with_state_matches_apply_in_pandas_twin(spark, sf0001):
+    """transformWithStateInPandas sessionizer must emit exactly the
+    same closed-session set as the applyInPandasWithState twin.
+    Runtime-gated: the TWS state protocol needs protobuf, absent in
+    some environments (the query registry gates on the same check)."""
+    import importlib.util
+
+    import pytest
+
+    if not (
+        importlib.util.find_spec("google")
+        and importlib.util.find_spec("google.protobuf")
+    ):
+        pytest.skip("transformWithStateInPandas needs protobuf")
+
+    from map_reduce_project_spark.streaming.stateful import (
+        sessionize_with_state,
+    )
+    from map_reduce_project_spark.streaming.transform_state import (
+        sessionize_transform_with_state,
+    )
+
+    stream = stream_events(spark, sf0001).select("ts", "user_id", "value")
+
+    def emitted(df):
+        out = run_stream_to_memory(df, output_mode="append")
+        return {
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in out.collect()
+        }
+
+    got_tws = emitted(sessionize_transform_with_state(stream))
+    got_apply = emitted(sessionize_with_state(stream))
+    assert got_tws == got_apply
+    assert len(got_apply) > 0
