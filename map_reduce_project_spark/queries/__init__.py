@@ -99,6 +99,10 @@ def all_queries() -> dict[str, Query]:
         "mm_resize_pixels",
         "q23_approx_distinct",
         "q44_zorder_code",
+        "q45_variant",
+        "q46_heavy_hitters",
+        "q47_approx_percentile",
+        "pysource_telemetry",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

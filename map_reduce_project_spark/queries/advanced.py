@@ -1081,3 +1081,198 @@ QUERIES.append(
         "Z-order/Morton layout code (bit interleave, pure codegen arithmetic), oracle from the same generated formula",
     )
 )
+
+
+def q45_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT semi-structured type (Spark 4): props JSON parsed
+    once into the binary variant encoding, fields extracted with
+    variant_get path expressions — the schema-on-read shape for
+    heterogeneous payloads at scale (parse once, extract many, no
+    per-query JSON re-tokenization). try_variant_get on a missing
+    path must yield NULL, not error."""
+    from map_reduce_project_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "bigint").isNull().alias(
+            "missing_null"
+        ),
+        F.schema_of_variant(v).alias("vschema"),
+    )
+
+
+Q45_SQL = """
+SELECT event_id,
+  json_extract(props, '$.k')::BIGINT AS k,
+  json_extract_string(props, '$.k') AS k_str,
+  json_extract(props, '$.missing') IS NULL AS missing_null,
+  'OBJECT<k: BIGINT>' AS vschema
+FROM events
+"""
+
+QUERIES.append(
+    Query(
+        "q45_variant",
+        q45_variant,
+        Q45_SQL,
+        "VARIANT type: parse_json once, variant_get path extraction, try_variant_get null on missing path",
+    )
+)
+
+
+def q46_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (DataFrame.stat.freqItems) under the
+    exact gate via the superset contract: the sketch may return false
+    positives but NEVER misses a true heavy hitter, so the gated rows
+    are the EXACT heavy hitters (one shuffle groupBy at gate scale)
+    each flagged with membership in the sketch result — a sketch that
+    dropped one flips its flag and hash-mismatches the oracle's
+    literal TRUE."""
+    from map_reduce_project_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    support = 0.15
+    sketch = set(
+        ev.select(F.col("event_type").alias("et"))
+        .stat.freqItems(["et"], support)
+        .collect()[0][0]
+    )
+    total = ev.count()
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= support * total)
+    )
+    return exact.select(
+        "event_type",
+        "n",
+        F.col("event_type").isin(sketch).alias("in_sketch"),
+    )
+
+
+Q46_SQL = """
+SELECT event_type, COUNT(*) AS n, TRUE AS in_sketch
+FROM events
+GROUP BY event_type
+HAVING COUNT(*) >= 0.15 * (SELECT COUNT(*) FROM events)
+"""
+
+QUERIES.append(
+    Query(
+        "q46_heavy_hitters",
+        q46_heavy_hitters,
+        Q46_SQL,
+        "freqItems heavy-hitter sketch, no-false-negative contract checked against exact counts",
+    )
+)
+
+
+def q47_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (the KLL/GK-style sketch for 100 TB
+    percentiles) under the exact gate via its RANK-ERROR contract: the
+    sketch guarantees the returned value's rank is within n/accuracy
+    of the target rank. The engine counts the actual rank of the
+    approximate answer and emits the bound verdict; the gated columns
+    are exact-integer (group, n, verdict) so the sketch's
+    engine-specific value never needs to match the oracle — only its
+    contract does."""
+    from map_reduce_project_spark.sources.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    accuracy = 1000
+    approx = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", 0.5, accuracy
+            ).alias("p50"),
+            F.count("*").alias("n"),
+        )
+    )
+    ranked = (
+        li.join(approx, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("p50")).cast("long")
+            ).alias("rank_of_approx"),
+        )
+    )
+    return ranked.select(
+        "l_returnflag",
+        "n",
+        (
+            F.abs(F.col("rank_of_approx") - 0.5 * F.col("n"))
+            <= F.col("n") / accuracy + 1
+        ).alias("within_rank_bound"),
+    )
+
+
+Q47_SQL = """
+SELECT l_returnflag, COUNT(*) AS n, TRUE AS within_rank_bound
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+QUERIES.append(
+    Query(
+        "q47_approx_percentile",
+        q47_approx_percentile,
+        Q47_SQL,
+        "percentile_approx sketch checked via its rank-error contract (exact-integer verdict columns)",
+    )
+)
+
+
+def pysource_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 datasource API) under the
+    exact gate: a registered ``DataSource`` class whose reader plans
+    one InputPartition per split and generates rows task-side — the
+    extensibility path for systems Spark has no built-in connector
+    for. Row content is a deterministic 31-bit LCG of row_id, so the
+    oracle rebuilds the identical table from generate_series."""
+    from map_reduce_project_spark.sources.pydatasource import register
+
+    register(spark)
+    return (
+        spark.read.format("synthetic_telemetry")
+        .option("n_rows", 2000)
+        .option("n_partitions", 8)
+        .load()
+    )
+
+
+PYSOURCE_SQL = """
+WITH g AS (SELECT range AS row_id FROM range(0, 2000)),
+s AS (
+  SELECT row_id,
+    (row_id * 1103515245 + 12345) % 2147483648 AS x1
+  FROM g
+),
+t AS (
+  SELECT row_id, x1,
+    (x1 * 1103515245 + 12345) % 2147483648 AS x2
+  FROM s
+)
+SELECT row_id,
+  x1 % 1000 AS device,
+  CASE (x1 // 1000) % 4
+    WHEN 0 THEN 'temp' WHEN 1 THEN 'rpm'
+    WHEN 2 THEN 'volts' ELSE 'amps' END AS metric,
+  x2 % 10000 AS reading
+FROM t
+"""
+
+QUERIES.append(
+    Query(
+        "pysource_telemetry",
+        pysource_telemetry,
+        PYSOURCE_SQL,
+        "custom Python DataSource (partition-parallel reader), rows oracle-rebuilt from the same LCG",
+    )
+)

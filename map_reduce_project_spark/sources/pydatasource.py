@@ -1,0 +1,94 @@
+"""Custom Python Data Source (Spark 4 ``pyspark.sql.datasource``).
+
+The extensibility surface for sources Spark has no built-in reader
+for: implement ``DataSource``/``DataSourceReader`` in Python, register
+once per session, and the source becomes a first-class
+``spark.read.format(...)`` with real partition-parallel scans
+(``partitions()`` returns one ``InputPartition`` per split; each
+``read(partition)`` runs in its own task, Arrow-batched back to the
+JVM).
+
+``SyntheticTelemetrySource`` is the demonstration instance: a
+deterministic telemetry generator (two chained 31-bit LCG steps per
+row id — products stay under 2^62, so the gate oracle reproduces
+every row in overflow-safe ANSI arithmetic). The same class shape
+reads a real external system at scale — swap the row generator for an
+API/page reader; the partition-planning contract (one partition per
+independently fetchable split) is what makes the source scale, not
+the body.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA_DDL = (
+    "row_id long, device long, metric string, reading long"
+)
+
+_METRICS = ("temp", "rpm", "volts", "amps")
+
+# glibc LCG constants, mod 2^31: row_id * A + C never exceeds
+# 2^31 * A ~ 2.4e18 < 2^63, so signed-64 SQL engines evaluate the
+# identical expression without overflow
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 1 << 31
+
+
+def telemetry_row(row_id: int) -> tuple[int, int, str, int]:
+    x1 = (row_id * _LCG_A + _LCG_C) % _LCG_M
+    x2 = (x1 * _LCG_A + _LCG_C) % _LCG_M
+    return (
+        row_id,
+        x1 % 1000,                       # device
+        _METRICS[(x1 // 1000) % 4],      # metric
+        x2 % 10_000,                     # reading
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class _TelemetryReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+
+    def partitions(self) -> list[InputPartition]:
+        step = -(-self.n_rows // self.n_partitions)
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for row_id in range(partition.start, partition.end):
+            yield telemetry_row(row_id)
+
+
+class SyntheticTelemetrySource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_telemetry"
+
+    def schema(self) -> str | StructType:
+        return SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _TelemetryReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent session registration."""
+    spark.dataSource.register(SyntheticTelemetrySource)

@@ -4,6 +4,7 @@ from map_reduce_project_spark.streaming.sinks import (
     parse_kafka_json,
     purchase_attribution,
     purchase_attribution_stream,
+    purchase_attribution_stream_outer,
 )
 from map_reduce_project_spark.streaming.windows import (
     run_stream_to_memory,
@@ -19,6 +20,7 @@ __all__ = [
     "parse_kafka_json",
     "purchase_attribution",
     "purchase_attribution_stream",
+    "purchase_attribution_stream_outer",
     "run_stream_to_memory",
     "stream_dedup_events",
     "stream_events",

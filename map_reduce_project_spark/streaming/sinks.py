@@ -111,6 +111,59 @@ def purchase_attribution_stream(
     return purchase_attribution(purchases, clicks, attribution_window)
 
 
+def purchase_attribution_stream_outer(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    ``purchase_attribution_stream`` but purchases with no click in the
+    window still emit (click columns null) once the watermark
+    guarantees no match can arrive.
+
+    Emission caveat (why this ships with property tests, not a hash
+    gate): the inner matches are exact, and every emitted null row is
+    a true no-match, but the exact point at which Spark evicts an
+    unmatched left row and emits its null result depends on the
+    internal state-watermark derivation from the time-range condition
+    — rows near the end of a bounded stream (within roughly
+    watermark-delay + window of max event time) may be withheld. On an
+    unbounded production stream this is only ever a bounded delay, not
+    a loss; tests pin exactly that contract (soundness always,
+    completeness below a conservative horizon).
+    """
+    purchases = events.where(F.col("event_type") == "purchase").withWatermark(
+        "ts", watermark
+    )
+    clicks = events.where(F.col("event_type") == "click").withWatermark(
+        "ts", watermark
+    )
+    p = purchases.select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "leftOuter",
+    ).select(
+        "user_id", "purchase_id", "purchase_ts", "purchase_value",
+        "click_id", "click_ts",
+    )
+
+
 KAFKA_DEFAULTS = {
     # production ingest knobs, kept next to the reader so the scale
     # story is explicit: bound per-trigger volume, never block on a

@@ -248,3 +248,56 @@ def test_transform_with_state_matches_apply_in_pandas_twin(spark, sf0001):
     got_apply = emitted(sessionize_with_state(stream))
     assert got_tws == got_apply
     assert len(got_apply) > 0
+
+
+def test_stream_stream_left_outer_join_contract(spark, sf0001):
+    """LEFT OUTER stream-stream interval join: inner matches exact,
+    every null emission is a true no-match (soundness), and every
+    no-match purchase older than a conservative horizon below the
+    final watermark IS emitted (completeness — on an unbounded stream
+    the tail rows would simply emit in a later batch)."""
+    from map_reduce_project_spark.streaming.sinks import (
+        purchase_attribution,
+        purchase_attribution_stream_outer,
+    )
+    from map_reduce_project_spark.sources.io import read_table
+
+    out = run_stream_to_memory(
+        purchase_attribution_stream_outer(
+            stream_events(spark, sf0001), "1 hour", "2 hours"
+        ),
+        output_mode="append",
+    )
+
+    ev = read_table(spark, sf0001, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    inner_batch = {
+        (r.purchase_id, r.click_id)
+        for r in purchase_attribution(purchases, clicks, "1 hour").collect()
+    }
+    matched_ids = {p for p, _ in inner_batch}
+    all_purchases = {
+        r.event_id: r.ts for r in purchases.select("event_id", "ts").collect()
+    }
+    batch_null_ids = set(all_purchases) - matched_ids
+
+    got_inner = {
+        (r.purchase_id, r.click_id)
+        for r in out.where(F.col("click_id").isNotNull()).collect()
+    }
+    got_null_ids = {
+        r.purchase_id for r in out.where(F.col("click_id").isNull()).collect()
+    }
+
+    assert got_inner == inner_batch            # inner part exact
+    assert got_null_ids <= batch_null_ids      # nulls sound
+    # completeness below the horizon: 2 x (watermark delay + window)
+    # under the stream's max event time
+    import datetime
+
+    max_ts = max(all_purchases.values())
+    horizon = max_ts - datetime.timedelta(hours=6)
+    old_nulls = {p for p in batch_null_ids if all_purchases[p] < horizon}
+    assert old_nulls <= got_null_ids
+    assert len(old_nulls) > 0  # the assertion is not vacuous
