@@ -674,3 +674,214 @@ def ivf_index_topk(
         )
     )
     return topk(pairs, k)
+
+
+def semdedup_prune(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding corpus, then prune
+    near-duplicates ONLY within each cluster — the trick that makes
+    semantic dedup tractable at corpus scale, because the O(n^2) cosine
+    kernel runs per-cell (n/C rows each) instead of corpus-wide.
+
+    Clustering here is the pinned coarse quantizer shared with
+    ``ivf_topk_pinned`` (centroids = corpus vectors with id <
+    n_centroids; exact int64 L2 assignment), so the whole pipeline is
+    bit-reproducible and sits under the driver's hash gate; swap in
+    seeded k-means (``ivf_topk``) when cell balance matters more than
+    checkability — the pruning plan is identical either way.
+
+    Pruning semantics: vector v is pruned iff some same-cell vector u
+    with u.id < v.id has cos(u, v) >= threshold (the standard
+    keep-lowest-id greedy; one representative survives per near-dup
+    chain). The threshold test is evaluated on exact integers:
+    dot > 0 AND dot^2 >= t^2 * |u|^2 * |v|^2, with the squares taken in
+    IEEE double from identical int64 inputs on any engine.
+
+    Returns one row per corpus vector: (id, cell, pruned, pruned_by)
+    with pruned_by = lowest pruning id, or -1 if kept.
+
+    Scale shape: one broadcast join for assignment, one shuffle on
+    (cell, pos) for the intra-cell kernel, one min-agg. Cells are the
+    parallelism unit — size n_centroids ~ sqrt(corpus) (``ivf_sizing``)
+    and AQE skew-split handles hot cells.
+    """
+    tau2 = threshold * threshold
+    el = _elements(vectors, id_col, vec_col).localCheckpoint(eager=False)
+    n2 = norms2(vectors, id_col, vec_col).localCheckpoint(eager=False)
+
+    cel = el.where(F.col(id_col) < n_centroids).selectExpr(
+        f"{id_col} as cell", "pos", "val as cval"
+    )
+    cn2 = n2.where(F.col(id_col) < n_centroids).selectExpr(
+        f"{id_col} as cell", "norm2 as cnorm2"
+    )
+    cdot = (
+        el.join(F.broadcast(cel), "pos")
+        .groupBy(id_col, "cell")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("cdot"))
+    )
+    cdist = (
+        cdot.join(n2, id_col)
+        .join(F.broadcast(cn2), "cell")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            (F.col("norm2") - 2 * F.col("cdot") + F.col("cnorm2")).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "cell")
+    assigned = (
+        cdist.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(id_col, "cell")
+    )
+
+    uel = assigned.join(el, id_col).selectExpr(
+        "cell", f"{id_col} as u", "pos", "val as uval"
+    )
+    vel = assigned.join(el, id_col).selectExpr(
+        "cell", f"{id_col} as v", "pos", "val as vval"
+    )
+    dots = (
+        uel.join(vel, ["cell", "pos"])
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum(F.col("uval") * F.col("vval")).alias("dot"))
+    )
+    un = n2.selectExpr(f"{id_col} as u", "norm2 as un2")
+    vn = n2.selectExpr(f"{id_col} as v", "norm2 as vn2")
+    dup = (
+        dots.join(un, "u")
+        .join(vn, "v")
+        .where(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("double") * F.col("dot").cast("double")
+                >= F.lit(tau2)
+                * F.col("un2").cast("double")
+                * F.col("vn2").cast("double")
+            )
+        )
+    )
+    pruned_by = dup.groupBy("v").agg(F.min("u").alias("_pby"))
+    return (
+        assigned.join(pruned_by, F.col(id_col) == F.col("v"), "left")
+        .select(
+            F.col(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            F.col("_pby").isNotNull().alias("pruned"),
+            F.coalesce(F.col("_pby"), F.lit(-1)).cast("long").alias("pruned_by"),
+        )
+    )
+
+
+# SRP sign hash: a cheap integer hash of (dim, output dim) decides the
+# +/-1 entry of the projection matrix — never materialized, identical
+# arithmetic in any engine (Achlioptas 2003 database-friendly random
+# projections, sign variant).
+_SRP_A = 73856093
+_SRP_B = 19349663
+_SRP_MOD = 97
+_SRP_HALF = 48
+
+
+def srp_project(
+    vectors: DataFrame,
+    out_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection dimensionality reduction: y_j = sum_i
+    s(i, j) * x_i with s in {-1, +1} from an integer hash of (i, j).
+
+    Exact int64 arithmetic end to end (inputs are the 2^24 fixed-point
+    elements), so projected values are engine-portable — this is the
+    JL-style dim reduction that feeds bit-signature LSH at corpus
+    scale (group the signs of y into a bucket id to get seeded random
+    hyperplanes instead of ``sign_bucket``'s axis-aligned planes).
+
+    Returns (id, j, proj): out_dims rows per vector. One explode + one
+    broadcast of the out_dims-row j table + one partial+final sum; no
+    shuffle of anything wider than (id, j).
+    """
+    spark = vectors.sparkSession
+    el = _elements(vectors, id_col, vec_col)
+    jdf = spark.range(out_dims).select(F.col("id").cast("int").alias("j"))
+    # long arithmetic: pos * _SRP_A overflows int32 (silent wrap on the
+    # JVM, hard error in DuckDB — neither is the hash we defined)
+    sign = F.when(
+        (
+            (
+                F.col("pos").cast("long") * _SRP_A
+                + F.col("j").cast("long") * _SRP_B
+            )
+            % _SRP_MOD
+        )
+        < _SRP_HALF,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        el.crossJoin(F.broadcast(jdf))
+        .groupBy(id_col, "j")
+        .agg(F.sum(F.col("val") * sign).alias("proj"))
+        .select(F.col(id_col), F.col("j").cast("long").alias("j"), "proj")
+    )
+
+
+def pq_codes(
+    vectors: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization code assignment (Jegou et al. 2011): split
+    each vector into n_subspaces contiguous slices and store, per
+    slice, the id of the nearest codebook entry — the 64x storage
+    compression behind IVF-PQ indexes.
+
+    The codebook is pinned (codes = slices of the corpus vectors with
+    id < n_codes), mirroring the coarse-quantizer convention of
+    ``ivf_topk_pinned``; distances are exact int64 L2 on fixed-point
+    elements, argmin tie-broken on code id, so assignments are
+    bit-identical on any engine. Training the codebook with seeded
+    per-subspace k-means slots into the same plan.
+
+    Returns (id, subspace, code, dist2). Plan: one explode + one
+    broadcast codebook join + one partial+final sum + one per-(id,
+    subspace) argmin window — the only shuffle key is (id, subspace).
+    """
+    el = (
+        _elements(vectors, id_col, vec_col)
+        .withColumn("sub", (F.col("pos") - F.col("pos") % (64 // n_subspaces)) / (64 // n_subspaces))
+        .withColumn("sub", F.col("sub").cast("int"))
+    )
+    cb = el.where(F.col(id_col) < n_codes).selectExpr(
+        "sub", "pos", f"{id_col} as code", "val as cval"
+    )
+    d2 = (
+        el.join(F.broadcast(cb), ["sub", "pos"])
+        .groupBy(id_col, "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy("dist2", "code")
+    return (
+        d2.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            F.col(id_col),
+            F.col("sub").cast("long").alias("subspace"),
+            F.col("code").cast("long").alias("code"),
+            "dist2",
+        )
+    )

@@ -103,6 +103,11 @@ def all_queries() -> dict[str, Query]:
         "q46_heavy_hitters",
         "q47_approx_percentile",
         "pysource_telemetry",
+        # new in round 3 (second batch): semantic dedup + embedding
+        # compression operators
+        "dedup_semantic",
+        "emb_srp_project",
+        "emb_pq_codes",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

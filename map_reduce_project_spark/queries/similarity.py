@@ -368,3 +368,179 @@ QUERIES.append(
     )
 )
 
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup over an injected near-dup
+# corpus (every even-id vector gets a slightly perturbed copy at
+# id + 1000, so the pruner has real positives; perturbation keeps
+# cosine ~0.9995, far above the 0.92 threshold)
+# ---------------------------------------------------------------------------
+
+SEM_OFFSET = 1000
+SEM_TAU = 0.92
+
+
+def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_project_spark.operators.similarity import semdedup_prune
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = emb.where(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + SEM_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0) + ((i % 5) - 2).cast("double") * F.lit(0.001)),
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionAll(pert)
+    return semdedup_prune(corpus, n_centroids=16, threshold=SEM_TAU)
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH raw AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+corpus_el AS (
+  SELECT vec_id, pos, x FROM raw
+  UNION ALL
+  SELECT vec_id + {SEM_OFFSET} AS vec_id, pos,
+         x * (1.0 + CAST((pos % 5) - 2 AS DOUBLE) * 0.001) AS x
+  FROM raw WHERE vec_id % 2 = 0
+),
+el AS (
+  SELECT vec_id, pos, CAST(FLOOR(x * 16777216) AS BIGINT) AS val
+  FROM corpus_el
+),
+n2 AS (SELECT vec_id, SUM(val * val) AS norm2 FROM el GROUP BY vec_id),
+cel AS (SELECT vec_id AS cell, pos, val AS cval FROM el WHERE vec_id < 16),
+cn2 AS (SELECT vec_id AS cell, norm2 AS cnorm2 FROM n2 WHERE vec_id < 16),
+cdot AS (
+  SELECT e.vec_id, c.cell, SUM(e.val * c.cval) AS cdot
+  FROM el e JOIN cel c ON e.pos = c.pos
+  GROUP BY e.vec_id, c.cell
+),
+cdist AS (
+  SELECT d.vec_id, d.cell, n.norm2 - 2 * d.cdot + c.cnorm2 AS dist2
+  FROM cdot d
+  JOIN n2 n ON n.vec_id = d.vec_id
+  JOIN cn2 c ON c.cell = d.cell
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS r
+    FROM cdist
+  ) WHERE r = 1
+),
+uel AS (
+  SELECT a.cell, e.vec_id AS u, e.pos, e.val AS uval
+  FROM assigned a JOIN el e ON e.vec_id = a.vec_id
+),
+vel AS (
+  SELECT a.cell, e.vec_id AS v, e.pos, e.val AS vval
+  FROM assigned a JOIN el e ON e.vec_id = a.vec_id
+),
+dots AS (
+  SELECT u, v, SUM(uval * vval) AS dot
+  FROM uel JOIN vel ON uel.cell = vel.cell AND uel.pos = vel.pos
+  WHERE u < v
+  GROUP BY u, v
+),
+dup AS (
+  SELECT d.v, d.u
+  FROM dots d
+  JOIN n2 un ON un.vec_id = d.u
+  JOIN n2 vn ON vn.vec_id = d.v
+  WHERE d.dot > 0
+    AND CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
+        >= {SEM_TAU * SEM_TAU!r} * CAST(un.norm2 AS DOUBLE) * CAST(vn.norm2 AS DOUBLE)
+),
+pby AS (SELECT v, MIN(u) AS pby FROM dup GROUP BY v)
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       p.pby IS NOT NULL AS pruned,
+       CAST(COALESCE(p.pby, -1) AS BIGINT) AS pruned_by
+FROM assigned a LEFT JOIN pby p ON p.v = a.vec_id
+"""
+
+QUERIES.append(
+    Query(
+        "dedup_semantic",
+        dedup_semantic_q,
+        DEDUP_SEMANTIC_SQL,
+        "SemDeDup: pinned-quantizer clustering + intra-cell cosine pruning on an injected near-dup corpus",
+    )
+)
+
+
+def emb_srp_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_project_spark.operators.similarity import srp_project
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return srp_project(emb, out_dims=16)
+
+
+EMB_SRP_SQL = """
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 16777216) AS BIGINT) AS val
+  FROM embeddings
+),
+js AS (SELECT range AS j FROM range(0, 16))
+SELECT vec_id, CAST(j AS BIGINT) AS j,
+       CAST(SUM(val * CASE
+             WHEN ((CAST(pos AS BIGINT) * 73856093 + CAST(j AS BIGINT) * 19349663) % 97) < 48
+             THEN 1 ELSE -1 END) AS BIGINT) AS proj
+FROM el CROSS JOIN js
+GROUP BY vec_id, j
+"""
+
+QUERIES.append(
+    Query(
+        "emb_srp_project",
+        emb_srp_project_q,
+        EMB_SRP_SQL,
+        "sign-random-projection dim reduction, exact int64 (Achlioptas-style JL)",
+    )
+)
+
+
+def emb_pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_project_spark.operators.similarity import pq_codes
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pq_codes(emb, n_subspaces=8, n_codes=8)
+
+
+EMB_PQ_SQL = """
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 16777216) AS BIGINT) AS val
+  FROM embeddings
+),
+sel AS (SELECT vec_id, CAST(pos // 8 AS INT) AS sub, pos, val FROM el),
+cb AS (SELECT sub, pos, vec_id AS code, val AS cval FROM sel WHERE vec_id < 8),
+d2 AS (
+  SELECT s.vec_id, s.sub, c.code,
+         CAST(SUM((s.val - c.cval) * (s.val - c.cval)) AS BIGINT) AS dist2
+  FROM sel s JOIN cb c ON s.sub = c.sub AND s.pos = c.pos
+  GROUP BY s.vec_id, s.sub, c.code
+)
+SELECT vec_id, CAST(sub AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code, dist2
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, code) AS r
+  FROM d2
+) WHERE r = 1
+"""
+
+QUERIES.append(
+    Query(
+        "emb_pq_codes",
+        emb_pq_codes_q,
+        EMB_PQ_SQL,
+        "product-quantization code assignment against a pinned codebook, exact int64 L2",
+    )
+)

@@ -795,3 +795,85 @@ def test_persisted_ivf_index_matches_in_plan(spark, sf0001, tmp_path):
     assert got == want and got
     import os
     assert any(d.startswith("cell=") for d in os.listdir(f"{path}/cells"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup / SRP / PQ (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_prunes_exact_copy_keeps_lowest_id(spark):
+    from map_reduce_project_spark.operators.similarity import semdedup_prune
+
+    base = [float(x) for x in (1, 2, 3, 4)]
+    far = [4.0, -3.0, 2.0, -1.0]
+    df = _vec_df(
+        spark,
+        [(0, base), (1, far), (50, base), (60, [x * 1.0001 for x in base])],
+    )
+    out = {r["vec_id"]: r for r in semdedup_prune(df, n_centroids=2, threshold=0.95).collect()}
+    assert not out[0]["pruned"] and out[0]["pruned_by"] == -1
+    assert not out[1]["pruned"]  # orthogonal-ish vector survives
+    assert out[50]["pruned"] and out[50]["pruned_by"] == 0
+    assert out[60]["pruned"] and out[60]["pruned_by"] == 0
+
+
+def test_semdedup_never_compares_across_cells(spark):
+    from map_reduce_project_spark.operators.similarity import semdedup_prune
+
+    # identical vectors but assigned to different cells can't happen
+    # (assignment is a function of the vector); near-identical vectors
+    # in the same cell prune, and every pruned row names a same-cell
+    # keeper with a lower id
+    rows = [(i, [float(i % 7 + 1), 1.0, 0.5, 0.25]) for i in range(30)]
+    df = _vec_df(spark, rows)
+    out = semdedup_prune(df, n_centroids=4, threshold=0.999).collect()
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    for r in out:
+        if r["pruned"]:
+            assert r["pruned_by"] < r["vec_id"]
+            assert cells[r["pruned_by"]] == r["cell"]
+
+
+def test_srp_projection_matches_python(spark):
+    from map_reduce_project_spark.operators.similarity import (
+        _SRP_A,
+        _SRP_B,
+        _SRP_HALF,
+        _SRP_MOD,
+        QSCALE,
+        srp_project,
+    )
+    import math
+
+    rows = [(0, [0.5, -0.25, 0.125]), (1, [1.0, 1.0, -1.0])]
+    out = {
+        (r["vec_id"], r["j"]): r["proj"]
+        for r in srp_project(_vec_df(spark, rows), out_dims=4).collect()
+    }
+    for vid, vec in rows:
+        for j in range(4):
+            want = sum(
+                math.floor(x * QSCALE)
+                * (1 if (pos * _SRP_A + j * _SRP_B) % _SRP_MOD < _SRP_HALF else -1)
+                for pos, x in enumerate(vec)
+            )
+            assert out[(vid, j)] == want
+    assert len(out) == 8
+
+
+def test_pq_codes_self_assignment_is_zero(spark):
+    from map_reduce_project_spark.operators.similarity import pq_codes
+
+    # codebook vectors must land at dist2 = 0; the value pattern has
+    # period 5 in vec_id, so ties resolve to the lowest code id
+    rows = [(i, [float((i * 7 + d) % 5 - 2) for d in range(64)]) for i in range(12)]
+    out = pq_codes(_vec_df(spark, rows), n_subspaces=8, n_codes=8).collect()
+    for r in out:
+        if r["vec_id"] < 8:
+            assert r["code"] == r["vec_id"] % 5 and r["dist2"] == 0
+    assert len(out) == 12 * 8
