@@ -108,6 +108,9 @@ def all_queries() -> dict[str, Query]:
         "dedup_semantic",
         "emb_srp_project",
         "emb_pq_codes",
+        "q48_merge_upsert",
+        "q49_scd2_history",
+        "dedup_normalized",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1276,3 +1276,119 @@ QUERIES.append(
         "custom Python DataSource (partition-parallel reader), rows oracle-rebuilt from the same LCG",
     )
 )
+
+
+def q48_merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (Delta/Iceberg-style CDC upsert) lowered to the
+    DataFrame algebra Spark actually executes it as: one full-outer
+    equi-join of target and source on the merge key, then per-row
+    branch into update / keep / insert. Target = customers missing
+    every 7th key (so some source keys genuinely insert); source =
+    per-customer order totals. Money is exact int64 cents, so the
+    merged balances hash-match the oracle.
+
+    Scale: one shuffle per side on the merge key — the same physical
+    plan a lakehouse MERGE runs before its file rewrite; AQE handles
+    source-side skew, and a small CDC batch side should be broadcast
+    (Catalyst does this automatically under the 10 MB threshold).
+    """
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    cents = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("long")
+    tgt = customer.where(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("tk"), cents("c_acctbal").alias("bal")
+    )
+    src = (
+        orders.groupBy(F.col("o_custkey").alias("sk"))
+        .agg(
+            F.sum(cents("o_totalprice")).alias("delta"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    j = tgt.join(src, tgt.tk == src.sk, "full_outer")
+    return j.select(
+        F.coalesce(F.col("tk"), F.col("sk")).alias("custkey"),
+        F.when(F.col("tk").isNotNull() & F.col("sk").isNotNull(), "update")
+        .when(F.col("tk").isNotNull(), "keep")
+        .otherwise("insert")
+        .alias("action"),
+        (
+            F.coalesce(F.col("bal"), F.lit(0))
+            + F.coalesce(F.col("delta"), F.lit(0))
+        ).cast("long").alias("balance_cents"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+Q48_SQL = """
+WITH tgt AS (
+  SELECT c_custkey AS tk,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+  FROM customer WHERE c_custkey % 7 <> 0
+),
+src AS (
+  SELECT o_custkey AS sk,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS delta,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(tk, sk) AS custkey,
+  CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN 'update'
+       WHEN tk IS NOT NULL THEN 'keep' ELSE 'insert' END AS action,
+  CAST(COALESCE(bal, 0) + COALESCE(delta, 0) AS BIGINT) AS balance_cents,
+  CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+FROM tgt FULL OUTER JOIN src ON tk = sk
+"""
+
+QUERIES.append(
+    Query(
+        "q48_merge_upsert",
+        q48_merge_upsert_q,
+        Q48_SQL,
+        "MERGE INTO semantics as full-outer join + update/keep/insert branches, exact int64 cents",
+    )
+)
+
+
+def q49_scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: rebuild a versioned history
+    table from an ordered change stream. Each customer's orders become
+    attribute versions; valid_from = the change timestamp, valid_to =
+    the NEXT change's timestamp (NULL while current). One window over
+    (key ORDER BY ts, tiebreak id) — a single shuffle on the dimension
+    key, no self-join; this is the scalable form of the usual
+    correlated-subquery SCD2 rebuild.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )
+
+
+Q49_SQL = """
+SELECT o_custkey AS custkey,
+  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+  o_orderkey AS orderkey,
+  o_orderpriority AS priority,
+  o_orderdate AS valid_from,
+  LEAD(o_orderdate) OVER w AS valid_to,
+  LEAD(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+QUERIES.append(
+    Query(
+        "q49_scd2_history",
+        q49_scd2_history_q,
+        Q49_SQL,
+        "SCD type-2 history rebuild: one window pass makes validity intervals from a change stream",
+    )
+)

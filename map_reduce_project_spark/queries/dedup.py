@@ -500,3 +500,68 @@ QUERIES = [
     Query("dedup_simhash", dedup_simhash_q, DEDUP_SIMHASH_SQL, "16-bit SimHash signatures"),
     Query("dedup_minhash_pruned", dedup_minhash_pruned_q, DEDUP_MINHASH_PRUNED_SQL, "MinHash+LSH with document-frequency pruning of hot shingles"),
 ]
+
+
+def dedup_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact dedup: the cheap first rung of every
+    corpus dedup ladder (before MinHash/SimHash) — lowercase, collapse
+    every non-alphanumeric run to one space, trim, then group exact.
+    Catches case/punctuation/whitespace variants that byte-exact hash
+    dedup misses. The injected corpus adds an UPPERCASED copy with
+    trailing junk per even doc, so the normalizer has real work.
+
+    Scale: identical shape to ``dedup_exact`` — map-side normalize +
+    one hash-agg on the normalized key (partial+final); no UDF, the
+    normalizer is a single JVM regexp_replace inside codegen.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variant = docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  !!")).alias("text"),
+    )
+    corpus = docs.unionAll(variant)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    per_doc = corpus.select("doc_id", norm.alias("norm"))
+    groups = per_doc.groupBy("norm").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_variants")
+    )
+    return (
+        per_doc.join(groups, "norm")
+        .select(
+            "doc_id",
+            "keeper",
+            (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
+            F.col("n_variants").cast("long").alias("n_variants"),
+        )
+    )
+
+
+DEDUP_NORMALIZED_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {OFFSET} AS doc_id, upper(text) || '  !!' AS text
+  FROM documents WHERE doc_id % 2 = 0
+),
+per_doc AS (
+  SELECT doc_id,
+         TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM corpus
+),
+groups AS (
+  SELECT norm, MIN(doc_id) AS keeper, COUNT(*) AS n_variants
+  FROM per_doc GROUP BY norm
+)
+SELECT p.doc_id, g.keeper, p.doc_id <> g.keeper AS is_dup,
+       CAST(g.n_variants AS BIGINT) AS n_variants
+FROM per_doc p JOIN groups g ON p.norm = g.norm
+"""
+
+QUERIES.append(
+    Query(
+        "dedup_normalized",
+        dedup_normalized_q,
+        DEDUP_NORMALIZED_SQL,
+        "normalization-then-exact dedup: case/punct/whitespace-invariant hash group-by",
+    )
+)
