@@ -705,3 +705,47 @@ def bow_cosine_pairs(
         .select("id_a", "id_b", "dot", cos)
         .where(F.col("cosine") >= threshold)
     )
+
+
+# Hashed linear classifier: bucket count and pinned weight hash for
+# engine-portable inference (Knuth multiplicative constant).
+QC_BUCKETS = 256
+QC_MULT = 2654435761
+QC_RANGE = 1000
+
+
+def hashed_linear_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """fastText-style quality-classifier INFERENCE: bag-of-hashed-token
+    features dotted with a weight vector, the shape used to score every
+    pretraining document against a small labeled quality set.
+
+    Features use the hashing trick (token -> md5 -> first two hex
+    digits -> bucket 0..255); the weight of a bucket is pinned by an
+    integer hash of the bucket id so the whole pass is exact int64 and
+    engine-portable. In production the weights come from a
+    spark.ml LogisticRegression fit on the same hashed features — the
+    inference plan (this function) is identical either way.
+
+    Output: (id, score bigint, quality_label boolean). Plan: explode +
+    map-side weight lookup (pure arithmetic, no join, no UDF) + one
+    partial+final sum per doc — a single shuffle on the doc id.
+    """
+    from map_reduce_project_spark.operators.dedup import tokens_col
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+    )
+    bucket = F.conv(F.substring(F.md5("token"), 1, 2), 16, 10).cast("long")
+    weight = (bucket * QC_MULT) % QC_RANGE - 500
+    return (
+        tok.select(F.col(id_col), weight.alias("w"))
+        .groupBy(id_col)
+        .agg(F.sum("w").alias("score"))
+        .select(
+            F.col(id_col),
+            F.col("score").cast("long").alias("score"),
+            (F.col("score") > 0).alias("quality_label"),
+        )
+    )

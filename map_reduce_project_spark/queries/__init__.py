@@ -111,6 +111,8 @@ def all_queries() -> dict[str, Query]:
         "q48_merge_upsert",
         "q49_scd2_history",
         "dedup_normalized",
+        "text_quality_classifier",
+        "ev_interpolate",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

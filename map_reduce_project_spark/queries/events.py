@@ -802,3 +802,118 @@ QUERIES.append(
     )
 )
 
+
+
+def ev_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR INTERPOLATION: densify each
+    user's hourly value series (same grid as ev_gap_fill), then fill
+    silent hours by interpolating between the neighbouring observed
+    hours — the standard sensor/metrics resampler, built from two
+    ignore-nulls window scans instead of a self-join.
+
+    Exactness: observed sums are int64 cents; the interpolation is one
+    fixed IEEE expression of int64 inputs (prev/next value, epoch
+    seconds), so interpolated doubles hash-match any engine.
+
+    Scale: one shuffle to the (user, hour) grid, then a single
+    per-user window pass in each direction — no per-gap joins; the
+    window state is one running value per direction.
+    """
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket_start")
+    ).agg(F.sum(cents).alias("v"))
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("bucket_start"),
+    )
+    g = grid.join(obs, ["user_id", "bucket_start"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_start")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t = F.unix_timestamp("bucket_start")
+    obs_t = F.when(F.col("v").isNotNull(), t)
+    pv = F.last("v", ignorenulls=True).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    pt = F.last(obs_t, ignorenulls=True).over(wp)
+    nt = F.first(obs_t, ignorenulls=True).over(wn)
+    interp = pv.cast("double") + (nv - pv).cast("double") * (
+        t - pt
+    ).cast("double") / (nt - pt).cast("double")
+    return g.select(
+        "user_id",
+        "bucket_start",
+        F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+        .otherwise(interp)
+        .alias("value_cents"),
+        F.col("v").isNotNull().alias("observed"),
+    )
+
+
+EV_INTERPOLATE_SQL = """
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+  FROM s
+),
+g AS (
+  SELECT grid.user_id, grid.bucket_start, obs.v
+  FROM grid LEFT JOIN obs USING (user_id, bucket_start)
+),
+wnd AS (
+  SELECT user_id, bucket_start, v,
+    LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+    FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN CAST(epoch(bucket_start) AS BIGINT) END IGNORE NULLS) OVER wp AS pt,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN CAST(epoch(bucket_start) AS BIGINT) END IGNORE NULLS) OVER wn AS nt
+  FROM g
+  WINDOW wp AS (PARTITION BY user_id ORDER BY bucket_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY bucket_start
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket_start,
+  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+       ELSE CAST(pv AS DOUBLE)
+            + CAST(nv - pv AS DOUBLE)
+            * CAST(CAST(epoch(bucket_start) AS BIGINT) - pt AS DOUBLE)
+            / CAST(nt - pt AS DOUBLE)
+  END AS value_cents,
+  v IS NOT NULL AS observed
+FROM wnd
+"""
+
+QUERIES.append(
+    Query(
+        "ev_interpolate",
+        ev_interpolate_q,
+        EV_INTERPOLATE_SQL,
+        "hourly grid densification + linear interpolation via ignore-nulls windows, engine-exact",
+    )
+)

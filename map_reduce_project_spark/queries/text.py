@@ -433,3 +433,38 @@ QUERIES.append(
     )
 )
 
+
+
+def text_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality-classifier inference over every document
+    (operators.text.hashed_linear_score): the fastText-shaped scoring
+    pass of a pretraining curation pipeline, exact int64 under the
+    hash gate."""
+    from map_reduce_project_spark.operators.text import hashed_linear_score
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_linear_score(docs)
+
+
+TEXT_QC_SQL = """
+WITH tok AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS th FROM documents
+),
+wtok AS (
+  SELECT doc_id,
+         (('0x' || substr(th, 1, 2))::BIGINT * 2654435761) % 1000 - 500 AS w
+  FROM tok
+)
+SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score,
+       SUM(w) > 0 AS quality_label
+FROM wtok GROUP BY doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "text_quality_classifier",
+        text_quality_classifier_q,
+        TEXT_QC_SQL,
+        "fastText-style hashed linear classifier inference, pinned int weights",
+    )
+)

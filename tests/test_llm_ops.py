@@ -877,3 +877,26 @@ def test_pq_codes_self_assignment_is_zero(spark):
         if r["vec_id"] < 8:
             assert r["code"] == r["vec_id"] % 5 and r["dist2"] == 0
     assert len(out) == 12 * 8
+
+
+def test_hashed_linear_score_matches_python(spark):
+    import hashlib
+
+    from map_reduce_project_spark.operators.text import (
+        QC_MULT,
+        QC_RANGE,
+        hashed_linear_score,
+    )
+
+    rows = [(1, "good clean prose"), (2, "spam spam spam spam")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in hashed_linear_score(df).collect()}
+    for did, text in rows:
+        want = sum(
+            (int(hashlib.md5(t.encode()).hexdigest()[:2], 16) * QC_MULT)
+            % QC_RANGE
+            - 500
+            for t in text.split(" ")
+        )
+        assert out[did]["score"] == want
+        assert out[did]["quality_label"] == (want > 0)
