@@ -175,3 +175,22 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     """Raw text ingest: one row per line, column ``value`` — the entry
     point for log/corpus files before text-analysis operators."""
     return spark.read.text(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str, schema: str | None = None
+) -> DataFrame:
+    """XML source (built into Spark 4): one row per ``row_tag``
+    element. Schema inference scans the data twice — pass an explicit
+    schema in production so ingestion is single-pass and type-stable."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str, mode: str = "overwrite"
+) -> None:
+    """XML sink (built into Spark 4), one ``row_tag`` element per row."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)

@@ -259,3 +259,19 @@ def test_udaf_median_even_odd(spark):
         for r in df.groupBy("g").agg(median_long_udaf("v").alias("m")).collect()
     }
     assert got == {"a": 3.0, "b": 25.5}
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """XML source/sink (Spark 4 built-in): schema-stable roundtrip."""
+    from map_reduce_project_spark.sources.io import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta <&> gamma")], "id long, note string"
+    )
+    path = str(tmp_path / "x.xml")
+    write_xml(df, path, row_tag="rec")
+    back = read_xml(spark, path, row_tag="rec", schema="id long, note string")
+    assert sorted((r.id, r.note) for r in back.collect()) == [
+        (1, "alpha"),
+        (2, "beta <&> gamma"),
+    ]
