@@ -113,6 +113,9 @@ def all_queries() -> dict[str, Query]:
         "dedup_normalized",
         "text_quality_classifier",
         "ev_interpolate",
+        "rag_hybrid_rrf",
+        "cc_assortativity",
+        "cc_link_prediction",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

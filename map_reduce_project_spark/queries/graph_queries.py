@@ -505,3 +505,175 @@ QUERIES = [
     Query("cc_clustering_coeff", cc_clustering_coeff, CLUSTERING_SQL, "per-node local clustering coefficient, orientation-invariant triangle counts"),
     Query("cc_degree_profile", cc_degree_profile, DEGREE_PROFILE_SQL, "log2-binned degree distribution (hub-skew profiling pass)"),
 ]
+
+
+def cc_assortativity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over every directed edge — one number telling
+    whether hubs attach to hubs (r > 0) or to leaves (r < 0), the
+    standard first diagnostic before choosing a partitioning strategy
+    for an unknown graph.
+
+    All five moment sums (M, Σx, Σy, Σxy, Σx², Σy²) are exact int64
+    aggregates over the both-orientations edge list; r is one IEEE
+    expression of those integers, so the statistic is engine-exact.
+    Plan: one degree agg + two broadcastable degree joins + one global
+    agg — no window, no driver loop.
+    """
+    e = _part_supplier_edges(spark, sf_dir)
+    und = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    du = deg.selectExpr("src", "deg as dx")
+    dv = deg.selectExpr("src as dst", "deg as dy")
+    pairs = und.join(du, "src").join(dv, "dst")
+    s = pairs.agg(
+        F.count("*").alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        F.col("m").cast("long").alias("m"),
+        (num / den).alias("assortativity"),
+    )
+
+
+ASSORT_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+),
+und AS (
+  SELECT src, dst FROM e
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM e
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+pairs AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM und
+  JOIN deg dx ON dx.src = und.src
+  JOIN deg dy ON dy.src = und.dst
+),
+s AS (
+  SELECT COUNT(*) AS m,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy
+  FROM pairs
+)
+SELECT CAST(m AS BIGINT) AS m,
+  CAST(m * sxy - sx * sy AS DOUBLE)
+  / (SQRT(CAST(m * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(m * syy - sy * sy AS DOUBLE)))
+    AS assortativity
+FROM s
+"""
+
+QUERIES.append(
+    Query(
+        "cc_assortativity",
+        cc_assortativity_q,
+        ASSORT_SQL,
+        "degree assortativity from exact int64 moment sums, engine-exact Pearson r",
+    )
+)
+
+
+def cc_link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the bipartite projection:
+    for every part pair sharing >= 2 suppliers, the shared-supplier
+    count and the Jaccard score cn / (deg_a + deg_b - cn) — the
+    classic co-occurrence recommender / link-prediction feature.
+
+    The projection of a dense bipartite graph is near-complete, so the
+    output is cut to each part's TOP-5 neighbours (cn desc, id
+    tiebreak) — the shape a production recommender actually stores.
+
+    Plan: self-join the edge list on the shared supplier (shuffle key
+    = supplier), count per pair, two broadcastable degree joins, one
+    per-p1 top-k window. Cost is Σ deg(s)² — bounded per supplier,
+    embarrassingly parallel across suppliers; a hub supplier is
+    exactly the AQE skew-split case, and a degree cap (drop
+    promiscuous hubs, standard in production recommenders) bounds the
+    worst case.
+    """
+    from pyspark.sql.window import Window
+
+    e = _part_supplier_edges(spark, sf_dir)
+    a = e.selectExpr("dst as s", "src as p1")
+    b = e.selectExpr("dst as s", "src as p2")
+    cn = (
+        a.join(b, "s")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("cn"))
+        .where(F.col("cn") >= 2)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    d1 = deg.selectExpr("src as p1", "deg as deg1")
+    d2 = deg.selectExpr("src as p2", "deg as deg2")
+    w = Window.partitionBy("p1").orderBy(F.col("cn").desc(), "p2")
+    return (
+        cn.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .join(d1, "p1")
+        .join(d2, "p2")
+        .select(
+            "p1",
+            "p2",
+            "rank",
+            F.col("cn").cast("long").alias("cn"),
+            F.col("deg1").cast("long").alias("deg1"),
+            F.col("deg2").cast("long").alias("deg2"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg1") + F.col("deg2") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+LINKPRED_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS p, 's:' || l_suppkey AS s
+  FROM lineitem
+),
+cn AS (
+  SELECT a.p AS p1, b.p AS p2, COUNT(*) AS cn
+  FROM e a JOIN e b ON a.s = b.s
+  WHERE a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING COUNT(*) >= 2
+),
+topk AS (
+  SELECT p1, p2, cn,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p1 ORDER BY cn DESC, p2) AS BIGINT) AS rank
+  FROM cn
+),
+deg AS (SELECT p, COUNT(*) AS deg FROM e GROUP BY p)
+SELECT p1, p2, rank, CAST(cn AS BIGINT) AS cn,
+       CAST(d1.deg AS BIGINT) AS deg1, CAST(d2.deg AS BIGINT) AS deg2,
+       CAST(cn AS DOUBLE) / CAST(d1.deg + d2.deg - cn AS DOUBLE) AS jaccard
+FROM topk
+JOIN deg d1 ON d1.p = topk.p1
+JOIN deg d2 ON d2.p = topk.p2
+WHERE rank <= 5
+"""
+
+QUERIES.append(
+    Query(
+        "cc_link_prediction",
+        cc_link_prediction_q,
+        LINKPRED_SQL,
+        "common-neighbor + Jaccard link prediction on the bipartite projection",
+    )
+)

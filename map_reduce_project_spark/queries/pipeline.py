@@ -412,3 +412,144 @@ QUERIES = [
     Query("sample_lang_temperature", sample_lang_temperature_q, SAMPLE_TEMP_SQL, "alpha=0.5 temperature language-mix rebalancing, integer-exact"),
     Query("curation_funnel", curation_funnel_q, CURATION_FUNNEL_SQL, "single-scan filter-cascade attrition funnel (cumulative rule survivors)"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical leg + exact-cosine semantic leg fused
+# with Reciprocal Rank Fusion (Cormack et al. 2009): rrf(d) =
+# sum over legs 1/(K + rank_leg(d)). Rank-based, so the fusion needs
+# no score calibration between legs — and it is engine-exact because
+# only integer ranks enter the formula.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_LEG_TOPK = 50
+RRF_FINAL_TOPK = 10
+
+
+def rag_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: lexical BM25 top-50 and semantic cosine top-50
+    (query = vector 0), fused by reciprocal-rank and cut to a final
+    top-10 — the two-leg retrieval shape RAG stacks run before
+    reranking.
+
+    Scale notes: the lexical leg's global rank is a window over only
+    the documents matching a query term (bounded by posting-list size,
+    not corpus size); the semantic leg is the broadcast-query exact
+    kernel (per-bucket at corpus scale via IVF/LSH — same fusion plan
+    either way); the fusion join touches 2x50 rows.
+    """
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    lex = bm25_scores(docs, BM25_TERMS)
+    wl = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex_rank = (
+        lex.withColumn("rank_lex", F.row_number().over(wl).cast("long"))
+        .where(F.col("rank_lex") <= RRF_LEG_TOPK)
+        .select("doc_id", "rank_lex")
+    )
+
+    from map_reduce_project_spark.operators.similarity import brute_force_topk
+
+    sem_rank = brute_force_topk(
+        emb.where(F.col("vec_id") == 0), emb, k=RRF_LEG_TOPK
+    ).select(F.col("target_id").alias("doc_id"), F.col("rank").alias("rank_sem"))
+
+    fused = lex_rank.join(sem_rank, "doc_id", "full_outer")
+    leg = lambda c: F.when(
+        F.col(c).isNotNull(), F.lit(1.0) / (F.lit(RRF_K) + F.col(c))
+    ).otherwise(F.lit(0.0))
+    scored = fused.select(
+        "doc_id",
+        F.coalesce("rank_lex", F.lit(-1)).alias("rank_lex"),
+        F.coalesce("rank_sem", F.lit(-1)).alias("rank_sem"),
+        (leg("rank_lex") + leg("rank_sem")).alias("rrf_score"),
+    )
+    wf = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        scored.withColumn("final_rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("final_rank") <= RRF_FINAL_TOPK)
+    )
+
+
+RRF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+hits AS (SELECT doc_id, tok FROM tok WHERE tok IN ({_TERMS_SQL})),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM hits GROUP BY doc_id, tok),
+dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY tok),
+bm25 AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+           * (tf.tf * ({_K1} + 1))
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl))
+         ), 4) AS score
+  FROM tf
+  JOIN dft USING (tok)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
+    FROM bm25
+  ) WHERE rank_lex <= {RRF_LEG_TOPK}
+),
+el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 16777216) AS BIGINT) AS val
+  FROM embeddings
+),
+n2 AS (SELECT vec_id, SUM(val * val) AS norm2 FROM el GROUP BY vec_id),
+dots AS (
+  SELECT t.vec_id AS doc_id, SUM(q.val * t.val) AS dot
+  FROM el q JOIN el t ON q.pos = t.pos AND t.vec_id <> 0
+  WHERE q.vec_id = 0
+  GROUP BY t.vec_id
+),
+cos AS (
+  SELECT doc_id,
+         CAST(dot AS DOUBLE) / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(tn.norm2 AS DOUBLE))) AS cosine
+  FROM dots
+  JOIN n2 qn ON qn.vec_id = 0
+  JOIN n2 tn ON tn.vec_id = doc_id
+),
+sem AS (
+  SELECT doc_id, rank_sem FROM (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank_sem
+    FROM cos
+  ) WHERE rank_sem <= {RRF_LEG_TOPK}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         CAST(COALESCE(rank_lex, -1) AS BIGINT) AS rank_lex,
+         CAST(COALESCE(rank_sem, -1) AS BIGINT) AS rank_sem,
+         (CASE WHEN rank_lex IS NOT NULL THEN 1.0 / ({RRF_K} + rank_lex) ELSE 0.0 END)
+         + (CASE WHEN rank_sem IS NOT NULL THEN 1.0 / ({RRF_K} + rank_sem) ELSE 0.0 END)
+           AS rrf_score
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rank_lex, rank_sem, rrf_score, final_rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS final_rank
+  FROM fused
+) WHERE final_rank <= {RRF_FINAL_TOPK}
+"""
+
+QUERIES.append(
+    Query(
+        "rag_hybrid_rrf",
+        rag_hybrid_rrf_q,
+        RRF_SQL,
+        "hybrid retrieval: BM25 + cosine legs fused by reciprocal-rank (RRF), engine-exact ranks",
+    )
+)
