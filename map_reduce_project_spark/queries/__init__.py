@@ -116,6 +116,7 @@ def all_queries() -> dict[str, Query]:
         "rag_hybrid_rrf",
         "cc_assortativity",
         "cc_link_prediction",
+        "ev_asof_cogroup",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -176,3 +176,85 @@ QUERIES.append(
     )
 )
 
+
+
+ASOF_COGROUP_SCHEMA = (
+    "purchase_id long, user_id long, purchase_ts timestamp, "
+    "click_id long, click_ts timestamp"
+)
+
+
+def ev_asof_cogroup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUPED applyInPandas surface: the same purchase->latest-
+    preceding-click as-of join as ``asof_click_attribution``, but
+    executed as ``groupBy(user).cogroup(groupBy(user)).applyInPandas``
+    with ``pandas.merge_asof`` inside each group — the escape hatch
+    for per-key logic that genuinely needs two aligned inputs in
+    Python. Hash-checked against the SAME DuckDB ASOF oracle as the
+    native operator, so the pandas twin is pinned equal to the
+    declarative plan (functions/udafs.py policy).
+
+    Scale: both sides shuffle once on the key; each group ships to
+    Python Arrow-batched. Groups must fit in worker memory — for
+    million-row users prefer the native ``operators.joins.asof_join``
+    (union + window), which spills.
+    """
+    import pandas as pd
+
+    purchases = _typed(spark, sf_dir, "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = (
+        _typed(spark, sf_dir, "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", F.col("ts").alias("click_ts"), "click_id")
+    )
+
+    cols = ["purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"]
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "purchase_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "purchase_ts": pd.Series(dtype="datetime64[us]"),
+                    "click_id": pd.Series(dtype="Int64"),
+                    "click_ts": pd.Series(dtype="datetime64[us]"),
+                }
+            )
+        left = left.sort_values("purchase_ts")
+        right = right.drop(columns=["user_id"]).sort_values("click_ts")
+        if right.empty:
+            out = left.copy()
+            out["click_id"] = pd.array([None] * len(out), dtype="Int64")
+            out["click_ts"] = pd.NaT
+        else:
+            out = pd.merge_asof(
+                left,
+                right,
+                left_on="purchase_ts",
+                right_on="click_ts",
+                direction="backward",
+            )
+            out["click_id"] = out["click_id"].astype("Int64")
+        return out[cols]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge, schema=ASOF_COGROUP_SCHEMA)
+    )
+
+
+QUERIES.append(
+    Query(
+        "ev_asof_cogroup",
+        ev_asof_cogroup_q,
+        ASOF_CLICK_SQL,
+        "cogrouped applyInPandas merge_asof twin of the native as-of join (same ASOF oracle)",
+    )
+)
