@@ -885,3 +885,84 @@ def pq_codes(
             "dist2",
         )
     )
+
+
+def kmeans_int(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means TRAINING loop in exact integer arithmetic: a
+    distributed iterative ML fit whose every round is bit-reproducible
+    on any engine (the same trick as the int64 PageRank — floor-exact
+    centroid updates make summation order irrelevant).
+
+    Seeding: centroids start as the quantized corpus vectors with
+    id < k (deterministic, like the pinned coarse quantizer).
+    Per round: assign every vector to its argmin-L2 centroid (int64
+    distances, tie -> lowest cluster id), then recompute each centroid
+    element as floor(mean) of its members — floor of an exact integer
+    sum over an exact count, so the new centroids are int64 again.
+    Empty clusters keep their previous centroid.
+
+    Returns the final assignment (id, cluster, dist2) after
+    ``iterations`` rounds.
+
+    Scale shape per round: one broadcast of the k x dims centroid
+    table + one partial+final argmin agg + one (cluster, pos) mean
+    agg. Rounds are sequential jobs; lineage is cut by the centroid
+    table being driver-small (it round-trips through a broadcast, not
+    a growing plan).
+    """
+    el = _elements(vectors, id_col, vec_col).localCheckpoint(eager=False)
+    cent = el.where(F.col(id_col) < k).selectExpr(
+        f"{id_col} as cluster", "pos", "val as cval"
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d2 = (
+            el.join(F.broadcast(centroids), "pos")
+            .groupBy(id_col, "cluster")
+            .agg(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ).alias("dist2")
+            )
+        )
+        w = Window.partitionBy(id_col).orderBy("dist2", "cluster")
+        return (
+            d2.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(id_col, "cluster", "dist2")
+        )
+
+    for _ in range(iterations):
+        a = assign(cent)
+        means = (
+            a.select(id_col, "cluster")
+            .join(el, id_col)
+            .groupBy("cluster", "pos")
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count("*").cast("double")
+                ).alias("newval")
+            )
+        )
+        # empty clusters keep their previous centroid element
+        cent = (
+            cent.join(means, ["cluster", "pos"], "left")
+            .select(
+                "cluster",
+                "pos",
+                F.coalesce(F.col("newval"), F.col("cval")).cast("long").alias("cval"),
+            )
+        )
+
+    return assign(cent).select(
+        F.col(id_col),
+        F.col("cluster").cast("long").alias("cluster"),
+        "dist2",
+    )

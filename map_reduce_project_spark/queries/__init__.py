@@ -117,6 +117,7 @@ def all_queries() -> dict[str, Query]:
         "cc_assortativity",
         "cc_link_prediction",
         "ev_asof_cogroup",
+        "emb_kmeans_int",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

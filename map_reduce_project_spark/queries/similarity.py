@@ -544,3 +544,82 @@ QUERIES.append(
         "product-quantization code assignment against a pinned codebook, exact int64 L2",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Integer k-means: Lloyd training loop under the exact hash gate
+# (oracle = the same rounds unrolled as chained CTEs)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def emb_kmeans_int_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_project_spark.operators.similarity import kmeans_int
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_int(emb, k=KMEANS_K, iterations=KMEANS_ITERS)
+
+
+def _kmeans_sql(k: int, iterations: int) -> str:
+    ctes = [
+        """el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 16777216) AS BIGINT) AS val
+  FROM embeddings
+)""",
+        f"c0 AS (SELECT vec_id AS cluster, pos, val AS cval FROM el WHERE vec_id < {k})",
+    ]
+
+    def assign_body(prev: str) -> str:
+        return f"""
+  SELECT vec_id, cluster, dist2 FROM (
+    SELECT vec_id, cluster, dist2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS r
+    FROM (
+      SELECT e.vec_id, c.cluster,
+             CAST(SUM((e.val - c.cval) * (e.val - c.cval)) AS BIGINT) AS dist2
+      FROM el e JOIN {prev} c ON e.pos = c.pos
+      GROUP BY e.vec_id, c.cluster
+    )
+  ) WHERE r = 1
+"""
+
+    for i in range(1, iterations + 1):
+        prev = f"c{i - 1}"
+        ctes.append(f"a{i} AS ({assign_body(prev)})")
+        ctes.append(
+            f"""m{i} AS (
+  SELECT a.cluster, e.pos,
+         CAST(FLOOR(CAST(SUM(e.val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS newval
+  FROM a{i} a JOIN el e ON e.vec_id = a.vec_id
+  GROUP BY a.cluster, e.pos
+)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT c.cluster, c.pos, CAST(COALESCE(m.newval, c.cval) AS BIGINT) AS cval
+  FROM {prev} c LEFT JOIN m{i} m ON m.cluster = c.cluster AND m.pos = c.pos
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+final AS ({assign_body(f"c{iterations}")})
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2 FROM final
+"""
+    )
+
+
+EMB_KMEANS_SQL = _kmeans_sql(KMEANS_K, KMEANS_ITERS)
+
+QUERIES.append(
+    Query(
+        "emb_kmeans_int",
+        emb_kmeans_int_q,
+        EMB_KMEANS_SQL,
+        "Lloyd k-means training loop in exact int64 vs the same rounds unrolled as CTEs",
+    )
+)

@@ -900,3 +900,20 @@ def test_hashed_linear_score_matches_python(spark):
         )
         assert out[did]["score"] == want
         assert out[did]["quality_label"] == (want > 0)
+
+
+def test_kmeans_int_converges_to_separated_clusters(spark):
+    from map_reduce_project_spark.operators.similarity import kmeans_int
+
+    # two well-separated blobs; seeds 0 and 1 land one in each blob,
+    # so three Lloyd rounds must recover the true partition exactly
+    blob_a = [(i, [10.0 + 0.01 * i, 10.0, 0.0, 0.0]) for i in range(0, 10, 2)]
+    blob_b = [(i, [-10.0, -10.0 - 0.01 * i, 0.0, 0.0]) for i in range(1, 11, 2)]
+    df = spark.createDataFrame(
+        blob_a + blob_b, "vec_id long, embedding array<double>"
+    )
+    out = kmeans_int(df, k=2, iterations=3).collect()
+    clusters = {r["vec_id"]: r["cluster"] for r in out}
+    assert len(out) == 10
+    assert {clusters[i] for i in range(0, 10, 2)} == {0}
+    assert {clusters[i] for i in range(1, 11, 2)} == {1}
