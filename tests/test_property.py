@@ -331,3 +331,127 @@ def test_label_propagation_splits_bridged_cliques(spark):
     res_cc = connected_components(edges_df(spark, edges))
     comps = {r.component for r in res_cc.mapping.collect()}
     assert comps == {"a0"}  # one component, two communities
+
+
+# ---------------------------------------------------------------------------
+# Round-3 embedding operators vs pure-Python oracles
+# ---------------------------------------------------------------------------
+
+QS = 1 << 24
+
+
+def _quant(vec: list[float]) -> list[int]:
+    import math
+
+    return [math.floor(x * QS) for x in vec]
+
+
+def _semdedup_python(
+    rows: list[tuple[int, list[float]]], k: int, tau: float
+) -> dict[int, tuple[int, bool, int]]:
+    """(id -> (cell, pruned, pruned_by)) mirroring semdedup_prune."""
+    q = {i: _quant(v) for i, v in rows}
+    cents = {i: q[i] for i, _ in rows if i < k}
+    cell = {}
+    for i, _ in rows:
+        best = min(
+            (
+                (
+                    sum((a - b) * (a - b) for a, b in zip(q[i], c)),
+                    cid,
+                )
+                for cid, c in cents.items()
+            )
+        )
+        cell[i] = best[1]
+    out = {}
+    tau2 = tau * tau
+    for v, _ in rows:
+        pby = -1
+        for u, _ in rows:
+            if u >= v or cell[u] != cell[v]:
+                continue
+            dot = sum(a * b for a, b in zip(q[u], q[v]))
+            nu = sum(a * a for a in q[u])
+            nv = sum(a * a for a in q[v])
+            if dot > 0 and float(dot) * float(dot) >= tau2 * float(nu) * float(nv):
+                pby = u if pby == -1 else min(pby, u)
+        out[v] = (cell[v], pby != -1, pby)
+    return out
+
+
+vec4 = st.lists(
+    st.floats(
+        min_value=-4.0, max_value=4.0, allow_nan=False, allow_infinity=False
+    ),
+    min_size=4,
+    max_size=4,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(vec4, min_size=3, max_size=12, unique_by=lambda v: tuple(v)))
+def test_semdedup_matches_python_oracle(spark, vecs):
+    from map_reduce_project_spark.operators.similarity import semdedup_prune
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    want = _semdedup_python(rows, k=2, tau=0.9)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cell"], r["pruned"], r["pruned_by"])
+        for r in semdedup_prune(df, n_centroids=2, threshold=0.9).collect()
+    }
+    assert got == want
+
+
+def _kmeans_python(
+    rows: list[tuple[int, list[float]]], k: int, iterations: int
+) -> dict[int, tuple[int, int]]:
+    import math
+
+    q = {i: _quant(v) for i, v in rows}
+    cents = {i: list(q[i]) for i, _ in rows if i < k}
+
+    def assign():
+        a = {}
+        for i, _ in rows:
+            best = min(
+                (
+                    (
+                        sum((x - c) * (x - c) for x, c in zip(q[i], cv)),
+                        cid,
+                    )
+                    for cid, cv in cents.items()
+                )
+            )
+            a[i] = (best[1], best[0])
+        return a
+
+    for _ in range(iterations):
+        a = assign()
+        members: dict[int, list[int]] = {}
+        for i, (c, _) in a.items():
+            members.setdefault(c, []).append(i)
+        for c, ids in members.items():
+            cents[c] = [
+                math.floor(
+                    sum(q[i][p] for i in ids) / float(len(ids))
+                )
+                for p in range(len(cents[c]))
+            ]
+    return {i: (c, d) for i, (c, d) in assign().items()}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(vec4, min_size=3, max_size=10, unique_by=lambda v: tuple(v)))
+def test_kmeans_int_matches_python_oracle(spark, vecs):
+    from map_reduce_project_spark.operators.similarity import kmeans_int
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    want = _kmeans_python(rows, k=2, iterations=2)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in kmeans_int(df, k=2, iterations=2).collect()
+    }
+    assert got == want
