@@ -238,3 +238,55 @@ def test_ivf_element_tables_built_once(spark, registry):
     # element/norm tables feed the quantizer and both search sides
     df = registry["ann_ivf_topk"].fn(spark, SF)
     assert num_exchanges(df) <= 10
+
+
+def test_classifier_inference_is_one_shuffle_no_python(spark, registry):
+    # hashed-weight lookup is map-side arithmetic: the whole scoring
+    # pass is explode -> project -> partial+final agg. One exchange,
+    # no Python evaluation anywhere in the plan.
+    from map_reduce_project_spark.plans import operator_counts
+
+    df = registry["text_quality_classifier"].fn(spark, SF)
+    assert num_exchanges(df) == 1
+    ops = " ".join(operator_counts(df))
+    assert "ArrowEvalPython" not in ops and "BatchEvalPython" not in ops
+
+
+def test_merge_upsert_is_single_join(spark, registry):
+    # MERGE lowers to exactly one join (the full-outer on the merge
+    # key) — a second join would mean the update/insert branches
+    # re-scanned a side
+    from map_reduce_project_spark.plans import operator_counts
+
+    df = registry["q48_merge_upsert"].fn(spark, SF)
+    joins = sum(
+        v for k, v in operator_counts(df).items() if "Join" in k
+    )
+    assert joins == 1
+
+
+def test_srp_has_no_join_wider_than_broadcast(spark, registry):
+    # the projection matrix is never materialized: the only join is
+    # the broadcast cross of the 16-row output-dim table (plans as
+    # BroadcastNestedLoopJoin), and the sign-weighted sum is partial
+    # (map-side) so the single exchange carries (id, j) partials only
+    from map_reduce_project_spark.plans import operator_counts
+
+    df = registry["emb_srp_project"].fn(spark, SF)
+    ops = operator_counts(df)
+    joins = {k: v for k, v in ops.items() if "Join" in k}
+    assert joins and all("Broadcast" in k for k in joins)
+    assert num_exchanges(df) == 1
+
+
+def test_semdedup_assignment_broadcasts_centroids(spark, registry):
+    # centroid tables ride broadcasts; the only non-broadcast
+    # shuffles are the keyed aggregations
+    df = registry["dedup_semantic"].fn(spark, SF)
+    assert uses_broadcast_join(df)
+
+
+def test_scd2_is_single_window_pass(spark, registry):
+    # one shuffle on the dimension key feeds every version column
+    df = registry["q49_scd2_history"].fn(spark, SF)
+    assert num_exchanges(df) == 1
