@@ -64,12 +64,35 @@ sh AS (
 )
 """
 
-_SIG_COLS = ",\n    ".join(
-    f"min(md5('{s}|' || shingle)) AS h{s}" for s in range(NUM_HASHES)
-)
+# One-hash MinHash formulas — MUST stay textually equivalent to
+# operators.dedup.minhash_min_exprs / band_hash_expr
+def _sig_cols_sql(num_hashes: int = NUM_HASHES) -> str:
+    from map_reduce_project_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_a,
+        minhash_b,
+    )
+
+    base = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+    return ",\n    ".join(
+        f"min(({base} * {minhash_a(s)} + {minhash_b(s)}) % {MINHASH_P}) AS h{s}"
+        for s in range(num_hashes)
+    )
+
+
+def _band_hash_sql(b: int, rows_per_band: int = 3) -> str:
+    from map_reduce_project_spark.operators.dedup import MINHASH_P
+
+    e = f"h{b * rows_per_band}"
+    for r in range(1, rows_per_band):
+        e = f"({e} * 1000003 + h{b * rows_per_band + r}) % {MINHASH_P}"
+    return e
+
+
+_SIG_COLS = _sig_cols_sql()
 _BAND_SELECTS = "\n  UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_idx, "
-    f"md5(h{b * 3} || '|' || h{b * 3 + 1} || '|' || h{b * 3 + 2}) AS band_hash FROM sig"
+    f"{_band_hash_sql(b)} AS band_hash FROM sig"
     for b in range(BANDS)
 )
 
@@ -348,12 +371,10 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _side_ctes(name: str, src: str) -> str:
     """Shingle/signature/band CTE chain for one side of the
     incremental-dedup oracle (same hash formulas as LSH_CTES)."""
-    sig_cols = ",\n    ".join(
-        f"min(md5('{s}|' || shingle)) AS h{s}" for s in range(NUM_HASHES)
-    )
+    sig_cols = _sig_cols_sql()
     band_selects = "\n  UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, "
-        f"md5(h{b * 3} || '|' || h{b * 3 + 1} || '|' || h{b * 3 + 2}) AS band_hash"
+        f"{_band_hash_sql(b)} AS band_hash"
         f" FROM {name}sig"
         for b in range(BANDS)
     )
