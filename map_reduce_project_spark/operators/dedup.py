@@ -12,11 +12,16 @@ LLM-training-data dedup ladder. Design notes for 100 TB:
   splittable. No Python UDFs anywhere.
 - MinHash hashes each shingle ONCE (md5 -> 32-bit int) and derives
   every permutation as an affine rehash (A_s*x + B_s) mod P over
-  int64 — the classic one-hash + universal-rehash construction. One
-  md5 per shingle instead of num_hashes of them (measured ~2x on the
-  signature stage), int64 mins aggregate/shuffle far cheaper than
-  32-char hex strings, and the arithmetic is bit-identical in any
-  engine (the DuckDB oracle runs the same formulas).
+  int64 — the classic one-hash + universal-rehash construction.
+  Measured neutral at the demo's 12 hashes on local[32] (the
+  signature aggregate is explode/shuffle-bound, ~0.5 s at sf0.1
+  either way); the wins are structural: signature and band-bucket
+  shuffle keys are 8-byte ints instead of 32-char hex strings (4x
+  less signature shuffle volume), and hash cost now grows with
+  corpus size only, not corpus x num_hashes — which matters at the
+  64+ hashes corpus scale demands (``minhash_sizing``). Arithmetic
+  is bit-identical in any engine (the DuckDB oracle runs the same
+  formulas).
 - Candidate pairs only ever materialize per LSH bucket (band join),
   never as a corpus cross-join; the exact-Jaccard verifier joins
   candidates back to shingle sets, so its cost is |candidates|, not
@@ -181,9 +186,7 @@ def minhash_signatures(
 
     One explode + one grouped aggregate computing all n mins in a
     single pass (partial aggregation map-side, so shuffle volume is
-    one row per doc per partition, not one per shingle); the md5 base
-    is computed once per shingle (codegen subexpression elimination
-    across the n min aggregates).
+    one row per doc per partition, not one per shingle).
 
     ``max_df``: if set, shingles occurring in more than max_df
     documents are pruned before hashing (``prune_hot_shingles``) —
