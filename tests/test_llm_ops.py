@@ -917,3 +917,36 @@ def test_kmeans_int_converges_to_separated_clusters(spark):
     assert len(out) == 10
     assert {clusters[i] for i in range(0, 10, 2)} == {0}
     assert {clusters[i] for i in range(1, 11, 2)} == {1}
+
+
+def test_trained_classifier_recovers_hashed_weight_labels(spark):
+    """spark.ml LogisticRegression on the hashed features must learn
+    to reproduce labels GENERATED by the pinned-weight scorer — the
+    train-then-promote path of the quality-classifier story."""
+    from map_reduce_project_spark.operators.text import (
+        hashed_features,
+        hashed_linear_score,
+        train_quality_classifier,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(words[(i * 7 + j) % 40] for j in range(12)))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labeled = docs.join(
+        hashed_linear_score(docs).select(
+            "doc_id", F.col("quality_label").cast("double").alias("label")
+        ),
+        "doc_id",
+    )
+    train = labeled.where(F.col("doc_id") % 5 != 0)
+    held = labeled.where(F.col("doc_id") % 5 == 0)
+    model = train_quality_classifier(train)
+    pred = model.transform(
+        hashed_features(held).join(held.select("doc_id", "label"), "doc_id")
+    )
+    agree = pred.where(F.col("prediction") == F.col("label")).count()
+    total = pred.count()
+    assert total > 0 and agree / total >= 0.9
