@@ -525,3 +525,112 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             )
 
     return media.mapInPandas(process, FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real PCM16 audio: synthesize genuine WAV bytes per row, then decode
+# the sample stream back out of the RIFF container (full chunk walk +
+# struct.unpack of the int16 frames). Stats are exact integers, so the
+# oracle predicts them from the same generator arithmetic — like the
+# PPM/BMP pixel path.
+# ---------------------------------------------------------------------------
+
+AUDIO_RATE = 8000
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_samples", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def _synth_samples(doc_id: int) -> list[int]:
+    n = 16 + doc_id % 17
+    return [((doc_id * 31 + i * 7) % 2048) - 1024 for i in range(n)]
+
+
+def _build_wav(samples: list[int], rate: int = AUDIO_RATE) -> bytes:
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def attach_real_audio_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, modality, payload): one genuine PCM16 mono WAV per row,
+    samples a deterministic function of the id (the audio counterpart
+    of ``attach_real_image_payload``)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "modality": ["audio/wav"] * len(pdf),
+                    "payload": [
+                        _build_wav(_synth_samples(int(d))) for d in pdf[id_col]
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select(id_col).mapInPandas(build, schema)
+
+
+def audio_sample_stats(media: DataFrame) -> DataFrame:
+    """REAL WAV sample decode (RIFF chunk walk -> little-endian int16
+    unpack) -> exact integer stream statistics per file. Arrow-batched
+    ``mapInPandas``; at scale this is the audio featurize stage —
+    partition-local, no shuffle, output one tiny row per file."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a WAV")
+                rate = None
+                samples: list[int] = []
+                i = 12
+                while i + 8 <= len(b):
+                    cid = b[i : i + 4]
+                    (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+                    if cid == b"fmt ":
+                        _fmt, _ch, rate = struct.unpack(
+                            "<HHI", b[i + 8 : i + 16]
+                        )
+                    elif cid == b"data":
+                        samples = list(
+                            struct.unpack(
+                                f"<{size // 2}h", b[i + 8 : i + 8 + size]
+                            )
+                        )
+                    i += 8 + size + (size & 1)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "sample_rate": int(rate),
+                        "n_samples": len(samples),
+                        "sum_samples": int(sum(samples)),
+                        "sum_sq": int(sum(s * s for s in samples)),
+                        "peak": int(max(abs(s) for s in samples)),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(stats, AUDIO_STATS_SCHEMA)

@@ -118,6 +118,8 @@ def all_queries() -> dict[str, Query]:
         "cc_link_prediction",
         "ev_asof_cogroup",
         "emb_kmeans_int",
+        "emb_hard_negatives",
+        "mm_audio_stats",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -206,3 +206,45 @@ QUERIES.append(
         "real pixel resize (decode -> numpy nearest -> PPM re-encode), bytes oracle-reconstructed",
     )
 )
+
+
+def mm_audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PCM16 WAV decode under the exact gate: every document gets
+    a genuine RIFF/WAVE payload (samples a deterministic function of
+    the id), the engine walks the container and unpacks the int16
+    stream, and the integer stats hash-match an oracle that predicts
+    them from the generator arithmetic — proving the decode, not just
+    the header parse."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_audio_payload,
+        audio_sample_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return audio_sample_stats(attach_real_audio_payload(docs))
+
+
+MM_AUDIO_STATS_SQL = """
+WITH g AS (SELECT doc_id, 16 + doc_id % 17 AS n FROM documents),
+s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM g),
+v AS (
+  SELECT doc_id, n, ((doc_id * 31 + i * 7) % 2048) - 1024 AS val
+  FROM s
+)
+SELECT doc_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(n AS BIGINT) AS n_samples,
+  CAST(SUM(val) AS BIGINT) AS sum_samples,
+  CAST(SUM(val * val) AS BIGINT) AS sum_sq,
+  CAST(MAX(ABS(val)) AS BIGINT) AS peak
+FROM v GROUP BY doc_id, n
+"""
+
+QUERIES.append(
+    Query(
+        "mm_audio_stats",
+        mm_audio_stats_q,
+        MM_AUDIO_STATS_SQL,
+        "real PCM16 WAV decode (RIFF walk + int16 unpack) -> exact stream stats",
+    )
+)

@@ -623,3 +623,86 @@ QUERIES.append(
         "Lloyd k-means training loop in exact int64 vs the same rounds unrolled as CTEs",
     )
 )
+
+
+def emb_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each sampled
+    anchor vector, the top-3 most-similar vectors with a DIFFERENT
+    label — the batch-construction step of every embedding-model
+    training pipeline (the negatives that are hard precisely because
+    cosine says they look positive).
+
+    Same broadcast-anchor exact kernel as ``ann_brute_force_topk``
+    with a label anti-filter before ranking; at corpus scale the
+    kernel runs per IVF/LSH bucket and this fusion plan is unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") % 50 == 0)
+    pairs = cosine_pairs(anchors, emb)
+    lq = emb.selectExpr("vec_id as query_id", "label as q_label")
+    lt = emb.selectExpr("vec_id as target_id", "label as t_label")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("target_id")
+    )
+    return (
+        pairs.join(F.broadcast(lq), "query_id")
+        .join(lt, "target_id")
+        .where(F.col("q_label") != F.col("t_label"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "target_id",
+            F.col("q_label").cast("long").alias("q_label"),
+            F.col("t_label").cast("long").alias("t_label"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+EMB_HARDNEG_SQL = (
+    "WITH "
+    + _EL.format(src="embeddings")
+    + """,
+dots AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+         SUM(q.val * t.val) AS dot
+  FROM el q JOIN el t ON q.pos = t.pos AND q.vec_id <> t.vec_id
+  WHERE q.vec_id % 50 = 0
+  GROUP BY q.vec_id, t.vec_id
+),
+cos AS (
+  SELECT query_id, target_id,
+         CAST(dot AS DOUBLE) / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(tn.norm2 AS DOUBLE))) AS cosine
+  FROM dots
+  JOIN n2 qn ON qn.vec_id = query_id
+  JOIN n2 tn ON tn.vec_id = target_id
+),
+lab AS (
+  SELECT c.query_id, c.target_id,
+         CAST(eq.label AS BIGINT) AS q_label,
+         CAST(et.label AS BIGINT) AS t_label, c.cosine
+  FROM cos c
+  JOIN embeddings eq ON eq.vec_id = c.query_id
+  JOIN embeddings et ON et.vec_id = c.target_id
+  WHERE eq.label <> et.label
+)
+SELECT query_id, target_id, q_label, t_label, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, target_id) AS BIGINT) AS rank
+  FROM lab
+) WHERE rank <= 3
+"""
+)
+
+QUERIES.append(
+    Query(
+        "emb_hard_negatives",
+        emb_hard_negatives_q,
+        EMB_HARDNEG_SQL,
+        "contrastive hard-negative mining: top-3 cross-label cosine neighbours per anchor",
+    )
+)

@@ -950,3 +950,31 @@ def test_trained_classifier_recovers_hashed_weight_labels(spark):
     agree = pred.where(F.col("prediction") == F.col("label")).count()
     total = pred.count()
     assert total > 0 and agree / total >= 0.9
+
+
+def test_wav_roundtrip_decodes_exact_samples(spark):
+    from map_reduce_project_spark.operators.multimodal import (
+        _build_wav,
+        _synth_samples,
+        attach_real_audio_payload,
+        audio_sample_stats,
+    )
+
+    # byte-level: container parse recovers the exact sample list
+    samples = [-1024, 0, 1023, 7, -7]
+    b = _build_wav(samples)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    # spark-level: stats equal the generator arithmetic
+    docs = spark.createDataFrame([(3,), (20,)], "doc_id long")
+    out = {
+        r["doc_id"]: r
+        for r in audio_sample_stats(attach_real_audio_payload(docs)).collect()
+    }
+    for did in (3, 20):
+        want = _synth_samples(did)
+        r = out[did]
+        assert r["n_samples"] == len(want)
+        assert r["sum_samples"] == sum(want)
+        assert r["sum_sq"] == sum(s * s for s in want)
+        assert r["peak"] == max(abs(s) for s in want)
+        assert r["sample_rate"] == 8000
