@@ -106,3 +106,110 @@ def test_interval_point_join_wide_interval(spark):
     rows = out.collect()
     assert {r.pid for r in rows} == {i for i in range(20) if 25 <= i * 10 < 155}
     assert len(rows) == len({r.pid for r in rows})  # no duplicates
+
+
+def test_cogroup_merge_asof_equals_native_asof_join(spark):
+    """The cogrouped pandas merge_asof twin (queries/temporal.py) must
+    emit exactly what the native window as-of join emits, including
+    users with purchases but no clicks (null match), clicks but no
+    purchases (no rows), and exact-timestamp ties (right side deduped
+    per ts, max event_id wins)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.operators.joins import asof_join
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for user in range(12):
+        for _ in range(rng.randint(0, 8)):
+            eid += 1
+            kind = rng.choice(["click", "purchase"])
+            ts = f"2024-01-01 00:{rng.randint(0, 59):02d}:00"
+            rows.append((eid, user, kind, ts))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    native = asof_join(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="ts",
+        direction="backward",
+    ).select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("right_click_id").alias("click_id"),
+        F.col("right_ts").alias("click_ts"),
+    )
+
+    # rebuild the cogrouped twin on the same inputs
+    from map_reduce_project_spark.queries.temporal import (
+        ASOF_COGROUP_SCHEMA,
+    )
+    import pandas as pd
+
+    clicks2 = clicks.select(
+        "user_id", F.col("ts").alias("click_ts"), "click_id"
+    )
+    cols = ["purchase_id", "user_id", "purchase_ts", "click_id", "click_ts"]
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "purchase_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "purchase_ts": pd.Series(dtype="datetime64[us]"),
+                    "click_id": pd.Series(dtype="Int64"),
+                    "click_ts": pd.Series(dtype="datetime64[us]"),
+                }
+            )
+        left = left.sort_values("purchase_ts")
+        right = right.drop(columns=["user_id"]).sort_values("click_ts")
+        if right.empty:
+            out = left.copy()
+            out["click_id"] = pd.array([None] * len(out), dtype="Int64")
+            out["click_ts"] = pd.NaT
+        else:
+            out = pd.merge_asof(
+                left,
+                right,
+                left_on="purchase_ts",
+                right_on="click_ts",
+                direction="backward",
+            )
+            out["click_id"] = out["click_id"].astype("Int64")
+        return out[cols]
+
+    cogrouped = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks2.groupBy("user_id"))
+        .applyInPandas(merge, schema=ASOF_COGROUP_SCHEMA)
+    )
+
+    key = lambda r: (
+        r["purchase_id"],
+        r["user_id"],
+        str(r["purchase_ts"]),
+        r["click_id"],
+        str(r["click_ts"]),
+    )
+    assert sorted(map(key, native.collect())) == sorted(
+        map(key, cogrouped.collect())
+    )
