@@ -86,8 +86,6 @@ def all_queries() -> dict[str, Query]:
         "text_unigram_scores",
         "text_bow_cosine",
         "ev_enriched_streaming",
-        "ev_gap_fill",
-        "ev_anomaly_zscore",
         # changed this round: graph intake canonicalized via
         # canonical_undirected (analytics.py) — re-verify consumers
         "bfs_part_supplier",
@@ -120,6 +118,15 @@ def all_queries() -> dict[str, Query]:
         "emb_kmeans_int",
         "emb_hard_negatives",
         "mm_audio_stats",
+        "dedup_recall_report",
+        "q50_window_count_distinct",
+        # ev_gap_fill / ev_anomaly_zscore ceded their round-3 window
+        # slots to the zero-driver-evidence queries above: both were
+        # independently oracle-verified by the round-2 review's own
+        # gate run, the strongest evidence tier below a driver row.
+        # Front of the queue for round 4.
+        "ev_gap_fill",
+        "ev_anomaly_zscore",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

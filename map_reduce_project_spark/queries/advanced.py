@@ -1392,3 +1392,52 @@ QUERIES.append(
         "SCD type-2 history rebuild: one window pass makes validity intervals from a change stream",
     )
 )
+
+
+def q50_window_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) OVER a running window — a documented Spark SQL
+    gap (DISTINCT aggregates are unsupported in window frames) closed
+    the idiomatic way: size(collect_set() OVER w). Running distinct
+    part count per supplier over its lineitem sequence. The set rides
+    the window state, so this is for bounded-cardinality distincts
+    (parts per supplier); unbounded cardinality wants the two-level
+    agg rewrite instead.
+    """
+    from pyspark.sql.window import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the generated data
+    # (165 duplicate groups at sf0.01) — l_partkey totalizes the order
+    # so the running frame is deterministic on both engines
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.size(F.collect_set("l_partkey").over(w))
+        .cast("long")
+        .alias("distinct_parts_so_far"),
+    )
+
+
+Q50_SQL = """
+SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+  CAST(COUNT(DISTINCT l_partkey) OVER (
+    PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_partkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS distinct_parts_so_far
+FROM lineitem
+"""
+
+QUERIES.append(
+    Query(
+        "q50_window_count_distinct",
+        q50_window_count_distinct_q,
+        Q50_SQL,
+        "running COUNT(DISTINCT) via collect_set window (Spark's distinct-in-frame gap closed)",
+    )
+)

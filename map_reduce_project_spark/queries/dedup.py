@@ -586,3 +586,71 @@ QUERIES.append(
         "normalization-then-exact dedup: case/punct/whitespace-invariant hash group-by",
     )
 )
+
+
+def dedup_recall_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup pipeline SELF-EVALUATION: the injected corpus has exact
+    ground truth (every doc_id pairs with doc_id + OFFSET), so
+    candidate-generation recall and precision are computable exactly —
+    the measurement every production dedup rollout runs before
+    trusting a banding config. One row: truth size, candidate volume,
+    hits, recall, precision (exact integers + two fixed divisions).
+    """
+    corpus = _injected_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_hashes=NUM_HASHES)
+    cands = lsh_candidate_pairs(
+        lsh_buckets(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    truth = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + OFFSET).alias("id_b"),
+    )
+    hits = cands.join(truth, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(cands.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_truth").cast("double")).alias("recall"),
+            (F.col("n_hits").cast("double") / F.col("n_candidates").cast("double")).alias("precision"),
+        )
+    )
+
+
+DEDUP_RECALL_SQL = f"""
+WITH {CORPUS_CTE},
+{SHINGLE_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+truth AS (SELECT doc_id AS id_a, doc_id + {OFFSET} AS id_b FROM documents),
+hits AS (SELECT 1 FROM cands JOIN truth USING (id_a, id_b)),
+c AS (
+  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+         (SELECT COUNT(*) FROM cands) AS n_candidates,
+         (SELECT COUNT(*) FROM hits) AS n_hits
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+  CAST(n_candidates AS BIGINT) AS n_candidates,
+  CAST(n_hits AS BIGINT) AS n_hits,
+  CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall,
+  CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS precision
+FROM c
+"""
+
+QUERIES.append(
+    Query(
+        "dedup_recall_report",
+        dedup_recall_report_q,
+        DEDUP_RECALL_SQL,
+        "dedup self-evaluation: LSH candidate recall/precision vs injected ground truth",
+    )
+)
