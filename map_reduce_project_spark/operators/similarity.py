@@ -912,9 +912,9 @@ def kmeans_int(
 
     Scale shape per round: one broadcast of the k x dims centroid
     table + one partial+final argmin agg + one (cluster, pos) mean
-    agg. Rounds are sequential jobs; lineage is cut by the centroid
-    table being driver-small (it round-trips through a broadcast, not
-    a growing plan).
+    agg. Rounds are sequential jobs; a lazy localCheckpoint on the
+    (k x dims)-row centroid table cuts round-over-round lineage, so
+    deep fits never replan earlier rounds.
     """
     el = _elements(vectors, id_col, vec_col).localCheckpoint(eager=False)
     cent = el.where(F.col(id_col) < k).selectExpr(
@@ -951,7 +951,10 @@ def kmeans_int(
                 ).alias("newval")
             )
         )
-        # empty clusters keep their previous centroid element
+        # empty clusters keep their previous centroid element; the
+        # lazy checkpoint cuts the round-over-round lineage (k x dims
+        # rows — the same O9 barrier discipline as the CCF loop, so a
+        # 50-round fit never replans 50 rounds of joins)
         cent = (
             cent.join(means, ["cluster", "pos"], "left")
             .select(
@@ -959,6 +962,7 @@ def kmeans_int(
                 "pos",
                 F.coalesce(F.col("newval"), F.col("cval")).cast("long").alias("cval"),
             )
+            .localCheckpoint(eager=False)
         )
 
     return assign(cent).select(
