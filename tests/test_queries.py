@@ -25,3 +25,34 @@ def test_stats_suite_matches_numpy(spark):
         y = np.round(g.o_totalprice * 100).astype("int64")
         assert abs(r.corr - np.corrcoef(x, y)[0, 1]) < 1e-9
         assert abs(r.covar_samp - np.cov(x, y, ddof=1)[0, 1]) < 1e-6 * abs(r.covar_samp)
+
+
+def test_interpolation_bounded_by_neighbour_observations(spark):
+    """Independent invariant check (no oracle): every interpolated
+    hour lies between its neighbouring observed values, observed hours
+    are exact integer cents, and each user's series is a dense hourly
+    grid."""
+    import pandas as pd
+
+    from map_reduce_project_spark.queries import all_queries
+
+    pdf = (
+        all_queries()["ev_interpolate"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values(["user_id", "bucket_start"])
+    )
+    assert len(pdf) > 0
+    for _, g in pdf.groupby("user_id"):
+        # dense hourly grid, endpoints observed
+        deltas = g["bucket_start"].diff().dropna()
+        assert (deltas == pd.Timedelta(hours=1)).all()
+        assert bool(g.iloc[0]["observed"]) and bool(g.iloc[-1]["observed"])
+        obs_idx = g.index[g["observed"]].tolist()
+        for a, b in zip(obs_idx, obs_idx[1:]):
+            lo = min(g.loc[a, "value_cents"], g.loc[b, "value_cents"])
+            hi = max(g.loc[a, "value_cents"], g.loc[b, "value_cents"])
+            seg = g.loc[a:b]
+            assert ((seg["value_cents"] >= lo) & (seg["value_cents"] <= hi)).all()
+        obs = g[g["observed"]]["value_cents"]
+        assert (obs == obs.round()).all()
