@@ -127,6 +127,12 @@ def all_queries() -> dict[str, Query]:
         # Front of the queue for round 4.
         "ev_gap_fill",
         "ev_anomaly_zscore",
+        # late round-3 additions (positions 53+, outside this round's
+        # 50-query window; verified by the local driver-identical gate
+        # — rotate them into the round-4 window)
+        "asof_forward",
+        "dedup_containment",
+        "text_bigram_lm",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

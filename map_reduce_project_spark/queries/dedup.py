@@ -654,3 +654,79 @@ QUERIES.append(
         "dedup self-evaluation: LSH candidate recall/precision vs injected ground truth",
     )
 )
+
+
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT scoring over LSH candidates: |A∩B| / |A| instead of
+    Jaccard — the asymmetric overlap that catches a small document
+    embedded inside a big one (quotes, boilerplate wrappers, partial
+    mirrors), which symmetric Jaccard dilutes below threshold. Same
+    candidate machinery, one extra division; emits both directions of
+    any pair whose containment clears 0.7.
+    """
+    corpus = _injected_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_hashes=NUM_HASHES)
+    cands = lsh_candidate_pairs(
+        lsh_buckets(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+    )
+    from map_reduce_project_spark.operators.dedup import shingles_expr
+
+    sset = corpus.select(
+        F.col("doc_id"),
+        F.array_distinct(shingles_expr(3, "text")).alias("sset"),
+    )
+    sa = sset.selectExpr("doc_id as id_a", "sset as set_a")
+    sb = sset.selectExpr("doc_id as id_b", "sset as set_b")
+    scored = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_inter"),
+            F.size("set_a").alias("na"),
+            F.size("set_b").alias("nb"),
+        )
+    )
+    contain = lambda inter, n: inter.cast("double") / n.cast("double")
+    both = scored.select(
+        "id_a",
+        "id_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        contain(F.col("n_inter"), F.col("na")).alias("containment_a"),
+        contain(F.col("n_inter"), F.col("nb")).alias("containment_b"),
+    )
+    return both.where(
+        (F.col("containment_a") >= 0.7) | (F.col("containment_b") >= 0.7)
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {LSH_CTES},
+sset AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sset GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sset a ON a.doc_id = c.id_a
+  JOIN sset b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b, CAST(n_inter AS BIGINT) AS n_inter,
+  CAST(n_inter AS DOUBLE) / CAST(na.n AS DOUBLE) AS containment_a,
+  CAST(n_inter AS DOUBLE) / CAST(nb.n AS DOUBLE) AS containment_b
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(na.n AS DOUBLE) >= 0.7
+   OR CAST(n_inter AS DOUBLE) / CAST(nb.n AS DOUBLE) >= 0.7
+"""
+
+QUERIES.append(
+    Query(
+        "dedup_containment",
+        dedup_containment_q,
+        DEDUP_CONTAINMENT_SQL,
+        "asymmetric containment scoring over LSH candidates (subset-dup detection)",
+    )
+)

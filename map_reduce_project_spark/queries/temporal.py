@@ -258,3 +258,62 @@ QUERIES.append(
         "cogrouped applyInPandas merge_asof twin of the native as-of join (same ASOF oracle)",
     )
 )
+
+
+def asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each click matched to the user's EARLIEST
+    following purchase — time-to-convert measurement, and the gate for
+    the operator's direction="forward" path (backward is gated by
+    asof_click_attribution). DuckDB's ASOF JOIN flips to forward by
+    reversing the inequality."""
+    clicks = _typed(spark, sf_dir, "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = (
+        _typed(spark, sf_dir, "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        left_ts="click_ts",
+        right_ts="ts",
+        direction="forward",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        F.col("right_purchase_id").alias("purchase_id"),
+        F.col("right_ts").alias("purchase_ts"),
+    )
+
+
+ASOF_FORWARD_SQL = """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.click_id, c.user_id, c.click_ts,
+       p.purchase_id, p.ts AS purchase_ts
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.click_ts <= p.ts
+"""
+
+QUERIES.append(
+    Query(
+        "asof_forward",
+        asof_forward_q,
+        ASOF_FORWARD_SQL,
+        "forward as-of join: click -> earliest following purchase (time-to-convert)",
+    )
+)

@@ -468,3 +468,76 @@ QUERIES.append(
         "fastText-style hashed linear classifier inference, pinned int weights",
     )
 )
+
+
+def text_bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM familiarity score (the KenLM-proxy quality filter):
+    train add-one-smoothed bigram probabilities on the corpus itself,
+    then score each document by its mean log-probability — low scorers
+    are gibberish/boilerplate relative to the corpus distribution.
+
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V); score = mean ln p,
+    rounded to 4 decimals (same ln-noise bound as the BM25 oracle —
+    all counts are exact integers, only the final expression is
+    float). Corpus statistics are in-plan aggregates joined back by
+    bigram key; nothing is collected to the driver.
+    """
+    from map_reduce_project_spark.operators.dedup import shingles_expr
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    big = docs.select(
+        "doc_id", F.explode(shingles_expr(2, "text")).alias("bg")
+    ).withColumn("w1", F.split("bg", " ")[0])
+    c2 = big.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    p = (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double")
+    return (
+        big.join(c2, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.log(p)) / F.count("*"), 4).alias("mean_logprob"),
+        )
+    )
+
+
+TEXT_BIGRAM_LM_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 1, 1)),
+           i -> array_to_string(w[i:i+1], ' '))) AS bg
+  FROM toks
+),
+bw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM big),
+c2 AS (SELECT bg, COUNT(*) AS c2 FROM bw GROUP BY bg),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bw GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(SUM(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vocab.v AS DOUBLE))) / COUNT(*), 4)
+    AS mean_logprob
+FROM bw
+JOIN c2 USING (bg)
+JOIN c1 USING (w1)
+CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "text_bigram_lm",
+        text_bigram_lm_q,
+        TEXT_BIGRAM_LM_SQL,
+        "add-one-smoothed bigram LM mean log-prob per doc (KenLM-proxy quality filter)",
+    )
+)
