@@ -133,6 +133,7 @@ def all_queries() -> dict[str, Query]:
         "asof_forward",
         "dedup_containment",
         "text_bigram_lm",
+        "q51_hll_sketch",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1441,3 +1441,50 @@ QUERIES.append(
         "running COUNT(DISTINCT) via collect_set window (Spark's distinct-in-frame gap closed)",
     )
 )
+
+
+def q51_hll_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's native Apache DataSketches HLL surface
+    (hll_sketch_agg -> hll_sketch_estimate) under the CONTRACT gate:
+    the sketch estimate must land within the configured relative
+    error of the exact distinct (lgConfigK=12 -> ~1.6% rsd; gated at
+    3x that). Output rows carry the exact count and the boolean
+    verdict, so a broken sketch flips a flag and hash-mismatches the
+    oracle's literal TRUE — sketch internals never need to match
+    across engines. The sketch path is the 100 TB plan: mergeable
+    per-partition state, one tiny binary per group crossing the wire
+    (hll_union for multi-batch rollups).
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    both = cust.groupBy("c_mktsegment").agg(
+        F.count_distinct("c_custkey").alias("exact_distinct"),
+        F.expr(
+            "hll_sketch_estimate(hll_sketch_agg(c_custkey, 12))"
+        ).alias("_est"),
+    )
+    bound = 0.05
+    return both.select(
+        "c_mktsegment",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("_est").cast("double") - F.col("exact_distinct").cast("double"))
+            <= F.lit(bound) * F.col("exact_distinct").cast("double")
+        ).alias("within_bound"),
+    )
+
+
+Q51_SQL = """
+SELECT c_mktsegment,
+  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_distinct,
+  TRUE AS within_bound
+FROM customer GROUP BY c_mktsegment
+"""
+
+QUERIES.append(
+    Query(
+        "q51_hll_sketch",
+        q51_hll_sketch_q,
+        Q51_SQL,
+        "Spark-native DataSketches HLL agg/estimate gated via the error-bound contract",
+    )
+)
