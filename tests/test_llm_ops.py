@@ -978,3 +978,24 @@ def test_wav_roundtrip_decodes_exact_samples(spark):
         assert r["sum_sq"] == sum(s * s for s in want)
         assert r["peak"] == max(abs(s) for s in want)
         assert r["sample_rate"] == 8000
+
+
+def test_audio_decode_rejects_malformed_payloads(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from map_reduce_project_spark.operators.multimodal import (
+        audio_sample_stats,
+    )
+
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": pd.Series([1], dtype="int64"),
+                "modality": ["audio/wav"],
+                "payload": [b"NOTAWAVFILE0000"],
+            }
+        )
+    )
+    with _pt.raises(Exception, match="not a WAV|PythonException"):
+        audio_sample_stats(bad).collect()
