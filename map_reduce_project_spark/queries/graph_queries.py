@@ -609,6 +609,18 @@ def cc_link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = _part_supplier_edges(spark, sf_dir)
+    # promiscuous-hub cap: suppliers above the degree cap are dropped
+    # BEFORE the self-join (their pairs are the deg² blowup and carry
+    # no signal — every part co-occurs with everything through them).
+    # 10k never triggers at gate scale, so the gated result is the
+    # uncapped one; the oracle applies the same filter.
+    hub_cap = 10_000
+    ok = (
+        e.groupBy("dst").agg(F.count("*").alias("_d"))
+        .where(F.col("_d") <= hub_cap)
+        .select("dst")
+    )
+    e = e.join(ok, "dst", "left_semi")
     a = e.selectExpr("dst as s", "src as p1")
     b = e.selectExpr("dst as s", "src as p2")
     cn = (
@@ -643,10 +655,12 @@ def cc_link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LINKPRED_SQL = """
-WITH e AS (
+WITH e0 AS (
   SELECT DISTINCT 'p:' || l_partkey AS p, 's:' || l_suppkey AS s
   FROM lineitem
 ),
+ok AS (SELECT s FROM e0 GROUP BY s HAVING COUNT(*) <= 10000),
+e AS (SELECT p, s FROM e0 JOIN ok USING (s)),
 cn AS (
   SELECT a.p AS p1, b.p AS p2, COUNT(*) AS cn
   FROM e a JOIN e b ON a.s = b.s
