@@ -134,6 +134,8 @@ def all_queries() -> dict[str, Query]:
         "dedup_containment",
         "text_bigram_lm",
         "q51_hll_sketch",
+        "emb_binary_codes",
+        "ev_rfm_scores",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

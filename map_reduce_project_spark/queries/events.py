@@ -917,3 +917,64 @@ QUERIES.append(
         "hourly grid densification + linear interpolation via ignore-nulls windows, engine-exact",
     )
 )
+
+
+def ev_rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile scoring per user
+    over purchase events — the classic segmentation every growth team
+    runs. Raw metrics are exact integers (epoch seconds, counts,
+    cents); the three ntile(5) windows get deterministic total orders
+    via the user_id tiebreak, so quintile assignments are
+    engine-exact. One aggregate + three windows over the (small)
+    per-user table — the corpus never enters a window.
+    """
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_ts"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(cents).alias("monetary_cents"),
+        )
+    )
+    r_w = Window.orderBy(F.col("last_ts").desc(), "user_id")
+    f_w = Window.orderBy(F.col("frequency").desc(), "user_id")
+    m_w = Window.orderBy(F.col("monetary_cents").desc(), "user_id")
+    return base.select(
+        "user_id",
+        "last_ts",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(r_w).cast("long").alias("r_score"),
+        F.ntile(5).over(f_w).cast("long").alias("f_score"),
+        F.ntile(5).over(m_w).cast("long").alias("m_score"),
+    )
+
+
+EV_RFM_SQL = """
+WITH base AS (
+  SELECT user_id,
+    CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts,
+    COUNT(*) AS frequency,
+    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, last_ts, CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+  CAST(NTILE(5) OVER (ORDER BY last_ts DESC, user_id) AS BIGINT) AS r_score,
+  CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+  CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT) AS m_score
+FROM base
+"""
+
+QUERIES.append(
+    Query(
+        "ev_rfm_scores",
+        ev_rfm_scores_q,
+        EV_RFM_SQL,
+        "RFM quintile segmentation per user, engine-exact ntile orders",
+    )
+)

@@ -706,3 +706,79 @@ QUERIES.append(
         "contrastive hard-negative mining: top-3 cross-label cosine neighbours per anchor",
     )
 )
+
+
+def emb_binary_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary embedding codes + Hamming ANN: each vector compresses to
+    a 63-bit sign code (1 bit per dimension, top bit unused to stay in
+    signed int64 — the 32x storage tier below int8), and each sampled
+    query retrieves its top-3 nearest
+    codes by Hamming distance via bit_count(xor) — the cheap first
+    pass of a binary-rerank retrieval stack. Codes and distances are
+    pure integer arithmetic, engine-exact.
+
+    Scale: code build is map-side (no shuffle); the query side
+    broadcasts sampled codes against the corpus stream. A full-corpus
+    Hamming search partitions by code prefix (the multi-index trick) —
+    same plan family as the SimHash band join.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    bit = lambda i: F.when(
+        F.element_at("embedding", i + 1) > 0, F.lit(1 << i)
+    ).otherwise(F.lit(0))
+    code = bit(0)
+    for i in range(1, 63):
+        code = code + bit(i)
+    codes = emb.select("vec_id", code.cast("long").alias("code"))
+    q = codes.where(F.col("vec_id") % 100 == 0).selectExpr(
+        "vec_id as query_id", "code as qcode"
+    )
+    t = codes.selectExpr("vec_id as target_id", "code as tcode")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("hamming", "target_id")
+    return (
+        F.broadcast(q)
+        .join(t, F.col("query_id") != F.col("target_id"))
+        .select(
+            "query_id",
+            "target_id",
+            F.bit_count(F.col("qcode").bitwiseXOR(F.col("tcode")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+_BIN_CODE_EXPR = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(63)
+)
+
+EMB_BINARY_SQL = f"""
+WITH codes AS (
+  SELECT vec_id, CAST({_BIN_CODE_EXPR} AS BIGINT) AS code FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+         CAST(bit_count(xor(q.code, t.code)) AS BIGINT) AS hamming
+  FROM codes q JOIN codes t ON q.vec_id <> t.vec_id
+  WHERE q.vec_id % 100 = 0
+)
+SELECT query_id, target_id, hamming, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY hamming, target_id) AS BIGINT) AS rank
+  FROM pairs
+) WHERE rank <= 3
+"""
+
+QUERIES.append(
+    Query(
+        "emb_binary_codes",
+        emb_binary_codes_q,
+        EMB_BINARY_SQL,
+        "63-bit sign codes + Hamming top-3 (binary retrieval tier, 32x compression)",
+    )
+)
