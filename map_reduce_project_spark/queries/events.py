@@ -925,8 +925,14 @@ def ev_rfm_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs. Raw metrics are exact integers (epoch seconds, counts,
     cents); the three ntile(5) windows get deterministic total orders
     via the user_id tiebreak, so quintile assignments are
-    engine-exact. One aggregate + three windows over the (small)
-    per-user table — the corpus never enters a window.
+    engine-exact. One aggregate + three windows over the per-user
+    table — the event corpus never enters a window.
+
+    Scale note: an unpartitioned ntile funnels the per-user table
+    through one reducer. Fine to ~10M users; beyond that compute the
+    four quintile cutoffs with percentile_approx (one aggregate),
+    broadcast them, and assign scores map-side — same output contract,
+    no global sort.
     """
     from pyspark.sql.window import Window
 
