@@ -136,6 +136,7 @@ def all_queries() -> dict[str, Query]:
         "q51_hll_sketch",
         "emb_binary_codes",
         "ev_rfm_scores",
+        "emb_truncation_recall",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -782,3 +782,163 @@ QUERIES.append(
         "63-bit sign codes + Hamming top-3 (binary retrieval tier, 32x compression)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style truncation evaluation: recall@3 of prefix-dim cosine
+# against full-dim ground truth, per truncation tier
+# ---------------------------------------------------------------------------
+
+MRL_PREFIXES = (8, 16, 32)
+MRL_K = 3
+
+
+def emb_truncation_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Choose your embedding-truncation tier with MEASURED recall:
+    for each prefix length (8/16/32 of 64 dims), compute each sampled
+    query's top-3 by prefix-only cosine and report how many of the
+    full-dimension top-3 it recovers — the evaluation behind
+    Matryoshka-style (MRL) storage tiering, where serving cost drops
+    linearly with dims and this table says what recall that buys.
+
+    Exact end to end: prefix cosines are the same int64 kernel with a
+    pos < prefix filter; recall counts are integers. One row per
+    (prefix, query): n_hits and recall@3.
+    """
+    from pyspark.sql.window import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    el = _q_elements(emb).localCheckpoint(eager=False)
+
+    def topk_at(prefix: int | None):
+        e = el if prefix is None else el.where(F.col("pos") < prefix)
+        q = e.where(F.col("vec_id") % 100 == 0).selectExpr(
+            "vec_id as query_id", "pos", "val as qval"
+        )
+        t = e.selectExpr("vec_id as target_id", "pos", "val as tval")
+        dots = (
+            F.broadcast(q)
+            .join(t, "pos")
+            .where(F.col("query_id") != F.col("target_id"))
+            .groupBy("query_id", "target_id")
+            .agg(F.sum(F.col("qval") * F.col("tval")).alias("dot"))
+        )
+        n2 = e.groupBy("vec_id").agg(
+            F.sum(F.col("val") * F.col("val")).alias("norm2")
+        )
+        qn = n2.selectExpr("vec_id as query_id", "norm2 as qn2")
+        tn = n2.selectExpr("vec_id as target_id", "norm2 as tn2")
+        cos = (
+            dots.join(qn, "query_id")
+            .join(tn, "target_id")
+            .select(
+                "query_id",
+                "target_id",
+                (
+                    F.col("dot").cast("double")
+                    / (
+                        F.sqrt(F.col("qn2").cast("double"))
+                        * F.sqrt(F.col("tn2").cast("double"))
+                    )
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("target_id")
+        )
+        return (
+            cos.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= MRL_K)
+            .select("query_id", "target_id")
+        )
+
+    truth = topk_at(None)
+    out = None
+    for p in MRL_PREFIXES:
+        hits = (
+            topk_at(p)
+            .join(truth, ["query_id", "target_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("_h"))
+        )
+        allq = truth.select("query_id").distinct()
+        row = allq.join(hits, "query_id", "left").select(
+            F.lit(p).cast("long").alias("prefix_dims"),
+            "query_id",
+            F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("_h"), F.lit(0)).cast("double") / MRL_K
+            ).alias("recall_at_3"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _q_elements(emb):
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.floor(F.col("val").cast("double") * 16777216))
+
+
+def _mrl_topk_sql(prefix: str, where_pos: str) -> str:
+    return f"""
+el{prefix} AS (
+  SELECT vec_id, pos, val FROM el0 {where_pos}
+),
+n2{prefix} AS (SELECT vec_id, SUM(val * val) AS norm2 FROM el{prefix} GROUP BY vec_id),
+dots{prefix} AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS target_id, SUM(q.val * t.val) AS dot
+  FROM el{prefix} q JOIN el{prefix} t ON q.pos = t.pos AND q.vec_id <> t.vec_id
+  WHERE q.vec_id % 100 = 0
+  GROUP BY q.vec_id, t.vec_id
+),
+top{prefix} AS (
+  SELECT query_id, target_id FROM (
+    SELECT d.query_id, d.target_id,
+           ROW_NUMBER() OVER (PARTITION BY d.query_id ORDER BY
+             CAST(d.dot AS DOUBLE) / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(tn.norm2 AS DOUBLE))) DESC,
+             d.target_id) AS r
+    FROM dots{prefix} d
+    JOIN n2{prefix} qn ON qn.vec_id = d.query_id
+    JOIN n2{prefix} tn ON tn.vec_id = d.target_id
+  ) WHERE r <= 3
+)"""
+
+
+def _mrl_sql() -> str:
+    parts = [
+        """el0 AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 16777216) AS BIGINT) AS val
+  FROM embeddings
+)""",
+        _mrl_topk_sql("full", ""),
+    ]
+    selects = []
+    for p in MRL_PREFIXES:
+        parts.append(_mrl_topk_sql(str(p), f"WHERE pos < {p}"))
+        selects.append(
+            f"""
+SELECT CAST({p} AS BIGINT) AS prefix_dims, q.query_id,
+  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+  CAST(COALESCE(h.n, 0) AS DOUBLE) / {MRL_K} AS recall_at_3
+FROM (SELECT DISTINCT query_id FROM topfull) q
+LEFT JOIN (
+  SELECT t.query_id, COUNT(*) AS n
+  FROM top{p} t JOIN topfull f USING (query_id, target_id)
+  GROUP BY t.query_id
+) h ON h.query_id = q.query_id"""
+        )
+    return "WITH " + ",\n".join(parts) + "\nUNION ALL".join(selects)
+
+
+EMB_TRUNC_SQL = _mrl_sql()
+
+QUERIES.append(
+    Query(
+        "emb_truncation_recall",
+        emb_truncation_recall_q,
+        EMB_TRUNC_SQL,
+        "Matryoshka truncation-tier evaluation: recall@3 of prefix-dim cosine vs full-dim truth",
+    )
+)
