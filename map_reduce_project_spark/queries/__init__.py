@@ -137,6 +137,7 @@ def all_queries() -> dict[str, Query]:
         "emb_binary_codes",
         "ev_rfm_scores",
         "emb_truncation_recall",
+        "ppr_part_supplier",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -691,3 +691,71 @@ QUERIES.append(
         "common-neighbor + Jaccard link prediction on the bipartite projection",
     )
 )
+
+
+def ppr_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (5 rounds, d=0.85) seeded at nation-0
+    suppliers — proximity-to-seed ranking over the part-supplier
+    graph, exact int64 (graph/analytics.py:personalized_pagerank_int)
+    vs a recursive-CTE oracle running the same integer rounds. The
+    third iterative algorithm family under the exact hash gate
+    (after min-label CC and uniform PageRank)."""
+    from map_reduce_project_spark.graph.analytics import (
+        personalized_pagerank_int,
+    )
+
+    supplier = read_table(spark, sf_dir, "supplier")
+    # seed nation = the smallest nation present (nation 0 has no
+    # suppliers at the smallest SF) — a metadata-sized scalar
+    min_nation = supplier.agg(F.min("s_nationkey")).collect()[0][0]
+    seeds = supplier.where(F.col("s_nationkey") == min_nation).select(
+        F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node")
+    )
+    return personalized_pagerank_int(
+        _part_supplier_edges(spark, sf_dir), seeds, iterations=5
+    )
+
+
+PPR_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), deg AS (
+  SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src
+), seeds AS (
+  SELECT DISTINCT 's:' || s_suppkey AS node
+  FROM supplier
+  WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+), consts AS (
+  SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS init,
+         CAST((15 * (1000000000000 // COUNT(*))) // 100 AS BIGINT) AS tp
+  FROM seeds
+), pr AS (
+  SELECT 0 AS it, d.node,
+         CASE WHEN s.node IS NOT NULL THEN (SELECT init FROM consts)
+              ELSE CAST(0 AS BIGINT) END AS rank
+  FROM deg d LEFT JOIN seeds s ON s.node = d.node
+  UNION ALL
+  SELECT pr.it + 1 AS it, und.dst AS node,
+         CASE WHEN und.dst IN (SELECT node FROM seeds)
+              THEN (SELECT tp FROM consts) ELSE CAST(0 AS BIGINT) END
+         + (85 * SUM(pr.rank // deg.deg)) // 100 AS rank
+  FROM pr
+  JOIN deg ON deg.node = pr.node
+  JOIN und ON und.src = pr.node
+  WHERE pr.it < 5
+  GROUP BY pr.it, und.dst
+)
+SELECT node, rank FROM pr WHERE it = 5
+"""
+
+QUERIES.append(
+    Query(
+        "ppr_part_supplier",
+        ppr_part_supplier,
+        PPR_SQL,
+        "personalized PageRank from seed suppliers, exact int64 vs recursive-CTE oracle",
+    )
+)

@@ -455,3 +455,56 @@ def test_kmeans_int_matches_python_oracle(spark, vecs):
         for r in kmeans_int(df, k=2, iterations=2).collect()
     }
     assert got == want
+
+
+def python_ppr_int(edges, seeds, iterations, scale):
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    adj: dict[str, list[str]] = {}
+    for a, b in sorted(und):
+        adj.setdefault(a, []).append(b)
+    seeds = {s for s in seeds if s in adj}
+    init = scale // len(seeds)
+    tp = (15 * init) // 100
+    rank = {u: (init if u in seeds else 0) for u in adj}
+    for _ in range(iterations):
+        incoming: dict[str, int] = {v: 0 for v in adj}
+        for u, nbrs in adj.items():
+            c = rank[u] // len(nbrs)
+            for v in nbrs:
+                incoming[v] += c
+        rank = {
+            v: (tp if v in seeds else 0) + (85 * s) // 100
+            for v, s in incoming.items()
+        }
+    return set(rank.items())
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(edge, min_size=1, max_size=40))
+def test_ppr_int_matches_python_oracle(spark, edges):
+    from map_reduce_project_spark.graph.analytics import (
+        personalized_pagerank_int,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    # seed = the smallest node present (always nonempty)
+    all_nodes = sorted({n for e in edges for n in e})
+    seeds = all_nodes[:2]
+    expected = python_ppr_int(edges, seeds, iterations=3, scale=10**9)
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {
+        (r.node, r.rank)
+        for r in personalized_pagerank_int(
+            edges_df(spark, edges), seeds_df, iterations=3, scale=10**9
+        ).collect()
+    }
+    assert got == expected
