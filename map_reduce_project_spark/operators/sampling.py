@@ -250,3 +250,40 @@ def temperature_sample(
         .where(F.col("rk") <= F.col("grp_target"))
         .select(id_col, group_col, "grp_count", "grp_target", "rk")
     )
+
+
+def balance_classes(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    salt: str = "balance",
+) -> DataFrame:
+    """Downsample every class to the MINORITY class size — the
+    standard rebalancing step before fitting a classifier on skewed
+    labels. Selection is a deterministic per-class hash ranking
+    (md5(salt|id)), so the kept set is reproducible, engine-portable,
+    and stable under retries/partitioning, like every sampler here.
+
+    Plan: one count aggregate (broadcast scalar), one rank window per
+    class (partitioned on the label — parallel across classes), one
+    filter. The window sorts only within each class.
+    """
+    from pyspark.sql.window import Window
+
+    min_count = (
+        df.groupBy(label_col)
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n"))
+        .collect()[0][0]
+    )
+    draw = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(label_col).orderBy(draw, F.col(id_col))
+    return (
+        df.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= min_count)
+        .drop("_r")
+    )

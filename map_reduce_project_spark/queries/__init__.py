@@ -138,6 +138,9 @@ def all_queries() -> dict[str, Query]:
         "ev_rfm_scores",
         "emb_truncation_recall",
         "ppr_part_supplier",
+        "ev_markov_transitions",
+        "text_keywords_tfidf",
+        "sample_balanced",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

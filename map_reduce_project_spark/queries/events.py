@@ -984,3 +984,65 @@ QUERIES.append(
         "RFM quintile segmentation per user, engine-exact ntile orders",
     )
 )
+
+
+def ev_markov_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for each
+    (state, next_state) pair of consecutive event types, the exact
+    transition probability — the behavioural model behind funnel
+    simulation and next-action prediction. Counts come from one lag
+    window per user (a single shuffle on user_id); the probability is
+    one division of exact integers, so the matrix is engine-exact.
+    Output cardinality is |event_types|² regardless of corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("state"),
+        F.lead("event_type").over(w).alias("next_state"),
+    ).where(F.col("next_state").isNotNull())
+    counts = steps.groupBy("state", "next_state").agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.groupBy("state").agg(F.sum("n").alias("n_out"))
+    return (
+        counts.join(totals, "state")
+        .select(
+            "state",
+            "next_state",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_out").cast("long").alias("n_out"),
+            (F.col("n").cast("double") / F.col("n_out").cast("double")).alias("p"),
+        )
+    )
+
+
+EV_MARKOV_SQL = """
+WITH steps AS (
+  SELECT event_type AS state,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_state
+  FROM events
+),
+counts AS (
+  SELECT state, next_state, COUNT(*) AS n
+  FROM steps WHERE next_state IS NOT NULL
+  GROUP BY state, next_state
+),
+totals AS (SELECT state, SUM(n) AS n_out FROM counts GROUP BY state)
+SELECT c.state, c.next_state,
+  CAST(c.n AS BIGINT) AS n, CAST(t.n_out AS BIGINT) AS n_out,
+  CAST(c.n AS DOUBLE) / CAST(t.n_out AS DOUBLE) AS p
+FROM counts c JOIN totals t ON t.state = c.state
+"""
+
+QUERIES.append(
+    Query(
+        "ev_markov_transitions",
+        ev_markov_transitions_q,
+        EV_MARKOV_SQL,
+        "first-order Markov transition matrix over user journeys, exact rational probabilities",
+    )
+)

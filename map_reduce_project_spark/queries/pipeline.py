@@ -553,3 +553,47 @@ QUERIES.append(
         "hybrid retrieval: BM25 + cosine legs fused by reciprocal-rank (RRF), engine-exact ranks",
     )
 )
+
+
+def sample_balanced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language downsampled to the
+    minority language's document count via deterministic per-class
+    hash ranking (operators.sampling.balance_classes) — the
+    label-rebalancing step before classifier training, reproducible
+    and engine-exact."""
+    from map_reduce_project_spark.operators.sampling import balance_classes
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return balance_classes(docs, "lang", "doc_id")
+
+
+SAMPLE_BALANCED_SQL = """
+WITH m AS (
+  SELECT MIN(n) AS min_n FROM (
+    SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+  )
+),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('balance|' || doc_id), 1, 8))::BIGINT,
+                    doc_id
+         ) AS r
+  FROM documents
+)
+SELECT doc_id, lang, n_chars
+FROM ranked CROSS JOIN m
+WHERE r <= m.min_n
+"""
+
+QUERIES.append(
+    Query(
+        "sample_balanced",
+        sample_balanced_q,
+        SAMPLE_BALANCED_SQL,
+        "class-balanced downsampling to the minority class via hash ranking",
+    )
+)

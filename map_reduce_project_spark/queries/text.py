@@ -541,3 +541,82 @@ QUERIES.append(
         "add-one-smoothed bigram LM mean log-prob per doc (KenLM-proxy quality filter)",
     )
 )
+
+
+def text_keywords_tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF (smooth
+    idf = ln(1 + N/df), score rounded to 4 decimals per the BM25
+    ln-noise precedent, rank ties broken by token). Corpus statistics
+    (N, per-term df) are in-plan aggregates — no vocabulary collected
+    to the driver; the per-doc rank window partitions on doc_id.
+    """
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n")).select("n")
+    scored = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    1.0 + F.col("n").cast("double") / F.col("df").cast("double")
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "rank",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+        )
+    )
+
+
+TEXT_KEYWORDS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+         ROUND(tf.tf * ln(1.0 + CAST(nd.n AS DOUBLE) / CAST(dft.df AS DOUBLE)), 4)
+           AS score
+  FROM tf JOIN dft USING (token) CROSS JOIN nd
+)
+SELECT doc_id, rank, token, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, score
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         ORDER BY score DESC, token) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+QUERIES.append(
+    Query(
+        "text_keywords_tfidf",
+        text_keywords_tfidf_q,
+        TEXT_KEYWORDS_SQL,
+        "per-doc top-3 TF-IDF keyword extraction, in-plan corpus stats",
+    )
+)
