@@ -187,3 +187,67 @@ def fill_time_gaps(
         "bucket_start",
         F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: int,
+    left_prefix: str = "",
+    right_prefix: str = "ov_",
+) -> DataFrame:
+    """Keyless interval-OVERLAP join: all (left, right) pairs whose
+    half-open intervals intersect (l_lo < r_hi AND r_lo < l_hi), via
+    the same fixed-width bucketing as ``interval_point_join`` — but
+    with BOTH sides replicated across their covered buckets, a
+    qualifying pair would meet in every shared bucket. The dedup is
+    plan-free: a pair is emitted ONLY in the bucket containing its
+    overlap START max(l_lo, r_lo) (provably covered by both sides'
+    bucket ranges when the overlap is non-empty), so no distinct pass
+    and no duplicate rows ever exist.
+
+    Bounds must be integral (epoch micros); at cluster scale the
+    bucket id is the shuffle key and replication factor is
+    interval_width / bucket_width + 1 per side — same tuning rule as
+    the point join.
+    """
+    lv = left.where(F.col(l_hi) > F.col(l_lo)).select(
+        *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns],
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_lo) / bucket_width),
+                F.floor((F.col(l_hi) - 1) / bucket_width),
+            )
+        ).alias("_bucket"),
+        F.col(l_lo).alias("_llo"),
+        F.col(l_hi).alias("_lhi"),
+    )
+    rv = right.where(F.col(r_hi) > F.col(r_lo)).select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns],
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_lo) / bucket_width),
+                F.floor((F.col(r_hi) - 1) / bucket_width),
+            )
+        ).alias("_bucket"),
+        F.col(r_lo).alias("_rlo"),
+        F.col(r_hi).alias("_rhi"),
+    )
+    return (
+        lv.join(rv, "_bucket")
+        .where(
+            (F.col("_llo") < F.col("_rhi"))
+            & (F.col("_rlo") < F.col("_lhi"))
+            & (
+                F.col("_bucket")
+                == F.floor(
+                    F.greatest(F.col("_llo"), F.col("_rlo")) / bucket_width
+                )
+            )
+        )
+        .drop("_bucket", "_llo", "_lhi", "_rlo", "_rhi")
+    )

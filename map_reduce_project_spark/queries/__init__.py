@@ -141,6 +141,7 @@ def all_queries() -> dict[str, Query]:
         "ev_markov_transitions",
         "text_keywords_tfidf",
         "sample_balanced",
+        "range_session_blast",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -317,3 +317,86 @@ QUERIES.append(
         "forward as-of join: click -> earliest following purchase (time-to-convert)",
     )
 )
+
+
+def range_session_blast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join under the exact gate: every user session
+    (30-min-gap session windows, inclusive span made half-open with a
+    +1µs end) that overlaps any error's 5-minute blast interval — the
+    incident-impact question ("which sessions were exposed?"), and the
+    gate for operators.joins.interval_overlap_join's bucketed,
+    dedup-free plan. Oracle is the plain inequality join.
+    """
+    from map_reduce_project_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("last_event"))
+        .select(
+            "user_id",
+            "session_start",
+            F.unix_micros("session_start").alias("s_lo"),
+            (F.unix_micros("last_event") + 1).alias("s_hi"),
+        )
+    )
+    errors = _typed(spark, sf_dir, "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+        F.unix_micros("ts").alias("e_lo"),
+        (F.unix_micros("ts") + F.lit(BLAST_US)).alias("e_hi"),
+    )
+    out = interval_overlap_join(
+        sessions, errors, "s_lo", "s_hi", "e_lo", "e_hi",
+        bucket_width=BLAST_US,
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        F.col("ov_error_id").alias("error_id"),
+        F.col("ov_error_ts").alias("error_ts"),
+    )
+
+
+RANGE_SESSION_BLAST_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+),
+sessions AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         CAST(epoch_us(MIN(ts)) AS BIGINT) AS s_lo,
+         CAST(epoch_us(MAX(ts)) + 1 AS BIGINT) AS s_hi
+  FROM s GROUP BY user_id, session_id
+),
+errors AS (
+  SELECT event_id AS error_id, ts AS error_ts,
+         CAST(epoch_us(ts) AS BIGINT) AS e_lo,
+         CAST(epoch_us(ts) + 300000000 AS BIGINT) AS e_hi
+  FROM events WHERE event_type = 'error'
+)
+SELECT sessions.user_id, sessions.session_start,
+       errors.error_id, errors.error_ts
+FROM sessions JOIN errors
+  ON sessions.s_lo < errors.e_hi AND errors.e_lo < sessions.s_hi
+"""
+
+QUERIES.append(
+    Query(
+        "range_session_blast",
+        range_session_blast_q,
+        RANGE_SESSION_BLAST_SQL,
+        "interval-overlap join: sessions exposed to error-blast windows (bucketed, dedup-free)",
+    )
+)

@@ -213,3 +213,40 @@ def test_cogroup_merge_asof_equals_native_asof_join(spark):
     assert sorted(map(key, native.collect())) == sorted(
         map(key, cogrouped.collect())
     )
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Bucketed overlap join must equal the O(n*m) nested-loop answer
+    on random intervals — including duplicates NOT appearing when a
+    pair shares several buckets, zero-length intervals dropped, and
+    touching-but-not-overlapping endpoints excluded (half-open)."""
+    import random
+
+    from map_reduce_project_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(11)
+    lrows = []
+    for i in range(40):
+        lo = rng.randint(0, 300)
+        lrows.append((i, lo, lo + rng.randint(0, 90)))
+    rrows = []
+    for j in range(40):
+        lo = rng.randint(0, 300)
+        rrows.append((j, lo, lo + rng.randint(0, 90)))
+    left = spark.createDataFrame(lrows, "lid long, llo long, lhi long")
+    right = spark.createDataFrame(rrows, "rid long, rlo long, rhi long")
+    got = sorted(
+        (r.lid, r.ov_rid)
+        for r in interval_overlap_join(
+            left, right, "llo", "lhi", "rlo", "rhi", bucket_width=25
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, llo, lhi in lrows
+        for j, rlo, rhi in rrows
+        if lhi > llo and rhi > rlo and llo < rhi and rlo < lhi
+    )
+    assert got == want and len(got) == len(set(got))
