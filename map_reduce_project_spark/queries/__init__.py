@@ -142,6 +142,7 @@ def all_queries() -> dict[str, Query]:
         "text_keywords_tfidf",
         "sample_balanced",
         "range_session_blast",
+        "mm_image_dhash",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -248,3 +248,49 @@ QUERIES.append(
         "real PCM16 WAV decode (RIFF walk + int16 unpack) -> exact stream stats",
     )
 )
+
+
+def mm_image_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash under the exact gate: gradient PPM payloads
+    are genuinely parsed back to pixels, luma'd, and difference-hashed
+    (operators/multimodal.py:image_dhash); the oracle reconstructs all
+    64 bits from the gradient generator arithmetic and formats the
+    same 16-hex string — so the hash only matches if the real decode
+    and the bit packing are both correct."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_gradient_image_payload,
+        image_dhash,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return image_dhash(attach_gradient_image_payload(docs))
+
+
+def _dhash_half_sql(lo_bit: int) -> str:
+    terms = []
+    for b in range(lo_bit, lo_bit + 32):
+        y, x = divmod(b, 8)
+        g1 = f"((doc_id * 13 + {x} * 17 + {y} * 29) % 256)"
+        g2 = f"((doc_id * 13 + {x + 1} * 17 + {y} * 29) % 256)"
+        terms.append(
+            f"(CASE WHEN {g1} > {g2} THEN {1 << (b - lo_bit)} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+MM_DHASH_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  printf('%08x%08x',
+    CAST({_dhash_half_sql(32)} AS BIGINT),
+    CAST({_dhash_half_sql(0)} AS BIGINT)) AS dhash
+FROM documents
+"""
+
+QUERIES.append(
+    Query(
+        "mm_image_dhash",
+        mm_image_dhash_q,
+        MM_DHASH_SQL,
+        "perceptual dHash from real PPM pixel decode vs bit-predicting oracle",
+    )
+)
