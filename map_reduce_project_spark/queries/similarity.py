@@ -942,3 +942,107 @@ QUERIES.append(
         "Matryoshka truncation-tier evaluation: recall@3 of prefix-dim cosine vs full-dim truth",
     )
 )
+
+
+def ann_pq_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (ADC, Jegou et al. 2011): rank
+    the corpus for each sampled query using ONLY its 8-byte PQ codes —
+    per-query lookup tables d(query_sub, codebook_entry) are built
+    once (8 subspaces x 8 codes), and each target's distance is the
+    sum of 8 table lookups instead of a 64-dim kernel. Completes the
+    compression ladder: ivf (route) -> pq_codes (store) -> ADC
+    (search). All int64, so the approximate ranking itself is
+    engine-exact under the hash gate.
+
+    Scale: the lookup table is query_batch x 64 rows (broadcast); the
+    target side touches only the code table — 8 small ints per vector,
+    never the embeddings. The join keys are (sub, code): 64 distinct
+    values, AQE-splittable.
+    """
+    from pyspark.sql.window import Window
+    from map_reduce_project_spark.operators.similarity import (
+        _elements,
+        pq_codes,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    el = _elements(emb, "vec_id", "embedding").localCheckpoint(eager=False)
+    sub = (F.col("pos") - F.col("pos") % 8) / 8
+    sel = el.withColumn("sub", sub.cast("int"))
+    cb = sel.where(F.col("vec_id") < 8).selectExpr(
+        "sub", "pos", "vec_id as code", "val as cval"
+    )
+    q = sel.where(F.col("vec_id") % 100 == 0).selectExpr(
+        "vec_id as query_id", "sub", "pos", "val as qval"
+    )
+    dtab = (
+        q.join(F.broadcast(cb), ["sub", "pos"])
+        .groupBy("query_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))
+            ).alias("d")
+        )
+    )
+    codes = pq_codes(emb, n_subspaces=8, n_codes=8).selectExpr(
+        "vec_id as target_id", "subspace as sub", "code"
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["sub", "code"])
+        .where(F.col("query_id") != F.col("target_id"))
+        .groupBy("query_id", "target_id")
+        .agg(F.sum("d").alias("adc_dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist2", "target_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "target_id", "adc_dist2", "rank")
+    )
+
+
+ANN_PQ_ADC_SQL = """
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 16777216) AS BIGINT) AS val
+  FROM embeddings
+),
+sel AS (SELECT vec_id, CAST(pos // 8 AS INT) AS sub, pos, val FROM el),
+cb AS (SELECT sub, pos, vec_id AS code, val AS cval FROM sel WHERE vec_id < 8),
+codes AS (
+  SELECT vec_id AS target_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY CAST(SUM((s.val - c.cval) * (s.val - c.cval)) AS BIGINT), c.code) AS r
+    FROM sel s JOIN cb c ON s.sub = c.sub AND s.pos = c.pos
+    GROUP BY s.vec_id, s.sub, c.code
+  ) WHERE r = 1
+),
+dtab AS (
+  SELECT q.vec_id AS query_id, q.sub, c.code,
+         CAST(SUM((q.val - c.cval) * (q.val - c.cval)) AS BIGINT) AS d
+  FROM sel q JOIN cb c ON c.sub = q.sub AND c.pos = q.pos
+  WHERE q.vec_id % 100 = 0
+  GROUP BY q.vec_id, q.sub, c.code
+),
+adc AS (
+  SELECT d.query_id, codes.target_id, CAST(SUM(d.d) AS BIGINT) AS adc_dist2
+  FROM codes JOIN dtab d ON d.sub = codes.sub AND d.code = codes.code
+  WHERE d.query_id <> codes.target_id
+  GROUP BY d.query_id, codes.target_id
+)
+SELECT query_id, target_id, adc_dist2, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY adc_dist2, target_id) AS BIGINT) AS rank
+  FROM adc
+) WHERE rank <= 3
+"""
+
+QUERIES.append(
+    Query(
+        "ann_pq_adc",
+        ann_pq_adc_q,
+        ANN_PQ_ADC_SQL,
+        "PQ asymmetric-distance search: 8 table lookups per target instead of a 64-dim kernel",
+    )
+)
