@@ -144,6 +144,7 @@ def all_queries() -> dict[str, Query]:
         "range_session_blast",
         "mm_image_dhash",
         "ann_pq_adc",
+        "text_lang_confusion",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

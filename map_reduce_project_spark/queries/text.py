@@ -620,3 +620,67 @@ QUERIES.append(
         "per-doc top-3 TF-IDF keyword extraction, in-plan corpus stats",
     )
 )
+
+
+def text_lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID EVALUATION: confusion matrix of the heuristic
+    predictor against the corpus's labeled `lang` column, with
+    per-cell precision against the predicted-class total — the
+    accept/tune measurement run before trusting a cheap classifier to
+    route a 100 TB corpus. Two aggregates, one broadcast join; the
+    matrix is |langs|² regardless of corpus size."""
+    from map_reduce_project_spark.operators.text import language_id
+
+    docs = read_table(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "pred_lang")
+    cells = (
+        docs.select("doc_id", F.col("lang").alias("actual_lang"))
+        .join(pred, "doc_id")
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = cells.groupBy("pred_lang").agg(F.sum("n").alias("n_pred"))
+    return cells.join(F.broadcast(totals), "pred_lang").select(
+        "actual_lang",
+        "pred_lang",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("n_pred").cast("double")).alias(
+            "cell_precision"
+        ),
+    )
+
+
+TEXT_LANG_CONFUSION_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+    CAST(LEN(list_filter(string_split(text, ' '), t -> t IN ({_STOP_LIST}))) AS DOUBLE)
+      / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS en_score,
+    LENGTH(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) > 0 AS has_cjk
+  FROM documents
+),
+pred AS (
+  SELECT doc_id,
+    CASE WHEN has_cjk THEN 'cjk'
+         WHEN en_score >= 0.05 THEN 'en'
+         ELSE 'other' END AS pred_lang
+  FROM scored
+),
+cells AS (
+  SELECT d.lang AS actual_lang, p.pred_lang, COUNT(*) AS n
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+  GROUP BY d.lang, p.pred_lang
+),
+totals AS (SELECT pred_lang, SUM(n) AS n_pred FROM cells GROUP BY pred_lang)
+SELECT c.actual_lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+  CAST(c.n AS DOUBLE) / CAST(t.n_pred AS DOUBLE) AS cell_precision
+FROM cells c JOIN totals t ON t.pred_lang = c.pred_lang
+"""
+
+QUERIES.append(
+    Query(
+        "text_lang_confusion",
+        text_lang_confusion_q,
+        TEXT_LANG_CONFUSION_SQL,
+        "language-ID confusion matrix vs labeled lang column, with per-cell precision",
+    )
+)
