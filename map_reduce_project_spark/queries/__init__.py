@@ -145,6 +145,7 @@ def all_queries() -> dict[str, Query]:
         "mm_image_dhash",
         "ann_pq_adc",
         "text_lang_confusion",
+        "q52_scd2_incremental",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

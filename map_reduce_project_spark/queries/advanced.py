@@ -1488,3 +1488,72 @@ QUERIES.append(
         "Spark-native DataSketches HLL agg/estimate gated via the error-bound contract",
     )
 )
+
+
+SCD2_SPLIT = "1999-01-01"
+
+
+def q52_scd2_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD2 maintenance, gated as equivalent to the full
+    rebuild: the pre-split history is the existing dimension table, the
+    post-split orders are the CDC batch, and the merge recomputes
+    version chains ONLY for keys present in the batch — untouched
+    keys' rows pass through byte-identical. The oracle is the FULL
+    recompute over all orders, so the hash gate proves
+    incremental == full — the invariant that makes partition-scoped
+    reprocessing safe at 100 TB (you only ever pay for changed keys).
+    """
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    split = F.lit(SCD2_SPLIT).cast("timestamp")
+
+    def scd2(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return df.select(
+            F.col("o_custkey").alias("custkey"),
+            F.row_number().over(w).cast("long").alias("version"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+            F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+        )
+
+    existing = scd2(orders.where(F.col("o_orderdate") < split))
+    batch_keys = (
+        orders.where(F.col("o_orderdate") >= split)
+        .select(F.col("o_custkey").alias("custkey"))
+        .dropDuplicates()
+    )
+    untouched = existing.join(batch_keys, "custkey", "left_anti")
+    changed = scd2(
+        orders.join(
+            F.broadcast(batch_keys),
+            orders.o_custkey == batch_keys.custkey,
+            "left_semi",
+        )
+    )
+    return untouched.unionAll(changed)
+
+
+Q52_SQL = """
+SELECT o_custkey AS custkey,
+  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+  o_orderkey AS orderkey,
+  o_orderpriority AS priority,
+  o_orderdate AS valid_from,
+  LEAD(o_orderdate) OVER w AS valid_to,
+  LEAD(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+QUERIES.append(
+    Query(
+        "q52_scd2_incremental",
+        q52_scd2_incremental_q,
+        Q52_SQL,
+        "incremental SCD2 merge (recompute changed keys only) hash-proven equal to the full rebuild",
+    )
+)
