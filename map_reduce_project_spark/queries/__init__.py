@@ -146,6 +146,7 @@ def all_queries() -> dict[str, Query]:
         "ann_pq_adc",
         "text_lang_confusion",
         "q52_scd2_incremental",
+        "q53_null_safe_join",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

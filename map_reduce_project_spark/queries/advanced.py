@@ -1557,3 +1557,66 @@ QUERIES.append(
         "incremental SCD2 merge (recompute changed keys only) hash-proven equal to the full rebuild",
     )
 )
+
+
+def q53_null_safe_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (<=>): match customers to orders on a
+    nullable derived key where NULL must equal NULL — the semantics a
+    plain equi-join silently drops (NULL = NULL is NULL, so null-keyed
+    rows vanish). Spark's <=> is DuckDB's IS NOT DISTINCT FROM; both
+    plan as a hash join with null-safe key comparison, not a cross.
+    Keys: NULLIF(priority-band, 0) on both sides — band 0 rows carry
+    NULL and still pair up.
+    """
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    cband = F.expr("nullif(c_custkey % 5, 0)")
+    oband = F.expr("nullif(o_custkey % 5, 0)")
+    c = customer.select(
+        F.col("c_custkey"), cband.alias("cband")
+    ).where(F.col("c_custkey") <= 50)
+    o = orders.select(
+        F.col("o_orderkey"), F.col("o_custkey"), oband.alias("oband")
+    ).where(F.col("o_custkey") <= 50)
+    return (
+        c.join(o, c.cband.eqNullSafe(o.oband))
+        .groupBy("cband")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("cband"), F.lit(-1)).cast("long").alias("band"),
+            "n_pairs",
+            "n_customers",
+            "n_orders",
+        )
+    )
+
+
+Q53_SQL = """
+WITH c AS (
+  SELECT c_custkey, NULLIF(c_custkey % 5, 0) AS cband
+  FROM customer WHERE c_custkey <= 50
+),
+o AS (
+  SELECT o_orderkey, o_custkey, NULLIF(o_custkey % 5, 0) AS oband
+  FROM orders WHERE o_custkey <= 50
+)
+SELECT CAST(COALESCE(cband, -1) AS BIGINT) AS band,
+  COUNT(*) AS n_pairs,
+  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+FROM c JOIN o ON cband IS NOT DISTINCT FROM oband
+GROUP BY cband
+"""
+
+QUERIES.append(
+    Query(
+        "q53_null_safe_join",
+        q53_null_safe_join_q,
+        Q53_SQL,
+        "null-safe equality join (<=> / IS NOT DISTINCT FROM), NULL keys pair instead of vanishing",
+    )
+)
