@@ -147,6 +147,7 @@ def all_queries() -> dict[str, Query]:
         "text_lang_confusion",
         "q52_scd2_incremental",
         "q53_null_safe_join",
+        "ev_session_conversion",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1046,3 +1046,75 @@ QUERIES.append(
         "first-order Markov transition matrix over user journeys, exact rational probabilities",
     )
 )
+
+
+def ev_session_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session conversion: for every 30-min-gap session, did a
+    purchase happen at-or-after the session's first click? The
+    per-session sharpening of the global funnel (a user may convert in
+    one session and browse in ten) — one session-window aggregate with
+    conditional min/max, no joins, no second pass.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    first_click = F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+    last_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").cast("long").alias("n_events"),
+            first_click.alias("first_click"),
+            last_purchase.alias("last_purchase"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "n_events",
+            F.col("first_click").isNotNull().alias("has_click"),
+            F.col("last_purchase").isNotNull().alias("has_purchase"),
+            (
+                F.col("first_click").isNotNull()
+                & F.col("last_purchase").isNotNull()
+                & (F.col("last_purchase") >= F.col("first_click"))
+            ).alias("converted"),
+        )
+    )
+
+
+EV_SESSION_CONV_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id,
+  MIN(ts) AS session_start,
+  COUNT(*) AS n_events,
+  MIN(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL AS has_click,
+  MAX(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL AS has_purchase,
+  (MIN(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL
+   AND MAX(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+   AND MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+       >= MIN(CASE WHEN event_type = 'click' THEN ts END)) AS converted
+FROM s
+GROUP BY user_id, session_id
+"""
+
+QUERIES.append(
+    Query(
+        "ev_session_conversion",
+        ev_session_conversion_q,
+        EV_SESSION_CONV_SQL,
+        "within-session click->purchase conversion via conditional session aggregates",
+    )
+)
