@@ -148,6 +148,7 @@ def all_queries() -> dict[str, Query]:
         "q52_scd2_incremental",
         "q53_null_safe_join",
         "ev_session_conversion",
+        "dedup_prefix_filter",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -730,3 +730,115 @@ QUERIES.append(
         "asymmetric containment scoring over LSH candidates (subset-dup detection)",
     )
 )
+
+
+def dedup_prefix_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering set-similarity join (AllPairs/PPJoin family,
+    Bayardo et al. 2007): sort each doc's token set by GLOBAL
+    frequency (rarest first) and index only the first
+    n - ceil(t*n) + 1 tokens — two sets with Jaccard >= t MUST share a
+    prefix token, so candidate generation is LOSSLESS (MinHash banding
+    is probabilistic; this is the exact-recall alternative, at the
+    cost of hot-prefix skew instead of hot-bucket skew). Candidates
+    sharing a rare prefix token are verified with exact token-set
+    Jaccard at t = 0.5.
+
+    Plan: one token-frequency agg (broadcast), one per-doc rank
+    window, prefix equi-join on the token, exact verify over the
+    candidate pairs — every stage keyed and AQE-splittable; the
+    frequency ordering exists precisely to make prefix postings
+    short.
+    """
+    from pyspark.sql.window import Window
+
+    corpus = _injected_corpus(spark, sf_dir)
+    tok = corpus.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count("*").alias("f"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("f", "t")
+    ranked = (
+        tok.join(freq, "t")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        # t = 0.5: prefix length = n - ceil(n/2) + 1; ceil(n/2) as
+        # floor((n+1)/2) keeps it integer (a double / here silently
+        # shortens even-n prefixes below the lossless bound)
+        .where(
+            F.col("rn")
+            <= F.col("n") - F.floor((F.col("n") + 1) / 2) + 1
+        )
+        .select("doc_id", "t")
+    )
+    cands = (
+        ranked.selectExpr("t", "doc_id as id_a")
+        .join(ranked.selectExpr("t", "doc_id as id_b"), "t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    inter = (
+        cands.join(tok.selectExpr("doc_id as id_a", "t"), "id_a")
+        .join(tok.selectExpr("doc_id as id_b", "t as t2"), "id_b")
+        .where(F.col("t") == F.col("t2"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.selectExpr("doc_id as id_a", "n as na")
+    nb = sizes.selectExpr("doc_id as id_b", "n as nb")
+    jac = (
+        F.col("n_inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+    )
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+DEDUP_PREFIX_SQL = f"""
+WITH {CORPUS_CTE},
+tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus
+),
+freq AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY t),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+ranked AS (
+  SELECT tok.doc_id, tok.t FROM (
+    SELECT tok.doc_id, tok.t, s.n,
+           ROW_NUMBER() OVER (PARTITION BY tok.doc_id ORDER BY freq.f, tok.t) AS rn
+    FROM tok JOIN freq USING (t) JOIN sizes s ON s.doc_id = tok.doc_id
+  ) tok
+  WHERE rn <= n - (n + 1) // 2 + 1
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ranked a JOIN ranked b USING (t)
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN tok ta ON ta.doc_id = c.id_a
+  JOIN tok tb ON tb.doc_id = c.id_b AND tb.t = ta.t
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+  CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
+"""
+
+QUERIES.append(
+    Query(
+        "dedup_prefix_filter",
+        dedup_prefix_filter_q,
+        DEDUP_PREFIX_SQL,
+        "prefix-filtering set-similarity join (PPJoin family): lossless candidates + exact Jaccard",
+    )
+)
