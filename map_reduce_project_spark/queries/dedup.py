@@ -751,9 +751,15 @@ def dedup_prefix_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    from map_reduce_project_spark.operators.dedup import shingles_expr
+
     corpus = _injected_corpus(spark, sf_dir)
+    # word 3-gram shingle sets (same universe as the MinHash family) —
+    # far more discriminative than unigram tokens, so J >= 0.5 means
+    # real near-duplication, not shared vocabulary
     tok = corpus.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+        "doc_id",
+        F.explode(F.array_distinct(shingles_expr(3, "text"))).alias("t"),
     )
     freq = tok.groupBy("t").agg(F.count("*").alias("f"))
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -801,8 +807,9 @@ def dedup_prefix_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_PREFIX_SQL = f"""
 WITH {CORPUS_CTE},
+{SHINGLE_CTE},
 tok AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus
+  SELECT DISTINCT doc_id, shingle AS t FROM sh
 ),
 freq AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY t),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
