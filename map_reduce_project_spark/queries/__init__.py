@@ -149,6 +149,7 @@ def all_queries() -> dict[str, Query]:
         "q53_null_safe_join",
         "ev_session_conversion",
         "dedup_prefix_filter",
+        "mm_shot_boundaries",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

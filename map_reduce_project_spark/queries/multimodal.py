@@ -294,3 +294,69 @@ QUERIES.append(
         "perceptual dHash from real PPM pixel decode vs bit-predicting oracle",
     )
 )
+
+
+def mm_shot_boundaries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot detection under the exact gate: 6 REAL PPM frames
+    per document (gradient orientation flips at frame 3 — a cut),
+    each genuinely decoded and dHashed
+    (operators/multimodal.py:frame_dhashes), then consecutive-frame
+    Hamming + threshold (shot_boundaries). The oracle predicts every
+    frame's hash bits from the generator arithmetic and runs the same
+    lag/xor/bit_count — so decode, hashing, and the temporal pass are
+    all certified."""
+    from map_reduce_project_spark.operators.multimodal import (
+        frame_dhashes,
+        shot_boundaries,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return shot_boundaries(frame_dhashes(docs))
+
+
+def _shot_half_sql(a: int, b: int, lo_bit: int) -> str:
+    terms = []
+    for bit in range(lo_bit, lo_bit + 32):
+        y, x = divmod(bit, 8)
+        g1 = f"((doc_id * 13 + {x} * {a} + {y} * {b}) % 256)"
+        g2 = f"((doc_id * 13 + {x + 1} * {a} + {y} * {b}) % 256)"
+        terms.append(
+            f"(CASE WHEN {g1} > {g2} THEN {1 << (bit - lo_bit)} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+MM_SHOT_SQL = f"""
+WITH f AS (
+  SELECT doc_id, unnest(range(0, 6)) AS frame_idx FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+    CASE WHEN frame_idx < 3 THEN {_shot_half_sql(17, 29, 32)}
+         ELSE {_shot_half_sql(29, 17, 32)} END AS hi,
+    CASE WHEN frame_idx < 3 THEN {_shot_half_sql(17, 29, 0)}
+         ELSE {_shot_half_sql(29, 17, 0)} END AS lo
+  FROM f
+),
+g AS (
+  SELECT doc_id, frame_idx, hi, lo,
+         LAG(hi) OVER w AS phi, LAG(lo) OVER w AS plo
+  FROM h
+  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+)
+SELECT doc_id, frame_idx, printf('%08x%08x', hi, lo) AS dhash,
+  CAST(COALESCE(bit_count(xor(hi, phi)) + bit_count(xor(lo, plo)), -1) AS BIGINT)
+    AS hamming_prev,
+  COALESCE(bit_count(xor(hi, phi)) + bit_count(xor(lo, plo)) >= 8, FALSE)
+    AS is_cut
+FROM g
+"""
+
+QUERIES.append(
+    Query(
+        "mm_shot_boundaries",
+        mm_shot_boundaries_q,
+        MM_SHOT_SQL,
+        "video shot detection: real per-frame decode + dHash + consecutive-frame Hamming cut flag",
+    )
+)
