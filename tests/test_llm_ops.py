@@ -999,3 +999,73 @@ def test_audio_decode_rejects_malformed_payloads(spark):
     )
     with _pt.raises(Exception, match="not a WAV|PythonException"):
         audio_sample_stats(bad).collect()
+
+
+def test_shot_boundaries_cut_exactly_at_gradient_flip(spark):
+    from map_reduce_project_spark.operators.multimodal import (
+        SHOT_CUT_AT,
+        SHOT_FRAMES,
+        frame_dhashes,
+        shot_boundaries,
+    )
+
+    docs = spark.createDataFrame([(3,), (7,)], "doc_id long")
+    out = shot_boundaries(frame_dhashes(docs)).collect()
+    assert len(out) == 2 * SHOT_FRAMES
+    for r in out:
+        if r["frame_idx"] == 0:
+            assert r["hamming_prev"] == -1 and not r["is_cut"]
+        elif r["frame_idx"] == SHOT_CUT_AT:
+            assert r["hamming_prev"] >= 8 and r["is_cut"]
+        else:
+            assert r["hamming_prev"] == 0 and not r["is_cut"]
+
+
+def test_prefix_filter_candidates_are_lossless(spark):
+    """Prefix filtering's theorem: every pair with token-set Jaccard
+    >= t shares at least one prefix token (prefix = n - ceil(t*n) + 1
+    rarest tokens). Check candidates ⊇ brute-force J >= 0.5 pairs on
+    a vocabulary-skewed corpus."""
+    import itertools
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [
+        (1, "a b c d"),
+        (2, "a b c e"),       # J(1,2)=3/5
+        (3, "a b x y z w"),   # low overlap with 1
+        (4, "q r s t"),
+        (5, "q r s t"),       # exact dup of 4
+        (6, "a q c d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = df.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count("*").alias("f"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("f", "t")
+    ranked = (
+        tok.join(freq, "t")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(F.col("rn") <= F.col("n") - F.floor((F.col("n") + 1) / 2) + 1)
+        .select("doc_id", "t")
+    )
+    cands = {
+        (r.id_a, r.id_b)
+        for r in ranked.selectExpr("t", "doc_id as id_a")
+        .join(ranked.selectExpr("t", "doc_id as id_b"), "t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    sets = {i: set(t.split(" ")) for i, t in rows}
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sets), 2)
+        if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.5
+    }
+    assert truth <= cands and (4, 5) in truth
