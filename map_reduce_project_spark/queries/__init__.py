@@ -150,6 +150,7 @@ def all_queries() -> dict[str, Query]:
         "ev_session_conversion",
         "dedup_prefix_filter",
         "mm_shot_boundaries",
+        "q54_value_functions",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1620,3 +1620,58 @@ QUERIES.append(
         "null-safe equality join (<=> / IS NOT DISTINCT FROM), NULL keys pair instead of vanishing",
     )
 )
+
+
+def q54_value_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining window VALUE functions under the gate:
+    first_value / last_value / nth_value over a running frame per
+    customer's order history — cheapest/most-recent/second-ever order
+    in one pass. The frame must be made explicit: last_value over the
+    default frame is the running current row, a classic silent-wrong
+    default both engines share.
+    """
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate", cents.alias("cents")
+    )
+    running = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("cents").over(running).alias("first_cents"),
+        F.last("cents").over(running).alias("latest_cents"),
+        F.coalesce(
+            F.nth_value("cents", 2).over(running), F.lit(-1)
+        ).alias("second_cents"),
+    )
+
+
+Q54_SQL = """
+SELECT o_custkey, o_orderkey,
+  FIRST_VALUE(cents) OVER w AS first_cents,
+  LAST_VALUE(cents) OVER w AS latest_cents,
+  CAST(COALESCE(NTH_VALUE(cents, 2) OVER w, -1) AS BIGINT) AS second_cents
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES.append(
+    Query(
+        "q54_value_functions",
+        q54_value_functions_q,
+        Q54_SQL,
+        "first_value/last_value/nth_value with explicit running frames",
+    )
+)
