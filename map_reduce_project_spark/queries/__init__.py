@@ -151,6 +151,7 @@ def all_queries() -> dict[str, Query]:
         "dedup_prefix_filter",
         "mm_shot_boundaries",
         "q54_value_functions",
+        "q55_rolling_7d_revenue",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1675,3 +1675,58 @@ QUERIES.append(
         "first_value/last_value/nth_value with explicit running frames",
     )
 )
+
+
+def q55_rolling_7d_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based RANGE frame: each order's trailing-7-day revenue for
+    its customer — the rolling-window shape behind velocity/fraud
+    features. The frame is RANGE over epoch seconds (orders inside
+    [t - 7d, t] by VALUE, not by row count — multiple same-week orders
+    all land in each other's frames), with exact int64 cents.
+    """
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("ts_s"),
+        cents.alias("cents"),
+    )
+    week = 7 * 24 * 3600
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ts_s")
+        .rangeBetween(-week, 0)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("cents").over(w).alias("revenue_7d_cents"),
+        F.count("*").over(w).cast("long").alias("n_orders_7d"),
+    )
+
+
+Q55_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(cents) OVER w AS BIGINT) AS revenue_7d_cents,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_7d
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(epoch(o_orderdate) AS BIGINT) AS ts_s,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_s
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES.append(
+    Query(
+        "q55_rolling_7d_revenue",
+        q55_rolling_7d_revenue_q,
+        Q55_SQL,
+        "trailing-7-day revenue per customer via a time-valued RANGE frame, exact cents",
+    )
+)
