@@ -1118,3 +1118,88 @@ QUERIES.append(
         "within-session click->purchase conversion via conditional session aggregates",
     )
 )
+
+
+def ev_cohort_ltv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: for each weekly signup cohort, cumulative
+    purchase revenue per week-offset since signup — the
+    lifetime-value matrix next to the retention matrix
+    (ev_retention_cohorts). Weekly revenue aggregates exactly in
+    int64 cents; the cumulative pass is one window over the tiny
+    (cohort, offset) matrix, never over events.
+    """
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    cohorts = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date(F.date_trunc("week", "ts"))).alias("cohort_week"))
+    )
+    weekly = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+        )
+        .agg(F.sum(cents).alias("rev"))
+    )
+    cells = (
+        weekly.join(cohorts, "user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.sum("rev").alias("week_revenue_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        F.col("week_revenue_cents").cast("long").alias("week_revenue_cents"),
+        F.sum("week_revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
+    )
+
+
+EV_COHORT_LTV_SQL = """
+WITH cohorts AS (
+  SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+weekly AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(date_trunc('week', ts) AS DATE)
+),
+cells AS (
+  SELECT c.cohort_week,
+         CAST((w.week - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+         CAST(SUM(w.rev) AS BIGINT) AS week_revenue_cents
+  FROM weekly w JOIN cohorts c ON c.user_id = w.user_id
+  WHERE w.week >= c.cohort_week
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, week_revenue_cents,
+  CAST(SUM(week_revenue_cents) OVER (
+    PARTITION BY cohort_week ORDER BY week_offset
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS cum_revenue_cents
+FROM cells
+"""
+
+QUERIES.append(
+    Query(
+        "ev_cohort_ltv",
+        ev_cohort_ltv_q,
+        EV_COHORT_LTV_SQL,
+        "weekly-cohort cumulative LTV matrix in exact cents",
+    )
+)
