@@ -887,6 +887,63 @@ def pq_codes(
     )
 
 
+
+def _kmeans_assign(el, cent, id_col):
+    """argmin-L2 assignment of every vector to a centroid (int64,
+    tie -> lowest cluster id)."""
+    d2 = (
+        el.join(F.broadcast(cent), "pos")
+        .groupBy(id_col, "cluster")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval"))
+                * (F.col("val") - F.col("cval"))
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "cluster")
+    return (
+        d2.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(id_col, "cluster", "dist2")
+    )
+
+
+def _kmeans_rounds(el, k, iterations, id_col):
+    """The shared Lloyd rounds: returns the final centroid table
+    (cluster, pos, cval) after ``iterations`` floor-exact updates.
+    Both the assignment query (kmeans_int) and the model query
+    (kmeans_centroids_int) call this, so they can never drift."""
+    cent = el.where(F.col(id_col) < k).selectExpr(
+        f"{id_col} as cluster", "pos", "val as cval"
+    )
+    for _ in range(iterations):
+        a = _kmeans_assign(el, cent, id_col).select(id_col, "cluster")
+        means = (
+            a.join(el, id_col)
+            .groupBy("cluster", "pos")
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count("*").cast("double")
+                ).alias("newval")
+            )
+        )
+        # empty clusters keep their previous centroid element; the
+        # lazy checkpoint cuts the round-over-round lineage (k x dims
+        # rows -- the same O9 barrier discipline as the CCF loop, so a
+        # 50-round fit never replans 50 rounds of joins)
+        cent = (
+            cent.join(means, ["cluster", "pos"], "left")
+            .select(
+                "cluster",
+                "pos",
+                F.coalesce(F.col("newval"), F.col("cval")).cast("long").alias("cval"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cent
+
+
 def kmeans_int(
     vectors: DataFrame,
     k: int = 8,
@@ -917,56 +974,29 @@ def kmeans_int(
     deep fits never replan earlier rounds.
     """
     el = _elements(vectors, id_col, vec_col).localCheckpoint(eager=False)
-    cent = el.where(F.col(id_col) < k).selectExpr(
-        f"{id_col} as cluster", "pos", "val as cval"
-    )
-
-    def assign(centroids: DataFrame) -> DataFrame:
-        d2 = (
-            el.join(F.broadcast(centroids), "pos")
-            .groupBy(id_col, "cluster")
-            .agg(
-                F.sum(
-                    (F.col("val") - F.col("cval"))
-                    * (F.col("val") - F.col("cval"))
-                ).alias("dist2")
-            )
-        )
-        w = Window.partitionBy(id_col).orderBy("dist2", "cluster")
-        return (
-            d2.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") == 1)
-            .select(id_col, "cluster", "dist2")
-        )
-
-    for _ in range(iterations):
-        a = assign(cent)
-        means = (
-            a.select(id_col, "cluster")
-            .join(el, id_col)
-            .groupBy("cluster", "pos")
-            .agg(
-                F.floor(
-                    F.sum("val").cast("double") / F.count("*").cast("double")
-                ).alias("newval")
-            )
-        )
-        # empty clusters keep their previous centroid element; the
-        # lazy checkpoint cuts the round-over-round lineage (k x dims
-        # rows — the same O9 barrier discipline as the CCF loop, so a
-        # 50-round fit never replans 50 rounds of joins)
-        cent = (
-            cent.join(means, ["cluster", "pos"], "left")
-            .select(
-                "cluster",
-                "pos",
-                F.coalesce(F.col("newval"), F.col("cval")).cast("long").alias("cval"),
-            )
-            .localCheckpoint(eager=False)
-        )
-
-    return assign(cent).select(
+    cent = _kmeans_rounds(el, k, iterations, id_col)
+    return _kmeans_assign(el, cent, id_col).select(
         F.col(id_col),
         F.col("cluster").cast("long").alias("cluster"),
         "dist2",
+    )
+
+def kmeans_centroids_int(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained MODEL from the exact-integer Lloyd loop: the final
+    centroid table (cluster, pos, cval) after ``iterations`` rounds —
+    what you persist and broadcast to assign new batches without
+    refitting. Same rounds as ``kmeans_int`` (shared helper), so the
+    model and the assignment are mutually consistent bit-for-bit.
+    """
+    el = _elements(vectors, id_col, vec_col).localCheckpoint(eager=False)
+    return _kmeans_rounds(el, k, iterations, id_col).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("cval").cast("long").alias("cval"),
     )

@@ -153,6 +153,7 @@ def all_queries() -> dict[str, Query]:
         "q54_value_functions",
         "q55_rolling_7d_revenue",
         "ev_cohort_ltv",
+        "emb_kmeans_centroids",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1046,3 +1046,43 @@ QUERIES.append(
         "PQ asymmetric-distance search: 8 table lookups per target instead of a 64-dim kernel",
     )
 )
+
+
+def emb_kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained k-means MODEL under the hash gate: the final
+    centroid table after the same 3 exact-integer Lloyd rounds as
+    emb_kmeans_int — proving not just the assignment but the persisted
+    model artifact is bit-reproducible."""
+    from map_reduce_project_spark.operators.similarity import (
+        kmeans_centroids_int,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_centroids_int(emb, k=KMEANS_K, iterations=KMEANS_ITERS)
+
+
+def _kmeans_centroids_sql(k: int, iterations: int) -> str:
+    base = _kmeans_sql(k, iterations)
+    # same CTE chain; select the final centroid table instead of the
+    # final assignment
+    head = base.split(",\nfinal AS (")[0]
+    return (
+        head
+        + f"""
+SELECT CAST(cluster AS BIGINT) AS cluster, CAST(pos AS BIGINT) AS pos,
+       CAST(cval AS BIGINT) AS cval
+FROM c{iterations}
+"""
+    )
+
+
+EMB_KMEANS_CENTROIDS_SQL = _kmeans_centroids_sql(KMEANS_K, KMEANS_ITERS)
+
+QUERIES.append(
+    Query(
+        "emb_kmeans_centroids",
+        emb_kmeans_centroids_q,
+        EMB_KMEANS_CENTROIDS_SQL,
+        "the trained k-means centroid table (the persisted model artifact), bit-reproducible",
+    )
+)
