@@ -154,6 +154,8 @@ def all_queries() -> dict[str, Query]:
         "q55_rolling_7d_revenue",
         "ev_cohort_ltv",
         "emb_kmeans_centroids",
+        "q56_grouping_id",
+        "ev_bot_detection",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

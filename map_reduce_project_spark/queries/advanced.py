@@ -1730,3 +1730,59 @@ QUERIES.append(
         "trailing-7-day revenue per customer via a time-valued RANGE frame, exact cents",
     )
 )
+
+
+def q56_grouping_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING_ID over a cube: the bitmask that tells subtotal NULLs
+    apart from real NULLs — without it a cube over nullable dims is
+    ambiguous. Exact cents; grouping columns coalesced to sentinels
+    keyed off the grouping bits, the canonical report shape.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cube = (
+        orders.select("o_orderstatus", "o_orderpriority", cents.alias("cents"))
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum("cents").alias("revenue_cents"),
+            F.count("*").cast("long").alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+    return cube.select(
+        F.coalesce(
+            F.col("o_orderstatus"),
+            F.when(F.col("gid").bitwiseAND(2) > 0, "ALL"),
+        ).alias("status"),
+        F.coalesce(
+            F.col("o_orderpriority"),
+            F.when(F.col("gid").bitwiseAND(1) > 0, "ALL"),
+        ).alias("priority"),
+        "gid",
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+        "n",
+    )
+
+
+Q56_SQL = """
+SELECT
+  COALESCE(o_orderstatus,
+           CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' END) AS status,
+  COALESCE(o_orderpriority,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' END) AS priority,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+    AS revenue_cents,
+  COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+QUERIES.append(
+    Query(
+        "q56_grouping_id",
+        q56_grouping_id_q,
+        Q56_SQL,
+        "CUBE with GROUPING_ID bitmask disambiguating subtotal rows",
+    )
+)

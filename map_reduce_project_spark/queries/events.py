@@ -1203,3 +1203,89 @@ QUERIES.append(
         "weekly-cohort cumulative LTV matrix in exact cents",
     )
 )
+
+
+def ev_bot_detection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by inter-event-time REGULARITY: humans
+    have bursty gaps, schedulers metronomic ones. Per user, gap
+    moments come from exact integer sums over epoch-micro deltas (one
+    lag window + one aggregate); the regularity test — sample variance
+    below (10% of mean)² — is evaluated on exact integers
+    (n·Σd² − (Σd)² < n·(Σd/10)² avoids forming the float variance), so
+    the flagged set is engine-exact. The traffic-scrubbing sibling of
+    the z-score anomaly pass.
+    """
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+    )
+    gaps = (
+        secs.select(
+            "user_id",
+            (F.col("sec") - F.lag("sec").over(w)).alias("d"),
+        )
+        .where(F.col("d").isNotNull())
+    )
+    s = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).alias("s2"),
+    )
+    # var < (mean/10)^2  <=>  100*(n*s2 - s1^2) < n*s1^2, exact ints
+    # (n*s2 ~ 10^4 * (10^13)^2 overflows int64 -> compare in double,
+    # same expression both engines)
+    lhs = (
+        F.lit(100.0)
+        * (
+            F.col("n").cast("double") * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
+    )
+    rhs = F.col("n").cast("double") * (
+        F.col("s1").cast("double") * F.col("s1").cast("double")
+    )
+    return s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.col("s1").cast("long").alias("sum_gap_s"),
+        ((F.col("n") >= 10) & (lhs < rhs)).alias("is_metronomic"),
+    )
+
+
+EV_BOT_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 1000000 - epoch_us(LAG(ts) OVER w) // 1000000 AS BIGINT) AS d
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(d) AS BIGINT) AS s1,
+         CAST(SUM(d * d) AS BIGINT) AS s2
+  FROM gaps WHERE d IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps, s1 AS sum_gap_s,
+  (n >= 10 AND
+   100.0 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+   < CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+    AS is_metronomic
+FROM s
+"""
+
+QUERIES.append(
+    Query(
+        "ev_bot_detection",
+        ev_bot_detection_q,
+        EV_BOT_SQL,
+        "bot detection by inter-event-gap regularity, exact integer moments",
+    )
+)
