@@ -813,3 +813,44 @@ def shot_boundaries(frames: DataFrame, threshold: int = 8) -> DataFrame:
         F.coalesce(ham, F.lit(-1)).alias("hamming_prev"),
         F.coalesce(ham >= threshold, F.lit(False)).alias("is_cut"),
     )
+
+
+def audio_samples(media: DataFrame) -> DataFrame:
+    """(doc_id, i, sample): the decoded PCM16 stream as rows — the
+    bridge from container decode (Python, partition-local) to
+    relational DSP downstream (windows/aggregates in the JVM). Same
+    RIFF chunk walk as ``audio_sample_stats``."""
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a WAV")
+                i = 12
+                samples: list[int] = []
+                while i + 8 <= len(b):
+                    cid = b[i : i + 4]
+                    (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+                    if cid == b"data":
+                        samples = list(
+                            struct.unpack(
+                                f"<{size // 2}h", b[i + 8 : i + 8 + size]
+                            )
+                        )
+                    i += 8 + size + (size & 1)
+                for idx, v in enumerate(samples):
+                    ids.append(int(doc_id))
+                    idxs.append(idx)
+                    vals.append(int(v))
+            yield pd.DataFrame({"doc_id": ids, "i": idxs, "sample": vals})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("i", LongType()),
+            StructField("sample", LongType()),
+        ]
+    )
+    return media.mapInPandas(explode, schema)

@@ -156,6 +156,7 @@ def all_queries() -> dict[str, Query]:
         "emb_kmeans_centroids",
         "q56_grouping_id",
         "ev_bot_detection",
+        "mm_audio_activity",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -360,3 +360,89 @@ QUERIES.append(
         "video shot detection: real per-frame decode + dHash + consecutive-frame Hamming cut flag",
     )
 )
+
+
+def mm_audio_activity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity segmentation (VAD shape): REAL PCM16 decode
+    streams samples into the relational plane
+    (operators/multimodal.py:audio_samples), 4-sample frames get an
+    exact integer energy, active frames (energy above the per-doc
+    mean) merge into contiguous segments via gaps-and-islands — the
+    decode-in-Python, DSP-in-the-JVM split every audio pipeline wants.
+    Output: one row per active segment with exact bounds and energy.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_audio_payload,
+        audio_samples,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    samples = audio_samples(attach_real_audio_payload(docs))
+    frames = (
+        samples.withColumn("frame", F.expr("i div 4"))
+        .groupBy("doc_id", "frame")
+        .agg(F.sum(F.col("sample") * F.col("sample")).alias("energy"))
+    )
+    mean_e = frames.groupBy("doc_id").agg(
+        F.avg("energy").alias("me"), F.count("*").alias("nf")
+    )
+    flagged = frames.join(mean_e, "doc_id").select(
+        "doc_id",
+        "frame",
+        "energy",
+        (F.col("energy").cast("double") > F.col("me")).alias("active"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame")
+    seg = flagged.where("active").withColumn(
+        "seg_id", (F.col("frame") - F.row_number().over(w)).cast("long")
+    )
+    return seg.groupBy("doc_id", "seg_id").agg(
+        F.min("frame").cast("long").alias("start_frame"),
+        F.max("frame").cast("long").alias("end_frame"),
+        F.sum("energy").cast("long").alias("segment_energy"),
+    )
+
+
+MM_AUDIO_ACTIVITY_SQL = """
+WITH g AS (SELECT doc_id, 16 + doc_id % 17 AS n FROM documents),
+s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM g),
+v AS (
+  SELECT doc_id, i // 4 AS frame,
+         ((doc_id * 31 + i * 7) % 2048) - 1024 AS val
+  FROM s
+),
+frames AS (
+  SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+         CAST(SUM(val * val) AS BIGINT) AS energy
+  FROM v GROUP BY doc_id, frame
+),
+me AS (SELECT doc_id, AVG(energy) AS me FROM frames GROUP BY doc_id),
+flagged AS (
+  SELECT f.doc_id, f.frame, f.energy,
+         CAST(f.energy AS DOUBLE) > me.me AS active
+  FROM frames f JOIN me ON me.doc_id = f.doc_id
+),
+seg AS (
+  SELECT doc_id, frame, energy,
+         CAST(frame - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame) AS BIGINT)
+           AS seg_id
+  FROM flagged WHERE active
+)
+SELECT doc_id, seg_id,
+  CAST(MIN(frame) AS BIGINT) AS start_frame,
+  CAST(MAX(frame) AS BIGINT) AS end_frame,
+  CAST(SUM(energy) AS BIGINT) AS segment_energy
+FROM seg GROUP BY doc_id, seg_id
+"""
+
+QUERIES.append(
+    Query(
+        "mm_audio_activity",
+        mm_audio_activity_q,
+        MM_AUDIO_ACTIVITY_SQL,
+        "audio activity segmentation: real PCM decode -> frame energy -> gaps-and-islands segments",
+    )
+)
