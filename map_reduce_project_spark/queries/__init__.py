@@ -157,6 +157,7 @@ def all_queries() -> dict[str, Query]:
         "q56_grouping_id",
         "ev_bot_detection",
         "mm_audio_activity",
+        "q57_set_ops_all",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

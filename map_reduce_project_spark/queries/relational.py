@@ -634,3 +634,50 @@ QUERIES = [
     Query("q18_global_topk", q18_global_topk, Q18_SQL, "global order-by + limit"),
     Query("q19_big_customers", q19_big_customers, Q19_SQL, "agg subquery + having + join"),
 ]
+
+
+def q57_set_ops_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL —
+    which keep duplicate multiplicity where q12's DISTINCT variants
+    collapse it: the per-customer order-priority bags of two status
+    classes compared with multiplicity preserved. Spark's
+    intersectAll/exceptAll plan as a single aggregate-style exchange,
+    not a distinct + join."""
+    orders = read_table(spark, sf_dir, "orders")
+    left = orders.where(F.col("o_orderstatus") == "O").select(
+        "o_custkey", "o_orderpriority"
+    )
+    right = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_custkey", "o_orderpriority"
+    )
+    inter = left.intersectAll(right).select(
+        F.lit("intersect_all").alias("op"), "o_custkey", "o_orderpriority"
+    )
+    exc = left.exceptAll(right).select(
+        F.lit("except_all").alias("op"), "o_custkey", "o_orderpriority"
+    )
+    return inter.unionAll(exc)
+
+
+Q57_SQL = """
+WITH l AS (
+  SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+),
+r AS (
+  SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT 'intersect_all' AS op, o_custkey, o_orderpriority
+FROM (SELECT * FROM l INTERSECT ALL SELECT * FROM r)
+UNION ALL
+SELECT 'except_all' AS op, o_custkey, o_orderpriority
+FROM (SELECT * FROM l EXCEPT ALL SELECT * FROM r)
+"""
+
+QUERIES.append(
+    Query(
+        "q57_set_ops_all",
+        q57_set_ops_all_q,
+        Q57_SQL,
+        "INTERSECT ALL / EXCEPT ALL bag semantics with multiplicity preserved",
+    )
+)
