@@ -158,6 +158,7 @@ def all_queries() -> dict[str, Query]:
         "ev_bot_detection",
         "mm_audio_activity",
         "q57_set_ops_all",
+        "ev_dau_wau_mau",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1289,3 +1289,73 @@ QUERIES.append(
         "bot detection by inter-event-gap regularity, exact integer moments",
     )
 )
+
+
+def ev_dau_wau_mau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU: distinct active users per day over trailing
+    1/7/30-day windows — the product-metrics staple. Rolling DISTINCT
+    cannot ride a window frame, so each (user, active-day) fans out to
+    the days it keeps the user "active" for (explode of a 30-day
+    sequence — bounded fan-out, shuffle key = day) and three
+    conditional count-distincts do the rest. Exact, one pass, no
+    self-joins.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).dropDuplicates()
+    fanned = daily.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), 29), F.expr("interval 1 day")
+            )
+        ).alias("day"),
+    )
+    # only report days that actually had activity (matches the oracle
+    # day universe and keeps the output bounded by observed days)
+    active_days = daily.select("d").dropDuplicates().selectExpr("d as day")
+    return (
+        fanned.join(active_days, "day", "left_semi")
+        .groupBy("day")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("d") == F.col("day"), F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct(
+                F.when(
+                    F.col("d") >= F.date_sub(F.col("day"), 6), F.col("user_id")
+                )
+            ).alias("wau"),
+            F.count_distinct("user_id").alias("mau"),
+        )
+    )
+
+
+EV_DAU_SQL = """
+WITH daily AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d AS day FROM daily),
+fanned AS (
+  SELECT daily.user_id, daily.d, days.day
+  FROM daily JOIN days
+    ON days.day >= daily.d AND days.day <= daily.d + INTERVAL 29 DAY
+)
+SELECT day,
+  COUNT(DISTINCT CASE WHEN d = day THEN user_id END) AS dau,
+  COUNT(DISTINCT CASE WHEN d >= day - INTERVAL 6 DAY THEN user_id END) AS wau,
+  COUNT(DISTINCT user_id) AS mau
+FROM fanned
+GROUP BY day
+"""
+
+QUERIES.append(
+    Query(
+        "ev_dau_wau_mau",
+        ev_dau_wau_mau_q,
+        EV_DAU_SQL,
+        "DAU/WAU/MAU rolling distinct actives via bounded fan-out, exact",
+    )
+)
