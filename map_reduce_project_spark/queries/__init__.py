@@ -159,6 +159,7 @@ def all_queries() -> dict[str, Query]:
         "mm_audio_activity",
         "q57_set_ops_all",
         "ev_dau_wau_mau",
+        "ann_ivf_pq",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1086,3 +1086,165 @@ QUERIES.append(
         "the trained k-means centroid table (the persisted model artifact), bit-reproducible",
     )
 )
+
+
+def ann_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ search stack in one gated plan: coarse cells
+    route each query to its 3 nearest cells (pinned quantizer, exact
+    int64), and within the probed cells targets are ranked by PQ
+    asymmetric distance — 8 lookup-table adds per candidate, never the
+    raw embeddings. This is the billion-vector serving architecture:
+    IVF bounds the candidate set, PQ bounds the bytes per candidate.
+    """
+    from pyspark.sql.window import Window
+    from map_reduce_project_spark.operators.similarity import (
+        _elements,
+        norms2,
+        pq_codes,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    el = _elements(emb, "vec_id", "embedding").localCheckpoint(eager=False)
+    n2 = norms2(emb, "vec_id", "embedding").localCheckpoint(eager=False)
+
+    # coarse routing (same pinned-quantizer arithmetic as ann_ivf_topk)
+    cel = el.where(F.col("vec_id") < 16).selectExpr(
+        "vec_id as cell", "pos", "val as cval"
+    )
+    cn2 = n2.where(F.col("vec_id") < 16).selectExpr(
+        "vec_id as cell", "norm2 as cnorm2"
+    )
+    cdot = (
+        el.join(F.broadcast(cel), "pos")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("cdot"))
+    )
+    cdist = (
+        cdot.join(n2, "vec_id")
+        .join(F.broadcast(cn2), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            (F.col("norm2") - 2 * F.col("cdot") + F.col("cnorm2")).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cell")
+    ranked = cdist.withColumn("_r", F.row_number().over(w))
+    assigned = ranked.where(F.col("_r") == 1).selectExpr(
+        "vec_id as target_id", "cell"
+    )
+    probes = ranked.where(
+        (F.col("_r") <= 3) & (F.col("vec_id") % 100 == 0)
+    ).selectExpr("vec_id as query_id", "cell")
+
+    # PQ codes + per-query lookup tables (same arithmetic as ann_pq_adc)
+    sel = el.withColumn(
+        "sub", ((F.col("pos") - F.col("pos") % 8) / 8).cast("int")
+    )
+    cb = sel.where(F.col("vec_id") < 8).selectExpr(
+        "sub", "pos", "vec_id as code", "val as cval"
+    )
+    qtab = (
+        sel.where(F.col("vec_id") % 100 == 0)
+        .selectExpr("vec_id as query_id", "sub", "pos", "val as qval")
+        .join(F.broadcast(cb), ["sub", "pos"])
+        .groupBy("query_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))
+            ).alias("d")
+        )
+    )
+    codes = pq_codes(emb, n_subspaces=8, n_codes=8).selectExpr(
+        "vec_id as target_id", "subspace as sub", "code"
+    )
+    cand = probes.join(assigned, "cell").where(
+        F.col("query_id") != F.col("target_id")
+    )
+    adc = (
+        cand.join(codes, "target_id")
+        .join(F.broadcast(qtab), ["query_id", "sub", "code"])
+        .groupBy("query_id", "target_id")
+        .agg(F.sum("d").alias("adc_dist2"))
+    )
+    wf = Window.partitionBy("query_id").orderBy("adc_dist2", "target_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "target_id", "adc_dist2", "rank")
+    )
+
+
+ANN_IVF_PQ_SQL = """
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 16777216) AS BIGINT) AS val
+  FROM embeddings
+),
+n2 AS (SELECT vec_id, SUM(val * val) AS norm2 FROM el GROUP BY vec_id),
+cel AS (SELECT vec_id AS cell, pos, val AS cval FROM el WHERE vec_id < 16),
+cn2 AS (SELECT vec_id AS cell, norm2 AS cnorm2 FROM n2 WHERE vec_id < 16),
+cdist AS (
+  SELECT e.vec_id, c.cell,
+         MAX(n.norm2) - 2 * SUM(e.val * c.cval) + MAX(cc.cnorm2) AS dist2
+  FROM el e
+  JOIN cel c ON c.pos = e.pos
+  JOIN n2 n ON n.vec_id = e.vec_id
+  JOIN cn2 cc ON cc.cell = c.cell
+  GROUP BY e.vec_id, c.cell
+),
+ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS r
+  FROM cdist
+),
+assigned AS (SELECT vec_id AS target_id, cell FROM ranked WHERE r = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM ranked
+  WHERE r <= 3 AND vec_id % 100 = 0
+),
+sel AS (SELECT vec_id, CAST(pos // 8 AS INT) AS sub, pos, val FROM el),
+cb AS (SELECT sub, pos, vec_id AS code, val AS cval FROM sel WHERE vec_id < 8),
+codes AS (
+  SELECT vec_id AS target_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY CAST(SUM((s.val - c.cval) * (s.val - c.cval)) AS BIGINT), c.code) AS r
+    FROM sel s JOIN cb c ON c.sub = s.sub AND c.pos = s.pos
+    GROUP BY s.vec_id, s.sub, c.code
+  ) WHERE r = 1
+),
+qtab AS (
+  SELECT q.vec_id AS query_id, q.sub, c.code,
+         CAST(SUM((q.val - c.cval) * (q.val - c.cval)) AS BIGINT) AS d
+  FROM sel q JOIN cb c ON c.sub = q.sub AND c.pos = q.pos
+  WHERE q.vec_id % 100 = 0
+  GROUP BY q.vec_id, q.sub, c.code
+),
+cand AS (
+  SELECT p.query_id, a.target_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE p.query_id <> a.target_id
+),
+adc AS (
+  SELECT c.query_id, c.target_id, CAST(SUM(q.d) AS BIGINT) AS adc_dist2
+  FROM cand c
+  JOIN codes co ON co.target_id = c.target_id
+  JOIN qtab q ON q.query_id = c.query_id AND q.sub = co.sub AND q.code = co.code
+  GROUP BY c.query_id, c.target_id
+)
+SELECT query_id, target_id, adc_dist2, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY adc_dist2, target_id) AS BIGINT) AS rank
+  FROM adc
+) WHERE rank <= 3
+"""
+
+QUERIES.append(
+    Query(
+        "ann_ivf_pq",
+        ann_ivf_pq_q,
+        ANN_IVF_PQ_SQL,
+        "full IVF-PQ: coarse-cell routing + asymmetric-distance ranking inside probed cells",
+    )
+)
