@@ -160,6 +160,7 @@ def all_queries() -> dict[str, Query]:
         "q57_set_ops_all",
         "ev_dau_wau_mau",
         "ann_ivf_pq",
+        "ev_activity_streaks",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

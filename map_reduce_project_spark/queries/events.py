@@ -1359,3 +1359,61 @@ QUERIES.append(
         "DAU/WAU/MAU rolling distinct actives via bounded fan-out, exact",
     )
 )
+
+
+def ev_activity_streaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus streak
+    count) — the engagement metric behind retention nudges.
+    Gaps-and-islands at day granularity: island id = day - dense row
+    number, one window + one two-level aggregate; the event corpus
+    collapses to distinct (user, day) first, so the window sees at
+    most 365 rows per user-year no matter the event volume.
+    """
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).dropDuplicates()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = daily.withColumn(
+        "isl", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "isl").agg(
+        F.count("*").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+
+
+EV_STREAKS_SQL = """
+WITH daily AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+           AS isl
+  FROM daily
+),
+streaks AS (
+  SELECT user_id, isl, COUNT(*) AS len FROM islands GROUP BY user_id, isl
+)
+SELECT user_id,
+  CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+  CAST(SUM(len) AS BIGINT) AS active_days
+FROM streaks GROUP BY user_id
+"""
+
+QUERIES.append(
+    Query(
+        "ev_activity_streaks",
+        ev_activity_streaks_q,
+        EV_STREAKS_SQL,
+        "longest consecutive-day streak per user via gaps-and-islands on distinct days",
+    )
+)
