@@ -161,6 +161,7 @@ def all_queries() -> dict[str, Query]:
         "ev_dau_wau_mau",
         "ann_ivf_pq",
         "ev_activity_streaks",
+        "ev_error_budget",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1417,3 +1417,59 @@ QUERIES.append(
         "longest consecutive-day streak per user via gaps-and-islands on distinct days",
     )
 )
+
+
+def ev_error_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-rate SLI with burn-rate alerting: 5-minute tumbling
+    windows carry exact request/error counts, the error rate, and the
+    two standard multiwindow burn flags (rate > 14.4x and > 6x of a
+    1% budget — the fast/slow page thresholds). Counts are integers
+    and each rate is one division, so alert flags are engine-exact —
+    the SRE dashboard as a query.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    win = F.window("ts", "5 minutes").start.alias("window_start")
+    agg = ev.groupBy(win).agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+    )
+    rate = F.col("n_err").cast("double") / F.col("n_total").cast("double")
+    budget = 0.01
+    return agg.select(
+        "window_start",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("n_err").cast("long").alias("n_err"),
+        rate.alias("err_rate"),
+        (rate > 14.4 * budget).alias("page_fast"),
+        (rate > 6.0 * budget).alias("page_slow"),
+    )
+
+
+EV_ERROR_BUDGET_SQL = """
+WITH w AS (
+  SELECT CAST(to_timestamp((epoch_us(ts) // (300 * 1000000)) * 300) AS TIMESTAMP)
+           AS window_start,
+         event_type
+  FROM events
+)
+SELECT window_start,
+  COUNT(*) AS n_total,
+  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_err,
+  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS err_rate,
+  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) > 14.4 * 0.01 AS page_fast,
+  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) > 6.0 * 0.01 AS page_slow
+FROM w
+GROUP BY window_start
+"""
+
+QUERIES.append(
+    Query(
+        "ev_error_budget",
+        ev_error_budget_q,
+        EV_ERROR_BUDGET_SQL,
+        "5-minute error-rate SLI with fast/slow burn-rate page flags, engine-exact",
+    )
+)
