@@ -162,6 +162,7 @@ def all_queries() -> dict[str, Query]:
         "ann_ivf_pq",
         "ev_activity_streaks",
         "ev_error_budget",
+        "q58_supplier_hhi",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

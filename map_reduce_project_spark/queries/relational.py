@@ -681,3 +681,63 @@ QUERIES.append(
         "INTERSECT ALL / EXCEPT ALL bag semantics with multiplicity preserved",
     )
 )
+
+
+def q58_supplier_hhi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration per part: the Herfindahl–Hirschman index
+    over each part's supplier shipment shares — HHI = Σ n_i² / (Σ n_i)²
+    computed entirely from exact integer counts (one division at the
+    end), flagging single-sourced parts (HHI = 1) before they bite.
+    Two aggregates on the same key; the squared-count sum rides the
+    partial aggregation.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.count("*").alias("n")
+    )
+    per_part = per_supp.groupBy("l_partkey").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        F.count("*").alias("n_suppliers"),
+    )
+    hhi = F.col("sum_sq").cast("double") / (
+        F.col("total").cast("double") * F.col("total").cast("double")
+    )
+    return per_part.select(
+        "l_partkey",
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        F.col("total").cast("long").alias("n_shipments"),
+        hhi.alias("hhi"),
+        (hhi >= 0.5).alias("concentrated"),
+    )
+
+
+Q58_SQL = """
+WITH per_supp AS (
+  SELECT l_partkey, l_suppkey, COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+         COUNT(*) AS n_suppliers
+  FROM per_supp GROUP BY l_partkey
+)
+SELECT l_partkey,
+  CAST(n_suppliers AS BIGINT) AS n_suppliers,
+  total AS n_shipments,
+  CAST(sum_sq AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) AS hhi,
+  CAST(sum_sq AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) >= 0.5
+    AS concentrated
+FROM per_part
+"""
+
+QUERIES.append(
+    Query(
+        "q58_supplier_hhi",
+        q58_supplier_hhi_q,
+        Q58_SQL,
+        "Herfindahl supply-concentration per part from exact integer count moments",
+    )
+)
