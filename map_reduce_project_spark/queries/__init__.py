@@ -163,6 +163,7 @@ def all_queries() -> dict[str, Query]:
         "ev_activity_streaks",
         "ev_error_budget",
         "q58_supplier_hhi",
+        "q59_revenue_gini",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -741,3 +741,69 @@ QUERIES.append(
         "Herfindahl supply-concentration per part from exact integer count moments",
     )
 )
+
+
+def q59_revenue_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    whale-dependence number: G = 2·Σ(i·x_i) / (n·Σx_i) − (n+1)/n over
+    ascending per-customer revenue. Revenue is exact int64 cents and
+    every sum is integer; the coefficient is one fixed expression of
+    four integers, so the statistic is engine-exact. The ascending
+    rank is a global sort of the per-customer table (customer-count
+    rows, not order rows) — at extreme scale swap in the two-pass
+    zipWithIndex rank used by the vocabulary builder.
+    """
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev"))
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w).cast("long"))
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("rev").alias("sx"),
+        F.sum(F.col("i") * F.col("rev")).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("six").cast("double") / (n * F.col("sx").cast("double"))
+        - (n + 1.0) / n
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_cents"),
+        gini.alias("gini"),
+    )
+
+
+Q59_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev,
+         CAST(ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS i
+  FROM per_cust
+),
+s AS (
+  SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS sx,
+         CAST(SUM(i * rev) AS BIGINT) AS six
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers, sx AS total_cents,
+  2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+FROM s
+"""
+
+QUERIES.append(
+    Query(
+        "q59_revenue_gini",
+        q59_revenue_gini_q,
+        Q59_SQL,
+        "Gini coefficient of customer revenue from exact integer rank-weighted sums",
+    )
+)
