@@ -164,6 +164,8 @@ def all_queries() -> dict[str, Query]:
         "ev_error_budget",
         "q58_supplier_hhi",
         "q59_revenue_gini",
+        "sample_kfold",
+        "q60_share_of_total",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

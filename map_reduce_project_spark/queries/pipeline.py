@@ -597,3 +597,43 @@ QUERIES.append(
         "class-balanced downsampling to the minority class via hash ranking",
     )
 )
+
+
+def sample_kfold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment (k=5) from the content hash —
+    folds are reproducible, partitioning-invariant, and disjoint by
+    construction (the same salted-hash discipline as every sampler
+    here). Output: per-fold document counts and mean length, the
+    balance check run before trusting the folds."""
+    docs = read_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("kfold|"), "doc_id")), 1, 8), 16, 10)
+        .cast("long")
+        % 5
+    )
+    return (
+        docs.select(fold.alias("fold"), "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+SAMPLE_KFOLD_SQL = """
+SELECT ('0x' || substr(md5('kfold|' || doc_id), 1, 8))::BIGINT % 5 AS fold,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+"""
+
+QUERIES.append(
+    Query(
+        "sample_kfold",
+        sample_kfold_q,
+        SAMPLE_KFOLD_SQL,
+        "reproducible k-fold assignment from salted content hashes, with balance check",
+    )
+)

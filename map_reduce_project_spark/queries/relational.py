@@ -807,3 +807,63 @@ QUERIES.append(
         "Gini coefficient of customer revenue from exact integer rank-weighted sums",
     )
 )
+
+
+def q60_share_of_total_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total analytics: each nation's revenue, its share of
+    the global total, and its share within its region — two window
+    sums over the small aggregate (never over facts), exact cents and
+    single divisions.
+    """
+    from pyspark.sql.window import Window
+
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    per_nation = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum(cents).alias("rev"))
+    )
+    w_all = Window.partitionBy()
+    w_reg = Window.partitionBy("n_regionkey")
+    return per_nation.select(
+        F.col("n_regionkey").cast("long").alias("regionkey"),
+        F.col("n_name").alias("nation"),
+        F.col("rev").cast("long").alias("revenue_cents"),
+        (F.col("rev").cast("double") / F.sum("rev").over(w_all).cast("double")).alias(
+            "share_global"
+        ),
+        (F.col("rev").cast("double") / F.sum("rev").over(w_reg).cast("double")).alias(
+            "share_region"
+        ),
+    )
+
+
+Q60_SQL = """
+WITH per_nation AS (
+  SELECT n_regionkey, n_name,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_regionkey, n_name
+)
+SELECT CAST(n_regionkey AS BIGINT) AS regionkey, n_name AS nation,
+  rev AS revenue_cents,
+  CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share_global,
+  CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+    AS share_region
+FROM per_nation
+"""
+
+QUERIES.append(
+    Query(
+        "q60_share_of_total",
+        q60_share_of_total_q,
+        Q60_SQL,
+        "share-of-total windows over the nation aggregate, exact cents",
+    )
+)
