@@ -1248,3 +1248,125 @@ QUERIES.append(
         "full IVF-PQ: coarse-cell routing + asymmetric-distance ranking inside probed cells",
     )
 )
+
+
+def emb_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@3 of the pinned-quantizer IVF
+    search against exact brute force, per query — the measurement that
+    gates an ANN index rollout (the IVF counterpart of
+    emb_truncation_recall). Both sides are exact int64 pipelines, so
+    the recall table itself is engine-exact.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    ivf = ivf_topk_pinned(emb, k=3, n_centroids=16, n_probe=3).where(
+        F.col("query_id") % 100 == 0
+    )
+    truth = brute_force_topk(
+        emb.where(F.col("vec_id") % 100 == 0), emb, k=3
+    )
+    hits = (
+        ivf.select("query_id", "target_id")
+        .join(
+            truth.select("query_id", "target_id"),
+            ["query_id", "target_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_h"))
+    )
+    allq = truth.select("query_id").dropDuplicates()
+    return allq.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("_h"), F.lit(0)).cast("double") / 3.0).alias(
+            "recall_at_3"
+        ),
+    )
+
+
+EMB_IVF_RECALL_SQL = (
+    "WITH "
+    + _EL.format(src="embeddings")
+    + """,
+cel AS (SELECT vec_id AS cell, pos, val AS cval FROM el WHERE vec_id < 16),
+cn2 AS (SELECT vec_id AS cell, norm2 AS cnorm2 FROM n2 WHERE vec_id < 16),
+cdist AS (
+  SELECT e.vec_id, c.cell,
+         MAX(n.norm2) - 2 * SUM(e.val * c.cval) + MAX(cc.cnorm2) AS dist2
+  FROM el e
+  JOIN cel c ON c.pos = e.pos
+  JOIN n2 n ON n.vec_id = e.vec_id
+  JOIN cn2 cc ON cc.cell = c.cell
+  GROUP BY e.vec_id, c.cell
+),
+rankedc AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS r
+  FROM cdist
+),
+assigned AS (SELECT vec_id AS target_id, cell FROM rankedc WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, cell FROM rankedc WHERE r <= 3),
+qel AS (
+  SELECT p.query_id, p.cell, el.pos, el.val AS qval
+  FROM probes p JOIN el ON el.vec_id = p.query_id
+),
+tel AS (
+  SELECT a.target_id, a.cell, el.pos, el.val AS tval
+  FROM assigned a JOIN el ON el.vec_id = a.target_id
+),
+ivfdots AS (
+  SELECT q.query_id, t.target_id, SUM(q.qval * t.tval) AS dot
+  FROM qel q JOIN tel t ON t.cell = q.cell AND t.pos = q.pos
+  WHERE q.query_id <> t.target_id
+  GROUP BY q.query_id, t.target_id
+),
+ivftop AS (
+  SELECT query_id, target_id FROM (
+    SELECT d.query_id, d.target_id,
+           ROW_NUMBER() OVER (PARTITION BY d.query_id ORDER BY
+             CAST(d.dot AS DOUBLE) / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(tn.norm2 AS DOUBLE))) DESC,
+             d.target_id) AS r
+    FROM ivfdots d
+    JOIN n2 qn ON qn.vec_id = d.query_id
+    JOIN n2 tn ON tn.vec_id = d.target_id
+  ) WHERE r <= 3
+),
+bfdots AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS target_id, SUM(q.val * t.val) AS dot
+  FROM el q JOIN el t ON q.pos = t.pos AND q.vec_id <> t.vec_id
+  WHERE q.vec_id % 100 = 0
+  GROUP BY q.vec_id, t.vec_id
+),
+bftop AS (
+  SELECT query_id, target_id FROM (
+    SELECT d.query_id, d.target_id,
+           ROW_NUMBER() OVER (PARTITION BY d.query_id ORDER BY
+             CAST(d.dot AS DOUBLE) / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(tn.norm2 AS DOUBLE))) DESC,
+             d.target_id) AS r
+    FROM bfdots d
+    JOIN n2 qn ON qn.vec_id = d.query_id
+    JOIN n2 tn ON tn.vec_id = d.target_id
+  ) WHERE r <= 3
+)
+SELECT q.query_id,
+  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+  CAST(COALESCE(h.n, 0) AS DOUBLE) / 3.0 AS recall_at_3
+FROM (SELECT DISTINCT query_id FROM bftop) q
+LEFT JOIN (
+  SELECT i.query_id, COUNT(*) AS n
+  FROM ivftop i
+  JOIN bftop b USING (query_id, target_id)
+  WHERE i.query_id % 100 = 0
+  GROUP BY i.query_id
+) h ON h.query_id = q.query_id
+"""
+)
+
+QUERIES.append(
+    Query(
+        "emb_ivf_recall",
+        emb_ivf_recall_q,
+        EMB_IVF_RECALL_SQL,
+        "IVF index recall@3 vs exact brute force per query — the index-rollout gate",
+    )
+)
