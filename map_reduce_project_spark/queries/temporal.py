@@ -400,3 +400,89 @@ QUERIES.append(
         "interval-overlap join: sessions exposed to error-blast windows (bucketed, dedup-free)",
     )
 )
+
+
+def ushape_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: first and
+    last touches earn 40% each, middles split the remaining 20% — the
+    standard marketing-mix alternative to linear credit. Credits are
+    exact RATIONALS (2/5 for endpoints, 1/(5·n_mid) for middles;
+    whole credit for n=1, halves for n=2), so the gate is hash-exact
+    and re-aggregation never drifts. Same bounded interval join as
+    linear_attribution; one rank window per purchase on top.
+    """
+    from pyspark.sql.window import Window
+
+    from map_reduce_project_spark.streaming.sinks import (
+        purchase_attribution,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    touched = purchase_attribution(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        "1 hour",
+    )
+    wp = Window.partitionBy("purchase_id")
+    w = wp.orderBy("click_ts", "click_id")
+    n = F.count("*").over(wp)
+    pos = F.row_number().over(w)
+    num = (
+        F.when(n == 1, F.lit(1))
+        .when(n == 2, F.lit(1))
+        .when((pos == 1) | (pos == n), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    den = (
+        F.when(n == 1, F.lit(1))
+        .when(n == 2, F.lit(2))
+        .when((pos == 1) | (pos == n), F.lit(5))
+        .otherwise(F.lit(5) * (n - 2))
+    )
+    return touched.select(
+        "purchase_id",
+        "click_id",
+        pos.cast("long").alias("touch_pos"),
+        num.cast("long").alias("credit_num"),
+        den.cast("long").alias("credit_den"),
+    )
+
+
+USHAPE_ATTR_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), touched AS (
+  SELECT p.purchase_id, c.click_id, c.click_ts
+  FROM p JOIN c ON p.user_id = c.user_id
+    AND c.click_ts <= p.purchase_ts
+    AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+), ranked AS (
+  SELECT purchase_id, click_id,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS touch_pos,
+         CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n
+  FROM touched
+  WINDOW w AS (PARTITION BY purchase_id ORDER BY click_ts, click_id)
+)
+SELECT purchase_id, click_id, touch_pos,
+  CAST(CASE WHEN n <= 2 THEN 1
+            WHEN touch_pos = 1 OR touch_pos = n THEN 2
+            ELSE 1 END AS BIGINT) AS credit_num,
+  CAST(CASE WHEN n = 1 THEN 1
+            WHEN n = 2 THEN 2
+            WHEN touch_pos = 1 OR touch_pos = n THEN 5
+            ELSE 5 * (n - 2) END AS BIGINT) AS credit_den
+FROM ranked
+"""
+
+QUERIES.append(
+    Query(
+        "ushape_attribution",
+        ushape_attribution_q,
+        USHAPE_ATTR_SQL,
+        "position-based (U-shaped) attribution with exact rational credits",
+    )
+)
