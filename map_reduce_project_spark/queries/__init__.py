@@ -168,6 +168,7 @@ def all_queries() -> dict[str, Query]:
         "q60_share_of_total",
         "emb_ivf_recall",
         "ushape_attribution",
+        "timedecay_attribution",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -486,3 +486,74 @@ QUERIES.append(
         "position-based (U-shaped) attribution with exact rational credits",
     )
 )
+
+
+def timedecay_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution: each touch's weight halves every 30
+    minutes of distance from the purchase (half-life credit). The
+    weight is an exact RATIONAL power of two — (1, 2^k) with
+    k = floor(dt / 30min) — so the gate hashes exactly and the float
+    weight is one downstream division; normalization (weight / sum)
+    stays downstream like the other attribution variants, keeping
+    stored credits re-aggregatable without drift.
+    """
+    from map_reduce_project_spark.streaming.sinks import (
+        purchase_attribution,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    touched = purchase_attribution(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        "1 hour",
+    )
+    k = F.floor(
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).cast("double")
+        / (30 * 60 * 1_000_000)
+    ).cast("long")
+    return touched.select(
+        "purchase_id",
+        "click_id",
+        k.alias("halflives"),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "halflives",
+        F.lit(1).cast("long").alias("weight_num"),
+        F.expr("cast(shiftleft(1, cast(halflives as int)) as bigint)").alias(
+            "weight_den"
+        ),
+    )
+
+
+TIMEDECAY_ATTR_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), touched AS (
+  SELECT p.purchase_id, c.click_id,
+         CAST(FLOOR(CAST(epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS DOUBLE)
+              / 1800000000) AS BIGINT) AS halflives
+  FROM p JOIN c ON p.user_id = c.user_id
+    AND c.click_ts <= p.purchase_ts
+    AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+)
+SELECT purchase_id, click_id, halflives,
+  CAST(1 AS BIGINT) AS weight_num,
+  CAST(1 << halflives AS BIGINT) AS weight_den
+FROM touched
+"""
+
+QUERIES.append(
+    Query(
+        "timedecay_attribution",
+        timedecay_attribution_q,
+        TIMEDECAY_ATTR_SQL,
+        "time-decay attribution: exact power-of-two rational half-life weights",
+    )
+)
