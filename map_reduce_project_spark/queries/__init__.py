@@ -169,6 +169,7 @@ def all_queries() -> dict[str, Query]:
         "emb_ivf_recall",
         "ushape_attribution",
         "timedecay_attribution",
+        "asof_convert_time",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -557,3 +557,87 @@ QUERIES.append(
         "time-decay attribution: exact power-of-two rational half-life weights",
     )
 )
+
+
+def asof_convert_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: exact p50/p90/max of the
+    click-to-purchase delay (from the backward as-of match), per
+    purchase hour-of-day — the latency-histogram view of the
+    attribution data. Delays are integer seconds; the percentiles are
+    DISC (element selection, not interpolation), so every output cell
+    is an exact integer.
+    """
+    purchases = _typed(spark, sf_dir, "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = (
+        _typed(spark, sf_dir, "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    matched = asof_join(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="ts",
+        direction="backward",
+    ).where(F.col("right_click_id").isNotNull())
+    delays = matched.select(
+        F.hour("purchase_ts").cast("long").alias("hour_of_day"),
+        (
+            F.expr("unix_micros(purchase_ts) div 1000000")
+            - F.expr("unix_micros(right_ts) div 1000000")
+        ).alias("delay_s"),
+    )
+    return delays.groupBy("hour_of_day").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_s)")
+        .cast("long")
+        .alias("p50_s"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_s)")
+        .cast("long")
+        .alias("p90_s"),
+        F.max("delay_s").cast("long").alias("max_s"),
+    )
+
+
+ASOF_CONVERT_TIME_SQL = """
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+matched AS (
+  SELECT p.purchase_ts, c.ts AS click_ts
+  FROM purchases p
+  ASOF JOIN clicks c
+    ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
+),
+delays AS (
+  SELECT CAST(EXTRACT(hour FROM purchase_ts) AS BIGINT) AS hour_of_day,
+         CAST(epoch_us(purchase_ts) // 1000000
+              - epoch_us(click_ts) // 1000000 AS BIGINT) AS delay_s
+  FROM matched
+)
+SELECT hour_of_day, COUNT(*) AS n,
+  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_s) AS BIGINT) AS p50_s,
+  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_s) AS BIGINT) AS p90_s,
+  CAST(MAX(delay_s) AS BIGINT) AS max_s
+FROM delays
+GROUP BY hour_of_day
+"""
+
+QUERIES.append(
+    Query(
+        "asof_convert_time",
+        asof_convert_time_q,
+        ASOF_CONVERT_TIME_SQL,
+        "click-to-purchase delay percentiles (exact DISC) per purchase hour",
+    )
+)
