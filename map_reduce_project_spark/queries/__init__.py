@@ -170,6 +170,8 @@ def all_queries() -> dict[str, Query]:
         "ushape_attribution",
         "timedecay_attribution",
         "asof_convert_time",
+        "q61_agg_surface",
+        "dedup_savings_report",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1786,3 +1786,40 @@ QUERIES.append(
         "CUBE with GROUPING_ID bitmask disambiguating subtotal rows",
     )
 )
+
+
+def q61_agg_surface_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining aggregate-surface functions under the gate:
+    count_if, bool_and/bool_or (every/any), and any_value made
+    deterministic (min_by stands in — any_value's nondeterminism is
+    exactly what a hash gate won't tolerate, so the deterministic
+    twin is the right engine default anyway)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("count_if(o_totalprice > 100000)").cast("long").alias("n_big"),
+        F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+        F.expr("bool_or(o_orderpriority = '1-URGENT')").alias("any_urgent"),
+        F.expr("min_by(o_orderpriority, o_orderkey)").alias(
+            "first_priority_by_key"
+        ),
+    )
+
+
+Q61_SQL = """
+SELECT o_orderstatus,
+  CAST(COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS BIGINT) AS n_big,
+  BOOL_AND(o_totalprice > 0) AS all_positive,
+  BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
+  MIN_BY(o_orderpriority, o_orderkey) AS first_priority_by_key
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+QUERIES.append(
+    Query(
+        "q61_agg_surface",
+        q61_agg_surface_q,
+        Q61_SQL,
+        "count_if / bool_and / bool_or / deterministic any_value aggregate surface",
+    )
+)

@@ -849,3 +849,47 @@ QUERIES.append(
         "prefix-filtering set-similarity join (PPJoin family): lossless candidates + exact Jaccard",
     )
 )
+
+
+def dedup_savings_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup BUSINESS CASE in one row: bytes and documents the
+    exact-dedup pass would remove from the injected corpus — what a
+    storage/training-cost review asks before green-lighting the
+    pipeline. Duplicate bytes = (copies - 1) x doc length, summed
+    exactly."""
+    corpus = _injected_corpus(spark, sf_dir)
+    groups = corpus.groupBy(F.md5("text").alias("k")).agg(
+        F.count("*").alias("n"),
+        F.min(F.length("text")).alias("len"),
+    )
+    return groups.agg(
+        F.count("*").cast("long").alias("n_unique_docs"),
+        F.sum("n").cast("long").alias("n_total_docs"),
+        F.sum(F.col("n") - 1).cast("long").alias("n_removable"),
+        F.sum((F.col("n") - 1) * F.col("len")).cast("long").alias(
+            "bytes_removable"
+        ),
+    )
+
+
+DEDUP_SAVINGS_SQL = f"""
+WITH {CORPUS_CTE},
+groups AS (
+  SELECT md5(text) AS k, COUNT(*) AS n, MIN(LENGTH(text)) AS len
+  FROM corpus GROUP BY md5(text)
+)
+SELECT COUNT(*) AS n_unique_docs,
+  CAST(SUM(n) AS BIGINT) AS n_total_docs,
+  CAST(SUM(n - 1) AS BIGINT) AS n_removable,
+  CAST(SUM((n - 1) * len) AS BIGINT) AS bytes_removable
+FROM groups
+"""
+
+QUERIES.append(
+    Query(
+        "dedup_savings_report",
+        dedup_savings_report_q,
+        DEDUP_SAVINGS_SQL,
+        "dedup savings: removable documents and bytes from exact-dedup groups",
+    )
+)
