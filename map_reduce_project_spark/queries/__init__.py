@@ -172,6 +172,7 @@ def all_queries() -> dict[str, Query]:
         "asof_convert_time",
         "q61_agg_surface",
         "dedup_savings_report",
+        "q62_fuzzy_match",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

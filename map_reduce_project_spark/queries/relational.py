@@ -867,3 +867,65 @@ QUERIES.append(
         "share-of-total windows over the nation aggregate, exact cents",
     )
 )
+
+
+def q62_fuzzy_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: each sampled part's nearest other part
+    name by Levenshtein edit distance (tie -> lowest key) — the
+    entity-resolution suggestion pass. The sampled probe side is
+    broadcast against the name dimension; at scale the quadratic
+    kernel runs per blocking bucket (first-k-chars or phonetic key),
+    exactly like the dedup banding story.
+    """
+    from pyspark.sql.window import Window
+
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    probes = part.where(F.col("p_partkey") % 200 == 0).selectExpr(
+        "p_partkey as probe_key", "p_name as probe_name"
+    )
+    pairs = (
+        F.broadcast(probes)
+        .crossJoin(part)
+        .where(F.col("probe_key") != F.col("p_partkey"))
+        .select(
+            "probe_key",
+            "probe_name",
+            "p_partkey",
+            "p_name",
+            F.levenshtein("probe_name", "p_name").cast("long").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("probe_key").orderBy("dist", "p_partkey")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 1)
+        .select("probe_key", "probe_name", "p_partkey", "p_name", "dist")
+    )
+
+
+Q62_SQL = """
+WITH probes AS (
+  SELECT p_partkey AS probe_key, p_name AS probe_name
+  FROM part WHERE p_partkey % 200 = 0
+),
+pairs AS (
+  SELECT probe_key, probe_name, p.p_partkey, p.p_name,
+         CAST(levenshtein(probe_name, p.p_name) AS BIGINT) AS dist
+  FROM probes CROSS JOIN part p
+  WHERE probe_key <> p.p_partkey
+)
+SELECT probe_key, probe_name, p_partkey, p_name, dist FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_key
+         ORDER BY dist, p_partkey) AS r
+  FROM pairs
+) WHERE r <= 1
+"""
+
+QUERIES.append(
+    Query(
+        "q62_fuzzy_match",
+        q62_fuzzy_match_q,
+        Q62_SQL,
+        "nearest part name by Levenshtein distance (entity-resolution suggestions)",
+    )
+)
