@@ -173,6 +173,7 @@ def all_queries() -> dict[str, Query]:
         "q61_agg_surface",
         "dedup_savings_report",
         "q62_fuzzy_match",
+        "text_hapax_ratio",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -684,3 +684,56 @@ QUERIES.append(
         "language-ID confusion matrix vs labeled lang column, with per-cell precision",
     )
 )
+
+
+def text_hapax_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness quality signal: per document, the fraction
+    of tokens that occur exactly once in it (hapax legomena) and the
+    type-token ratio — low hapax = template/boilerplate, near-1 =
+    word-salad; both filters in corpus curation. Two nested exact
+    aggregates per doc, shuffle key = doc id.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    per_tok = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("n_hapax"),
+        (
+            F.count(F.when(F.col("c") == 1, 1)).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("hapax_ratio"),
+        (F.count("*").cast("double") / F.sum("c").cast("double")).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+TEXT_HAPAX_SQL = """
+WITH per_tok AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) GROUP BY doc_id, t
+)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  COUNT(*) AS n_types,
+  CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+  CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+    AS hapax_ratio,
+  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio
+FROM per_tok
+GROUP BY doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "text_hapax_ratio",
+        text_hapax_ratio_q,
+        TEXT_HAPAX_SQL,
+        "hapax-legomena and type-token vocabulary-richness ratios per document",
+    )
+)
