@@ -174,6 +174,8 @@ def all_queries() -> dict[str, Query]:
         "dedup_savings_report",
         "q62_fuzzy_match",
         "text_hapax_ratio",
+        "ev_anomaly_mad",
+        "q63_latest_snapshot",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1823,3 +1823,47 @@ QUERIES.append(
         "count_if / bool_and / bool_or / deterministic any_value aggregate surface",
     )
 )
+
+
+def q63_latest_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key compaction (the QUALIFY row_number() = 1
+    idiom): each customer's most recent order is the current state —
+    the read pattern over every CDC/append table before it is
+    compacted. One rank window per key, deterministic tiebreak.
+    """
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+    )
+
+
+Q63_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus, o_orderpriority
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+         ORDER BY o_orderdate DESC, o_orderkey DESC) AS r
+  FROM orders
+) WHERE r = 1
+"""
+
+QUERIES.append(
+    Query(
+        "q63_latest_snapshot",
+        q63_latest_snapshot_q,
+        Q63_SQL,
+        "latest-row-per-key compaction (QUALIFY idiom): current state from an append log",
+    )
+)

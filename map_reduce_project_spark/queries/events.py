@@ -1473,3 +1473,74 @@ QUERIES.append(
         "5-minute error-rate SLI with fast/slow burn-rate page flags, engine-exact",
     )
 )
+
+
+def ev_anomaly_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: hours where a user's event count
+    exceeds median + 3*MAD of their own hourly baseline — the
+    outlier-resistant sibling of the z-score pass (one wild hour
+    cannot drag a median the way it drags a mean). Median and MAD are
+    exact DISC percentiles of integers, so every flag is an integer
+    comparison — engine-exact, no distribution assumptions.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket_start")
+    ).agg(F.count("*").cast("long").alias("n"))
+    med = hourly.groupBy("user_id").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+        .cast("long")
+        .alias("med")
+    )
+    dev = hourly.join(med, "user_id").withColumn(
+        "absdev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY absdev)")
+        .cast("long")
+        .alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .where(
+            (F.col("mad") > 0)
+            & (F.col("n") > F.col("med") + 3 * F.col("mad"))
+        )
+        .select("user_id", "bucket_start", "n", "med", "mad")
+    )
+
+
+EV_ANOMALY_MAD_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT user_id,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT) AS med
+  FROM hourly GROUP BY user_id
+),
+dev AS (
+  SELECT h.user_id, h.bucket_start, h.n, m.med, ABS(h.n - m.med) AS absdev
+  FROM hourly h JOIN med m ON m.user_id = h.user_id
+),
+mad AS (
+  SELECT user_id,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY absdev) AS BIGINT)
+           AS mad
+  FROM dev GROUP BY user_id
+)
+SELECT d.user_id, d.bucket_start, d.n, d.med, m.mad
+FROM dev d JOIN mad m ON m.user_id = d.user_id
+WHERE m.mad > 0 AND d.n > d.med + 3 * m.mad
+"""
+
+QUERIES.append(
+    Query(
+        "ev_anomaly_mad",
+        ev_anomaly_mad_q,
+        EV_ANOMALY_MAD_SQL,
+        "median + 3*MAD robust hourly anomaly flags, exact integer comparisons",
+    )
+)
