@@ -290,3 +290,21 @@ def test_scd2_is_single_window_pass(spark, registry):
     # one shuffle on the dimension key feeds every version column
     df = registry["q49_scd2_history"].fn(spark, SF)
     assert num_exchanges(df) == 1
+
+
+def test_interval_overlap_join_has_no_distinct(spark, registry):
+    # the overlap-start-bucket trick makes output duplicate-free by
+    # construction — a Deduplicate/Distinct in the plan would mean the
+    # trick regressed into a post-join dedup pass
+    from map_reduce_project_spark.plans import operator_counts
+
+    df = registry["range_session_blast"].fn(spark, SF)
+    ops = " ".join(operator_counts(df))
+    assert "Deduplicate" not in ops and "Distinct" not in ops
+
+
+def test_pq_adc_broadcasts_lookup_tables(spark, registry):
+    # ADC's per-query lookup tables must broadcast; the target side
+    # touches only the 8-byte code table
+    df = registry["ann_pq_adc"].fn(spark, SF)
+    assert uses_broadcast_join(df)
