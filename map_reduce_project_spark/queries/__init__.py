@@ -176,6 +176,8 @@ def all_queries() -> dict[str, Query]:
         "text_hapax_ratio",
         "ev_anomaly_mad",
         "q63_latest_snapshot",
+        "text_zipf_profile",
+        "mm_pixel_histogram",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -446,3 +446,85 @@ QUERIES.append(
         "audio activity segmentation: real PCM decode -> frame energy -> gaps-and-islands segments",
     )
 )
+
+
+def mm_pixel_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image pixel-intensity histogram from REAL decode: the
+    gradient PPM payloads are parsed back to pixels and the grayscale
+    values binned into 8 intensity buckets (value >> 5) — the
+    image-statistics pass (exposure/contrast profiling) every vision
+    data pipeline runs before training. Exact integer counts; the
+    oracle rebuilds each bin from the gradient arithmetic.
+    """
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+        attach_gradient_image_payload,
+        decode_pixels,
+    )
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    media = attach_gradient_image_payload(
+        read_table(spark, sf_dir, "documents")
+    )
+
+    def hist(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, bins, counts = [], [], []
+            for doc_id, payload, modality in zip(
+                pdf["doc_id"], pdf["payload"], pdf["modality"]
+            ):
+                px = decode_pixels(bytes(payload), modality).astype(np.int64)
+                gray = (
+                    px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+                ) // 1000
+                binned = gray >> 5
+                for b in range(8):
+                    ids.append(int(doc_id))
+                    bins.append(b)
+                    counts.append(int((binned == b).sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "bin": bins, "n_pixels": counts}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("bin", LongType()),
+            StructField("n_pixels", LongType()),
+        ]
+    )
+    return media.mapInPandas(hist, schema)
+
+
+MM_PIXEL_HIST_SQL = """
+WITH px AS (
+  SELECT doc_id, x, y,
+         ((doc_id * 13 + x * 17 + y * 29) % 256) >> 5 AS bin
+  FROM documents,
+       (SELECT unnest(range(0, 9)) AS x),
+       (SELECT unnest(range(0, 8)) AS y)
+),
+bins AS (SELECT unnest(range(0, 8)) AS bin)
+SELECT d.doc_id, CAST(b.bin AS BIGINT) AS bin,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_pixels
+FROM documents d
+CROSS JOIN bins b
+LEFT JOIN (
+  SELECT doc_id, bin, COUNT(*) AS n FROM px GROUP BY doc_id, bin
+) c ON c.doc_id = d.doc_id AND c.bin = b.bin
+"""
+
+QUERIES.append(
+    Query(
+        "mm_pixel_histogram",
+        mm_pixel_histogram_q,
+        MM_PIXEL_HIST_SQL,
+        "8-bin intensity histogram from real pixel decode vs arithmetic-predicting oracle",
+    )
+)

@@ -737,3 +737,55 @@ QUERIES.append(
         "hapax-legomena and type-token vocabulary-richness ratios per document",
     )
 )
+
+
+def text_zipf_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf profile: the top-20 tokens with rank, frequency,
+    and the rank x frequency product (constant under Zipf's law — the
+    one-glance sanity check that a corpus is natural language and not
+    generator output). Exact integers; one token agg + one top-k.
+    """
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), "t")
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+        .select(
+            "rank",
+            "t",
+            F.col("f").cast("long").alias("freq"),
+            (F.col("rank") * F.col("f")).cast("long").alias("rank_x_freq"),
+        )
+    )
+
+
+TEXT_ZIPF_SQL = """
+WITH freq AS (
+  SELECT t, COUNT(*) AS f FROM (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+  ) GROUP BY t
+)
+SELECT rank, t, CAST(f AS BIGINT) AS freq,
+       CAST(rank * f AS BIGINT) AS rank_x_freq
+FROM (
+  SELECT t, f,
+         CAST(ROW_NUMBER() OVER (ORDER BY f DESC, t) AS BIGINT) AS rank
+  FROM freq
+) WHERE rank <= 20
+"""
+
+QUERIES.append(
+    Query(
+        "text_zipf_profile",
+        text_zipf_profile_q,
+        TEXT_ZIPF_SQL,
+        "top-20 Zipf profile: rank x frequency constancy as the natural-language sanity check",
+    )
+)
