@@ -250,3 +250,55 @@ def test_interval_overlap_join_matches_brute_force(spark):
         if lhi > llo and rhi > rlo and llo < rhi and rlo < lhi
     )
     assert got == want and len(got) == len(set(got))
+
+
+def test_asof_both_directions_match_pandas_on_random_input(spark):
+    """asof_join backward AND forward vs pandas.merge_asof on random
+    per-key series — covers empty right sides, ties, and
+    before-first/after-last probes in both directions."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.operators.joins import asof_join
+
+    rng = random.Random(23)
+    lrows, rrows = [], []
+    for key in range(8):
+        for i in range(rng.randint(0, 6)):
+            lrows.append((key * 100 + i, key, rng.randint(0, 1000)))
+        for i in range(rng.randint(0, 6)):
+            rrows.append((key * 100 + 50 + i, key, rng.randint(0, 1000)))
+    left = spark.createDataFrame(lrows, "lid long, k long, lts long")
+    right = (
+        spark.createDataFrame(rrows, "rid long, k long, rts long")
+        .groupBy("k", "rts")
+        .agg(F.max("rid").alias("rid"))
+        .select("rid", "k", "rts")
+    )
+    rpdf = right.toPandas()
+
+    for direction in ("backward", "forward"):
+        got = {
+            (r.lid, r.right_rid if r.right_rid is not None else -1)
+            for r in asof_join(
+                left,
+                right,
+                key_cols=["k"],
+                left_ts="lts",
+                right_ts="rts",
+                direction=direction,
+            ).collect()
+        }
+        want = set()
+        for lid, k, lts in lrows:
+            cand = rpdf[rpdf.k == k]
+            if direction == "backward":
+                cand = cand[cand.rts <= lts].sort_values(["rts", "rid"])
+                pick = cand.iloc[-1]["rid"] if len(cand) else -1
+            else:
+                cand = cand[cand.rts >= lts].sort_values(["rts", "rid"])
+                pick = cand.iloc[0]["rid"] if len(cand) else -1
+            want.add((lid, int(pick)))
+        assert got == want, direction
