@@ -1069,3 +1069,14 @@ def test_prefix_filter_candidates_are_lossless(spark):
         if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.5
     }
     assert truth <= cands and (4, 5) in truth
+
+
+def test_srp_is_partitioning_invariant(spark):
+    from map_reduce_project_spark.operators.similarity import srp_project
+
+    rows = [(i, [float((i * 3 + d) % 7 - 3) for d in range(8)]) for i in range(30)]
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df8 = df1.repartition(8)
+    a = {(r.vec_id, r.j, r.proj) for r in srp_project(df1, out_dims=4).collect()}
+    b = {(r.vec_id, r.j, r.proj) for r in srp_project(df8, out_dims=4).collect()}
+    assert a == b and len(a) == 120

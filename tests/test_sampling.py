@@ -182,3 +182,23 @@ def test_temperature_sample_flattens_head_groups(spark):
     again = {r.doc_id for r in temperature_sample(
         df, "lang", "doc_id", 99).collect()}
     assert again == {r.doc_id for r in out.collect()}
+
+
+def test_balance_classes_equalizes_to_minority(spark):
+    from map_reduce_project_spark.operators.sampling import balance_classes
+
+    rows = (
+        [(i, "big") for i in range(40)]
+        + [(100 + i, "mid") for i in range(15)]
+        + [(200 + i, "small") for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "id long, label string")
+    out = balance_classes(df, "label", "id")
+    counts = {
+        r["label"]: r["n"]
+        for r in out.groupBy("label").count().withColumnRenamed("count", "n").collect()
+    }
+    assert counts == {"big": 7, "mid": 7, "small": 7}
+    # deterministic: same selection on a rerun
+    again = {r["id"] for r in balance_classes(df, "label", "id").collect()}
+    assert again == {r["id"] for r in out.collect()}
