@@ -178,6 +178,8 @@ def all_queries() -> dict[str, Query]:
         "q63_latest_snapshot",
         "text_zipf_profile",
         "mm_pixel_histogram",
+        "text_regexp_suite",
+        "ev_seasonality",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

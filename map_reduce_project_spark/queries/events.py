@@ -1544,3 +1544,47 @@ QUERIES.append(
         "median + 3*MAD robust hourly anomaly flags, exact integer comparisons",
     )
 )
+
+
+def ev_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality heatmap: events per (day-of-week,
+    hour-of-day) cell with each cell's share of the weekly total —
+    the load-shape profile behind capacity planning and anomaly
+    baselines. Exact counts, one division per cell, output bounded at
+    168 rows regardless of volume.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    total = cells.agg(F.sum("n").alias("tot"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hod",
+        "n",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("share"),
+    )
+
+
+EV_SEASONALITY_SQL = """
+WITH cells AS (
+  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n) AS tot FROM cells)
+SELECT dow, hod, n,
+  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+FROM cells CROSS JOIN tot
+"""
+
+QUERIES.append(
+    Query(
+        "ev_seasonality",
+        ev_seasonality_q,
+        EV_SEASONALITY_SQL,
+        "day-of-week x hour-of-day traffic heatmap with weekly shares, bounded output",
+    )
+)

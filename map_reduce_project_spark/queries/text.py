@@ -789,3 +789,39 @@ QUERIES.append(
         "top-20 Zipf profile: rank x frequency constancy as the natural-language sanity check",
     )
 )
+
+
+def text_regexp_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regexp function surface beyond replace: per document,
+    pattern match counts (regexp_count), the first extracted group
+    (regexp_extract), and a boolean match flag — the triage pass
+    before a scrub/extract pipeline commits to a pattern.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ip_pat = r"\d+\.\d+\.\d+\.\d+"
+    return docs.select(
+        "doc_id",
+        F.expr(f"regexp_count(text, '{ip_pat}')").cast("long").alias("n_ips"),
+        F.regexp_extract("text", f"({ip_pat})", 1).alias("first_ip"),
+        F.col("text").rlike(ip_pat).alias("has_ip"),
+        F.expr("regexp_count(text, 'data')").cast("long").alias("n_data_word"),
+    )
+
+
+TEXT_REGEXP_SQL = r"""
+SELECT doc_id,
+  CAST(LEN(regexp_extract_all(text, '\d+\.\d+\.\d+\.\d+')) AS BIGINT) AS n_ips,
+  regexp_extract(text, '(\d+\.\d+\.\d+\.\d+)', 1) AS first_ip,
+  regexp_matches(text, '\d+\.\d+\.\d+\.\d+') AS has_ip,
+  CAST(LEN(regexp_extract_all(text, 'data')) AS BIGINT) AS n_data_word
+FROM documents
+"""
+
+QUERIES.append(
+    Query(
+        "text_regexp_suite",
+        text_regexp_suite_q,
+        TEXT_REGEXP_SQL,
+        "regexp_count / regexp_extract / rlike surface over documents",
+    )
+)
