@@ -121,13 +121,13 @@ def bfs_hops(
         ).localCheckpoint(eager=True)
         if not frontier.take(1):
             # hop h-1's generation backs the returned `visited` —
-            # never cycled past, so its blocks stay live
+            # never claimed by a cycle() call, so its blocks stay live
             break
         visited = visited.unionAll(frontier).localCheckpoint(eager=True)
         # hop h-1's (frontier, visited) pair is dead now that hop h's
         # pair is materialized; hop h's frontier stays live for the
         # next join (see graph/checkpointing.py safety note)
-        cycler.cycle()
+        cycler.cycle(frontier, visited)
     return visited
 
 
@@ -168,8 +168,8 @@ def pagerank_int(
         CheckpointCycler,
     )
 
-    # constructed after `deg`'s checkpoint: deg is loop-invariant and
-    # must survive every round (cycler never touches pre-known ids)
+    # deg is loop-invariant and must survive every round: the cycler
+    # only ever frees ids claimed through cycle(df), so it is safe
     cycler = CheckpointCycler(edges.sparkSession)
     for _ in range(iterations):
         contribs = (
@@ -191,7 +191,7 @@ def pagerank_int(
         ).localCheckpoint(eager=True)
         # round i-1's ranks are dead once round i is materialized
         # (eager checkpoint above); the final round is never released
-        cycler.cycle()
+        cycler.cycle(ranks)
     return ranks
 
 
@@ -252,7 +252,7 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
         ).localCheckpoint(eager=True)
         # previous round's labels are dead once this round's are
         # materialized; the final round is never released
-        cycler.cycle()
+        cycler.cycle(labels)
     return labels
 
 
@@ -336,7 +336,7 @@ def k_core(
             break
         cur, n_cur = nxt, n_nxt
         # committed to advancing: the generation before `nxt` is dead
-        cycler.cycle()
+        cycler.cycle(cur)
     if n_cur == 0:
         return cur.groupBy("src").agg(
             F.count("*").alias("deg")
@@ -402,7 +402,7 @@ def bounded_sssp(
         ).localCheckpoint(eager=True)
         # previous round's distances are dead once this round's are
         # materialized (eager checkpoint); final round backs the result
-        cycler.cycle()
+        cycler.cycle(dist)
     return dist
 
 
@@ -532,5 +532,5 @@ def personalized_pagerank_int(
                 ).alias("rank"),
             )
         ).localCheckpoint(eager=True)
-        cycler.cycle()
+        cycler.cycle(ranks)
     return ranks

@@ -483,7 +483,7 @@ def connected_components(
             # them now instead of waiting for driver GC (see
             # graph/checkpointing.py — pinned storage stays ~2
             # iterations wide instead of growing with depth)
-            cycler.cycle()
+            cycler.cycle(combined)
 
             # NB: deduping physically between rounds is a MEASURED
             # win over fusing the dedup into the next window pass

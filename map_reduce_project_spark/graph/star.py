@@ -157,7 +157,7 @@ def connected_components_star(
         ).localCheckpoint(eager=False)
         rounds = 1
         prev_fp = fingerprint(pairs)
-        cycler.cycle()
+        cycler.cycle(pairs)
         changes.append(1)
 
         while rounds < max_rounds:
@@ -170,7 +170,7 @@ def connected_components_star(
             # round r-1's checkpoint is dead once round r is
             # materialized (fingerprint above); round r survives as
             # the result if we break below
-            cycler.cycle()
+            cycler.cycle(pairs)
             if fp == prev_fp:
                 converged = True
                 changes.append(0)
