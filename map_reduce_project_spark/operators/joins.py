@@ -104,6 +104,29 @@ def asof_join(
     return out.select(*cols)
 
 
+def _floor_bucket(sql_expr: str, width: int) -> Column:
+    """Exact floor(x / width) bucket id for int64 x.
+
+    SQL ``div`` is exact integer division (truncating toward zero);
+    the CASE adjusts negative non-multiples down to floor semantics
+    (Spark's ``%`` follows the dividend's sign, so ``x % w < 0`` is
+    precisely "negative and not a multiple"). The previous
+    ``F.floor(col / width)`` went through double division, which for
+    |x| > ~2^53 — or quotients within an ulp of an integer — can
+    round point-side and interval-side ids differently and silently
+    drop matching pairs; same exactness rule as pack_sequences'
+    integer ``div``. ``sql_expr`` is a SQL fragment (a column name or
+    an arithmetic expression over columns in scope).
+    """
+    if width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {width}")
+    e = f"CAST(({sql_expr}) AS BIGINT)"
+    return F.expr(
+        f"(({e}) div {width}) + "
+        f"(CASE WHEN ({e}) % {width} < 0 THEN -1 ELSE 0 END)"
+    )
+
+
 def interval_point_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -127,15 +150,15 @@ def interval_point_join(
     """
     p = points.select(
         *[F.col(c).alias(f"{point_prefix}{c}") for c in points.columns],
-        (F.floor(F.col(point_col) / bucket_width)).alias("_bucket"),
+        _floor_bucket(f"`{point_col}`", bucket_width).alias("_bucket"),
         F.col(point_col).alias("_x"),
     )
     iv = intervals.where(F.col(hi_col) > F.col(lo_col)).select(
         *[F.col(c).alias(f"{interval_prefix}{c}") for c in intervals.columns],
         F.explode(
             F.sequence(
-                F.floor(F.col(lo_col) / bucket_width),
-                F.floor((F.col(hi_col) - 1) / bucket_width),
+                _floor_bucket(f"`{lo_col}`", bucket_width),
+                _floor_bucket(f"`{hi_col}` - 1", bucket_width),
             )
         ).alias("_bucket"),
         F.col(lo_col).alias("_lo"),
@@ -219,8 +242,8 @@ def interval_overlap_join(
         *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns],
         F.explode(
             F.sequence(
-                F.floor(F.col(l_lo) / bucket_width),
-                F.floor((F.col(l_hi) - 1) / bucket_width),
+                _floor_bucket(f"`{l_lo}`", bucket_width),
+                _floor_bucket(f"`{l_hi}` - 1", bucket_width),
             )
         ).alias("_bucket"),
         F.col(l_lo).alias("_llo"),
@@ -230,8 +253,8 @@ def interval_overlap_join(
         *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns],
         F.explode(
             F.sequence(
-                F.floor(F.col(r_lo) / bucket_width),
-                F.floor((F.col(r_hi) - 1) / bucket_width),
+                _floor_bucket(f"`{r_lo}`", bucket_width),
+                _floor_bucket(f"`{r_hi}` - 1", bucket_width),
             )
         ).alias("_bucket"),
         F.col(r_lo).alias("_rlo"),
@@ -244,9 +267,7 @@ def interval_overlap_join(
             & (F.col("_rlo") < F.col("_lhi"))
             & (
                 F.col("_bucket")
-                == F.floor(
-                    F.greatest(F.col("_llo"), F.col("_rlo")) / bucket_width
-                )
+                == _floor_bucket("greatest(_llo, _rlo)", bucket_width)
             )
         )
         .drop("_bucket", "_llo", "_lhi", "_rlo", "_rhi")

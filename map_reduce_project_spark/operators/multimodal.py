@@ -697,7 +697,13 @@ def image_dhash(media: DataFrame) -> DataFrame:
     gray[y][x+1] over the 8x8 difference grid; returned as a 16-hex
     string (64 bits, no signed-int64 trap). Near-duplicate images
     differ in few bits — pair via the SimHash Hamming-band machinery.
-    Arrow-batched mapInPandas; one tiny row out per image."""
+    Arrow-batched mapInPandas; one tiny row out per image.
+
+    Images are downsampled to the 9x8 dHash grid before hashing
+    (standard dHash; also what keeps the fingerprint EXACTLY 64 bits —
+    hashing a wider image would overflow the '016x' format into >16
+    hex chars and silently break shot_boundaries' fixed-width
+    substring parse)."""
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -705,7 +711,10 @@ def image_dhash(media: DataFrame) -> DataFrame:
             for doc_id, payload, modality in zip(
                 pdf["doc_id"], pdf["payload"], pdf["modality"]
             ):
-                px = decode_pixels(bytes(payload), modality).astype(np.int64)
+                px = decode_pixels(bytes(payload), modality)
+                if px.shape[0] != DHASH_H or px.shape[1] != DHASH_W:
+                    px = resize_nearest(px, DHASH_W, DHASH_H)
+                px = px.astype(np.int64)
                 gray = (
                     px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
                 ) // 1000

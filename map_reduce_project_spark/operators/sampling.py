@@ -276,6 +276,11 @@ def balance_classes(
         .agg(F.min("n"))
         .collect()[0][0]
     )
+    if min_count is None:
+        # empty input: min(n) over zero groups is NULL, and a
+        # `rank <= NULL` filter would silently return garbage instead
+        # of the obvious answer
+        return df.limit(0)
     draw = F.conv(
         F.substring(F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col))), 1, 8),
         16,

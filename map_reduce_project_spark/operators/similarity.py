@@ -840,6 +840,7 @@ def pq_codes(
     n_codes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Product-quantization code assignment (Jegou et al. 2011): split
     each vector into n_subspaces contiguous slices and store, per
@@ -856,11 +857,26 @@ def pq_codes(
     Returns (id, subspace, code, dist2). Plan: one explode + one
     broadcast codebook join + one partial+final sum + one per-(id,
     subspace) argmin window — the only shuffle key is (id, subspace).
+
+    ``dims``: vector dimensionality. None derives it from the first
+    row (one scalar probe job, outside the returned plan); either way
+    it must divide evenly into ``n_subspaces`` — slicing a corpus
+    whose dims don't match the assumed layout would silently produce
+    wrong subspace widths.
     """
-    el = (
-        _elements(vectors, id_col, vec_col)
-        .withColumn("sub", (F.col("pos") - F.col("pos") % (64 // n_subspaces)) / (64 // n_subspaces))
-        .withColumn("sub", F.col("sub").cast("int"))
+    if dims is None:
+        row = vectors.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            raise ValueError("pq_codes: empty vectors DataFrame")
+        dims = int(row["d"])
+    if dims <= 0 or dims % n_subspaces:
+        raise ValueError(
+            f"pq_codes: dims={dims} not divisible by "
+            f"n_subspaces={n_subspaces}"
+        )
+    width = dims // n_subspaces
+    el = _elements(vectors, id_col, vec_col).withColumn(
+        "sub", F.expr(f"pos div {width}").cast("int")
     )
     cb = el.where(F.col(id_col) < n_codes).selectExpr(
         "sub", "pos", f"{id_col} as code", "val as cval"

@@ -302,3 +302,57 @@ def test_asof_both_directions_match_pandas_on_random_input(spark):
                 pick = cand.iloc[0]["rid"] if len(cand) else -1
             want.add((lid, int(pick)))
         assert got == want, direction
+
+
+def test_interval_point_join_negative_and_int64_edge(spark):
+    # bucket ids must be exact integer floor-division: negative
+    # coordinates floor toward -inf (SQL `div` alone truncates toward
+    # zero), and values beyond 2^53 are outside double precision, so
+    # a float-division bucket id could round differently on the point
+    # and interval sides and drop matching pairs
+    big = (1 << 53) + 1  # not representable as a double
+    points = spark.createDataFrame(
+        [(1, -151), (2, -150), (3, -1), (4, 0), (5, big), (6, big + 149)],
+        "pid long, x long",
+    )
+    intervals = spark.createDataFrame(
+        [(10, -150, 0), (11, big, big + 150)],
+        "ivid long, lo long, hi long",
+    )
+    out = interval_point_join(
+        points, intervals, point_col="x", lo_col="lo", hi_col="hi",
+        bucket_width=100,
+    )
+    got = sorted((r.pid, r.iv_ivid) for r in out.collect())
+    want = sorted(
+        (pid, ivid)
+        for pid, x in [(1, -151), (2, -150), (3, -1), (4, 0), (5, big), (6, big + 149)]
+        for ivid, lo, hi in [(10, -150, 0), (11, big, big + 150)]
+        if lo <= x < hi
+    )
+    assert got == want
+    assert (2, 10) in got and (3, 10) in got and (5, 11) in got
+
+
+def test_interval_overlap_join_negative_coords(spark):
+    from map_reduce_project_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    lrows = [(1, -120, -30), (2, -10, 25)]
+    rrows = [(7, -45, -40), (8, -30, 5), (9, 20, 60)]
+    left = spark.createDataFrame(lrows, "lid long, llo long, lhi long")
+    right = spark.createDataFrame(rrows, "rid long, rlo long, rhi long")
+    got = sorted(
+        (r.lid, r.ov_rid)
+        for r in interval_overlap_join(
+            left, right, "llo", "lhi", "rlo", "rhi", bucket_width=50
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, llo, lhi in lrows
+        for j, rlo, rhi in rrows
+        if llo < rhi and rlo < lhi
+    )
+    assert got == want

@@ -1080,3 +1080,65 @@ def test_srp_is_partitioning_invariant(spark):
     a = {(r.vec_id, r.j, r.proj) for r in srp_project(df1, out_dims=4).collect()}
     b = {(r.vec_id, r.j, r.proj) for r in srp_project(df8, out_dims=4).collect()}
     assert a == b and len(a) == 120
+
+
+def test_pq_codes_derives_dims_from_data(spark):
+    from map_reduce_project_spark.operators.similarity import pq_codes
+
+    # 8-dim corpus, 4 subspaces of width 2 — the layout must come
+    # from the data, not a hard-coded 64 (round-3 advice)
+    rows = [(i, [float((i + d) % 3) for d in range(8)]) for i in range(6)]
+    out = pq_codes(_vec_df(spark, rows), n_subspaces=4, n_codes=4).collect()
+    assert {r["subspace"] for r in out} == {0, 1, 2, 3}
+    assert len(out) == 6 * 4
+    for r in out:
+        if r["vec_id"] < 4:  # codebook vectors assign to themselves
+            assert r["dist2"] == 0
+
+
+def test_pq_codes_rejects_indivisible_dims(spark):
+    import pytest
+
+    from map_reduce_project_spark.operators.similarity import pq_codes
+
+    rows = [(i, [float(d) for d in range(6)]) for i in range(4)]
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codes(_vec_df(spark, rows), n_subspaces=4, n_codes=2)
+
+
+def test_image_dhash_downsamples_larger_images(spark):
+    # an image wider/taller than the 9x8 dHash grid must be resized
+    # before hashing so the fingerprint stays exactly 64 bits / 16 hex
+    # chars (a wider grid would overflow '016x' and break the
+    # shot-boundary substring parse)
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+        encode_ppm,
+        image_dhash,
+        resize_nearest,
+    )
+
+    big = np.zeros((32, 48, 3), dtype=np.uint8)
+    for y in range(32):
+        for x in range(48):
+            v = (x * 17 + y * 29) % 256
+            big[y, x] = (v, v, v)
+    payload = encode_ppm(big)
+    docs = spark.createDataFrame(
+        [(1, payload, "image/x-portable-pixmap")],
+        "doc_id long, payload binary, modality string",
+    )
+    [row] = image_dhash(docs).collect()
+    assert len(row["dhash"]) == 16
+    # the hash equals the 9x8-resized reference computation
+    small = resize_nearest(big, DHASH_W, DHASH_H).astype(np.int64)
+    gray = (small[:, :, 0] * 299 + small[:, :, 1] * 587 + small[:, :, 2] * 114) // 1000
+    bits = 0
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            if gray[y, x] > gray[y, x + 1]:
+                bits |= 1 << (y * (DHASH_W - 1) + x)
+    assert row["dhash"] == format(bits, "016x")

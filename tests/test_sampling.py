@@ -202,3 +202,12 @@ def test_balance_classes_equalizes_to_minority(spark):
     # deterministic: same selection on a rerun
     again = {r["id"] for r in balance_classes(df, "label", "id").collect()}
     assert again == {r["id"] for r in out.collect()}
+
+
+def test_balance_classes_empty_input(spark):
+    from map_reduce_project_spark.operators.sampling import balance_classes
+
+    df = spark.createDataFrame([], "id long, label string")
+    out = balance_classes(df, "label", "id")
+    assert out.count() == 0
+    assert out.columns == ["id", "label"]
