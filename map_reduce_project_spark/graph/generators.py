@@ -195,3 +195,46 @@ def random_graph_df(
             F.greatest("a", "b").cast("string").alias("dst"),
         )
     )
+
+
+def hub_graph_df(
+    spark: SparkSession,
+    n_nodes: int,
+    n_edges: int,
+    n_hubs: int = 4,
+    hub_permille: int = 500,
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed hub-skewed (star-heavy) graph: ``hub_permille``/1000
+    of the edges attach a random node to one of ``n_hubs`` hub nodes
+    (ids 0..n_hubs-1); the rest are uniform random pairs — the
+    power-law degree shape the reference flags as CCF's reducer-skew
+    risk (RESULTS.md:119). Expected hub degree ≈
+    n_edges * hub_permille / (1000 * n_hubs), so configs can be sized
+    to cross the CC loop's skew-probe threshold deliberately.
+
+    Same narrow deterministic pipeline as ``random_graph_df``: xxhash64
+    draws per row id, canonical (min,max) string orientation,
+    self-loops dropped, duplicates tolerated.
+    """
+    a = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(n_nodes))
+    uniform_b = F.pmod(
+        F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(n_nodes)
+    )
+    hub_b = F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 3)), F.lit(n_hubs))
+    is_hub_edge = (
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 2)), F.lit(1000))
+        < hub_permille
+    )
+    return (
+        spark.range(n_edges)
+        .select(
+            a.alias("a"),
+            F.when(is_hub_edge, hub_b).otherwise(uniform_b).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").cast("string").alias("src"),
+            F.greatest("a", "b").cast("string").alias("dst"),
+        )
+    )

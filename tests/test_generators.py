@@ -73,3 +73,34 @@ def test_distributed_random_graph_valid(spark):
     for s, d in pairs:
         assert s != d
         assert int(s) < int(d)
+
+
+def test_hub_graph_is_skewed_and_cc_takes_join_path(spark):
+    from map_reduce_project_spark.graph import (
+        component_count,
+        connected_components,
+    )
+    from map_reduce_project_spark.graph.generators import hub_graph_df
+    from pyspark.sql import functions as F
+
+    g = hub_graph_df(spark, 2000, 8000, n_hubs=2, seed=42)
+    deg = (
+        g.unionAll(g.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy("src")
+        .count()
+    )
+    max_deg = deg.agg(F.max("count")).collect()[0][0]
+    # ~half of 8000 edges over 2 hubs => hub degree ~2000, uniform ~8
+    assert max_deg > 1000
+    # the CC autodetect must choose the skew-robust join path when the
+    # probe threshold is sized to the hub degree, and still converge
+    res = connected_components(g, skew_degree_threshold=800)
+    assert res.iterate_path == "join"
+    assert res.converged
+    # hub graphs with half the edges uniform are one giant component
+    assert component_count(res.mapping) >= 1
+    # same partition as the default window path
+    base = connected_components(g, skew_robust=False)
+    a = {tuple(r) for r in res.mapping.collect()}
+    b = {tuple(r) for r in base.mapping.collect()}
+    assert a == b
