@@ -292,3 +292,46 @@ def balance_classes(
         .where(F.col("_r") <= min_count)
         .drop("_r")
     )
+
+
+def bootstrap_replicates(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "bootstrap",
+    n_draws: int = 8,
+) -> DataFrame:
+    """Deterministic Poisson-style bootstrap: each row receives a
+    replicate count ~ Binomial(n_draws, 1/n_draws) (mean 1 — the
+    standard online-bootstrap approximation of multinomial resampling,
+    Oza & Russell 2001), drawn from the row's salted content hash so
+    the resample is reproducible, partitioning-invariant, and
+    engine-portable (the same md5 discipline as every sampler here;
+    never rand(), which re-rolls per task retry).
+
+    Each of the first ``n_draws`` hex chars of md5(salt|id) is one
+    Bernoulli(1/n_draws) trial for n_draws = 8 or 16 (char < '2' has
+    probability 2/16 = 1/8; char < '1' is 1/16). Rows with count 0
+    drop out; rows with count k are replicated k times with a
+    ``replicate`` index — one narrow projection + one generator
+    expression, no shuffle at all.
+    """
+    if n_draws == 8:
+        hit = ("0", "1")
+    elif n_draws == 16:
+        hit = ("0",)
+    else:
+        raise ValueError("n_draws must be 8 or 16 (hex-char trials)")
+    h = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    cnt = sum(
+        F.when(F.substring(h, i + 1, 1).isin(*hit), 1).otherwise(0)
+        for i in range(n_draws)
+    )
+    return (
+        df.withColumn("_cnt", cnt)
+        .where(F.col("_cnt") > 0)
+        .withColumn(
+            "replicate", F.explode(F.sequence(F.lit(1), F.col("_cnt")))
+        )
+        .withColumn("replicate", F.col("replicate").cast("long"))
+        .drop("_cnt")
+    )

@@ -1867,3 +1867,67 @@ QUERIES.append(
         "latest-row-per-key compaction (QUALIFY idiom): current state from an append log",
     )
 )
+
+
+def sketch_count_min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation over event users: build
+    the 4x64 integer table in one distributed pass
+    (operators/sketches.py — the partial+final agg IS the sketch
+    merge), then point-estimate every 25th user against it and join
+    the exact counts back. The sketch is bit-exact cross-engine (md5
+    cell arithmetic), so the gate hashes the ESTIMATES, not just a
+    bound; ``never_undercounts`` pins the CM guarantee row by row.
+    """
+    from map_reduce_project_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    cm = count_min_table(ev, "user_id", depth=4, width=64)
+    probes = (
+        ev.where(F.col("user_id") % 25 == 0)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("true_n"))
+    )
+    est = count_min_estimate(cm, probes, "user_id", depth=4, width=64)
+    return est.select(
+        "user_id",
+        "true_n",
+        "cm_est",
+        (F.col("cm_est") >= F.col("true_n")).alias("never_undercounts"),
+    )
+
+
+SKETCH_CM_SQL = """
+WITH d(d) AS (VALUES (0), (1), (2), (3)),
+cells AS (
+  SELECT d.d AS d,
+         ('0x' || substr(md5('cm' || d.d || '|' || user_id), 1, 8))::BIGINT
+           % 64 AS col,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN d
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM events WHERE user_id % 25 = 0 GROUP BY 1
+)
+SELECT p.user_id, p.true_n, CAST(MIN(c.cnt) AS BIGINT) AS cm_est,
+       MIN(c.cnt) >= p.true_n AS never_undercounts
+FROM probes p
+CROSS JOIN d
+JOIN cells c
+  ON c.d = d.d
+ AND c.col = ('0x' || substr(md5('cm' || d.d || '|' || p.user_id), 1, 8))::BIGINT % 64
+GROUP BY 1, 2
+"""
+
+QUERIES.append(
+    Query(
+        "sketch_count_min",
+        sketch_count_min_q,
+        SKETCH_CM_SQL,
+        "count-min table + point estimates vs exact counts, sketch bit-exact",
+    )
+)

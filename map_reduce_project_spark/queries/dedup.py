@@ -893,3 +893,81 @@ QUERIES.append(
         "dedup savings: removable documents and bytes from exact-dedup groups",
     )
 )
+
+
+def dedup_bloom_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination probe: the eval split (every 7th
+    doc) becomes a 512-bit / 5-hash Bloom filter
+    (operators/sketches.py); EVERY doc (train + eval) streams through
+    the broadcast bit set and the verdict is compared against exact
+    membership. The eval self-probes pin the no-false-negative
+    guarantee row by row (every member MUST hit); the train probes
+    that hit are the false positives — the price of shipping ~KB
+    instead of the corpus. This is the 100 TB decontamination shape:
+    broadcast the small side's fingerprint, never shuffle the big
+    side.
+
+    Output: every doc the filter flags, with the exact verdict beside
+    it (the corpus has no exact cross-doc duplicates, so exact_hit
+    marks precisely the eval members).
+    """
+    from map_reduce_project_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 7 == 0)
+    # 512 bits is deliberately tight for the fixture corpus (~46% fill)
+    # so the gate exercises BOTH verdict kinds: guaranteed member hits
+    # and a visible false-positive tail
+    bits = bloom_bits(ev, "text", n_bits=512, n_hashes=5)
+    flagged = bloom_probe(
+        bits, docs, "text", n_bits=512, n_hashes=5
+    ).where(F.col("bloom_hit"))
+    exact = ev.select("text").distinct().withColumn("_e", F.lit(1))
+    return (
+        flagged.join(exact, "text", "left")
+        .select(
+            "doc_id",
+            F.col("bloom_hit"),
+            F.coalesce(F.col("_e") == 1, F.lit(False)).alias("exact_hit"),
+        )
+    )
+
+
+DEDUP_BLOOM_SQL = """
+WITH i(i) AS (VALUES (0), (1), (2), (3), (4)),
+ev AS (SELECT text FROM documents WHERE doc_id % 7 = 0),
+bits AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5('bloom' || i.i || '|' || text), 1, 8))::BIGINT
+      % 512 AS bit
+  FROM ev CROSS JOIN i
+),
+train AS (
+  SELECT doc_id, text,
+    ('0x' || substr(md5('bloom' || i.i || '|' || text), 1, 8))::BIGINT
+      % 512 AS bit
+  FROM documents CROSS JOIN i
+),
+probe AS (
+  SELECT t.doc_id, t.text,
+         SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS nset
+  FROM train t LEFT JOIN bits b USING (bit)
+  GROUP BY 1, 2
+)
+SELECT p.doc_id, TRUE AS bloom_hit,
+       EXISTS (SELECT 1 FROM ev e WHERE e.text = p.text) AS exact_hit
+FROM probe p
+WHERE nset = 5
+"""
+
+QUERIES.append(
+    Query(
+        "dedup_bloom_probe",
+        dedup_bloom_probe_q,
+        DEDUP_BLOOM_SQL,
+        "Bloom decontamination probe vs exact membership (no false negatives)",
+    )
+)

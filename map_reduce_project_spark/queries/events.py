@@ -1588,3 +1588,82 @@ QUERIES.append(
         "day-of-week x hour-of-day traffic heatmap with weekly shares, bounded output",
     )
 )
+
+
+def ev_cusum_changepoints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the hourly event-count series:
+    S_i = sum_{j<=i}(n_j - mean), held EXACT by scaling with the
+    series length H (S'_i = H * cumsum(n) - i * total — pure int64,
+    no float drift for the hash gate). The hour where |S'| peaks is
+    the maximum-likelihood single changepoint (Page 1954 / binary
+    segmentation's split rule).
+
+    Scale shape: the raw scan + hourly aggregation are fully
+    distributed; the ordered prefix-sum then runs over the AGGREGATED
+    series only (8,760 rows/year — driver-trivial), which is the
+    right trade at 100 TB: never a global sort of raw events, one
+    unpartitioned window over a bounded series.
+    """
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    tot = hourly.agg(
+        F.count("*").cast("long").alias("h"),
+        F.sum("n_events").cast("long").alias("total"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cus = (
+        hourly.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cusum_scaled",
+            (
+                F.sum("n_events").over(w) * F.col("h")
+                - F.row_number().over(Window.orderBy("bucket")) * F.col("total")
+            ).cast("long"),
+        )
+        .select("bucket", "n_events", "cusum_scaled")
+    )
+    peak = cus.agg(F.max(F.abs(F.col("cusum_scaled"))).alias("peak"))
+    return cus.crossJoin(F.broadcast(peak)).select(
+        "bucket",
+        "n_events",
+        "cusum_scaled",
+        (F.abs(F.col("cusum_scaled")) == F.col("peak")).alias("is_changepoint"),
+    )
+
+
+EV_CUSUM_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS h,
+         CAST(SUM(n_events) AS BIGINT) AS total
+  FROM hourly
+),
+cus AS (
+  SELECT bucket, n_events,
+         CAST(SUM(n_events) OVER (ORDER BY bucket) * h
+              - ROW_NUMBER() OVER (ORDER BY bucket) * total AS BIGINT)
+           AS cusum_scaled
+  FROM hourly CROSS JOIN tot
+)
+SELECT bucket, n_events, cusum_scaled,
+       ABS(cusum_scaled) = (SELECT MAX(ABS(cusum_scaled)) FROM cus)
+         AS is_changepoint
+FROM cus
+"""
+
+QUERIES.append(
+    Query(
+        "ev_cusum_changepoints",
+        ev_cusum_changepoints_q,
+        EV_CUSUM_SQL,
+        "exact integer CUSUM over hourly counts with max-|S| changepoint flag",
+    )
+)

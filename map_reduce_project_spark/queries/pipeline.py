@@ -637,3 +637,50 @@ QUERIES.append(
         "reproducible k-fold assignment from salted content hashes, with balance check",
     )
 )
+
+
+def sample_bootstrap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap resample of the documents table: each
+    doc gets Binomial(8, 1/8) replicates from its salted content hash
+    (operators.sampling.bootstrap_replicates) — the resampling step
+    behind bootstrap confidence intervals on corpus statistics,
+    reproducible across engines and retries. Zero-shuffle plan: hash,
+    filter, generator explode."""
+    from map_reduce_project_spark.operators.sampling import (
+        bootstrap_replicates,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return bootstrap_replicates(docs, "doc_id")
+
+
+SAMPLE_BOOTSTRAP_SQL = """
+WITH counted AS (
+  SELECT doc_id, lang, n_chars,
+         (CASE WHEN substr(md5('bootstrap|' || doc_id), 1, 1) IN ('0','1') THEN 1 ELSE 0 END
+        + CASE WHEN substr(md5('bootstrap|' || doc_id), 2, 1) IN ('0','1') THEN 1 ELSE 0 END
+        + CASE WHEN substr(md5('bootstrap|' || doc_id), 3, 1) IN ('0','1') THEN 1 ELSE 0 END
+        + CASE WHEN substr(md5('bootstrap|' || doc_id), 4, 1) IN ('0','1') THEN 1 ELSE 0 END
+        + CASE WHEN substr(md5('bootstrap|' || doc_id), 5, 1) IN ('0','1') THEN 1 ELSE 0 END
+        + CASE WHEN substr(md5('bootstrap|' || doc_id), 6, 1) IN ('0','1') THEN 1 ELSE 0 END
+        + CASE WHEN substr(md5('bootstrap|' || doc_id), 7, 1) IN ('0','1') THEN 1 ELSE 0 END
+        + CASE WHEN substr(md5('bootstrap|' || doc_id), 8, 1) IN ('0','1') THEN 1 ELSE 0 END
+         ) AS cnt
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       CAST(UNNEST(generate_series(1, cnt)) AS BIGINT) AS replicate
+FROM counted
+WHERE cnt > 0
+"""
+
+QUERIES.append(
+    Query(
+        "sample_bootstrap",
+        sample_bootstrap_q,
+        SAMPLE_BOOTSTRAP_SQL,
+        "deterministic Binomial(8,1/8) bootstrap replicates from content hashes",
+    )
+)

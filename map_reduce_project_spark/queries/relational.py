@@ -929,3 +929,117 @@ QUERIES.append(
         "nearest part name by Levenshtein distance (entity-resolution suggestions)",
     )
 )
+
+
+def q64_blocked_fuzzy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching — the scale-true entity-resolution
+    formulation (vs q62's broadcast-probe variant): candidates are
+    generated ONLY within a shared blocking key (the name's first
+    token), so the Levenshtein kernel is quadratic per block, never
+    per corpus. Shuffle key = block; at 100 TB this is the same
+    banding story as the dedup family — no cross join exists in the
+    plan at any scale.
+
+    Output: per part (restricted to one block's worth of probes for a
+    bounded result), its nearest same-block neighbor by edit distance
+    (tie -> lowest key).
+    """
+    from pyspark.sql.window import Window
+
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    blocked = part.select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    left = blocked.selectExpr(
+        "p_partkey as probe_key", "p_name as probe_name", "blk"
+    ).where(F.col("probe_key") % 50 == 0)
+    pairs = (
+        left.join(blocked, "blk")
+        .where(F.col("probe_key") != F.col("p_partkey"))
+        .select(
+            "probe_key",
+            "probe_name",
+            "p_partkey",
+            "p_name",
+            F.levenshtein("probe_name", "p_name").cast("long").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("probe_key").orderBy("dist", "p_partkey")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 1)
+        .select("probe_key", "probe_name", "p_partkey", "p_name", "dist")
+    )
+
+
+Q64_SQL = """
+WITH blocked AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part
+),
+probes AS (
+  SELECT p_partkey AS probe_key, p_name AS probe_name, blk
+  FROM blocked WHERE p_partkey % 50 = 0
+),
+pairs AS (
+  SELECT probe_key, probe_name, b.p_partkey, b.p_name,
+         CAST(levenshtein(probe_name, b.p_name) AS BIGINT) AS dist
+  FROM probes JOIN blocked b USING (blk)
+  WHERE probe_key <> b.p_partkey
+)
+SELECT probe_key, probe_name, p_partkey, p_name, dist FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_key
+         ORDER BY dist, p_partkey) AS r
+  FROM pairs
+) WHERE r <= 1
+"""
+
+QUERIES.append(
+    Query(
+        "q64_blocked_fuzzy",
+        q64_blocked_fuzzy_q,
+        Q64_SQL,
+        "within-block nearest name by edit distance (scale-true ER blocking)",
+    )
+)
+
+
+def q65_subqueries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI subquery surface in one text BOTH engines execute
+    verbatim (the q33 pattern): a correlated scalar subquery (each
+    nation's max account balance), EXISTS (nations with at least one
+    mid-balance customer), and NOT IN over a non-null key set (the
+    three-valued-logic trap is dodged deliberately — the subquery
+    projects a non-nullable key — and documented here because NOT IN
+    with NULLs returning zero rows is the classic production
+    surprise). Catalyst decorrelates all three into joins/semi-joins;
+    nothing here is row-at-a-time.
+    """
+    for t in ("customer", "nation"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"q65_{t}")
+    return spark.sql(Q65_TEXT.format(c="q65_customer", n="q65_nation"))
+
+
+Q65_TEXT = """
+SELECT n.n_name AS nation,
+       CAST(ROUND((SELECT MAX(c.c_acctbal) FROM {c} c
+             WHERE c.c_nationkey = n.n_nationkey) * 100) AS BIGINT)
+         AS max_bal_cents,
+       EXISTS (SELECT 1 FROM {c} c
+               WHERE c.c_nationkey = n.n_nationkey
+                 AND c.c_acctbal BETWEEN 1000 AND 2000) AS has_mid,
+       n.n_nationkey NOT IN (SELECT c.c_nationkey FROM {c} c
+                             WHERE c.c_acctbal < 0) AS no_debtors
+FROM {n} n
+ORDER BY nation
+"""
+
+QUERIES.append(
+    Query(
+        "q65_subqueries",
+        q65_subqueries_q,
+        Q65_TEXT.format(c="customer", n="nation"),
+        "correlated scalar / EXISTS / NOT IN subqueries, one shared SQL text",
+    )
+)
