@@ -5,11 +5,13 @@ typed metadata columns next to them. The Spark-side plumbing — schema,
 Arrow batch shape, ``mapInPandas`` partition processing — is real and
 tested. ``decode_media`` does REAL header-level metadata extraction
 for PNG/JPEG/BMP/PPM/WAV (pure stdlib parsing — the cheap first pass
-a pipeline runs over every payload); full pixel/sample decode and
-resize for compressed formats need PIL/ffmpeg (not in this
-container) and stay stubbed behind ``NotImplementedError``, with a
-deterministic ``fake/*`` modality so the pipeline is testable
-end-to-end.
+a pipeline runs over every payload). Pixel/sample decode is REAL for
+P6 PPM, uncompressed 24/32-bit BMP, PCM16 WAV, AND — via stdlib zlib
+inflate + scanline unfiltering — real compressed PNG (8-bit RGB/RGBA,
+see the PNG codec section). JPEG pixel decode genuinely needs libjpeg
+(not in this container) and stays stubbed behind
+``NotImplementedError``, with a deterministic ``fake/*`` modality so
+the pipeline is testable end-to-end.
 
 At scale this is the canonical pattern: keep payloads in parquet
 binary columns (or pointers to object storage), process them with
@@ -174,9 +176,9 @@ def decode_media(payload: bytes, modality: str) -> dict:
     media libraries, which is exactly the cheap first metadata pass a
     production pipeline runs over billions of payloads (full pixel
     decode is deferred to the narrow featurize stage and a far
-    smaller row set). Pixel/sample decode and resize for compressed
-    formats still need PIL/ffmpeg — not in this container — so those
-    stages stay stubbed. The ``fake/*`` modality yields deterministic
+    smaller row set). Pixel/sample decode and resize are real for
+    PPM/BMP/WAV and (via stdlib zlib) PNG; JPEG pixel decode still
+    needs libjpeg and stays stubbed. The ``fake/*`` modality yields deterministic
     dimensions derived from the payload so the full pipeline is
     testable end-to-end without any real media bytes.
     """
@@ -195,10 +197,11 @@ def decode_media(payload: bytes, modality: str) -> dict:
 
 # ---------------------------------------------------------------------------
 # Pixel-level decode — REAL for the uncompressed formats (P6 PPM and
-# 24/32-bit uncompressed BMP, pure stdlib + numpy). Compressed formats
-# (JPEG/PNG) need libjpeg/zlib-filter machinery (PIL) and stay honest
-# NotImplementedError stubs; a production engine swaps only the
-# decoder body, the Spark-side stage shape is identical.
+# 24/32-bit uncompressed BMP, pure stdlib + numpy); PNG is decoded for
+# real too (zlib inflate + unfiltering — see the PNG codec section
+# below). JPEG needs libjpeg entropy/DCT machinery and stays an honest
+# NotImplementedError stub; a production engine swaps only the decoder
+# body, the Spark-side stage shape is identical.
 # ---------------------------------------------------------------------------
 
 
@@ -261,11 +264,13 @@ def encode_ppm(px: np.ndarray) -> bytes:
 def decode_pixels(payload: bytes, modality: str) -> np.ndarray:
     """REAL pixel decode to an (h, w, 3) uint8 array.
 
-    Supported without media libraries: P6 PPM and uncompressed BMP.
-    The ``fake/*`` modality derives a deterministic buffer from the
-    payload bytes (same contract as ``decode_media``) so pipelines are
-    testable end-to-end. Compressed formats raise NotImplementedError
-    — swap in PIL/libvips at the decoder table, nothing else changes.
+    Supported without media libraries: P6 PPM, uncompressed BMP, and
+    real compressed PNG (8-bit RGB/RGBA via stdlib zlib + scanline
+    unfiltering). The ``fake/*`` modality derives a deterministic
+    buffer from the payload bytes (same contract as ``decode_media``)
+    so pipelines are testable end-to-end. JPEG raises
+    NotImplementedError — swap in PIL/libvips at the decoder table,
+    nothing else changes.
     """
     if modality.startswith("fake/"):
         meta = decode_media(payload, modality)
@@ -349,7 +354,7 @@ def resize_media(payload: bytes, modality: str, w: int, h: int) -> bytes:
     """Resize: REAL (decode -> numpy nearest-neighbor -> re-encode as
     P6 PPM) for the pixel-decodable formats; the fake modality keeps
     its deterministic md5-chained derived payload so downstream stages
-    and tests have stable bytes to hash. Compressed inputs need
+    and tests have stable bytes to hash. JPEG inputs need
     PIL/libvips and raise."""
     if modality.startswith("fake/"):
         seed = hashlib.md5(payload + f"|{w}x{h}".encode()).digest()
@@ -863,3 +868,224 @@ def audio_samples(media: DataFrame) -> DataFrame:
         ]
     )
     return media.mapInPandas(explode, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG codec — pure stdlib (zlib) + numpy. PNG's "compression" is
+# zlib over per-scanline filtered bytes (spec §6), so a genuine
+# compressed-format decode needs no media library at all: inflate the
+# IDAT stream and invert the five scanline filters (None/Sub/Up/
+# Average/Paeth). Supports 8-bit truecolor (type 2) and truecolor +
+# alpha (type 6), non-interlaced — the dominant shapes in training
+# corpora. JPEG stays an honest NotImplementedError (DCT entropy
+# decode genuinely needs libjpeg).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    px: np.ndarray,
+    alpha: np.ndarray | None = None,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """(h, w, 3) uint8 (+ optional (h, w) alpha -> color type 6) to a
+    spec-valid PNG. ``row_filters`` picks the filter type per scanline
+    (default: cycle 0..4 so every filter is exercised); filtering is
+    the spec's byte arithmetic mod 256, so any PNG reader round-trips
+    the exact pixels."""
+    import zlib
+
+    h, w, _ = px.shape
+    if alpha is not None:
+        img = np.dstack([px, alpha]).astype(np.uint8)
+        ctype, bpp = 6, 4
+    else:
+        img = px.astype(np.uint8)
+        ctype, bpp = 2, 3
+    stride = w * bpp
+    flat = img.reshape(h, stride).astype(np.int64)
+    if row_filters is None:
+        row_filters = [y % 5 for y in range(h)]
+    out = bytearray()
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        raw = flat[y]
+        ft = row_filters[y]
+        filt = np.empty(stride, dtype=np.int64)
+        for x in range(stride):
+            left = raw[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(int(left), int(up), int(ul))
+            filt[x] = (raw[x] - pred) % 256
+        out.append(ft)
+        out += bytes(filt.astype(np.uint8))
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_pixels(b: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 from a real PNG: chunk walk, zlib inflate of the
+    concatenated IDAT stream, and per-scanline unfiltering (the spec's
+    five filters). 8-bit color types 2 (RGB) and 6 (RGBA, alpha
+    dropped — same convention as the BMP decoder), non-interlaced."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i = 8
+    w = h = None
+    bpp = None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + size]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in (2, 6):
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} / color type {ctype} "
+                    "(8-bit RGB/RGBA only)"
+                )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "nonzero compression/filter method or interlaced PNG"
+                )
+            bpp = 4 if ctype == 6 else 3
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + size  # len + tag + data + crc
+    if w is None or bpp is None:
+        raise ValueError("no IHDR chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    px = np.zeros((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos
+        ).astype(np.int64)
+        pos += stride
+        if ft == 0:
+            recon = line
+        elif ft == 2:
+            recon = (line + prior) % 256
+        else:
+            recon = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                up = prior[x]
+                ul = prior[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                elif ft == 4:
+                    pred = _paeth(int(left), int(up), int(ul))
+                else:
+                    raise ValueError(f"bad PNG filter type {ft}")
+                recon[x] = (line[x] + pred) % 256
+        px[y] = recon
+        prior = recon
+    out = px.reshape(h, w, bpp).astype(np.uint8)
+    return out[:, :, :3]
+
+
+_PIXEL_DECODERS["image/png"] = _decode_png_pixels
+
+
+def gradient_png_image(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic gradient PNG for the oracle gate: w = 1 + id % 8,
+    h = 1 + (id // 8) % 6, channel c(x, y) = (id * kc + 3x + 5y) % 256
+    with kc in (1, 7, 13); odd ids add an alpha plane (dropped on
+    decode). Row filters cycle 0..4, so the gate exercises every
+    scanline filter against nontrivial gradients."""
+    w = 1 + doc_id % 8
+    h = 1 + (doc_id // 8) % 6
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    grid = 3 * xs[None, :] + 5 * ys[:, None]
+    px = np.dstack(
+        [(doc_id * k + grid) % 256 for k in (1, 7, 13)]
+    ).astype(np.uint8)
+    alpha = (
+        ((doc_id + grid) % 256).astype(np.uint8) if doc_id % 2 == 1 else None
+    )
+    return "image/png", encode_png(px, alpha=alpha)
+
+
+def attach_real_png_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL PNG payloads manufactured distributively from the id
+    column (mapInPandas, never driver-side), gradient content so the
+    decoded channel sums are SQL-predictable."""
+    gen_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mods, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                m, p = gradient_png_image(int(doc_id))
+                mods.append(m)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": mods, "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        process, gen_schema
+    )

@@ -528,3 +528,55 @@ QUERIES.append(
         "8-bin intensity histogram from real pixel decode vs arithmetic-predicting oracle",
     )
 )
+
+
+def mm_png_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-format decode under the exact gate: payloads
+    are spec-valid PNGs (zlib-deflated, per-scanline filters cycling
+    through all five spec filter types, RGBA for odd ids) built
+    distributively from doc_id, and the engine path genuinely
+    INFLATES and UNFILTERS them (operators/multimodal.py PNG codec —
+    stdlib zlib, no media library). Gradient content makes every
+    filter reconstruction nontrivial, and the decoded integer channel
+    sums are SQL-predictable from the gradient arithmetic, so a wrong
+    Paeth predictor, filter offset, or alpha handling shows up as a
+    hash mismatch."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_png_payload,
+        pixel_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pixel_stats(attach_real_png_payload(docs))
+
+
+# w = 1 + id % 8, h = 1 + (id // 8) % 6, channel c(x,y) =
+# (id * k + 3x + 5y) % 256 for k in (1, 7, 13); generate_series is
+# INCLUSIVE in DuckDB, so the bounds are w-1 / h-1 directly
+MM_PNG_PIXEL_STATS_SQL = """
+WITH g AS (
+  SELECT x.g AS x, y.g AS y
+  FROM generate_series(0, 7) x(g), generate_series(0, 5) y(g)
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  'image/png' AS modality,
+  CAST(1 + (d.doc_id // 8) % 6 AS BIGINT) AS height,
+  CAST(1 + d.doc_id % 8 AS BIGINT) AS width,
+  CAST((1 + d.doc_id % 8) * (1 + (d.doc_id // 8) % 6) AS BIGINT) AS n_pixels,
+  CAST(SUM(CASE WHEN g.x <= d.doc_id % 8 AND g.y <= (d.doc_id // 8) % 6
+           THEN (d.doc_id * 1 + 3 * g.x + 5 * g.y) % 256 END) AS BIGINT) AS sum_r,
+  CAST(SUM(CASE WHEN g.x <= d.doc_id % 8 AND g.y <= (d.doc_id // 8) % 6
+           THEN (d.doc_id * 7 + 3 * g.x + 5 * g.y) % 256 END) AS BIGINT) AS sum_g,
+  CAST(SUM(CASE WHEN g.x <= d.doc_id % 8 AND g.y <= (d.doc_id // 8) % 6
+           THEN (d.doc_id * 13 + 3 * g.x + 5 * g.y) % 256 END) AS BIGINT) AS sum_b
+FROM documents d CROSS JOIN g
+GROUP BY d.doc_id
+"""
+QUERIES.append(
+    Query(
+        "mm_png_pixel_stats",
+        mm_png_pixel_stats_q,
+        MM_PNG_PIXEL_STATS_SQL,
+        "real PNG inflate+unfilter decode (all 5 filters, RGBA) -> exact channel sums",
+    )
+)

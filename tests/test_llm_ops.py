@@ -1142,3 +1142,66 @@ def test_image_dhash_downsamples_larger_images(spark):
             if gray[y, x] > gray[y, x + 1]:
                 bits |= 1 << (y * (DHASH_W - 1) + x)
     assert row["dhash"] == format(bits, "016x")
+
+
+def test_png_roundtrip_all_filters_and_alpha():
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        _decode_png_pixels,
+        decode_media,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    for h, w in [(1, 1), (4, 7), (9, 8)]:
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        for alpha in (None, rng.randint(0, 256, (h, w)).astype(np.uint8)):
+            for ft in (None, [0] * h, [1] * h, [2] * h, [3] * h, [4] * h):
+                b = encode_png(px, alpha=alpha, row_filters=ft)
+                assert (_decode_png_pixels(b) == px).all()
+                # header metadata parser agrees with the pixel decoder
+                meta = decode_media(b, "image/png")
+                assert (meta["width"], meta["height"]) == (w, h)
+
+
+def test_png_decoder_rejects_unsupported():
+    import struct
+    import zlib
+
+    import pytest
+
+    from map_reduce_project_spark.operators.multimodal import (
+        _PNG_SIG,
+        _decode_png_pixels,
+        _png_chunk,
+    )
+
+    # 16-bit depth is out of scope and must fail loudly, not garble
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    b = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        _decode_png_pixels(b)
+    with pytest.raises(ValueError, match="not a PNG"):
+        _decode_png_pixels(b"junk")
+
+
+def test_png_decode_through_generic_pixel_path(spark):
+    # image_dhash and resize stages accept PNG payloads transparently
+    # now that the decoder table has a real entry
+    from map_reduce_project_spark.operators.multimodal import (
+        gradient_png_image,
+        image_dhash,
+    )
+
+    m, payload = gradient_png_image(7)
+    docs = spark.createDataFrame(
+        [(7, payload, m)], "doc_id long, payload binary, modality string"
+    )
+    [row] = image_dhash(docs).collect()
+    assert len(row["dhash"]) == 16
