@@ -813,3 +813,65 @@ def train_quality_classifier(
         featuresCol="features", labelCol=label_col, regParam=0.01
     )
     return lr.fit(train)
+
+
+GOPHER_MUST_HAVE = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher quality-filter rules (Rae et al. 2021, Appendix A1)
+    as per-rule boolean columns plus the conjunction — the
+    reproducible document-filter ladder MassiveText used, here with
+    every threshold compared in EXACT integer arithmetic
+    (cross-multiplication instead of ratios) so the verdicts are
+    hash-identical on any engine:
+
+    - word count in [50, 100_000]
+    - mean word length in [3, 10]   (3n <= total_len <= 10n)
+    - symbol-to-word ratio (# or ...) <= 0.1   (10 * symbols <= n)
+    - >= 80% of words contain an alphabetic char (5*alpha_words >= 4n)
+    - >= 2 distinct must-have stopwords present
+
+    Line-based rules (bullet/ellipsis line starts) are omitted: the
+    corpus is single-line by construction; they bolt on as two more
+    integer columns when documents carry newlines.
+    """
+    tok = F.split(F.col(text_col), " ")
+    n = F.size(tok).cast("long")
+    # single-space separated: total word length = chars - (n - 1)
+    total_len = (F.length(text_col) - n + 1).cast("long")
+    n_symbols = (
+        F.size(F.split(F.col(text_col), "#", -1))
+        - 1
+        + F.size(F.split(F.col(text_col), r"\.\.\.", -1))
+        - 1
+    ).cast("long")
+    alpha_words = F.expr(
+        f"size(filter(split({text_col}, ' '), w -> w rlike '[a-zA-Z]'))"
+    ).cast("long")
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    must_have = sum(
+        F.when(padded.contains(f" {w} "), 1).otherwise(0)
+        for w in GOPHER_MUST_HAVE
+    ).cast("long")
+    r_wc = (n >= 50) & (n <= 100_000)
+    r_mwl = (3 * n <= total_len) & (total_len <= 10 * n)
+    r_sym = 10 * n_symbols <= n
+    r_alpha = 5 * alpha_words >= 4 * n
+    r_stop = must_have >= 2
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        total_len.alias("total_word_len"),
+        n_symbols.alias("n_symbols"),
+        alpha_words.alias("alpha_words"),
+        must_have.alias("must_have_stopwords"),
+        r_wc.alias("pass_word_count"),
+        r_mwl.alias("pass_mean_word_len"),
+        r_sym.alias("pass_symbol_ratio"),
+        r_alpha.alias("pass_alpha_words"),
+        r_stop.alias("pass_stopwords"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("gopher_pass"),
+    )

@@ -1667,3 +1667,24 @@ QUERIES.append(
         "exact integer CUSUM over hourly counts with max-|S| changepoint flag",
     )
 )
+
+
+def ev_gaps_arrow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow under the exact gate — the zero-pandas
+    grouped-map path (functions/udafs.event_gaps_arrow), hash-matched
+    against the same lag-window oracle as the applyInPandas twin, so
+    the two Python integration tiers are pinned to identical output."""
+    from map_reduce_project_spark.functions.udafs import event_gaps_arrow
+
+    ev = read_table(spark, sf_dir, "events")
+    return event_gaps_arrow(ev)
+
+
+QUERIES.append(
+    Query(
+        "ev_gaps_arrow",
+        ev_gaps_arrow_q,
+        EV_GAPS_SQL,
+        "grouped applyInArrow per-user event gaps (no pandas) vs lag-window oracle",
+    )
+)

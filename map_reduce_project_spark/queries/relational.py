@@ -1043,3 +1043,112 @@ QUERIES.append(
         "correlated scalar / EXISTS / NOT IN subqueries, one shared SQL text",
     )
 )
+
+
+def q66_string_fns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide scalar string-function parity sweep in one projection —
+    §2.3's scalar row pinned value-exact across engines for 16
+    functions: case, trim/pad, translate/replace, slicing, search,
+    repetition, reversal, codes. One narrow map over the scan, fully
+    codegen'd; the point is breadth of the function surface under the
+    hash gate, not the plan."""
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.ltrim(F.rtrim(F.col("p_name"))).alias("trimmed"),
+        F.lpad("p_name", 30, ".").alias("lpadded"),
+        F.rpad("p_name", 30, "_").alias("rpadded"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("translated"),
+        F.regexp_replace("p_name", " ", "-").alias("dashed"),
+        F.substring("p_name", 3, 7).alias("sliced"),
+        F.left(F.col("p_name"), F.lit(4)).alias("l4"),
+        F.right(F.col("p_name"), F.lit(4)).alias("r4"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+        F.repeat(F.left(F.col("p_name"), F.lit(2)), 3).alias("rep"),
+        F.reverse(F.col("p_name")).alias("rev"),
+        F.length("p_name").cast("long").alias("len"),
+        F.ascii("p_name").cast("long").alias("first_code"),
+        F.concat_ws("|", F.lit("p"), "p_name").alias("joined"),
+    )
+
+
+Q66_SQL = """
+SELECT p_partkey,
+  upper(p_name) AS up,
+  ltrim(rtrim(p_name)) AS trimmed,
+  lpad(p_name, 30, '.') AS lpadded,
+  rpad(p_name, 30, '_') AS rpadded,
+  translate(p_name, 'aeiou', 'AEIOU') AS translated,
+  replace(p_name, ' ', '-') AS dashed,
+  substr(p_name, 3, 7) AS sliced,
+  left(p_name, 4) AS l4,
+  right(p_name, 4) AS r4,
+  CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+  repeat(left(p_name, 2), 3) AS rep,
+  reverse(p_name) AS rev,
+  CAST(length(p_name) AS BIGINT) AS len,
+  CAST(ascii(p_name) AS BIGINT) AS first_code,
+  concat_ws('|', 'p', p_name) AS joined
+FROM part
+"""
+
+QUERIES.append(
+    Query(
+        "q66_string_fns",
+        q66_string_fns_q,
+        Q66_SQL,
+        "16-function scalar string parity sweep, one codegen'd projection",
+    )
+)
+
+
+def q67_datetime_fns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar-function parity sweep over order dates: parts,
+    truncation, arithmetic, boundaries, epoch — the temporal half of
+    §2.3's scalar row, value-exact across engines."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("y"),
+        F.quarter(d).cast("long").alias("q"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d.cast("date"), 90).alias("plus90"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_99"),
+        F.unix_timestamp(d).cast("long").alias("epoch_s"),
+    )
+
+
+Q67_SQL = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS BIGINT) AS y,
+  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+  CAST(month(o_orderdate) AS BIGINT) AS m,
+  CAST(day(o_orderdate) AS BIGINT) AS dom,
+  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+  date_trunc('month', o_orderdate) AS month_start,
+  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+  CAST(o_orderdate AS DATE) + 90 AS plus90,
+  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+       AS BIGINT) AS days_to_99,
+  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+"""
+
+QUERIES.append(
+    Query(
+        "q67_datetime_fns",
+        q67_datetime_fns_q,
+        Q67_SQL,
+        "datetime scalar parity sweep: parts, trunc, arithmetic, epoch",
+    )
+)

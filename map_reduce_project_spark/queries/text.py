@@ -825,3 +825,61 @@ QUERIES.append(
         "regexp_count / regexp_extract / rlike surface over documents",
     )
 )
+
+
+def text_gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality rules per doc
+    (operators/text.gopher_rules): five per-rule verdicts + the
+    conjunction, every threshold an exact integer comparison so the
+    gate hashes verdicts, not float ratios."""
+    from map_reduce_project_spark.operators.text import gopher_rules
+
+    return gopher_rules(read_table(spark, sf_dir, "documents"))
+
+
+TEXT_GOPHER_SQL = """
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+    CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT)
+      AS total_word_len,
+    CAST(len(string_split(text, '#')) - 1
+       + len(string_split(text, '...')) - 1 AS BIGINT) AS n_symbols,
+    CAST(len(list_filter(string_split(text, ' '),
+                         w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+      AS alpha_words,
+    CAST((CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(' ' || text || ' ', ' be ') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(' ' || text || ' ', ' to ') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(' ' || text || ' ', ' that ') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(' ' || text || ' ', ' have ') THEN 1 ELSE 0 END)
+       + (CASE WHEN contains(' ' || text || ' ', ' with ') THEN 1 ELSE 0 END)
+      AS BIGINT) AS must_have_stopwords
+  FROM documents
+)
+SELECT doc_id, n_words, total_word_len, n_symbols, alpha_words,
+  must_have_stopwords,
+  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+  (3 * n_words <= total_word_len AND total_word_len <= 10 * n_words)
+    AS pass_mean_word_len,
+  (10 * n_symbols <= n_words) AS pass_symbol_ratio,
+  (5 * alpha_words >= 4 * n_words) AS pass_alpha_words,
+  (must_have_stopwords >= 2) AS pass_stopwords,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (3 * n_words <= total_word_len AND total_word_len <= 10 * n_words)
+   AND (10 * n_symbols <= n_words)
+   AND (5 * alpha_words >= 4 * n_words)
+   AND (must_have_stopwords >= 2)) AS gopher_pass
+FROM m
+"""
+
+QUERIES.append(
+    Query(
+        "text_gopher_rules",
+        text_gopher_rules_q,
+        TEXT_GOPHER_SQL,
+        "published Gopher quality rules, exact integer thresholds per rule",
+    )
+)
