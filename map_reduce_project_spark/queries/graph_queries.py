@@ -759,3 +759,61 @@ QUERIES.append(
         "personalized PageRank from seed suppliers, exact int64 vs recursive-CTE oracle",
     )
 )
+
+
+def closeness_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality of every 25th supplier over the
+    part-supplier graph via SIMULTANEOUS per-seed BFS (one frontier
+    loop for all seeds, keyed on (seed, node) —
+    graph/analytics.py:per_seed_bfs), hash-exact against a DuckDB
+    recursive CTE carrying the seed through the walk. Integer hop
+    sums are summation-order-free; closeness is one IEEE division."""
+    from map_reduce_project_spark.graph.analytics import (
+        closeness_centrality,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    seeds = (
+        li.where(F.col("l_suppkey") % 25 == 0)
+        .select(F.concat(F.lit("s:"), F.col("l_suppkey")).alias("node"))
+        .distinct()
+    )
+    return closeness_centrality(
+        _part_supplier_edges(spark, sf_dir), seeds, max_hops=6
+    )
+
+
+CLOSENESS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), walk AS (
+  SELECT DISTINCT 's:' || l_suppkey AS seed, 's:' || l_suppkey AS node,
+         0 AS hop
+  FROM lineitem WHERE l_suppkey % 25 = 0
+  UNION
+  SELECT walk.seed, und.dst AS node, walk.hop + 1 AS hop
+  FROM walk JOIN und ON und.src = walk.node
+  WHERE walk.hop < 6
+), d AS (
+  SELECT seed, node, MIN(hop) AS hop FROM walk GROUP BY seed, node
+)
+SELECT seed,
+  CAST(COUNT(*) AS BIGINT) AS n_reached,
+  CAST(SUM(hop) AS BIGINT) AS total_hops,
+  CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(hop) AS DOUBLE) AS closeness
+FROM d
+GROUP BY seed
+HAVING SUM(hop) > 0
+"""
+
+QUERIES.append(
+    Query(
+        "closeness_part_supplier",
+        closeness_part_supplier,
+        CLOSENESS_SQL,
+        "simultaneous per-seed BFS closeness centrality vs recursive-CTE oracle",
+    )
+)

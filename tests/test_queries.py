@@ -56,3 +56,30 @@ def test_interpolation_bounded_by_neighbour_observations(spark):
             assert ((seg["value_cents"] >= lo) & (seg["value_cents"] <= hi)).all()
         obs = g[g["observed"]]["value_cents"]
         assert (obs == obs.round()).all()
+
+
+def test_per_seed_bfs_and_closeness(spark):
+    from map_reduce_project_spark.graph.analytics import (
+        closeness_centrality,
+        per_seed_bfs,
+    )
+    from pyspark.sql import functions as F
+
+    # path graph a-b-c-d plus isolated pair x-y
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",), ("c",), ("x",)], "node string")
+    d = {
+        (r["seed"], r["node"]): r["hop"]
+        for r in per_seed_bfs(edges, seeds, max_hops=5).collect()
+    }
+    assert d[("a", "a")] == 0 and d[("a", "d")] == 3
+    assert d[("c", "a")] == 2 and d[("c", "d")] == 1
+    assert d[("x", "y")] == 1 and ("x", "a") not in d
+    cc = {r["seed"]: r for r in closeness_centrality(edges, seeds).collect()}
+    # a reaches b,c,d at 1+2+3=6 -> closeness (4-1)/6
+    assert cc["a"]["total_hops"] == 6 and cc["a"]["closeness"] == 3 / 6
+    assert cc["c"]["total_hops"] == 4  # 2+1+1
+    assert cc["x"]["total_hops"] == 1 and cc["x"]["closeness"] == 1.0
