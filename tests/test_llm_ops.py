@@ -427,11 +427,20 @@ def test_resize_images_shape_and_determinism(spark, docs):
     assert [bytes(r.payload) for r in out] == [
         bytes(r.payload) for r in again
     ]
-    # real modalities stay gated
+    # JPEG stays gated; PNG resizes for real now (round-4 codec)
+    import numpy as np
     import pytest as _pytest
 
+    from map_reduce_project_spark.operators.multimodal import (
+        _decode_ppm_pixels,
+        encode_png,
+    )
+
     with _pytest.raises(NotImplementedError):
-        resize_media(b"\x00", "image/png", 8, 8)
+        resize_media(b"\x00", "image/jpeg", 8, 8)
+    px = (np.arange(27).reshape(3, 3, 3) * 9 % 256).astype(np.uint8)
+    resized = resize_media(encode_png(px), "image/png", 8, 8)
+    assert _decode_ppm_pixels(resized).shape == (8, 8, 3)
 
 
 def test_sample_frames_fanout_matches_python(spark, docs):
