@@ -340,6 +340,7 @@ def connected_components(
     skew_robust: bool | None = None,
     local_threshold: int | None = None,
     skew_degree_threshold: int = SKEW_DEGREE_THRESHOLD,
+    reliable_checkpoint_dir: str | None = None,
 ) -> CCFResult:
     """Fixed-point driver (reference O8, ccf_connected_components.py:190-230).
 
@@ -359,6 +360,18 @@ def connected_components(
     distributed loop (identical semantics; see its docstring for why).
     Callers with reference-harness-scale graphs (bench, experiment
     sweep) opt in; the default stays distributed.
+
+    ``reliable_checkpoint_dir``: when set, each iteration uses a
+    RELIABLE checkpoint (``df.checkpoint`` into this directory —
+    HDFS/object storage on a cluster) instead of ``localCheckpoint``.
+    localCheckpoint pins blocks on executors; losing ANY executor
+    mid-loop kills the job because truncated lineage cannot recompute.
+    On a multi-hour 100 TB run that trade is wrong — reliable
+    checkpoints survive executor loss at the cost of one extra write
+    job per iteration. Spark cleans the files on driver GC when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``;
+    otherwise they live until the app ends (size = one generation of
+    pairs, not one per iteration, once the cycler releases blocks).
 
     Returns the (node, component) mapping where component is the
     lexicographically smallest node ID in the node's component; the
@@ -465,6 +478,8 @@ def connected_components(
     converged = False
     counts: list[int] = []
     cycler = CheckpointCycler(spark)
+    if reliable_checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
 
     try:
         while iterations < max_iterations:
@@ -473,8 +488,13 @@ def connected_components(
             # lazy checkpoint + count: the count is the materializing
             # action, so each iteration is ONE job (the reference runs
             # two, and its Python variant re-executes the reduce phase
-            # in the second — SURVEY.md §3.1)
-            combined = iterate_fn(pairs).localCheckpoint(eager=False)
+            # in the second — SURVEY.md §3.1). Reliable mode trades
+            # that for executor-loss tolerance (see docstring).
+            stepped = iterate_fn(pairs)
+            if reliable_checkpoint_dir is not None:
+                combined = stepped.checkpoint(eager=False)
+            else:
+                combined = stepped.localCheckpoint(eager=False)
             new_pair_count = combined.where(F.col(_NEW)).count()
             counts.append(new_pair_count)
 

@@ -234,3 +234,24 @@ def test_loop_releases_checkpoint_blocks(spark):
     assert len(leaked) <= 1
     # and the result is still readable after all the unpersists
     assert res.mapping.count() == 39
+
+
+def test_reliable_checkpoint_mode_matches_default(spark, tmp_path):
+    # reliable checkpoints (df.checkpoint into a directory) must
+    # produce the identical partition as localCheckpoint mode, and
+    # must actually write checkpoint data (the executor-loss-tolerant
+    # mode for multi-hour cluster runs)
+    import os
+
+    edges = edges_df(spark, generate_chain_graph(40))
+    ckpt = str(tmp_path / "ckpt")
+    res = connected_components(edges, reliable_checkpoint_dir=ckpt)
+    base = connected_components(edges_df(spark, generate_chain_graph(40)))
+    assert mapping_set(res) == mapping_set(base)
+    assert res.iterations == base.iterations
+    written = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt)
+        for f in fs
+    ]
+    assert written, "no reliable checkpoint files were written"

@@ -308,3 +308,20 @@ def test_pq_adc_broadcasts_lookup_tables(spark, registry):
     # touches only the 8-byte code table
     df = registry["ann_pq_adc"].fn(spark, SF)
     assert uses_broadcast_join(df)
+
+
+def test_join_hints_select_physical_strategy(spark):
+    # the engine exposes Spark's join-strategy hints; pin that each
+    # hint actually selects its physical operator (a silently ignored
+    # hint is the failure mode — Spark drops unknown/inapplicable
+    # hints without erroring)
+    from map_reduce_project_spark.plans.inspect import simple_plan
+
+    left = spark.range(10_000).selectExpr("id AS k", "id % 7 AS v")
+    right = spark.range(1_000).selectExpr("id AS k", "id % 5 AS w")
+    merged = left.join(right.hint("merge"), "k")
+    assert "SortMergeJoin" in simple_plan(merged)
+    hashed = left.join(right.hint("shuffle_hash"), "k")
+    assert "ShuffledHashJoin" in simple_plan(hashed)
+    bcast = left.join(right.hint("broadcast"), "k")
+    assert "BroadcastHashJoin" in simple_plan(bcast)
