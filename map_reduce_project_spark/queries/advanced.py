@@ -1931,3 +1931,56 @@ QUERIES.append(
         "count-min table + point estimates vs exact counts, sketch bit-exact",
     )
 )
+
+
+def pysource_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom Python Data Source under the exact gate: the
+    same registered source read via ``readStream`` — the
+    partition-planned DataSourceStreamReader walks its offset forward
+    rows_per_batch at a time (8 genuine microbatches for 2000 rows),
+    each batch split into task-side partition reads, appended to a
+    memory sink until the stream drains. The final table must equal
+    the batch reader's output row-for-row, so the SAME LCG oracle
+    gates both entry points."""
+    import time
+    import uuid
+
+    from map_reduce_project_spark.sources.pydatasource import register
+
+    register(spark)
+    n_rows = 2000
+    name = f"pys_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("synthetic_telemetry")
+        .option("n_rows", n_rows)
+        .option("rows_per_batch", 250)
+        .option("n_partitions", 4)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= n_rows:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)
+
+
+QUERIES.append(
+    Query(
+        "pysource_stream",
+        pysource_stream_q,
+        PYSOURCE_SQL,
+        "streaming Python DataSource (offset-walked microbatches) vs the same LCG oracle",
+    )
+)

@@ -25,6 +25,7 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 from pyspark.sql.types import StructType
@@ -88,7 +89,49 @@ class SyntheticTelemetrySource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return _TelemetryReader(self.options)
 
+    def streamReader(self, schema: StructType) -> "DataSourceStreamReader":
+        return _TelemetryStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent session registration."""
     spark.dataSource.register(SyntheticTelemetrySource)
+
+
+class _TelemetryStreamReader(DataSourceStreamReader):
+    """Microbatch stream reader over the same LCG telemetry rows: the
+    offset is simply the next unread row id, ``latestOffset`` advances
+    it by ``rows_per_batch`` per planning cycle (bounded by
+    ``n_rows``), and each batch's range is split into
+    ``n_partitions`` task-side reads — the partition-planned
+    streaming contract (not the Simple API, which reads on the
+    driver; partition-planned is the one that scales)."""
+
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 250))
+        self.n_partitions = int(options.get("n_partitions", 4))
+        self.pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        self.pos = min(self.pos + self.rows_per_batch, self.n_rows)
+        return {"pos": self.pos}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = int(start["pos"]), int(end["pos"])
+        n = max(1, min(self.n_partitions, hi - lo))
+        step = -(-(hi - lo) // n) if hi > lo else 1
+        return [
+            _RangePartition(p, min(p + step, hi))
+            for p in range(lo, hi, step)
+        ] or [_RangePartition(lo, hi)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for row_id in range(partition.start, partition.end):
+            yield telemetry_row(row_id)
+
+    def commit(self, end: dict) -> None:
+        pass
