@@ -875,3 +875,110 @@ def gopher_rules(
         r_stop.alias("pass_stopwords"),
         (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("gopher_pass"),
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016) — the
+    tokenizer-training loop as DataFrame algebra, exact and
+    deterministic end to end:
+
+    per round: (1) count adjacent token pairs with one lead-window
+    pass + partial/final agg; (2) pick the most frequent pair
+    (deterministic tie-break: count desc, then left/right asc);
+    (3) apply it GREEDY-LEFTMOST exactly like the reference BPE
+    algorithm — overlapping matches form runs ("a a a" matches at two
+    positions), and the gaps-and-islands trick (pos - row_number
+    grouping, keep odd ranks within each run) selects precisely the
+    non-overlapping leftmost set with no sequential scan;
+    (4) splice (drop consumed positions, concat the pair, re-densify
+    pos with a row_number).
+
+    Everything is integer counts, string concat, and window
+    functions, so a DuckDB oracle replays the identical rounds
+    (text_bpe_merges). Scale shape: the pair count is one shuffle on
+    (left, right); the argmax is a 1-row broadcast; application is
+    per-doc windows — hash-partitioned on doc_id, never global.
+
+    Returns one row per learned merge:
+    (merge_rank, lhs, rhs, merged, pair_count).
+    """
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = tok.withColumn("nxt", F.lead("tok").over(w_doc)).where(
+            F.col("nxt").isNotNull()
+        )
+        best_row = (
+            pairs.groupBy("tok", "nxt")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), "tok", "nxt")
+            .limit(1)
+            .collect()
+        )
+        if not best_row:
+            break
+        left, right, cnt = best_row[0]
+        merges.append((rank, left, right, left + right, cnt))
+
+        is_match = (F.col("tok") == left) & (F.col("nxt") == right)
+        marked = pairs.select(
+            "doc_id", "pos", "tok", "nxt", is_match.alias("m")
+        )
+        w_runs = Window.partitionBy("doc_id").orderBy("pos")
+        matches = (
+            marked.where("m")
+            .withColumn(
+                "grp", F.col("pos") - F.row_number().over(w_runs)
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("doc_id", "grp").orderBy("pos")
+                ),
+            )
+            .where(F.col("rn") % 2 == 1)
+            .select("doc_id", F.col("pos").alias("mpos"))
+        )
+        tok = (
+            tok.join(
+                matches.selectExpr("doc_id", "mpos as pos", "1 as _merge"),
+                ["doc_id", "pos"],
+                "left",
+            )
+            .join(
+                matches.selectExpr(
+                    "doc_id", "mpos + 1 as pos", "1 as _drop"
+                ),
+                ["doc_id", "pos"],
+                "left",
+            )
+            .where(F.col("_drop").isNull())
+            .withColumn(
+                "tok",
+                F.when(
+                    F.col("_merge") == 1,
+                    F.concat(F.col("tok"), F.lit(right)),
+                ).otherwise(F.col("tok")),
+            )
+            .withColumn("pos", F.row_number().over(w_doc) - 1)
+            .select("doc_id", "pos", "tok")
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, lhs string, rhs string, merged string, "
+        "pair_count long",
+    )

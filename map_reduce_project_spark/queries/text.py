@@ -883,3 +883,92 @@ QUERIES.append(
         "published Gopher quality rules, exact integer thresholds per rule",
     )
 )
+
+
+def text_bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training under the exact gate
+    (operators/text.bpe_train): 3 merge rounds over the corpus, each
+    round = one pair-count shuffle + a 1-row argmax broadcast +
+    greedy-leftmost application via gaps-and-islands windows. The
+    DuckDB oracle replays the identical rounds (unrolled CTEs — the
+    emb_kmeans_int pattern for training loops), so pair counts,
+    tie-breaks, AND the greedy overlap rule are all hash-pinned."""
+    from map_reduce_project_spark.operators.text import bpe_train
+
+    return bpe_train(
+        read_table(spark, sf_dir, "documents"), n_merges=3
+    )
+
+
+def _bpe_round_sql(r: int) -> str:
+    """CTE block for BPE round r: pair counts, argmax, greedy-leftmost
+    match set, and the spliced next-round token table."""
+    return f"""
+p{r} AS (
+  SELECT doc_id, pos, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM t{r}
+),
+b{r} AS (
+  SELECT tok AS lhs, nxt AS rhs, CAST(COUNT(*) AS BIGINT) AS c
+  FROM p{r} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2
+  ORDER BY c DESC, lhs, rhs LIMIT 1
+),
+m{r} AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY pos) AS rn
+    FROM (
+      SELECT p.doc_id, p.pos,
+             p.pos - ROW_NUMBER()
+               OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS grp
+      FROM p{r} p, b{r} b
+      WHERE p.tok = b.lhs AND p.nxt = b.rhs
+    )
+  ) WHERE rn % 2 = 1
+),
+t{r + 1} AS (
+  SELECT tt.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY tt.doc_id ORDER BY tt.pos) - 1
+           AS pos,
+         CASE WHEN mm.mk IS NOT NULL
+              THEN tt.tok || (SELECT rhs FROM b{r})
+              ELSE tt.tok END AS tok
+  FROM t{r} tt
+  LEFT JOIN (SELECT doc_id, pos, 1 AS mk FROM m{r}) mm
+    ON mm.doc_id = tt.doc_id AND mm.pos = tt.pos
+  LEFT JOIN (SELECT doc_id, pos + 1 AS pos, 1 AS dr FROM m{r}) dd
+    ON dd.doc_id = tt.doc_id AND dd.pos = tt.pos
+  WHERE dd.dr IS NULL
+)"""
+
+
+TEXT_BPE_SQL = (
+    """
+WITH t1 AS (
+  SELECT doc_id, g.pos - 1 AS pos, g.tok
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1)
+                         AS pos) g
+),"""
+    + ",".join(_bpe_round_sql(r) for r in (1, 2, 3))
+    + """
+SELECT 1 AS merge_rank, lhs, rhs, lhs || rhs AS merged, c AS pair_count
+FROM b1
+UNION ALL
+SELECT 2, lhs, rhs, lhs || rhs, c FROM b2
+UNION ALL
+SELECT 3, lhs, rhs, lhs || rhs, c FROM b3
+"""
+)
+
+QUERIES.append(
+    Query(
+        "text_bpe_merges",
+        text_bpe_merges_q,
+        TEXT_BPE_SQL,
+        "distributed BPE tokenizer training (3 rounds) vs unrolled-CTE oracle",
+    )
+)

@@ -1214,3 +1214,30 @@ def test_png_decode_through_generic_pixel_path(spark):
     )
     [row] = image_dhash(docs).collect()
     assert len(row["dhash"]) == 16
+
+
+def test_bpe_train_greedy_leftmost_and_tiebreak(spark):
+    from map_reduce_project_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b c a a"), (2, "b c b c a a")],
+        "doc_id long, text string",
+    )
+    out = {r["merge_rank"]: r for r in bpe_train(docs, 3).collect()}
+    # round 1: (a,a) appears 5 times COUNTING overlaps (the count is
+    # over adjacent pairs, like the reference algorithm)
+    assert (out[1]["lhs"], out[1]["rhs"], out[1]["pair_count"]) == ("a", "a", 5)
+    # greedy-leftmost application: "a a a a" -> "aa aa" (not 3 merges),
+    # so round 2's best is (b,c)=3, and round 3 sees doc2 as
+    # "bc bc aa" -> (bc,aa)=2 wins the tie against (aa,aa)=1
+    assert (out[2]["lhs"], out[2]["rhs"], out[2]["pair_count"]) == ("b", "c", 3)
+    assert (out[3]["merged"], out[3]["pair_count"]) == ("bcaa", 2)
+
+
+def test_bpe_train_exhausts_on_tiny_input(spark):
+    from map_reduce_project_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    rows = bpe_train(docs, 5).collect()
+    # round 1 merges (x,y) -> "xy"; round 2 has no pairs -> stop early
+    assert len(rows) == 1 and rows[0]["merged"] == "xy"
