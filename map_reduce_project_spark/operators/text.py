@@ -982,3 +982,66 @@ def bpe_train(
         "merge_rank long, lhs string, rhs string, merged string, "
         "pair_count long",
     )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merges in rank order (the encode side of
+    ``bpe_train`` — same greedy-leftmost splice per merge, driven by a
+    BROADCAST merge list instead of per-round argmax jobs). Returns
+    (doc_id, n_tokens_before, n_tokens_after): the compression the
+    learned vocabulary buys on this corpus — the number every
+    tokenizer-training run reports."""
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    before = tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens_before")
+    )
+    for left, right in merges:
+        pairs = tok.withColumn("nxt", F.lead("tok").over(w_doc))
+        matches = (
+            pairs.where((F.col("tok") == left) & (F.col("nxt") == right))
+            .withColumn("grp", F.col("pos") - F.row_number().over(w_doc))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("doc_id", "grp").orderBy("pos")
+                ),
+            )
+            .where(F.col("rn") % 2 == 1)
+            .select("doc_id", F.col("pos").alias("mpos"))
+        )
+        tok = (
+            tok.join(
+                matches.selectExpr("doc_id", "mpos as pos", "1 as _merge"),
+                ["doc_id", "pos"],
+                "left",
+            )
+            .join(
+                matches.selectExpr("doc_id", "mpos + 1 as pos", "1 as _drop"),
+                ["doc_id", "pos"],
+                "left",
+            )
+            .where(F.col("_drop").isNull())
+            .withColumn(
+                "tok",
+                F.when(
+                    F.col("_merge") == 1, F.concat(F.col("tok"), F.lit(right))
+                ).otherwise(F.col("tok")),
+            )
+            .withColumn("pos", F.row_number().over(w_doc) - 1)
+            .select("doc_id", "pos", "tok")
+        ).localCheckpoint(eager=True)
+    after = tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens_after")
+    )
+    return before.join(after, "doc_id")

@@ -972,3 +972,45 @@ QUERIES.append(
         "distributed BPE tokenizer training (3 rounds) vs unrolled-CTE oracle",
     )
 )
+
+
+def text_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply BPE lifecycle under one gate: learn 3 merges
+    (bpe_train), then encode the corpus with the learned list
+    (bpe_apply — broadcast merges, same greedy splice) and report
+    per-doc token counts before/after. The oracle replays training
+    AND application in one unrolled-CTE chain, so the whole
+    tokenizer round trip is hash-pinned."""
+    from map_reduce_project_spark.operators.text import bpe_apply, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    learned = bpe_train(docs, n_merges=3).orderBy("merge_rank").collect()
+    return bpe_apply(docs, [(r["lhs"], r["rhs"]) for r in learned])
+
+
+TEXT_BPE_ENCODE_SQL = (
+    """
+WITH t1 AS (
+  SELECT doc_id, g.pos - 1 AS pos, g.tok
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1)
+                         AS pos) g
+),"""
+    + ",".join(_bpe_round_sql(r) for r in (1, 2, 3))
+    + """
+SELECT b.doc_id, b.n AS n_tokens_before, a.n AS n_tokens_after
+FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM t1 GROUP BY 1) b
+JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM t4 GROUP BY 1) a
+  USING (doc_id)
+"""
+)
+
+QUERIES.append(
+    Query(
+        "text_bpe_encode",
+        text_bpe_encode_q,
+        TEXT_BPE_ENCODE_SQL,
+        "BPE train->encode round trip: per-doc token counts before/after 3 merges",
+    )
+)
