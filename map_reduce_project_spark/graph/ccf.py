@@ -564,3 +564,34 @@ def component_summary(mapping: DataFrame) -> DataFrame:
         )
         .withColumn("size", F.size("members").cast("long"))
     )
+
+
+def connected_components_incremental(
+    mapping: DataFrame,
+    new_edges: DataFrame,
+    **kwargs,
+) -> CCFResult:
+    """Incremental CC maintenance: fold NEW edges into an EXISTING
+    (node, component) mapping without re-traversing the old graph.
+
+    The mapping itself is a set of (node -> representative) edges that
+    already encodes the old graph's connectivity (every old component
+    is a star around its representative), so the union
+    ``mapping-as-edges + new_edges`` has the same components as
+    ``old_edges + new_edges`` — but with the old components'
+    diameters collapsed to 1. The fixed point therefore converges in
+    O(log of the NEW merge chain), independent of the old graph's
+    size or diameter; at 100 TB this is the difference between a
+    nightly full recompute and a minutes-long delta run. Equality
+    with the full recompute is property-tested
+    (``test_incremental_cc_matches_full``).
+    """
+    star_edges = mapping.select(
+        F.col(mapping.columns[0]).alias("src"),
+        F.col(mapping.columns[1]).alias("dst"),
+    )
+    fresh = new_edges.select(
+        F.col(new_edges.columns[0]).alias("src"),
+        F.col(new_edges.columns[1]).alias("dst"),
+    )
+    return connected_components(star_edges.unionAll(fresh), **kwargs)

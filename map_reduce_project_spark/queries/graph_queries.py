@@ -817,3 +817,113 @@ QUERIES.append(
         "simultaneous per-seed BFS closeness centrality vs recursive-CTE oracle",
     )
 )
+
+
+def cc_incremental_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC maintenance under the exact gate: compute the
+    mapping on the OLD part-supplier edges (l_partkey % 5 != 0), then
+    fold the DELTA (% 5 == 0) in via
+    ``connected_components_incremental`` — the old mapping's star
+    edges replace the old graph, so the delta run's convergence is
+    independent of the old graph's diameter. The oracle is the full
+    recompute over ALL edges (the same recursive-CTE min-label
+    oracle), which is exactly the claim: incremental == full."""
+    from map_reduce_project_spark.graph.ccf import (
+        connected_components_incremental,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        F.col("l_partkey").alias("pk"),
+    ).dropDuplicates(["src", "dst"])
+    old = edges.where(F.col("pk") % 5 != 0).select("src", "dst")
+    delta = edges.where(F.col("pk") % 5 == 0).select("src", "dst")
+    base = connected_components(old)
+    return connected_components_incremental(base.mapping, delta).mapping
+
+
+CC_INCREMENTAL_SQL = CC_PART_SUPPLIER_SQL
+
+QUERIES.append(
+    Query(
+        "cc_incremental_part_supplier",
+        cc_incremental_part_supplier,
+        CC_INCREMENTAL_SQL,
+        "incremental CC (old mapping + delta edges) == full recompute oracle",
+    )
+)
+
+
+def cc_diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph diameter lower bound by the classic DOUBLE SWEEP: BFS
+    from a deterministic pivot (lexicographic min node), take the
+    farthest node (tie -> min), BFS again from it — the second
+    sweep's eccentricity is a tight diameter lower bound (exact on
+    trees). Both sweeps run the simultaneous-BFS loop; no collect —
+    the second sweep's seed is a 1-row DataFrame computed from the
+    first. Oracle: the same two walks as recursive CTEs."""
+    from map_reduce_project_spark.graph.analytics import (
+        canonical_undirected,
+        per_seed_bfs,
+    )
+
+    edges = _part_supplier_edges(spark, sf_dir)
+    und = canonical_undirected(edges)
+    pivot = und.agg(F.min("src").alias("node"))
+    d1 = per_seed_bfs(edges, pivot, max_hops=12)
+    far = (
+        d1.orderBy(F.col("hop").desc(), "node")
+        .limit(1)
+        .select("node")
+    )
+    d2 = per_seed_bfs(edges, far, max_hops=12)
+    ecc = d2.agg(F.max("hop").cast("long").alias("diameter_lb"))
+    return (
+        pivot.select(F.col("node").alias("pivot_node"))
+        .crossJoin(far.select(F.col("node").alias("far_node")))
+        .crossJoin(ecc)
+    )
+
+
+CC_DIAMETER_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), pv AS (
+  SELECT MIN(src) AS n FROM und
+), w1 AS (
+  SELECT n AS node, 0 AS hop FROM pv
+  UNION
+  SELECT und.dst AS node, w1.hop + 1 AS hop
+  FROM w1 JOIN und ON und.src = w1.node
+  WHERE w1.hop < 12
+), d1 AS (
+  SELECT node, MIN(hop) AS hop FROM w1 GROUP BY node
+), far AS (
+  SELECT node FROM d1 ORDER BY hop DESC, node LIMIT 1
+), w2 AS (
+  SELECT node, 0 AS hop FROM far
+  UNION
+  SELECT und.dst AS node, w2.hop + 1 AS hop
+  FROM w2 JOIN und ON und.src = w2.node
+  WHERE w2.hop < 12
+), d2 AS (
+  SELECT node, MIN(hop) AS hop FROM w2 GROUP BY node
+)
+SELECT (SELECT n FROM pv) AS pivot_node,
+       (SELECT node FROM far) AS far_node,
+       CAST((SELECT MAX(hop) FROM d2) AS BIGINT) AS diameter_lb
+"""
+
+QUERIES.append(
+    Query(
+        "cc_diameter_estimate",
+        cc_diameter_estimate,
+        CC_DIAMETER_SQL,
+        "double-sweep diameter lower bound, both sweeps vs recursive-CTE walks",
+    )
+)

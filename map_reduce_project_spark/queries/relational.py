@@ -1152,3 +1152,152 @@ QUERIES.append(
         "datetime scalar parity sweep: parts, trunc, arithmetic, epoch",
     )
 )
+
+
+def q68_profile_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (the ANALYZE/summarize shape): one
+    wide aggregate computes nulls / exact distincts / min / max for
+    every profiled column in ONE scan, then unpivots to the
+    (column, metric...) long form. At 100 TB this is one pass over
+    the table — never per-column scans — with partial aggregation
+    doing the heavy lift map-side."""
+    orders = read_table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+    wide = orders.agg(
+        F.count("*").alias("_n"),
+        *[
+            a
+            for c in cols
+            for a in (
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"{c}__nulls"),
+                F.countDistinct(c).cast("long").alias(f"{c}__distinct"),
+                F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+                F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            )
+        ],
+    )
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return wide.selectExpr(
+        "_n as n_rows",
+        f"stack({len(cols)}, {stack}) as "
+        "(column_name, n_nulls, n_distinct, min_str, max_str)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+Q68_SQL = """
+WITH w AS (
+  SELECT COUNT(*) AS n,
+    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+    COUNT(DISTINCT o_orderstatus) AS s_d,
+    MIN(CAST(o_orderstatus AS VARCHAR)) AS s_min,
+    MAX(CAST(o_orderstatus AS VARCHAR)) AS s_max,
+    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+    COUNT(DISTINCT o_orderpriority) AS p_d,
+    MIN(CAST(o_orderpriority AS VARCHAR)) AS p_min,
+    MAX(CAST(o_orderpriority AS VARCHAR)) AS p_max,
+    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+    COUNT(DISTINCT o_custkey) AS c_d,
+    MIN(CAST(o_custkey AS VARCHAR)) AS c_min,
+    MAX(CAST(o_custkey AS VARCHAR)) AS c_max,
+    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+    COUNT(DISTINCT o_totalprice) AS t_d,
+    MIN(CAST(o_totalprice AS VARCHAR)) AS t_min,
+    MAX(CAST(o_totalprice AS VARCHAR)) AS t_max
+  FROM orders
+)
+SELECT 'o_orderstatus' AS column_name, CAST(n AS BIGINT) AS n_rows,
+       CAST(s_nulls AS BIGINT) AS n_nulls, CAST(s_d AS BIGINT) AS n_distinct,
+       s_min AS min_str, s_max AS max_str FROM w
+UNION ALL
+SELECT 'o_orderpriority', CAST(n AS BIGINT), CAST(p_nulls AS BIGINT),
+       CAST(p_d AS BIGINT), p_min, p_max FROM w
+UNION ALL
+SELECT 'o_custkey', CAST(n AS BIGINT), CAST(c_nulls AS BIGINT),
+       CAST(c_d AS BIGINT), c_min, c_max FROM w
+UNION ALL
+SELECT 'o_totalprice', CAST(n AS BIGINT), CAST(t_nulls AS BIGINT),
+       CAST(t_d AS BIGINT), t_min, t_max FROM w
+"""
+
+QUERIES.append(
+    Query(
+        "q68_profile_columns",
+        q68_profile_columns_q,
+        Q68_SQL,
+        "one-scan column profiler (nulls/distinct/min/max) unpivoted to long form",
+    )
+)
+
+
+def q69_fk_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema in one
+    result: orphan counts for every FK edge (anti-joins — each is one
+    shuffle or a broadcast when the parent is a dim) plus the parent
+    row counts, the data-quality gate a pipeline runs before trusting
+    joins. All counts exact."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    li = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+
+    def audit(child, fk, parent, pk, name):
+        orphans = (
+            child.join(
+                parent.select(F.col(pk).alias(fk)), fk, "left_anti"
+            ).count()
+        )
+        return (name, child.count(), orphans)
+
+    rows = [
+        audit(orders, "o_custkey", customer, "c_custkey", "orders->customer"),
+        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        audit(li, "l_suppkey", supplier, "s_suppkey", "lineitem->supplier"),
+        audit(
+            customer, "c_nationkey", nation, "n_nationkey", "customer->nation"
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "fk_edge string, n_child long, n_orphans long"
+    )
+
+
+Q69_SQL = """
+SELECT 'orders->customer' AS fk_edge,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+"""
+
+QUERIES.append(
+    Query(
+        "q69_fk_integrity",
+        q69_fk_integrity_q,
+        Q69_SQL,
+        "referential-integrity audit: orphan counts for every FK edge",
+    )
+)

@@ -255,3 +255,28 @@ def test_reliable_checkpoint_mode_matches_default(spark, tmp_path):
         for f in fs
     ]
     assert written, "no reliable checkpoint files were written"
+
+
+def test_incremental_cc_matches_full(spark):
+    from map_reduce_project_spark.graph.ccf import (
+        connected_components_incremental,
+    )
+
+    # old graph: two chains {0..9} and {20..29}; delta: a bridge and a
+    # brand-new pair
+    old = [(str(i), str(i + 1)) for i in range(9)] + [
+        (str(i), str(i + 1)) for i in range(20, 29)
+    ]
+    delta = [("9", "20"), ("50", "51")]
+    old_df = spark.createDataFrame(old, "src string, dst string")
+    delta_df = spark.createDataFrame(delta, "src string, dst string")
+
+    full = connected_components(
+        spark.createDataFrame(old + delta, "src string, dst string")
+    )
+    base = connected_components(old_df)
+    inc = connected_components_incremental(base.mapping, delta_df)
+    assert mapping_set(inc) == mapping_set(full)
+    # the incremental run converges fast: old components are stars, so
+    # the merge chain is short regardless of the old chains' diameter
+    assert inc.iterations < full.iterations
