@@ -605,3 +605,53 @@ def closeness_centrality(
             ).alias("closeness"),
         )
     )
+
+
+def hits_int(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) in exact UNNORMALIZED
+    int64 for a bounded number of rounds: h_{t+1}(v) = sum of a_t over
+    v's out-neighbors, a_{t+1}(u) = sum of h_{t+1} over u's
+    in-neighbors, both from a_0 = 1. Production HITS L2-normalizes
+    each round (float); the gate variant keeps exact integers instead
+    — scores grow like degree^rounds, so bounded rounds keep them
+    far inside int64 at gate scale, and the ranking (HITS' actual
+    output) is identical to the normalized iteration's. Each round is
+    two hash-join + partial/final-agg shuffles on the edge keys.
+
+    Returns (node, score, kind) with kind in ('hub', 'authority') —
+    on a bipartite src->dst graph, hubs live on the src side and
+    authorities on the dst side.
+    """
+    e = (
+        edges.select(
+            F.col(edges.columns[0]).alias("src"),
+            F.col(edges.columns[1]).alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    a = e.select(F.col("dst").alias("node")).distinct().withColumn(
+        "a", F.lit(1).cast("long")
+    )
+    h = None
+    for _ in range(rounds):
+        h = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").cast("long").alias("h"))
+            .withColumnRenamed("src", "node")
+        )
+        a = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").cast("long").alias("a"))
+            .withColumnRenamed("dst", "node")
+        )
+    return h.select(
+        "node", F.col("h").alias("score"), F.lit("hub").alias("kind")
+    ).unionAll(
+        a.select(
+            "node", F.col("a").alias("score"), F.lit("authority").alias("kind")
+        )
+    )

@@ -927,3 +927,44 @@ QUERIES.append(
         "double-sweep diameter lower bound, both sweeps vs recursive-CTE walks",
     )
 )
+
+
+def hits_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the directed part->supplier graph: 3 exact-int64
+    rounds (graph/analytics.py:hits_int), hubs on the part side and
+    authorities on the supplier side, vs a DuckDB oracle unrolling
+    the same two aggregations per round."""
+    from map_reduce_project_spark.graph.analytics import hits_int
+
+    return hits_int(_part_supplier_edges(spark, sf_dir), rounds=3)
+
+
+HITS_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+),
+h1 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS h FROM e GROUP BY src),
+a1 AS (SELECT e.dst, CAST(SUM(h1.h) AS BIGINT) AS a
+       FROM e JOIN h1 USING (src) GROUP BY e.dst),
+h2 AS (SELECT e.src, CAST(SUM(a1.a) AS BIGINT) AS h
+       FROM e JOIN a1 USING (dst) GROUP BY e.src),
+a2 AS (SELECT e.dst, CAST(SUM(h2.h) AS BIGINT) AS a
+       FROM e JOIN h2 USING (src) GROUP BY e.dst),
+h3 AS (SELECT e.src, CAST(SUM(a2.a) AS BIGINT) AS h
+       FROM e JOIN a2 USING (dst) GROUP BY e.src),
+a3 AS (SELECT e.dst, CAST(SUM(h3.h) AS BIGINT) AS a
+       FROM e JOIN h3 USING (src) GROUP BY e.dst)
+SELECT src AS node, h AS score, 'hub' AS kind FROM h3
+UNION ALL
+SELECT dst AS node, a AS score, 'authority' AS kind FROM a3
+"""
+
+QUERIES.append(
+    Query(
+        "hits_part_supplier",
+        hits_part_supplier,
+        HITS_SQL,
+        "HITS hubs/authorities, 3 exact-int rounds vs unrolled-CTE oracle",
+    )
+)
