@@ -141,6 +141,30 @@ def all_queries() -> dict[str, Query]:
         "bfs_part_supplier",
         "pagerank_part_supplier",
         "lpa_communities",
+        # new in round 4 (zero driver evidence — behind the spillover
+        # and the touched re-verifies in the round-5 queue; every one
+        # verified at sf0.01 through the local driver-identical gate
+        # on a vanilla session this round)
+        "q64_blocked_fuzzy",
+        "q65_subqueries",
+        "q66_string_fns",
+        "q67_datetime_fns",
+        "q68_profile_columns",
+        "q69_fk_integrity",
+        "ev_cusum_changepoints",
+        "ev_gaps_arrow",
+        "sample_bootstrap",
+        "sketch_count_min",
+        "dedup_bloom_probe",
+        "mm_png_pixel_stats",
+        "text_gopher_rules",
+        "text_bpe_merges",
+        "text_bpe_encode",
+        "closeness_part_supplier",
+        "cc_incremental_part_supplier",
+        "cc_diameter_estimate",
+        "hits_part_supplier",
+        "pysource_stream",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -508,3 +508,59 @@ def test_ppr_int_matches_python_oracle(spark, edges):
         ).collect()
     }
     assert got == expected
+
+
+def _bpe_reference(texts: list[str], n_merges: int):
+    """Straight-line reference BPE: global adjacent-pair counts,
+    (count desc, pair asc) argmax, greedy-leftmost application."""
+    docs = [t.split(" ") for t in texts]
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for toks in docs:
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((best[0], best[1], counts[best]))
+        new_docs = []
+        for toks in docs:
+            out, i = [], 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and (toks[i], toks[i + 1]) == best
+                ):
+                    out.append(toks[i] + toks[i + 1])
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_docs.append(out)
+        docs = new_docs
+    return merges
+
+
+def test_bpe_train_matches_reference_on_random_corpora(spark):
+    import random
+
+    from map_reduce_project_spark.operators.text import bpe_train
+
+    rng = random.Random(1234)
+    vocab = ["a", "b", "c", "d"]
+    for trial in range(4):
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+            for _ in range(8)
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = [
+            (r["lhs"], r["rhs"], r["pair_count"])
+            for r in bpe_train(df, 4).orderBy("merge_rank").collect()
+        ]
+        want = _bpe_reference(texts, 4)
+        assert got == want, f"trial {trial}: {got} != {want}"
