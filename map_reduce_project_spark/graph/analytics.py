@@ -655,3 +655,85 @@ def hits_int(edges: DataFrame, rounds: int = 3) -> DataFrame:
             "node", F.col("a").alias("score"), F.lit("authority").alias("kind")
         )
     )
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    steps: int = 3,
+    salt: str = "walk",
+) -> DataFrame:
+    """Deterministic random-walk corpus generation (the DeepWalk /
+    node2vec sampling stage): from each seed, take ``steps`` steps
+    where step t picks neighbor rank
+    1 + md5(start|t|current) % degree(current) — the draw is a pure
+    function of (walk, step, node), so walks are reproducible across
+    engines/retries/partitionings, exactly like the samplers' hash
+    discipline (rand() would re-roll per retry and be un-oracleable).
+
+    Each step is one broadcast-or-hash join against the ranked
+    adjacency list (neighbor rank = row_number per node — built once).
+    Output: (start, step, node) for steps 0..steps.
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select(
+        F.col(edges.columns[0]).alias("a"), F.col(edges.columns[1]).alias("b")
+    ).where(F.col("a") != F.col("b"))
+    both = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    adj = (
+        both.dropDuplicates()
+        .select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("node").orderBy("nbr")),
+        )
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("node").agg(F.max("rn").cast("long").alias("deg"))
+
+    cur = seeds.select(
+        F.col("node").alias("start"),
+        F.col("node"),
+        F.lit(0).cast("long").alias("step"),
+    )
+    levels = [cur]
+    for t in range(1, steps + 1):
+        draw = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}|"),
+                            F.col("start"),
+                            F.lit(f"|{t}|"),
+                            F.col("node"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("deg")
+            + 1
+        )
+        cur = (
+            cur.join(deg, "node")
+            .withColumn("_pick", draw)
+            .join(
+                adj,
+                ["node"],
+            )
+            .where(F.col("rn") == F.col("_pick"))
+            .select(
+                "start",
+                F.col("nbr").alias("node"),
+                F.lit(t).cast("long").alias("step"),
+            )
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out

@@ -165,6 +165,8 @@ def all_queries() -> dict[str, Query]:
         "cc_diameter_estimate",
         "hits_part_supplier",
         "pysource_stream",
+        "graph_walks_part_supplier",
+        "q70_k_anonymity",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

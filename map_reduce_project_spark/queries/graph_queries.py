@@ -968,3 +968,75 @@ QUERIES.append(
         "HITS hubs/authorities, 3 exact-int rounds vs unrolled-CTE oracle",
     )
 )
+
+
+def graph_walks_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks (DeepWalk corpus stage) from every
+    40th part over the part-supplier graph: 3 steps, neighbor chosen
+    by md5(start|step|node) % degree against the row_number-ranked
+    adjacency (graph/analytics.py:deterministic_walks). The oracle
+    unrolls the same three joins, so the draw arithmetic, neighbor
+    ranking, AND walk reproducibility are hash-pinned."""
+    from map_reduce_project_spark.graph.analytics import (
+        deterministic_walks,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    seeds = (
+        li.where(F.col("l_partkey") % 40 == 0)
+        .select(F.concat(F.lit("p:"), F.col("l_partkey")).alias("node"))
+        .distinct()
+    )
+    return deterministic_walks(
+        _part_supplier_edges(spark, sf_dir), seeds, steps=3
+    )
+
+
+def _walk_step_sql(t: int) -> str:
+    return f"""
+s{t} AS (
+  SELECT s{t - 1}.start, a.nbr AS node, CAST({t} AS BIGINT) AS step
+  FROM s{t - 1}
+  JOIN deg d ON d.node = s{t - 1}.node
+  JOIN adj a ON a.node = s{t - 1}.node
+   AND a.rn = 1 + ('0x' || substr(md5('walk|' || s{t - 1}.start
+                                      || '|{t}|' || s{t - 1}.node),
+                                  1, 8))::BIGINT % d.deg
+)"""
+
+
+GRAPH_WALKS_SQL = (
+    """
+WITH e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), adj AS (
+  SELECT src AS node, dst AS nbr,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+  FROM und
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY node
+), s0 AS (
+  SELECT DISTINCT 'p:' || l_partkey AS start, 'p:' || l_partkey AS node,
+         CAST(0 AS BIGINT) AS step
+  FROM lineitem WHERE l_partkey % 40 = 0
+),"""
+    + ",".join(_walk_step_sql(t) for t in (1, 2, 3))
+    + """
+SELECT start, node, step FROM s0
+UNION ALL SELECT start, node, step FROM s1
+UNION ALL SELECT start, node, step FROM s2
+UNION ALL SELECT start, node, step FROM s3
+"""
+)
+
+QUERIES.append(
+    Query(
+        "graph_walks_part_supplier",
+        graph_walks_part_supplier,
+        GRAPH_WALKS_SQL,
+        "deterministic DeepWalk-style walks (md5-draw per step) vs unrolled oracle",
+    )
+)

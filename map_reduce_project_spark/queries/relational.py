@@ -1301,3 +1301,43 @@ QUERIES.append(
         "referential-integrity audit: orphan counts for every FK edge",
     )
 )
+
+
+def q70_k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier: equivalence-class sizes with an at-risk flag
+    for classes smaller than k=20 — the privacy gate run before
+    releasing a dataset keyed on quasi-identifiers. One partial+final
+    aggregate; the flag is an exact integer comparison."""
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "c_mktsegment",
+        )
+        .agg(F.count("*").cast("long").alias("class_size"))
+        .select(
+            "nationkey",
+            "c_mktsegment",
+            "class_size",
+            (F.col("class_size") < 20).alias("below_k"),
+        )
+    )
+
+
+Q70_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       COUNT(*) < 20 AS below_k
+FROM customer
+GROUP BY 1, 2
+"""
+
+QUERIES.append(
+    Query(
+        "q70_k_anonymity",
+        q70_k_anonymity_q,
+        Q70_SQL,
+        "k-anonymity equivalence-class audit over quasi-identifiers",
+    )
+)

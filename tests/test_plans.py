@@ -325,3 +325,31 @@ def test_join_hints_select_physical_strategy(spark):
     assert "ShuffledHashJoin" in simple_plan(hashed)
     bcast = left.join(right.hint("broadcast"), "k")
     assert "BroadcastHashJoin" in simple_plan(bcast)
+
+
+def test_sketch_plans_broadcast_the_sketch(spark, registry):
+    # the whole point of a sketch is that the big side never shuffles:
+    # the CM table and the Bloom bit set must reach the probe side as
+    # broadcasts, never as shuffle-join inputs
+    cm = registry["sketch_count_min"].fn(spark, SF)
+    assert uses_broadcast_join(cm)
+    bloom = registry["dedup_bloom_probe"].fn(spark, SF)
+    assert uses_broadcast_join(bloom)
+
+
+def test_blocked_fuzzy_has_no_cross_join(spark, registry):
+    # the scale-true ER formulation: quadratic only within a block —
+    # the plan must contain a block-key equi-join and no cartesian
+    from map_reduce_project_spark.plans.inspect import simple_plan
+
+    df = registry["q64_blocked_fuzzy"].fn(spark, SF)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bootstrap_is_zero_shuffle(spark, registry):
+    from map_reduce_project_spark.plans.inspect import num_exchanges
+
+    df = registry["sample_bootstrap"].fn(spark, SF)
+    assert num_exchanges(df) == 0
