@@ -167,6 +167,7 @@ def all_queries() -> dict[str, Query]:
         "pysource_stream",
         "graph_walks_part_supplier",
         "q70_k_anonymity",
+        "ev_forecast_snaive",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

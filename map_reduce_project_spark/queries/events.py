@@ -1688,3 +1688,95 @@ QUERIES.append(
         "grouped applyInArrow per-user event gaps (no pandas) vs lag-window oracle",
     )
 )
+
+
+def ev_forecast_snaive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation — THE baseline every real
+    forecasting system must beat: predict each hour's event count
+    with the count from the same hour one week earlier (lag 168 over
+    the gap-free hourly grid), then score per event_type with exact
+    integer errors: n_scored, total absolute error, and bias
+    (sum of signed errors). Integer sums are order-free, so the whole
+    evaluation is hash-exact; MAE is the one IEEE division at the
+    end. The grid densification matters: a missing silent hour would
+    silently shift every lag."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    span = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    dense = grid.join(hourly, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    scored = dense.withColumn("pred", F.lag("n", 168).over(w)).where(
+        F.col("pred").isNotNull()
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("n") - F.col("pred"))).cast("long").alias("abs_err"),
+        F.sum(F.col("n") - F.col("pred")).cast("long").alias("bias"),
+        (
+            F.sum(F.abs(F.col("n") - F.col("pred"))).cast("double")
+            / F.count("*")
+        ).alias("mae"),
+    )
+
+
+EV_FORECAST_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+  FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR))
+           AS bucket
+  FROM span
+),
+dense AS (
+  SELECT g.event_type, g.bucket,
+         CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+  FROM grid g LEFT JOIN hourly h
+    ON h.event_type = g.event_type AND h.bucket = g.bucket
+),
+scored AS (
+  SELECT event_type, n,
+         lag(n, 168) OVER (PARTITION BY event_type ORDER BY bucket) AS pred
+  FROM dense
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_scored,
+  CAST(SUM(ABS(n - pred)) AS BIGINT) AS abs_err,
+  CAST(SUM(n - pred) AS BIGINT) AS bias,
+  CAST(SUM(ABS(n - pred)) AS DOUBLE) / COUNT(*) AS mae
+FROM scored
+WHERE pred IS NOT NULL
+GROUP BY event_type
+"""
+
+QUERIES.append(
+    Query(
+        "ev_forecast_snaive",
+        ev_forecast_snaive_q,
+        EV_FORECAST_SQL,
+        "seasonal-naive (lag-168) forecast evaluation, exact integer errors",
+    )
+)
