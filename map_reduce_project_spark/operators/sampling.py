@@ -335,3 +335,44 @@ def bootstrap_replicates(
         .withColumn("replicate", F.col("replicate").cast("long"))
         .drop("_cnt")
     )
+
+
+def cap_per_group_skew(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Two-tier variant of ``cap_per_group`` for skewed group sizes —
+    the 100 TB formulation its docstring promises: first ONE cheap
+    count aggregate finds the groups actually above the cap, then the
+    rank window runs ONLY over those groups' rows (a left-semi join
+    against the tiny over-cap key set); every other row passes
+    through untouched. On a web-scale corpus where a handful of mega
+    domains hold most rows but 99% of GROUPS are under the cap, this
+    windows only the hot tail instead of sorting the whole table.
+
+    Output: the kept rows (same set as ``cap_per_group`` — pinned by
+    test), without the rank column (computing ranks for under-cap
+    groups would force the full window back in).
+    """
+    from pyspark.sql.window import Window
+
+    hot_keys = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > cap)
+        .select(group_col)
+    )
+    cold = df.join(F.broadcast(hot_keys), group_col, "left_anti")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    hot_kept = (
+        df.join(F.broadcast(hot_keys), group_col, "left_semi")
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= cap)
+        .drop("_r")
+    )
+    return cold.unionByName(hot_kept)

@@ -211,3 +211,38 @@ def test_balance_classes_empty_input(spark):
     out = balance_classes(df, "label", "id")
     assert out.count() == 0
     assert out.columns == ["id", "label"]
+
+
+def test_cap_per_group_skew_matches_full_window(spark):
+    from map_reduce_project_spark.operators.sampling import (
+        cap_per_group,
+        cap_per_group_skew,
+    )
+
+    # group a: 50 rows (hot), b: 3 rows (cold), c: 5 rows (boundary)
+    rows = (
+        [(i, "a", i % 17) for i in range(50)]
+        + [(100 + i, "b", i) for i in range(3)]
+        + [(200 + i, "c", i) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score long")
+    full = {
+        (r.grp, r.doc_id)
+        for r in cap_per_group(df, "grp", "score", "doc_id", cap=5).collect()
+    }
+    two_tier = {
+        (r.grp, r.doc_id)
+        for r in cap_per_group_skew(
+            df, "grp", "score", "doc_id", cap=5
+        ).collect()
+    }
+    assert two_tier == full
+    # and the plan only windows the hot tier: cold rows pass through
+    from map_reduce_project_spark.plans.inspect import simple_plan
+
+    import re
+
+    plan = simple_plan(cap_per_group_skew(df, "grp", "score", "doc_id", 5))
+    # exactly ONE Window operator (WindowGroupLimit lines are Spark's
+    # top-k pushdown of that same window, not extra windows)
+    assert len(re.findall(r"\bWindow \[", plan)) == 1
