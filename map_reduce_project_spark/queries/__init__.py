@@ -168,6 +168,7 @@ def all_queries() -> dict[str, Query]:
         "graph_walks_part_supplier",
         "q70_k_anonymity",
         "ev_forecast_snaive",
+        "harmonic_part_supplier",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

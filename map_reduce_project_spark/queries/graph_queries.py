@@ -1040,3 +1040,62 @@ QUERIES.append(
         "deterministic DeepWalk-style walks (md5-draw per step) vs unrolled oracle",
     )
 )
+
+
+def harmonic_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality of the probe seeds — sum of 1/d over
+    reached nodes, the centrality that handles disconnected graphs
+    gracefully — kept EXACT by scaling: with max_hops=6 every
+    distance divides 60, so score_x60 = sum(60/d) is pure int64 (the
+    same exact-rational trick as the attribution credits). Reuses the
+    simultaneous per-seed BFS; one aggregate per seed."""
+    from map_reduce_project_spark.graph.analytics import per_seed_bfs
+
+    li = read_table(spark, sf_dir, "lineitem")
+    seeds = (
+        li.where(F.col("l_suppkey") % 25 == 0)
+        .select(F.concat(F.lit("s:"), F.col("l_suppkey")).alias("node"))
+        .distinct()
+    )
+    d = per_seed_bfs(
+        _part_supplier_edges(spark, sf_dir), seeds, max_hops=6
+    ).where(F.col("hop") > 0)
+    return d.groupBy("seed").agg(
+        F.count("*").cast("long").alias("n_reached"),
+        F.sum(F.expr("60 div hop")).cast("long").alias("harmonic_x60"),
+    )
+
+
+HARMONIC_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), walk AS (
+  SELECT DISTINCT 's:' || l_suppkey AS seed, 's:' || l_suppkey AS node,
+         0 AS hop
+  FROM lineitem WHERE l_suppkey % 25 = 0
+  UNION
+  SELECT walk.seed, und.dst AS node, walk.hop + 1 AS hop
+  FROM walk JOIN und ON und.src = walk.node
+  WHERE walk.hop < 6
+), d AS (
+  SELECT seed, node, MIN(hop) AS hop FROM walk GROUP BY seed, node
+)
+SELECT seed,
+  CAST(COUNT(*) AS BIGINT) AS n_reached,
+  CAST(SUM(60 // hop) AS BIGINT) AS harmonic_x60
+FROM d
+WHERE hop > 0
+GROUP BY seed
+"""
+
+QUERIES.append(
+    Query(
+        "harmonic_part_supplier",
+        harmonic_part_supplier,
+        HARMONIC_SQL,
+        "harmonic centrality, exact via the x60 scaling (every 1/d integer)",
+    )
+)
