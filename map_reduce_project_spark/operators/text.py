@@ -909,6 +909,10 @@ def bpe_train(
     """
     from pyspark.sql.window import Window
 
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
     spark = docs.sparkSession
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -916,6 +920,7 @@ def bpe_train(
     )
 
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    cycler = CheckpointCycler(spark)
     merges = []
     for rank in range(1, n_merges + 1):
         pairs = tok.withColumn("nxt", F.lead("tok").over(w_doc)).where(
@@ -976,6 +981,9 @@ def bpe_train(
             .withColumn("pos", F.row_number().over(w_doc) - 1)
             .select("doc_id", "pos", "tok")
         ).localCheckpoint(eager=True)
+        # round r-1's token table is dead once round r's is
+        # materialized (O9 discipline, ownership-scoped release)
+        cycler.cycle(tok)
 
     return spark.createDataFrame(
         merges,
@@ -998,6 +1006,10 @@ def bpe_apply(
     tokenizer-training run reports."""
     from pyspark.sql.window import Window
 
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
@@ -1006,6 +1018,7 @@ def bpe_apply(
     before = tok.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_tokens_before")
     )
+    cycler = CheckpointCycler(docs.sparkSession)
     for left, right in merges:
         pairs = tok.withColumn("nxt", F.lead("tok").over(w_doc))
         matches = (
@@ -1041,6 +1054,7 @@ def bpe_apply(
             .withColumn("pos", F.row_number().over(w_doc) - 1)
             .select("doc_id", "pos", "tok")
         ).localCheckpoint(eager=True)
+        cycler.cycle(tok)
     after = tok.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_tokens_after")
     )
