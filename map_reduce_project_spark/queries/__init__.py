@@ -169,6 +169,8 @@ def all_queries() -> dict[str, Query]:
         "q70_k_anonymity",
         "ev_forecast_snaive",
         "harmonic_part_supplier",
+        "q71_filter_clause",
+        "text_domain_shift",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

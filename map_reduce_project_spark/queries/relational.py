@@ -1341,3 +1341,36 @@ QUERIES.append(
         "k-anonymity equivalence-class audit over quasi-identifiers",
     )
 )
+
+
+def q71_filter_clause_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER (WHERE ...) aggregate modifiers in one shared SQL
+    text — the standard's conditional-aggregation syntax (the planner
+    lowers it to the same conditional-sum Expand the pivot uses):
+    per-priority order counts split by status and a filtered exact
+    distinct, one scan."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("q71_orders")
+    return spark.sql(Q71_TEXT.format(t="q71_orders"))
+
+
+Q71_TEXT = """
+SELECT o_orderpriority,
+  COUNT(*) AS n_all,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+  COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000)
+    AS big_spenders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_value
+FROM {t}
+GROUP BY o_orderpriority
+"""
+
+QUERIES.append(
+    Query(
+        "q71_filter_clause",
+        q71_filter_clause_q,
+        Q71_TEXT.format(t="orders"),
+        "ANSI FILTER (WHERE) aggregate modifiers, one shared SQL text",
+    )
+)

@@ -1014,3 +1014,88 @@ QUERIES.append(
         "BPE train->encode round trip: per-doc token counts before/after 3 merges",
     )
 )
+
+
+def text_domain_shift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift report between two halves of the corpus (even vs
+    odd doc ids — stands in for train-vs-incoming batches): per term,
+    exact occurrence counts in each half and the absolute rate
+    difference, top-30 largest shifts (deterministic tiebreak). The
+    distribution-shift smoke test run before retraining on new data.
+    Counts are exact integers; each rate is a single IEEE division,
+    and the ranking key |rate_a - rate_b| is the same double
+    expression on both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("half_a"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    )
+    tot = toks.groupBy("half_a").agg(F.count("*").alias("n"))
+    counts = toks.groupBy("term", "half_a").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wide = (
+        counts.join(F.broadcast(tot), "half_a")
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("half_a"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(~F.col("half_a"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+            F.max(F.when(F.col("half_a"), F.col("n"))).alias("tot_a"),
+            F.max(F.when(~F.col("half_a"), F.col("n"))).alias("tot_b"),
+        )
+    )
+    tot_a = wide.agg(F.max("tot_a")).collect()[0][0]
+    tot_b = wide.agg(F.max("tot_b")).collect()[0][0]
+    shift = F.abs(
+        F.col("n_a").cast("double") / F.lit(float(tot_a))
+        - F.col("n_b").cast("double") / F.lit(float(tot_b))
+    )
+    return (
+        wide.select(
+            "term",
+            "n_a",
+            "n_b",
+            shift.alias("rate_shift"),
+        )
+        .orderBy(F.col("rate_shift").desc(), "term")
+        .limit(30)
+    )
+
+
+TEXT_SHIFT_SQL = """
+WITH toks AS (
+  SELECT doc_id % 2 = 0 AS half_a, UNNEST(string_split(text, ' ')) AS term
+  FROM documents
+),
+tot AS (
+  SELECT
+    CAST(SUM(CASE WHEN half_a THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
+    CAST(SUM(CASE WHEN half_a THEN 0 ELSE 1 END) AS BIGINT) AS tot_b
+  FROM toks
+),
+wide AS (
+  SELECT term,
+    CAST(SUM(CASE WHEN half_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN half_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM toks GROUP BY term
+)
+SELECT term, n_a, n_b,
+  ABS(CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+    - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) AS rate_shift
+FROM wide CROSS JOIN tot
+ORDER BY rate_shift DESC, term
+LIMIT 30
+"""
+
+QUERIES.append(
+    Query(
+        "text_domain_shift",
+        text_domain_shift_q,
+        TEXT_SHIFT_SQL,
+        "corpus drift: top term-rate shifts between two halves, exact counts",
+    )
+)
