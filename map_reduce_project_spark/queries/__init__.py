@@ -171,6 +171,7 @@ def all_queries() -> dict[str, Query]:
         "harmonic_part_supplier",
         "q71_filter_clause",
         "text_domain_shift",
+        "q72_waiting_suppliers",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

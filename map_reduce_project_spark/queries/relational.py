@@ -1374,3 +1374,45 @@ QUERIES.append(
         "ANSI FILTER (WHERE) aggregate modifiers, one shared SQL text",
     )
 )
+
+
+def q72_waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's hard shape — the query that stresses a planner's
+    correlated-EXISTS machinery: suppliers whose lineitem missed its
+    ship cutoff on a multi-supplier order where EVERY other supplier
+    shipped on time (EXISTS another supplier on the order, NOT EXISTS
+    another late one; the synthetic lineitem has no
+    receipt/commit dates, so "late" is a shipdate cutoff — the
+    decorrelation shape is identical). Catalyst decorrelates both subqueries
+    into a semi-join and an anti-join against the same lineitem scan;
+    nothing is row-at-a-time. One shared SQL text runs on both
+    engines."""
+    for t in ("lineitem", "supplier"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"q72_{t}")
+    return spark.sql(Q72_TEXT.format(l="q72_lineitem", s="q72_supplier"))
+
+
+Q72_TEXT = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM {s} s
+JOIN {l} l1 ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_shipdate > TIMESTAMP '1998-06-01'
+  AND EXISTS (SELECT 1 FROM {l} l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM {l} l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > TIMESTAMP '1998-06-01')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+"""
+
+QUERIES.append(
+    Query(
+        "q72_waiting_suppliers",
+        q72_waiting_suppliers_q,
+        Q72_TEXT.format(l="lineitem", s="supplier"),
+        "TPC-H Q21 shape: correlated EXISTS + NOT EXISTS decorrelated to semi/anti joins",
+    )
+)

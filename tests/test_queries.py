@@ -83,3 +83,47 @@ def test_per_seed_bfs_and_closeness(spark):
     assert cc["a"]["total_hops"] == 6 and cc["a"]["closeness"] == 3 / 6
     assert cc["c"]["total_hops"] == 4  # 2+1+1
     assert cc["x"]["total_hops"] == 1 and cc["x"]["closeness"] == 1.0
+
+
+def test_new_round4_ops_degenerate_inputs(spark):
+    """Empty/degenerate inputs through the round-4 operators: they
+    must return empty (or raise the documented error), never crash or
+    return garbage."""
+    import pytest
+
+    from map_reduce_project_spark.graph.analytics import (
+        closeness_centrality,
+        deterministic_walks,
+        hits_int,
+        per_seed_bfs,
+    )
+    from map_reduce_project_spark.operators.sampling import (
+        bootstrap_replicates,
+        cap_per_group_skew,
+    )
+    from map_reduce_project_spark.operators.sketches import (
+        bloom_bits,
+        count_min_table,
+    )
+    from map_reduce_project_spark.operators.text import bpe_train
+
+    empty_edges = spark.createDataFrame([], "src string, dst string")
+    empty_seeds = spark.createDataFrame([], "node string")
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+
+    assert per_seed_bfs(empty_edges, empty_seeds).count() == 0
+    assert closeness_centrality(empty_edges, empty_seeds).count() == 0
+    assert deterministic_walks(empty_edges, empty_seeds).count() == 0
+    assert hits_int(empty_edges).count() == 0
+    assert bpe_train(empty_docs).count() == 0
+    assert count_min_table(empty_docs, "doc_id").count() == 0
+    assert bloom_bits(empty_docs, "doc_id").count() == 0
+    assert bootstrap_replicates(empty_docs, "doc_id").count() == 0
+    assert (
+        cap_per_group_skew(empty_docs, "text", "doc_id", "doc_id", 3).count()
+        == 0
+    )
+    # seeds with no edges: BFS returns just the seed rows at hop 0
+    seeds = spark.createDataFrame([("x",)], "node string")
+    rows = per_seed_bfs(empty_edges, seeds).collect()
+    assert [(r["seed"], r["node"], r["hop"]) for r in rows] == [("x", "x", 0)]
