@@ -172,6 +172,7 @@ def all_queries() -> dict[str, Query]:
         "q71_filter_clause",
         "text_domain_shift",
         "q72_waiting_suppliers",
+        "cc_streaming_incremental",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the
