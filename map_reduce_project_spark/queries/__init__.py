@@ -173,6 +173,7 @@ def all_queries() -> dict[str, Query]:
         "text_domain_shift",
         "q72_waiting_suppliers",
         "cc_streaming_incremental",
+        "ev_ab_ztest",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

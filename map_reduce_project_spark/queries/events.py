@@ -1780,3 +1780,105 @@ QUERIES.append(
         "seasonal-naive (lag-168) forecast evaluation, exact integer errors",
     )
 )
+
+
+def ev_ab_ztest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test readout: users split into variants by
+    user_id parity (the deterministic assignment a real experiment
+    framework would hash), conversion = did the user purchase. Counts
+    are exact integers; the rates, pooled rate, and z statistic are a
+    fixed dag of IEEE double ops on those integers (division, sqrt —
+    both correctly rounded), so the whole readout is hash-stable.
+    Output: one row per variant plus the shared z."""
+    ev = read_table(spark, sf_dir, "events")
+    users = ev.select(
+        "user_id", (F.col("user_id") % 2).cast("long").alias("variant")
+    ).distinct()
+    converted = (
+        ev.where(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    per_variant = (
+        users.join(converted, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0)))
+            .cast("long")
+            .alias("n_converted"),
+        )
+    )
+    # one-row totals broadcast back: z = (p0 - p1) / sqrt(p*(1-p)*(1/n0+1/n1))
+    tot = per_variant.agg(
+        F.sum("n_users").alias("n_all"),
+        F.sum("n_converted").alias("c_all"),
+        F.sum(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    z = tot.select(
+        (
+            (F.col("c0") / F.col("n0") - F.col("c1") / F.col("n1"))
+            / F.sqrt(
+                (F.col("c_all") / F.col("n_all"))
+                * (1 - F.col("c_all") / F.col("n_all"))
+                * (1 / F.col("n0") + 1 / F.col("n1"))
+            )
+        ).alias("z_stat")
+    )
+    return per_variant.crossJoin(F.broadcast(z)).select(
+        "variant",
+        "n_users",
+        "n_converted",
+        (F.col("n_converted") / F.col("n_users")).alias("conv_rate"),
+        "z_stat",
+    )
+
+
+EV_AB_SQL = """
+WITH users AS (
+  SELECT DISTINCT user_id, CAST(user_id % 2 AS BIGINT) AS variant
+  FROM events
+),
+conv AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value > 150
+),
+pv AS (
+  SELECT u.variant,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_converted
+  FROM users u LEFT JOIN conv c USING (user_id)
+  GROUP BY u.variant
+),
+tot AS (
+  SELECT SUM(n_users) AS n_all, SUM(n_converted) AS c_all,
+         SUM(CASE WHEN variant = 0 THEN n_users END) AS n0,
+         SUM(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+         SUM(CASE WHEN variant = 1 THEN n_users END) AS n1,
+         SUM(CASE WHEN variant = 1 THEN n_converted END) AS c1
+  FROM pv
+)
+SELECT variant, n_users, n_converted,
+  CAST(n_converted AS DOUBLE) / n_users AS conv_rate,
+  (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+    / sqrt((CAST(c_all AS DOUBLE) / n_all)
+           * (1 - CAST(c_all AS DOUBLE) / n_all)
+           * (1.0 / n0 + 1.0 / n1)) AS z_stat
+FROM pv CROSS JOIN tot
+"""
+
+QUERIES.append(
+    Query(
+        "ev_ab_ztest",
+        ev_ab_ztest_q,
+        EV_AB_SQL,
+        "two-proportion A/B z-test readout, exact counts + deterministic IEEE z",
+    )
+)
