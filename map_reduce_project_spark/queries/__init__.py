@@ -174,6 +174,7 @@ def all_queries() -> dict[str, Query]:
         "q72_waiting_suppliers",
         "cc_streaming_incremental",
         "ev_ab_ztest",
+        "q73_group_percentiles",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1416,3 +1416,36 @@ QUERIES.append(
         "TPC-H Q21 shape: correlated EXISTS + NOT EXISTS decorrelated to semi/anti joins",
     )
 )
+
+
+def q73_group_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group order statistics: p50/p90/p99 order value per
+    priority via percentile_disc (discrete — picks an actual row
+    value, so it is engine-exact, unlike interpolating percentile_cont
+    whose float blend depends on arithmetic order). One sort-based
+    aggregate per group."""
+    orders = read_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("q73_orders")
+    return spark.sql(
+        Q73_TEXT.format(t="q73_orders")
+    )
+
+
+Q73_TEXT = """
+SELECT o_orderpriority,
+  COUNT(*) AS n,
+  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+  percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+  percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+FROM {t}
+GROUP BY o_orderpriority
+"""
+
+QUERIES.append(
+    Query(
+        "q73_group_percentiles",
+        q73_group_percentiles_q,
+        Q73_TEXT.format(t="orders"),
+        "exact per-group p50/p90/p99 via percentile_disc (order statistics)",
+    )
+)
