@@ -622,6 +622,8 @@ def hits_int(edges: DataFrame, rounds: int = 3) -> DataFrame:
     on a bipartite src->dst graph, hubs live on the src side and
     authorities on the dst side.
     """
+    if rounds < 1:
+        raise ValueError(f"hits_int needs rounds >= 1, got {rounds}")
     e = (
         edges.select(
             F.col(edges.columns[0]).alias("src"),
@@ -731,6 +733,12 @@ def deterministic_walks(
                 F.col("nbr").alias("node"),
                 F.lit(t).cast("long").alias("step"),
             )
+            # pin each level: the final union reads EVERY level, and
+            # without the checkpoint level t's branch would replay
+            # joins 1..t from scratch — O(steps^2) join stages instead
+            # of O(steps). Every level is part of the output, so no
+            # generation can be released early (no cycler here).
+            .localCheckpoint(eager=True)
         )
         levels.append(cur)
     out = levels[0]

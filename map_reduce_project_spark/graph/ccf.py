@@ -368,10 +368,16 @@ def connected_components(
     mid-loop kills the job because truncated lineage cannot recompute.
     On a multi-hour 100 TB run that trade is wrong — reliable
     checkpoints survive executor loss at the cost of one extra write
-    job per iteration. Spark cleans the files on driver GC when
-    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``;
-    otherwise they live until the app ends (size = one generation of
-    pairs, not one per iteration, once the cycler releases blocks).
+    job per iteration. The loop points each iteration at its own
+    ``<dir>/iter-NNNN`` subdirectory and DELETES iteration i's files
+    (Hadoop FS recursive delete — works for HDFS/S3A paths too) the
+    moment iteration i+1 materializes, so on-disk size is one
+    generation of pairs, not one per iteration; the FINAL generation's
+    files back the returned mapping and are the caller's to remove
+    (the caller owns the directory). The session's previous checkpoint
+    dir is restored on exit; if none was set, it is parked at
+    ``<dir>/session`` so a later ``df.checkpoint()`` elsewhere never
+    collides with loop files.
 
     Returns the (node, component) mapping where component is the
     lexicographically smallest node ID in the node's component; the
@@ -472,14 +478,18 @@ def connected_components(
 
     from map_reduce_project_spark.graph.checkpointing import (
         CheckpointCycler,
+        hadoop_delete as _hadoop_delete,
     )
 
     iterations = 0
     converged = False
     counts: list[int] = []
     cycler = CheckpointCycler(spark)
+    prev_reliable_dir: str | None = None
+    old_ckpt_dir: str | None = None
     if reliable_checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+        opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        old_ckpt_dir = opt.get() if opt.isDefined() else None
 
     try:
         while iterations < max_iterations:
@@ -492,6 +502,12 @@ def connected_components(
             # that for executor-loss tolerance (see docstring).
             stepped = iterate_fn(pairs)
             if reliable_checkpoint_dir is not None:
+                # one subdirectory per iteration so superseded
+                # generations can be deleted by path (the cycler can't
+                # free reliable checkpoints — their RDDs are file-backed,
+                # not entries in the persistence map)
+                it_dir = f"{reliable_checkpoint_dir}/iter-{iterations:04d}"
+                spark.sparkContext.setCheckpointDir(it_dir)
                 combined = stepped.checkpoint(eager=False)
             else:
                 combined = stepped.localCheckpoint(eager=False)
@@ -504,6 +520,10 @@ def connected_components(
             # graph/checkpointing.py — pinned storage stays ~2
             # iterations wide instead of growing with depth)
             cycler.cycle(combined)
+            if reliable_checkpoint_dir is not None:
+                if prev_reliable_dir is not None:
+                    _hadoop_delete(spark, prev_reliable_dir)
+                prev_reliable_dir = it_dir
 
             # NB: deduping physically between rounds is a MEASURED
             # win over fusing the dedup into the next window pass
@@ -519,6 +539,15 @@ def connected_components(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        if reliable_checkpoint_dir is not None:
+            # restore the session's checkpoint dir; if none was set,
+            # park it at a subdir the loop never deletes so later
+            # checkpoints elsewhere can't collide with loop files
+            spark.sparkContext.setCheckpointDir(
+                old_ckpt_dir
+                if old_ckpt_dir is not None
+                else f"{reliable_checkpoint_dir}/session"
+            )
 
     mapping = pairs.select(
         F.col("src").alias("node"), F.col("dst").alias("component")

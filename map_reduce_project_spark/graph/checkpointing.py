@@ -58,6 +58,26 @@ def checkpoint_rdd_ids(df: DataFrame) -> set[int]:
     return ids
 
 
+def hadoop_delete(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` through the Hadoop FileSystem API,
+    so it works for local paths in tests AND for the HDFS/S3A URIs a
+    cluster run passes as ``reliable_checkpoint_dir``. Used by loops in
+    reliable-checkpoint mode to drop iteration i's files once
+    iteration i+1 has materialized (reliable checkpoints are
+    file-backed — the RDD persistence map knows nothing about them, so
+    the block-release path can't free them). Best-effort: a missing
+    path is fine."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    try:
+        fs.delete(hpath, True)
+    except Exception:  # pragma: no cover - already gone / perms
+        pass
+
+
 def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
     """IDs of RDDs currently MARKED persistent (the registration map,
     which is populated at ``persist()``/``localCheckpoint()`` CALL

@@ -359,11 +359,16 @@ def cap_per_group_skew(
     """
     from pyspark.sql.window import Window
 
+    # pin the over-cap key set: it feeds BOTH the anti and the semi
+    # join below, and without the checkpoint each join re-runs the
+    # full-table count aggregate — the one expensive scan this
+    # operator exists to minimize would run twice
     hot_keys = (
         df.groupBy(group_col)
         .agg(F.count("*").alias("_n"))
         .where(F.col("_n") > cap)
         .select(group_col)
+        .localCheckpoint(eager=True)
     )
     cold = df.join(F.broadcast(hot_keys), group_col, "left_anti")
     w = Window.partitionBy(group_col).orderBy(

@@ -102,28 +102,36 @@ def count_min_estimate(
     table. Output: probes + ``cm_est``. Guaranteed cm_est >= true
     count (the sketch never undercounts).
     """
-    keyed = probes.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).cast("long").alias("d"),
-                        _hash_mod(F.col(key_col), f"{salt}{d}", width).alias(
-                            "col"
-                        ),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("cell"),
-    ).select("*", F.col("cell.d").alias("d"), F.col("cell.col").alias("col"))
-    return (
+    keyed = (
+        probes.select(key_col)
+        .distinct()
+        .select(
+            key_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("long").alias("d"),
+                            _hash_mod(
+                                F.col(key_col), f"{salt}{d}", width
+                            ).alias("col"),
+                        )
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("cell"),
+        )
+        .select(key_col, F.col("cell.d").alias("d"), F.col("cell.col").alias("col"))
+    )
+    # Verdicts are per DISTINCT key, then joined back, so duplicate
+    # probe rows keep their cardinality and each carries the estimate.
+    est = (
         keyed.join(F.broadcast(cm), ["d", "col"], "left")
         .fillna(0, subset=["cnt"])
-        .groupBy(*[c for c in probes.columns])
+        .groupBy(key_col)
         .agg(F.min("cnt").cast("long").alias("cm_est"))
     )
+    return probes.join(est, key_col, "left")
 
 
 def bloom_bits(
@@ -169,26 +177,35 @@ def bloom_probe(
     negatives; false positives bounded by the (n_bits, n_hashes)
     choice).
     """
-    keyed = probes.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    _hash_mod(F.col(key_col), f"{salt}{i}", n_bits)
-                    for i in range(n_hashes)
-                ]
-            )
-        ).alias("bit"),
+    keyed = (
+        probes.select(key_col)
+        .distinct()
+        .select(
+            key_col,
+            F.explode(
+                F.array(
+                    *[
+                        _hash_mod(F.col(key_col), f"{salt}{i}", n_bits)
+                        for i in range(n_hashes)
+                    ]
+                )
+            ).alias("bit"),
+        )
     )
+    # A key hits iff EVERY position is set: min-over-bits == 1, which
+    # is duplicate-safe (sum == n_hashes would break if the same probe
+    # row appeared twice — the groups would merge and the sum would be
+    # k*n_hashes, a silent FALSE NEGATIVE). Verdicts are per DISTINCT
+    # key and joined back, preserving probe cardinality.
     hits = (
         keyed.join(
             F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left"
         )
-        .groupBy(*[c for c in probes.columns])
+        .groupBy(key_col)
         .agg(
-            (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == n_hashes).alias(
+            (F.min(F.coalesce(F.col("_set"), F.lit(0))) == 1).alias(
                 "bloom_hit"
             )
         )
     )
-    return hits
+    return probes.join(hits, key_col, "left")

@@ -175,6 +175,22 @@ def all_queries() -> dict[str, Query]:
         "cc_streaming_incremental",
         "ev_ab_ztest",
         "q73_group_percentiles",
+        # round-4 continuation: the classic TPC-H join-shape suite
+        # (Q7/Q8/Q9/Q10/Q15/Q17/Q18/Q19/Q22 adapted — see
+        # queries/relational.py) — zero driver evidence, verified at
+        # sf0.01 through the local driver-identical gate
+        "q74_nation_volume",
+        "q75_market_share",
+        "q76_product_profit",
+        "q77_returned_customers",
+        "q78_top_supplier",
+        "q79_small_qty_revenue",
+        "q80_big_orders",
+        "q81_brand_quantity_bands",
+        "q82_idle_wealthy",
+        "q83_custdist",
+        "q84_ship_delay",
+        "q85_heavy_widget_suppliers",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

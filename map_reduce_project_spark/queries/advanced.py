@@ -1970,6 +1970,15 @@ def pysource_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             if spark.table(name).count() >= n_rows:
                 break
             time.sleep(0.3)
+        else:
+            # raise loudly instead of returning a partial table — a
+            # stalled reader would otherwise surface downstream as an
+            # opaque gate hash mismatch and be misdiagnosed as a
+            # correctness bug in the source
+            got = spark.table(name).count()
+            raise TimeoutError(
+                f"pysource stream stalled: {got}/{n_rows} rows after 120s"
+            )
     finally:
         q.stop()
         q.awaitTermination()

@@ -1114,13 +1114,14 @@ def cc_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot change the fixed point), which is exactly what makes
     incremental streaming maintenance sound. This is the production
     pattern for a graph that grows by event feed."""
-    import os
+    import shutil
     import tempfile
     import uuid
 
     from map_reduce_project_spark.graph.ccf import (
         connected_components_incremental,
     )
+    from map_reduce_project_spark.graph.checkpointing import CheckpointCycler
 
     edges = _order_edges(spark, sf_dir)
     src_dir = tempfile.mkdtemp(prefix="cc_stream_edges_")
@@ -1128,6 +1129,12 @@ def cc_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(src_dir).schema
 
     state: dict = {"mapping": None}
+    # Dataset.unpersist() is a no-op for localCheckpoint blocks (they
+    # are RDD-level persists, not cache-manager entries); the cycler
+    # releases exactly the superseded generation's RDD blocks, so a
+    # long-running stream holds ONE mapping generation, not one per
+    # microbatch.
+    cycler = CheckpointCycler(spark)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1138,25 +1145,29 @@ def cc_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             res = connected_components_incremental(
                 state["mapping"], batch_df
             )
-        prev = state["mapping"]
         # pin across microbatches (batch_df is only valid inside this
         # call; the mapping must outlive it)
         state["mapping"] = res.mapping.localCheckpoint(eager=True)
-        if prev is not None:
-            prev.unpersist()
+        cycler.cycle(state["mapping"])
 
     checkpoint = tempfile.mkdtemp(prefix="cc_stream_ckpt_")
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-        .writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .queryName(f"ccinc_{uuid.uuid4().hex[:8]}")
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .queryName(f"ccinc_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the final mapping is a localCheckpoint — independent of the
+        # staged source files and the stream's checkpoint state
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
     assert state["mapping"] is not None
     return state["mapping"]
 

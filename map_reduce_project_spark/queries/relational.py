@@ -1235,35 +1235,70 @@ QUERIES.append(
 
 
 def q69_fk_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity audit across the star schema in one
-    result: orphan counts for every FK edge (anti-joins — each is one
-    shuffle or a broadcast when the parent is a dim) plus the parent
-    row counts, the data-quality gate a pipeline runs before trusting
-    joins. All counts exact."""
+    """Referential-integrity audit across the star schema in ONE lazy
+    plan: orphan counts for every FK edge (child LEFT JOIN distinct
+    parent keys, orphan = null probe — broadcast when the parent is a
+    dim) plus child row counts, the data-quality gate a pipeline runs
+    before trusting joins. Both lineitem edges share a single scan
+    (one agg row unpivoted with stack). All counts exact; nothing
+    executes until the caller acts."""
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     li = read_table(spark, sf_dir, "lineitem")
     supplier = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
 
-    def audit(child, fk, parent, pk, name):
-        orphans = (
-            child.join(
-                parent.select(F.col(pk).alias(fk)), fk, "left_anti"
-            ).count()
+    def parent_keys(parent, pk, fk):
+        return parent.select(F.col(pk).alias(fk)).distinct().withColumn(
+            f"_p_{fk}", F.lit(1)
         )
-        return (name, child.count(), orphans)
 
-    rows = [
-        audit(orders, "o_custkey", customer, "c_custkey", "orders->customer"),
-        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
-        audit(li, "l_suppkey", supplier, "s_suppkey", "lineitem->supplier"),
-        audit(
-            customer, "c_nationkey", nation, "n_nationkey", "customer->nation"
-        ),
-    ]
-    return spark.createDataFrame(
-        rows, "fk_edge string, n_child long, n_orphans long"
+    def one_edge(child, fk, parent, pk, name):
+        # child LEFT JOIN distinct parent keys; an orphan is a null
+        # probe — one aggregate gives both counts, fully lazy
+        return (
+            child.select(fk)
+            .join(parent_keys(parent, pk, fk), fk, "left")
+            .agg(
+                F.count("*").cast("long").alias("n_child"),
+                F.sum(
+                    F.when(F.col(f"_p_{fk}").isNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+        )
+
+    # both lineitem edges share ONE scan: join both parent key sets,
+    # aggregate both orphan counts in one row, unpivot with stack
+    li_audit = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(parent_keys(orders, "o_orderkey", "l_orderkey"), "l_orderkey", "left")
+        .join(parent_keys(supplier, "s_suppkey", "l_suppkey"), "l_suppkey", "left")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("_p_l_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("orph_o"),
+            F.sum(F.when(F.col("_p_l_suppkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("orph_s"),
+        )
+        .selectExpr(
+            "stack(2, 'lineitem->orders', n, orph_o, "
+            "'lineitem->supplier', n, orph_s) "
+            "AS (fk_edge, n_child, n_orphans)"
+        )
+    )
+    return (
+        one_edge(orders, "o_custkey", customer, "c_custkey", "orders->customer")
+        .unionByName(li_audit)
+        .unionByName(
+            one_edge(
+                customer, "c_nationkey", nation, "n_nationkey", "customer->nation"
+            )
+        )
     )
 
 
@@ -1447,5 +1482,707 @@ QUERIES.append(
         q73_group_percentiles_q,
         Q73_TEXT.format(t="orders"),
         "exact per-group p50/p90/p99 via percentile_disc (order statistics)",
+    )
+)
+
+
+# --- The classic TPC-H join-shape suite (Q7/Q8/Q9/Q10/Q15/Q17/Q18/Q19/Q22
+# adapted to this star schema — no partsupp table, no
+# shipmode/commitdate/phone columns; each docstring names the
+# adaptation). Reference scope note: the reference engine has no
+# relational surface (it is a 285-line CC script); these queries pin
+# the engine's claim to the canonical warehouse join patterns. All
+# money math follows the DEC discipline (decimal sums, one double cast
+# at the end) so the cross-engine hash is stable. ---------------------
+
+
+def q74_nation_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, both
+    directions, per ship year. Five joins; every dim side (supplier,
+    customer, nation) is broadcast, so the only shuffle is
+    lineitem->orders. The nation-pair predicate is applied AFTER the
+    nation joins exactly like the spec (it needs both endpoints)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("volume"))
+    )
+
+
+Q74_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+QUERIES.append(
+    Query(
+        "q74_nation_volume",
+        q74_nation_volume_q,
+        Q74_SQL,
+        "TPC-H Q7 shape: bidirectional nation-pair shipping volume per year",
+    )
+)
+
+
+def q75_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' market share of STANDARD
+    parts sold to ASIA customers, per order year. The share is a
+    conditional-decimal-sum over total-decimal-sum, each cast to
+    double before ONE IEEE division (both engines perform the same
+    two exact sums and the same single division — hash-stable). Six
+    joins; everything but lineitem->orders is broadcast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    vol = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_regionkey").alias("c_rk"),
+    )
+    base = (
+        li.join(F.broadcast(part.where(F.col("p_type") == "STANDARD")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("c_rk"),
+        )
+        .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("vol"),
+            F.col("supp_nation"),
+        )
+    )
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            ).cast("double")
+            / F.sum("vol").cast("double")
+        ).alias("mkt_share"),
+        F.sum("vol").cast("double").alias("total_volume"),
+    )
+
+
+Q75_SQL = """
+WITH base AS (
+  SELECT year(o_orderdate) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+    n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n2.n_regionkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share,
+  CAST(SUM(vol) AS DOUBLE) AS total_volume
+FROM base GROUP BY 1
+"""
+
+QUERIES.append(
+    Query(
+        "q75_market_share",
+        q75_market_share_q,
+        Q75_SQL,
+        "TPC-H Q8 shape: one nation's market share of a part type in a region",
+    )
+)
+
+
+def q76_product_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: net amount on '%widget%' parts by supplier
+    nation and order year. Adaptation: no partsupp table, so cost is
+    the tax side — net = extprice*(1-disc) - extprice*tax, all
+    decimal until the final double cast. LIKE-filtered part dim is
+    broadcast; lineitem->orders is the one shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    nation = read_table(spark, sf_dir, "nation")
+    net = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    ) - F.col("l_extendedprice").cast(DEC) * F.col("l_tax").cast(DEC)
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_name").like("%widget%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(net).cast("double").alias("net_amount"))
+    )
+
+
+Q76_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+         - CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS net_amount
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+QUERIES.append(
+    Query(
+        "q76_product_profit",
+        q76_product_profit_q,
+        Q76_SQL,
+        "TPC-H Q9 shape: net amount on LIKE-matched parts by supplier nation/year",
+    )
+)
+
+
+def q77_returned_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    (l_returnflag = 'R') over one order year. Filter-before-join on
+    orders (pushdown), broadcast customer+nation; deterministic
+    tiebreak on c_custkey."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1999-01-01"))
+                & (F.col("o_orderdate") < F.lit("2000-01-01"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q77_SQL = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1999-01-01'
+  AND o_orderdate < TIMESTAMP '2000-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+QUERIES.append(
+    Query(
+        "q77_returned_customers",
+        q77_returned_customers_q,
+        Q77_SQL,
+        "TPC-H Q10 shape: top-20 customers by returned-line revenue in a year",
+    )
+)
+
+
+def q78_top_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving MAX quarterly
+    revenue — the view + scalar-subquery pattern. The per-supplier
+    revenue aggregate is computed ONCE and localCheckpointed (it
+    feeds both the max scalar and the equality filter; without the
+    pin the two consumers would each rescan lineitem). Exact decimal
+    equality against the max, so ties are all returned
+    (deterministic set, ordered by s_suppkey)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1999-01-01"))
+            & (F.col("l_shipdate") < F.lit("1999-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(revenue).alias("total_rev"))
+        .localCheckpoint(eager=True)
+    )
+    max_rev = rev.agg(F.max("total_rev")).collect()[0][0]
+    return (
+        supp.join(
+            F.broadcast(rev.where(F.col("total_rev") == F.lit(max_rev))),
+            F.col("suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q78_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '1999-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+QUERIES.append(
+    Query(
+        "q78_top_supplier",
+        q78_top_supplier_q,
+        Q78_SQL,
+        "TPC-H Q15 shape: supplier(s) at max quarterly revenue (view + scalar max)",
+    )
+)
+
+
+def q79_small_qty_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue that would be lost by refusing
+    small-quantity orders of Brand#1 parts. The correlated per-part
+    average is a broadcast groupBy-join, and the sub-average predicate
+    is EXACT cross-multiplication — qty < 0.2*(S/n) is evaluated as
+    5*qty*n < S in decimal/int64, never via a float average whose
+    summation order could differ between engines. Single-row result:
+    qualifying line count + decimal sum / 7 (one double division)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("qty_sum"),
+        F.count("*").alias("qty_n"),
+    )
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_brand") == "Brand#1")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(per_part, F.col("pk") == F.col("l_partkey"))
+        .where(
+            F.col("l_quantity").cast(DEC) * F.col("qty_n") * 5
+            < F.col("qty_sum")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            (
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+Q79_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+    COUNT(*) AS qty_n
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN per_part ON pk = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * qty_n * 5 < qty_sum
+"""
+
+QUERIES.append(
+    Query(
+        "q79_small_qty_revenue",
+        q79_small_qty_revenue_q,
+        Q79_SQL,
+        "TPC-H Q17 shape: small-quantity revenue, correlated avg via exact cross-mult",
+    )
+)
+
+
+def q80_big_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — orders whose total line
+    quantity exceeds 180, with their customer, ranked by price. The
+    HAVING-on-sum is a partial+final aggregate on the FK; broadcast
+    customer; deterministic o_orderkey tiebreak."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+        .where(F.col("qty") > 180)
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q80_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+QUERIES.append(
+    Query(
+        "q80_big_orders",
+        q80_big_orders_q,
+        Q80_SQL,
+        "TPC-H Q18 shape: orders above a total-quantity threshold, top by price",
+    )
+)
+
+
+def q81_brand_quantity_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd brand/size/quantity
+    bands — the disjunctive-predicate pushdown pattern (the brand and
+    size conjuncts reach the broadcast part side; the OR across bands
+    is evaluated post-join). Single row: decimal revenue + line
+    count."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 21)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & (F.col("l_quantity") >= 15)
+        & (F.col("l_quantity") <= 35)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & (F.col("l_quantity") >= 25)
+        & (F.col("l_quantity") <= 45)
+    )
+    return (
+        li.join(
+            F.broadcast(
+                part.where(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .where(band)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+Q81_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 15 AND l_quantity <= 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 25 AND l_quantity <= 45)
+"""
+
+QUERIES.append(
+    Query(
+        "q81_brand_quantity_bands",
+        q81_brand_quantity_bands_q,
+        Q81_SQL,
+        "TPC-H Q19 shape: OR of brand/size/quantity bands, disjunctive pushdown",
+    )
+)
+
+
+def q82_idle_wealthy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy customers gone idle — above the
+    average positive account balance AND no orders in the final data
+    year (adaptation: no c_phone country codes in this schema; the
+    recency anti-join stands in for 'never ordered', which is empty
+    here because every customer has history). The global average is
+    exact cross-multiplication (bal * n > S in decimal/int64), the
+    no-recent-orders test is a left-anti join, and the result is
+    per-nation count + decimal balance sum."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    nation = read_table(spark, sf_dir, "nation")
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("s"),
+        F.count("*").alias("n"),
+    )
+    srow = pos.collect()[0]
+    bal_sum, bal_n = srow["s"], srow["n"]
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    ).select(F.col("o_custkey").alias("ck"))
+    return (
+        cust.where(F.col("c_acctbal").cast(DEC) * F.lit(bal_n) > F.lit(bal_sum))
+        .join(recent, F.col("ck") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
+        )
+    )
+
+
+Q82_SQL = """
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT n FROM pos) > (SELECT s FROM pos)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01'
+  )
+GROUP BY 1
+"""
+
+QUERIES.append(
+    Query(
+        "q82_idle_wealthy",
+        q82_idle_wealthy_q,
+        Q82_SQL,
+        "TPC-H Q22 shape: above-average balances with no recent orders, per nation",
+    )
+)
+
+
+def q83_custdist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers — the left-join-then-count-child
+    pattern (count(o_orderkey), which skips nulls, not count(*)).
+    Orders with '1-URGENT' priority are excluded inside the join
+    condition, exactly the spec's not-like exclusion seat. Two
+    aggregates: per-customer count, then the histogram."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders.where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy(F.col("c_count").cast("long").alias("c_count"))
+        .agg(F.count("*").cast("long").alias("custdist"))
+    )
+
+
+Q83_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1
+"""
+
+QUERIES.append(
+    Query(
+        "q83_custdist",
+        q83_custdist_q,
+        Q83_SQL,
+        "TPC-H Q13 shape: customer-by-order-count histogram incl. zero bucket",
+    )
+)
+
+
+def q84_ship_delay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted (no l_shipmode/commitdate in this
+    schema): per order priority, how many lineitems shipped more than
+    60 days after the order date — the conditional-count-over-join
+    pattern. datediff on midnight timestamps is an exact integer in
+    both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("late_lines"),
+            F.count("*").cast("long").alias("total_lines"),
+        )
+    )
+
+
+Q84_SQL = """
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60 THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+  CAST(COUNT(*) AS BIGINT) AS total_lines
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+QUERIES.append(
+    Query(
+        "q84_ship_delay",
+        q84_ship_delay_q,
+        Q84_SQL,
+        "TPC-H Q12 shape: late-shipment counts per order priority",
+    )
+)
+
+
+def q85_heavy_widget_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted (no partsupp): suppliers whose shipped
+    quantity of '%widget%' parts exceeds HALF the max per-supplier
+    widget quantity — the nested-aggregate-threshold pattern. The
+    per-supplier aggregate is pinned once (it feeds the max scalar
+    AND the filter); the threshold comparison is exact decimal
+    cross-multiplication (qty*2 > max), no division."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    supp = read_table(spark, sf_dir, "supplier")
+    wq = (
+        li.join(
+            F.broadcast(part.where(F.col("p_name").like("%widget%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+        .localCheckpoint(eager=True)
+    )
+    max_qty = wq.agg(F.max("qty")).collect()[0][0]
+    return (
+        supp.join(
+            F.broadcast(wq.where(F.col("qty") * 2 > F.lit(max_qty))),
+            F.col("sk") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("qty").cast("double").alias("widget_qty"),
+        )
+    )
+
+
+Q85_SQL = """
+WITH wq AS (
+  SELECT l_suppkey AS sk, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%widget%'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(qty AS DOUBLE) AS widget_qty
+FROM supplier JOIN wq ON sk = s_suppkey
+WHERE qty * 2 > (SELECT MAX(qty) FROM wq)
+"""
+
+QUERIES.append(
+    Query(
+        "q85_heavy_widget_suppliers",
+        q85_heavy_widget_suppliers_q,
+        Q85_SQL,
+        "TPC-H Q20 shape: suppliers above half the max widget quantity",
     )
 )

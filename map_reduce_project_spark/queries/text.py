@@ -1034,22 +1034,21 @@ def text_domain_shift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("term", "half_a").agg(
         F.count("*").cast("long").alias("c")
     )
-    wide = (
-        counts.join(F.broadcast(tot), "half_a")
-        .groupBy("term")
-        .agg(
-            F.sum(F.when(F.col("half_a"), F.col("c")).otherwise(0))
-            .cast("long")
-            .alias("n_a"),
-            F.sum(F.when(~F.col("half_a"), F.col("c")).otherwise(0))
-            .cast("long")
-            .alias("n_b"),
-            F.max(F.when(F.col("half_a"), F.col("n"))).alias("tot_a"),
-            F.max(F.when(~F.col("half_a"), F.col("n"))).alias("tot_b"),
-        )
+    wide = counts.groupBy("term").agg(
+        F.sum(F.when(F.col("half_a"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("half_a"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
     )
-    tot_a = wide.agg(F.max("tot_a")).collect()[0][0]
-    tot_b = wide.agg(F.max("tot_b")).collect()[0][0]
+    # ONE collect of the tiny 2-row totals table (re-aggregating the
+    # token table per scalar would scan it twice more). An empty half
+    # has every per-term count 0, so dividing by 1 keeps its rate an
+    # exact 0.0 instead of crashing on float(None).
+    totals = {r["half_a"]: r["n"] for r in tot.collect()}
+    tot_a = totals.get(True) or 1
+    tot_b = totals.get(False) or 1
     shift = F.abs(
         F.col("n_a").cast("double") / F.lit(float(tot_a))
         - F.col("n_b").cast("double") / F.lit(float(tot_b))

@@ -255,6 +255,21 @@ def test_reliable_checkpoint_mode_matches_default(spark, tmp_path):
         for f in fs
     ]
     assert written, "no reliable checkpoint files were written"
+    # superseded generations are deleted as the loop advances: only
+    # the FINAL iteration's subdirectory may hold files (it backs the
+    # returned mapping), so disk stays one generation wide
+    iter_dirs_with_files = {
+        os.path.relpath(dp, ckpt).split(os.sep)[0]
+        for dp, _, fs in os.walk(ckpt)
+        if fs
+    }
+    assert iter_dirs_with_files == {f"iter-{res.iterations:04d}"}
+    # the result must still be readable from the surviving generation
+    assert res.mapping.count() == 39
+    # and the session checkpoint dir is parked OUTSIDE the iteration
+    # dirs, so a later df.checkpoint() elsewhere can't collide
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert opt.isDefined() and "/iter-" not in opt.get()
 
 
 def test_incremental_cc_matches_full(spark):

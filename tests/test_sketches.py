@@ -46,6 +46,30 @@ def test_bloom_no_false_negatives(spark):
     assert probed.where(~F.col("bloom_hit")).count() == 0
 
 
+def test_bloom_duplicate_probes_keep_cardinality_and_hit(spark):
+    # Regression: duplicate probe rows used to merge into one group
+    # whose sum-of-set-bits was k*n_hashes != n_hashes, reporting a
+    # MEMBER as absent (a false negative). Verdicts must be computed
+    # per distinct key and every duplicate row must keep its hit.
+    members = spark.range(100).selectExpr("CAST(id AS STRING) AS k")
+    bits = bloom_bits(members, "k", n_bits=1024, n_hashes=5)
+    dup_probes = members.unionAll(members).unionAll(
+        spark.createDataFrame([("7",)] * 3, "k string")
+    )
+    probed = bloom_probe(bits, dup_probes, "k", n_bits=1024, n_hashes=5)
+    assert probed.count() == 203  # cardinality preserved
+    assert probed.where(~F.col("bloom_hit")).count() == 0
+
+
+def test_count_min_duplicate_probes_keep_cardinality(spark):
+    df = spark.createDataFrame([(1,)] * 10 + [(2,)] * 3, "k long")
+    cm = count_min_table(df, "k", depth=4, width=32)
+    probes = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    out = count_min_estimate(cm, probes, "k", depth=4, width=32).collect()
+    assert len(out) == 3
+    assert all(r["cm_est"] >= (10 if r["k"] == 1 else 3) for r in out)
+
+
 def test_bloom_rejects_most_non_members_when_sized(spark):
     members = spark.range(50).selectExpr("CAST(id AS STRING) AS k")
     bits = bloom_bits(members, "k", n_bits=4096, n_hashes=5)
