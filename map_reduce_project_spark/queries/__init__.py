@@ -191,6 +191,9 @@ def all_queries() -> dict[str, Query]:
         "q83_custdist",
         "q84_ship_delay",
         "q85_heavy_widget_suppliers",
+        "emb_centroid_sim",
+        "sketch_heavy_hitters",
+        "sample_curriculum",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

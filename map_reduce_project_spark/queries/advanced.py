@@ -1993,3 +1993,78 @@ QUERIES.append(
         "streaming Python DataSource (offset-walked microbatches) vs the same LCG oracle",
     )
 )
+
+
+def sketch_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter extraction THROUGH the count-min sketch — the
+    serving pattern the CM table exists for: estimate every distinct
+    token of the corpus against the broadcast 4x64 table and keep the
+    ones whose estimate clears 2% of total token mass. The CM
+    never-undercounts guarantee makes the result a provable SUPERSET
+    of the true heavy hitters (every true HH is present;
+    ``is_true_hh`` exposes the collision-driven false-positive tail,
+    the price of a constant-size sketch). The threshold test is exact
+    integer cross-multiplication (est*50 >= total), and the sketch is
+    md5-bit-exact cross-engine, so the whole verdict set is
+    hash-gated."""
+    from map_reduce_project_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    total = toks.count()
+    cm = count_min_table(toks, "term", depth=4, width=16)
+    exact = toks.groupBy("term").agg(F.count("*").cast("long").alias("true_n"))
+    est = count_min_estimate(cm, exact, "term", depth=4, width=16)
+    return est.where(F.col("cm_est") * 30 >= total).select(
+        "term",
+        "cm_est",
+        "true_n",
+        (F.col("true_n") * 30 >= total).alias("is_true_hh"),
+    )
+
+
+SKETCH_HH_SQL = """
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+total AS (SELECT COUNT(*) AS n FROM toks),
+d(d) AS (VALUES (0), (1), (2), (3)),
+cells AS (
+  SELECT d.d AS d,
+         ('0x' || substr(md5('cm' || d.d || '|' || term), 1, 8))::BIGINT
+           % 16 AS col,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN d
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS true_n FROM toks GROUP BY 1
+),
+est AS (
+  SELECT e.term, e.true_n, CAST(MIN(c.cnt) AS BIGINT) AS cm_est
+  FROM exact e
+  CROSS JOIN d
+  JOIN cells c
+    ON c.d = d.d
+   AND c.col = ('0x' || substr(md5('cm' || d.d || '|' || e.term), 1, 8))::BIGINT % 16
+  GROUP BY 1, 2
+)
+SELECT term, cm_est, true_n,
+       true_n * 30 >= (SELECT n FROM total) AS is_true_hh
+FROM est
+WHERE cm_est * 30 >= (SELECT n FROM total)
+"""
+
+QUERIES.append(
+    Query(
+        "sketch_heavy_hitters",
+        sketch_heavy_hitters_q,
+        SKETCH_HH_SQL,
+        "CM-sketch heavy hitters: provable superset of true >=1/30-mass tokens",
+    )
+)

@@ -684,3 +684,94 @@ QUERIES.append(
         "deterministic Binomial(8,1/8) bootstrap replicates from content hashes",
     )
 )
+
+
+def sample_curriculum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordering manifest: shortest-to-longest staged
+    training order (the classic length curriculum) with deterministic
+    within-stage shuffling. Stage = which of the 9 exact decile
+    boundaries of ``n_chars`` (percentile_disc — picks real data
+    values, engine-exact) the doc exceeds; within a stage the order
+    is a salted md5 of the doc id, so epochs are reproducible and
+    uncorrelated with the corpus layout. The boundary aggregate is
+    ONE row cross-joined back (lazy, broadcast — no collect); the
+    within-stage row_number partitions by stage, which is the
+    manifest-plane sort every curriculum trainer needs anyway.
+    Output: (doc_id, stage, curriculum_rank)."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bounds = docs.agg(
+        *[
+            F.expr(
+                f"percentile_disc({i / 10}) WITHIN GROUP (ORDER BY n_chars)"
+            ).alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    staged = docs.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        (
+            F.lit(1)
+            + sum(
+                F.when(F.col("n_chars") > F.col(f"b{i}"), 1).otherwise(0)
+                for i in range(1, 10)
+            )
+        )
+        .cast("long")
+        .alias("stage"),
+        F.md5(F.concat(F.lit("curr|"), F.col("doc_id").cast("string"))).alias(
+            "_h"
+        ),
+    )
+    w = Window.partitionBy("stage").orderBy("_h", "doc_id")
+    return staged.select(
+        "doc_id",
+        "stage",
+        F.row_number().over(w).cast("long").alias("curriculum_rank"),
+    )
+
+
+SAMPLE_CURRICULUM_SQL = """
+WITH bounds AS (
+  SELECT
+    percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars) AS b1,
+    percentile_disc(0.2) WITHIN GROUP (ORDER BY n_chars) AS b2,
+    percentile_disc(0.3) WITHIN GROUP (ORDER BY n_chars) AS b3,
+    percentile_disc(0.4) WITHIN GROUP (ORDER BY n_chars) AS b4,
+    percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS b5,
+    percentile_disc(0.6) WITHIN GROUP (ORDER BY n_chars) AS b6,
+    percentile_disc(0.7) WITHIN GROUP (ORDER BY n_chars) AS b7,
+    percentile_disc(0.8) WITHIN GROUP (ORDER BY n_chars) AS b8,
+    percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS b9
+  FROM documents
+),
+staged AS (
+  SELECT doc_id,
+    CAST(1
+      + (CASE WHEN n_chars > b1 THEN 1 ELSE 0 END)
+      + (CASE WHEN n_chars > b2 THEN 1 ELSE 0 END)
+      + (CASE WHEN n_chars > b3 THEN 1 ELSE 0 END)
+      + (CASE WHEN n_chars > b4 THEN 1 ELSE 0 END)
+      + (CASE WHEN n_chars > b5 THEN 1 ELSE 0 END)
+      + (CASE WHEN n_chars > b6 THEN 1 ELSE 0 END)
+      + (CASE WHEN n_chars > b7 THEN 1 ELSE 0 END)
+      + (CASE WHEN n_chars > b8 THEN 1 ELSE 0 END)
+      + (CASE WHEN n_chars > b9 THEN 1 ELSE 0 END) AS BIGINT) AS stage,
+    md5('curr|' || doc_id) AS _h
+  FROM documents CROSS JOIN bounds
+)
+SELECT doc_id, stage,
+  CAST(ROW_NUMBER() OVER (PARTITION BY stage ORDER BY _h, doc_id) AS BIGINT)
+    AS curriculum_rank
+FROM staged
+"""
+
+QUERIES.append(
+    Query(
+        "sample_curriculum",
+        sample_curriculum_q,
+        SAMPLE_CURRICULUM_SQL,
+        "length-curriculum manifest: exact decile stages + salted within-stage order",
+    )
+)

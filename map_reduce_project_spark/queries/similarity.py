@@ -1370,3 +1370,89 @@ QUERIES.append(
         "IVF index recall@3 vs exact brute force per query — the index-rollout gate",
     )
 )
+
+
+def emb_centroid_sim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between LABEL CENTROIDS — the
+    class-overlap diagnostic run before training a classifier or
+    choosing hard-negative pairs (two labels whose centroids sit at
+    cosine ~1 are candidates to merge; near 0, clean negatives).
+
+    Exactness: each embedding dim is fixed-point floored at scale
+    1000 (exact int64 in both engines); per-label dim SUMS are exact
+    integer aggregates, and the centroid cosine equals the cosine of
+    the sum vectors (the 1/n scalars cancel), so no division happens
+    until the final double cosine — dot products stay < 2^53, so the
+    int64 -> double casts are exact and the one sqrt/divide sequence
+    is identical IEEE arithmetic on both engines.
+
+    Shape: posexplode (64 dims/row) -> partial+final agg to 10x64
+    label vectors -> broadcast self-join on dim for the 45 label
+    pairs. At corpus scale only the first agg touches the data; the
+    pair stage is constant-size.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("val").cast("double") * 1000).cast("long").alias("q"),
+    )
+    sums = el.groupBy("label", "pos").agg(F.sum("q").alias("s"))
+    a = sums.select(
+        F.col("label").alias("label_a"), "pos", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), "pos", F.col("s").alias("sb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).alias("na"),
+            F.sum(F.col("sb") * F.col("sb")).alias("nb"),
+        )
+    )
+    return pairs.select(
+        F.col("label_a").cast("long").alias("label_a"),
+        F.col("label_b").cast("long").alias("label_b"),
+        (
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+        ).alias("centroid_cos"),
+    )
+
+
+EMB_CENTROID_SIM_SQL = """
+WITH el AS (
+  SELECT label, pos - 1 AS pos,
+    CAST(FLOOR(val * 1000) AS BIGINT) AS q
+  FROM (
+    SELECT label, UNNEST(embedding) AS val,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+  )
+),
+sums AS (
+  SELECT label, pos, SUM(q) AS s FROM el GROUP BY 1, 2
+)
+SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
+  CAST(SUM(a.s * b.s) AS DOUBLE)
+    / (SQRT(CAST(SUM(a.s * a.s) AS DOUBLE)) * SQRT(CAST(SUM(b.s * b.s) AS DOUBLE)))
+    AS centroid_cos
+FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+GROUP BY 1, 2
+"""
+
+QUERIES.append(
+    Query(
+        "emb_centroid_sim",
+        emb_centroid_sim_q,
+        EMB_CENTROID_SIM_SQL,
+        "pairwise label-centroid cosine from exact fixed-point dim sums",
+    )
+)
