@@ -71,6 +71,7 @@ HEADLINERS = [
     "q3_top_revenue_orders",
     "q5_region_revenue",
     "q8_topk_per_customer",
+    "q74_nation_volume",
     "cc_orders_bipartite",
     "dedup_minhash_candidates",
     "dedup_jaccard_verified",

@@ -745,3 +745,86 @@ def deterministic_walks(
     for lv in levels[1:]:
         out = out.unionAll(lv)
     return out
+
+
+def k_truss(
+    edges: DataFrame, k: int, max_rounds: int = 12
+) -> DataFrame:
+    """k-truss of the undirected simple graph: the maximal subgraph
+    in which every edge participates in at least k-2 triangles
+    (Cohen 2008) — the cohesion mining rung ABOVE triangle counting
+    (k-core bounds degree; k-truss bounds shared neighborhoods, so it
+    rejects hub-spoke stars that k-core admits).
+
+    Synchronous peeling: each round computes per-edge triangle
+    support on the CURRENT edge set and removes EVERY under-supported
+    edge simultaneously. The k-truss is unique, and the synchronous
+    fixed point equals any peeling order's result, which is what lets
+    an unrolled SQL oracle hash-match it round for round.
+
+    Per round: re-orient the surviving edges by (degree, id) — the
+    hub-safe wedge bound (out-degree <= sqrt(2|E|), same argument as
+    ``triangle_count``); enumerate each triangle exactly once as an
+    oriented wedge closed by one semi-join; credit its THREE edges in
+    id-canonical form (union-all + partial/final count agg — the
+    triangle SET is orientation-invariant, so per-edge support is
+    identical to an id-ordered oracle's); inner-join the supports
+    back (an edge in no triangle simply has no support row = removed
+    for k >= 3). One localCheckpoint per round, previous generations
+    freed by the ownership cycler; the convergence count is the
+    round's single materializing action.
+
+    Returns (src, dst, support) for the surviving edges; at the fixed
+    point every support is >= k-2 and is the edge's support within
+    the truss itself. Raises if k < 3 (k-truss is defined from 3)."""
+    if k < 3:
+        raise ValueError(f"k_truss needs k >= 3, got {k}")
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
+    cycler = CheckpointCycler(edges.sparkSession)
+    cur = canonical_pairs(edges).localCheckpoint(eager=True)
+    n_cur = cur.count()
+    cycler.cycle(cur)
+    kept = cur.withColumn("support", F.lit(0).cast("long")).where(
+        F.lit(n_cur == 0)
+    )
+    for _ in range(max_rounds):
+        oriented = degree_oriented_edges(cur).localCheckpoint(eager=False)
+        e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        closing = oriented.select(
+            F.col("src").alias("u"), F.col("dst").alias("w")
+        )
+        tri = (
+            e1.join(e2, "v")
+            .join(closing, ["u", "w"], "left_semi")
+            .select("u", "v", "w")
+        )
+        credits = (
+            tri.select(F.col("u").alias("x"), F.col("v").alias("y"))
+            .unionAll(tri.select(F.col("v").alias("x"), F.col("w").alias("y")))
+            .unionAll(tri.select(F.col("u").alias("x"), F.col("w").alias("y")))
+            .select(
+                F.least(F.col("x"), F.col("y")).alias("src"),
+                F.greatest(F.col("x"), F.col("y")).alias("dst"),
+            )
+        )
+        sup = credits.groupBy("src", "dst").agg(
+            F.count("*").cast("long").alias("support")
+        )
+        kept = (
+            cur.join(sup, ["src", "dst"])
+            .where(F.col("support") >= k - 2)
+            .localCheckpoint(eager=False)
+        )
+        n_new = kept.count()
+        # this round's oriented subtree is dead once kept materialized;
+        # claim both so the next cycle() frees them together
+        cycler.cycle(kept, oriented)
+        if n_new == n_cur:
+            break
+        cur = kept.select("src", "dst")
+        n_cur = n_new
+    return kept.select("src", "dst", "support")

@@ -194,6 +194,7 @@ def all_queries() -> dict[str, Query]:
         "emb_centroid_sim",
         "sketch_heavy_hitters",
         "sample_curriculum",
+        "ktruss_copurchase",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

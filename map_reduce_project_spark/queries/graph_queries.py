@@ -1180,3 +1180,92 @@ QUERIES.append(
         "foreachBatch incremental CC over a 4-batch edge stream == batch oracle",
     )
 )
+
+
+def _ktruss_unrolled_sql(rounds: int, k: int) -> str:
+    """Unrolled k-truss peeling oracle: recursive CTEs allow only ONE
+    reference to the recursive term, and triangle support needs a
+    3-way self-join, so the peel is unrolled round by round (the same
+    trick as the HITS oracle). ``rounds`` must be >= the engine's
+    convergence round at gate scale; extra rounds are no-ops at the
+    fixed point, so over-provisioning is safe. Every CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs, and each round
+    references its predecessor four times, so inlining would expand
+    the plan 4^rounds-fold."""
+    out = [
+        """WITH ip AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS src,
+                  CAST(y.l_partkey AS BIGINT) AS dst
+  FROM ip x JOIN ip y USING (l_orderkey)
+  WHERE x.l_partkey < y.l_partkey
+)"""
+    ]
+    for r in range(rounds):
+        out.append(
+            f""",
+tri{r} AS MATERIALIZED (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM e{r} e1
+  JOIN e{r} e2 ON e2.src = e1.dst
+  JOIN e{r} e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+sup{r} AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support FROM (
+    SELECT u AS src, v AS dst FROM tri{r} UNION ALL
+    SELECT v AS src, w AS dst FROM tri{r} UNION ALL
+    SELECT u AS src, w AS dst FROM tri{r}
+  ) GROUP BY 1, 2
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r} e
+  JOIN sup{r} s ON s.src = e.src AND s.dst = e.dst
+  WHERE s.support >= {k - 2}
+)"""
+        )
+    out.append(
+        f"""
+SELECT e.src, e.dst, s.support
+FROM e{rounds - 1} e
+JOIN sup{rounds - 1} s ON s.src = e.src AND s.dst = e.dst
+WHERE s.support >= {k - 2}"""
+    )
+    return "".join(out)
+
+
+def ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """11-truss of the co-purchase graph (parts appearing in the same
+    order): every surviving edge sits in >= 9 triangles WITHIN the
+    surviving subgraph — the cohesion mining rung above k-core
+    (degree bounds admit hub-spoke stars; shared-neighborhood bounds
+    do not). Synchronous peeling (graph/analytics.py:k_truss) with
+    per-round degree-oriented triangle enumeration; the oracle
+    unrolls 8 peel rounds (convergence at gate scale is round <= 6;
+    later rounds are fixed-point no-ops). Exact: supports are integer
+    counts, the truss is unique."""
+    from map_reduce_project_spark.graph.analytics import k_truss
+
+    li = read_table(spark, sf_dir, "lineitem")
+    ip = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    edges = (
+        ip.alias("x")
+        .join(ip.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").cast("long").alias("src"),
+            F.col("y.l_partkey").cast("long").alias("dst"),
+        )
+    )
+    return k_truss(edges, k=11, max_rounds=10)
+
+
+KTRUSS_SQL = _ktruss_unrolled_sql(rounds=8, k=11)
+
+QUERIES.append(
+    Query(
+        "ktruss_copurchase",
+        ktruss_copurchase,
+        KTRUSS_SQL,
+        "11-truss by synchronous peeling vs 8-round unrolled triangle-support oracle",
+    )
+)

@@ -295,3 +295,33 @@ def test_incremental_cc_matches_full(spark):
     # the incremental run converges fast: old components are stars, so
     # the merge chain is short regardless of the old chains' diameter
     assert inc.iterations < full.iterations
+
+
+def test_k_truss_peels_pendant_triangle(spark):
+    from map_reduce_project_spark.graph.analytics import k_truss
+
+    # K4 on {a,b,c,d}: every edge closes 2 triangles -> survives k=4.
+    # Pendant triangle {c,e,f}: its edges close 1 triangle each ->
+    # peeled at k=4; removing them cannot affect K4's supports.
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    pendant = [("c", "e"), ("c", "f"), ("e", "f")]
+    edges = spark.createDataFrame(k4 + pendant, "src string, dst string")
+    out = {
+        (r["src"], r["dst"]): r["support"]
+        for r in k_truss(edges, k=4).collect()
+    }
+    assert out == {(a, b): 2 for (a, b) in k4}
+    # k=3 keeps both triangles' edges
+    assert k_truss(edges, k=3).count() == 9
+    # k above the max cohesion empties the graph
+    assert k_truss(edges, k=5).count() == 0
+
+
+def test_k_truss_rejects_k_below_3(spark):
+    import pytest as _pytest
+
+    from map_reduce_project_spark.graph.analytics import k_truss
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pytest.raises(ValueError):
+        k_truss(edges, k=2)

@@ -353,3 +353,21 @@ def test_bootstrap_is_zero_shuffle(spark, registry):
 
     df = registry["sample_bootstrap"].fn(spark, SF)
     assert num_exchanges(df) == 0
+
+
+def test_tpch_q74_broadcasts_dims_single_fk_shuffle(spark, registry):
+    # the five-join Q7 chain must broadcast every dim side; the only
+    # exchanges are the lineitem->orders FK join and the final agg
+    df = registry["q74_nation_volume"].fn(spark, SF)
+    assert uses_broadcast_join(df)
+    assert num_exchanges(df) <= 3
+
+
+def test_tpch_q79_has_no_cartesian_and_prunes_part(spark, registry):
+    from map_reduce_project_spark.plans.inspect import simple_plan
+
+    df = registry["q79_small_qty_revenue"].fn(spark, SF)
+    plan = simple_plan(df)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # the brand filter must reach the part scan
+    assert "p_brand" in " ".join(pushed_filters(df))
