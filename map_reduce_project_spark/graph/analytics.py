@@ -828,3 +828,64 @@ def k_truss(
         cur = kept.select("src", "dst")
         n_cur = n_new
     return kept.select("src", "dst", "support")
+
+
+def shortest_path_counts(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Number of SHORTEST paths from each seed to every node it
+    reaches within ``max_hops`` — the sigma stage of Brandes'
+    betweenness algorithm (Brandes 2001), run for a probe seed set
+    (how betweenness is actually estimated on big graphs: sampled
+    sources, not all-pairs). Counts are exact integers, so the whole
+    DP is hash-gateable cross-engine.
+
+    Level-synchronous DP on the BFS DAG: sigma(seed, v, t) =
+    sum of sigma(seed, u, t-1) over edges (u, v) where dist(u) = t-1
+    and dist(v) = t. The distance table comes from the simultaneous
+    ``per_seed_bfs`` (one frontier loop for ALL seeds); each DP level
+    is one join of the previous level against the adjacency list plus
+    a semi-join against the level's distance slice — path counts flow
+    only along strictly-forward BFS edges, which is what makes the
+    count well-defined. Per level: one shuffle on (seed, node) +
+    checkpoint; generations released by the ownership cycler (the
+    dist table is loop-invariant and never claimed).
+
+    int64 bound: counts grow at most (max out-degree)^max_hops —
+    callers pick max_hops so the product stays far inside int64 (the
+    gate fixture's worst count is ~1e6 at 4 hops).
+
+    Returns (seed, node, hop, n_paths) for reached nodes, seed rows
+    included (hop 0, 1 path)."""
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
+    und = canonical_undirected(edges).withColumnRenamed("src", "node")
+    dist = per_seed_bfs(edges, seeds, max_hops).localCheckpoint(eager=True)
+
+    level = (
+        dist.where(F.col("hop") == 0)
+        .select("seed", "node")
+        .withColumn("n_paths", F.lit(1).cast("long"))
+    ).localCheckpoint(eager=True)
+    out = level.withColumn("hop", F.lit(0).cast("long"))
+    cycler = CheckpointCycler(edges.sparkSession)
+    for t in range(1, max_hops + 1):
+        nxt_nodes = dist.where(F.col("hop") == t).select("seed", "node")
+        level = (
+            und.join(level, "node")
+            .select("seed", F.col("dst").alias("node"), "n_paths")
+            .join(nxt_nodes, ["seed", "node"], "left_semi")
+            .groupBy("seed", "node")
+            .agg(F.sum("n_paths").cast("long").alias("n_paths"))
+        ).localCheckpoint(eager=True)
+        if not level.take(1):
+            break
+        out = out.unionAll(
+            level.withColumn("hop", F.lit(t).cast("long"))
+        ).localCheckpoint(eager=True)
+        # previous level + previous accumulated union are dead; dist
+        # stays live (never claimed by the cycler)
+        cycler.cycle(level, out)
+    return out.select("seed", "node", "hop", "n_paths")

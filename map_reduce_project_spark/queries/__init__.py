@@ -195,6 +195,9 @@ def all_queries() -> dict[str, Query]:
         "sketch_heavy_hitters",
         "sample_curriculum",
         "ktruss_copurchase",
+        "ev_chisq_cells",
+        "q86_winsorized_stats",
+        "sigma_part_supplier",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1882,3 +1882,94 @@ QUERIES.append(
         "two-proportion A/B z-test readout, exact counts + deterministic IEEE z",
     )
 )
+
+
+def ev_chisq_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test cells for event_type x part-of-day
+    (hour div 6): the pre-launch check that event mix is (not) uniform
+    across the day. Emitted PER CELL in exact integers —
+    num = (n*o - r*c)^2 and den = n*r*c are pure int64 (bounds: n,o,
+    r,c <= 1e5 at gate scale, so num <= ~1e16 < 2^63), and ``contrib``
+    = num/den is one IEEE division per row; the chi2 statistic is the
+    consumer's sum. Summing engine-side would hash-drift (float
+    summation order), which is why the gate hashes the CELLS. The
+    full type x bucket grid is materialized (broadcast cross of two
+    tiny distinct lists) so structurally-zero cells carry their
+    expected-count term instead of vanishing."""
+    ev = read_table(spark, sf_dir, "events")
+    cells = ev.select(
+        "event_type",
+        F.expr("hour(ts) div 6").cast("long").alias("bucket"),
+    )
+    obs = cells.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    grid = (
+        cells.select("event_type")
+        .distinct()
+        .crossJoin(cells.select("bucket").distinct())
+    )
+    full = grid.join(obs, ["event_type", "bucket"], "left").fillna(
+        0, subset=["o"]
+    )
+    r = full.groupBy("event_type").agg(F.sum("o").alias("r"))
+    c = full.groupBy("bucket").agg(F.sum("o").alias("c"))
+    n = full.agg(F.sum("o").alias("n"))
+    withm = (
+        full.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "bucket")
+        .crossJoin(F.broadcast(n))
+    )
+    d = F.col("n") * F.col("o") - F.col("r") * F.col("c")
+    return withm.select(
+        "event_type",
+        "bucket",
+        "o",
+        (d * d).cast("long").alias("num"),
+        (F.col("n") * F.col("r") * F.col("c")).cast("long").alias("den"),
+        (
+            (d * d).cast("double")
+            / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+        ).alias("contrib"),
+    )
+
+
+EV_CHISQ_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) // 6 AS BIGINT) AS bucket FROM events
+),
+obs AS (
+  SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS o
+  FROM cells GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, b.bucket
+  FROM (SELECT DISTINCT event_type FROM cells) t
+  CROSS JOIN (SELECT DISTINCT bucket FROM cells) b
+),
+filled AS (
+  SELECT g.event_type, g.bucket, COALESCE(o.o, 0) AS o
+  FROM grid g LEFT JOIN obs o USING (event_type, bucket)
+),
+r AS (SELECT event_type, SUM(o) AS r FROM filled GROUP BY 1),
+c AS (SELECT bucket, SUM(o) AS c FROM filled GROUP BY 1),
+tot AS (SELECT SUM(o) AS n FROM filled)
+SELECT f.event_type, f.bucket, f.o,
+  CAST((tot.n * f.o - r.r * c.c) * (tot.n * f.o - r.r * c.c) AS BIGINT) AS num,
+  CAST(tot.n * r.r * c.c AS BIGINT) AS den,
+  CAST((tot.n * f.o - r.r * c.c) * (tot.n * f.o - r.r * c.c) AS DOUBLE)
+    / CAST(tot.n * r.r * c.c AS DOUBLE) AS contrib
+FROM filled f
+JOIN r USING (event_type)
+JOIN c USING (bucket)
+CROSS JOIN tot
+"""
+
+QUERIES.append(
+    Query(
+        "ev_chisq_cells",
+        ev_chisq_cells_q,
+        EV_CHISQ_SQL,
+        "chi-square independence cells in exact integers (num/den per cell)",
+    )
+)

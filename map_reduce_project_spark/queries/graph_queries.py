@@ -1269,3 +1269,81 @@ QUERIES.append(
         "11-truss by synchronous peeling vs 8-round unrolled triangle-support oracle",
     )
 )
+
+
+def _sigma_unrolled_sql(max_hops: int) -> str:
+    """Shortest-path-count oracle: distances via a recursive CTE, then
+    the sigma DP unrolled level by level (the recursive form cannot
+    aggregate over the recursive term). MATERIALIZED, same reason as
+    the k-truss oracle."""
+    head = """WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), walk AS (
+  SELECT DISTINCT 's:' || l_suppkey AS seed, 's:' || l_suppkey AS node,
+         0 AS hop
+  FROM lineitem WHERE l_suppkey % 25 = 0
+  UNION
+  SELECT walk.seed, und.dst AS node, walk.hop + 1 AS hop
+  FROM walk JOIN und ON und.src = walk.node
+  WHERE walk.hop < {H}
+), d AS MATERIALIZED (
+  SELECT seed, node, MIN(hop) AS hop FROM walk GROUP BY 1, 2
+),
+p0 AS MATERIALIZED (
+  SELECT seed, node, CAST(1 AS BIGINT) AS n_paths FROM d WHERE hop = 0
+)""".format(H=max_hops)
+    levels = []
+    for t in range(1, max_hops + 1):
+        levels.append(
+            f""",
+p{t} AS MATERIALIZED (
+  SELECT p.seed, und.dst AS node,
+         CAST(SUM(p.n_paths) AS BIGINT) AS n_paths
+  FROM p{t - 1} p JOIN und ON und.src = p.node
+  JOIN d ON d.seed = p.seed AND d.node = und.dst AND d.hop = {t}
+  GROUP BY 1, 2
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT seed, node, CAST({t} AS BIGINT) AS hop, n_paths FROM p{t}"
+        for t in range(max_hops + 1)
+    )
+    return head + "".join(levels) + "\n" + union
+
+
+def sigma_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path COUNTS (Brandes' sigma stage) from the supplier
+    probe seeds over the part-supplier bipartite graph, 4 hops: the
+    betweenness building block, run the way betweenness is estimated
+    at scale — sampled sources, never all-pairs. Exact int64 path
+    counts (max ~6k at gate scale, far inside the bound), so the
+    level-synchronous DP (graph/analytics.py:shortest_path_counts)
+    hash-matches the unrolled oracle bit for bit."""
+    from map_reduce_project_spark.graph.analytics import (
+        shortest_path_counts,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    seeds = (
+        li.where(F.col("l_suppkey") % 25 == 0)
+        .select(F.concat(F.lit("s:"), F.col("l_suppkey")).alias("node"))
+        .distinct()
+    )
+    return shortest_path_counts(
+        _part_supplier_edges(spark, sf_dir), seeds, max_hops=4
+    )
+
+
+SIGMA_SQL = _sigma_unrolled_sql(max_hops=4)
+
+QUERIES.append(
+    Query(
+        "sigma_part_supplier",
+        sigma_part_supplier,
+        SIGMA_SQL,
+        "shortest-path counts (Brandes sigma) per probe seed, exact int64 DP",
+    )
+)

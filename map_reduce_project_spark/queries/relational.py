@@ -2186,3 +2186,77 @@ QUERIES.append(
         "TPC-H Q20 shape: suppliers above half the max widget quantity",
     )
 )
+
+
+def q86_winsorized_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized order-price statistics: clamp to the exact
+    p01/p99 order values (percentile_disc picks REAL data points —
+    engine-exact, unlike interpolating percentile_cont) and report
+    the robust mean beside the clamp counts — the outlier-resistant
+    summary a pricing dashboard shows. The two boundaries are ONE
+    aggregate row cross-joined back lazily (broadcast, no collect);
+    the clamped sum runs in decimal and casts to double once, and the
+    mean is a single IEEE division."""
+    orders = read_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.expr(
+            "percentile_disc(0.01) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("lo"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("hi"),
+    )
+    clamped = F.greatest(
+        F.least(F.col("o_totalprice"), F.col("hi")), F.col("lo")
+    ).cast(DEC)
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("o_totalprice") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_high"),
+            F.sum(clamped).alias("_ws"),
+        )
+        .select(
+            "n",
+            "n_clamped_low",
+            "n_clamped_high",
+            F.col("_ws").cast("double").alias("wins_sum"),
+            (F.col("_ws").cast("double") / F.col("n").cast("double")).alias(
+                "wins_mean"
+            ),
+        )
+    )
+
+
+Q86_SQL = """
+WITH bounds AS (
+  SELECT
+    percentile_disc(0.01) WITHIN GROUP (ORDER BY o_totalprice) AS lo,
+    percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS hi
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clamped_low,
+  CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clamped_high,
+  CAST(SUM(CAST(GREATEST(LEAST(o_totalprice, hi), lo) AS DECIMAL(18,2))) AS DOUBLE)
+    AS wins_sum,
+  CAST(SUM(CAST(GREATEST(LEAST(o_totalprice, hi), lo) AS DECIMAL(18,2))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS wins_mean
+FROM orders CROSS JOIN bounds
+"""
+
+QUERIES.append(
+    Query(
+        "q86_winsorized_stats",
+        q86_winsorized_stats_q,
+        Q86_SQL,
+        "winsorized mean at exact p01/p99 boundaries with clamp counts",
+    )
+)

@@ -564,3 +564,27 @@ def test_bpe_train_matches_reference_on_random_corpora(spark):
         ]
         want = _bpe_reference(texts, 4)
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_sigma_counts_diamond(spark):
+    # diamond s-a-t / s-b-t: two shortest 2-hop paths to t, one to
+    # each middle node; plus a longer detour t-c that contributes a
+    # 3-hop count of 2 (via t)
+    from map_reduce_project_spark.graph.analytics import shortest_path_counts
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("a", "t"), ("b", "t"), ("t", "c")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    out = {
+        (r["node"], r["hop"]): r["n_paths"]
+        for r in shortest_path_counts(edges, seeds, max_hops=3).collect()
+    }
+    assert out == {
+        ("s", 0): 1,
+        ("a", 1): 1,
+        ("b", 1): 1,
+        ("t", 2): 2,
+        ("c", 3): 2,
+    }
