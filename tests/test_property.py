@@ -588,3 +588,101 @@ def test_sigma_counts_diamond(spark):
         ("t", 2): 2,
         ("c", 3): 2,
     }
+
+
+def brute_truss(edges: list[tuple[str, str]], k: int) -> dict:
+    """Pure-Python synchronous k-truss peel: canonical simple edges,
+    remove all edges with < k-2 triangles each round until stable.
+    Returns {edge: support-at-fixed-point}."""
+    es = {
+        (min(a, b), max(a, b))
+        for a, b in edges
+        if a != b
+    }
+    while True:
+        adj: dict[str, set[str]] = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {
+            (a, b): len(adj[a] & adj[b])
+            for a, b in es
+        }
+        keep = {e for e in es if sup[e] >= k - 2}
+        if keep == es:
+            return {e: sup[e] for e in es}
+        es = keep
+
+
+@settings(
+    max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    deadline=None,
+)
+@given(st.lists(edge, min_size=1, max_size=40), st.integers(3, 5))
+def test_k_truss_matches_brute_force(spark, edges, k):
+    from map_reduce_project_spark.graph.analytics import k_truss
+
+    expected = brute_truss(edges, k)
+    got = {
+        (r["src"], r["dst"]): r["support"]
+        for r in k_truss(edges_df(spark, edges), k=k).collect()
+    }
+    assert got == expected
+
+
+def brute_sigma(
+    edges: list[tuple[str, str]], seeds: list[str], max_hops: int
+) -> dict:
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for s in seeds:
+        dist = {s: 0}
+        paths = {s: 1}
+        frontier = [s]
+        for h in range(1, max_hops + 1):
+            nxt: dict[str, int] = {}
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v in dist:
+                        continue
+                    nxt[v] = nxt.get(v, 0) + paths[u]
+            for v, p in nxt.items():
+                dist[v] = h
+                paths[v] = p
+            frontier = list(nxt)
+            if not frontier:
+                break
+        for v in dist:
+            out[(s, v)] = (dist[v], paths[v])
+    return out
+
+
+@settings(
+    max_examples=6,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    deadline=None,
+)
+@given(st.lists(edge, min_size=1, max_size=40))
+def test_sigma_matches_brute_force(spark, edges):
+    from map_reduce_project_spark.graph.analytics import shortest_path_counts
+
+    seeds = sorted({a for a, _ in edges})[:2]
+    if not seeds:
+        return
+    expected = brute_sigma(edges, seeds, max_hops=3)
+    seeds_df = spark.createDataFrame(
+        [(s,) for s in seeds], "node string"
+    )
+    got = {
+        (r["seed"], r["node"]): (r["hop"], r["n_paths"])
+        for r in shortest_path_counts(
+            edges_df(spark, edges), seeds_df, max_hops=3
+        ).collect()
+    }
+    assert got == expected
