@@ -198,6 +198,7 @@ def all_queries() -> dict[str, Query]:
         "ev_chisq_cells",
         "q86_winsorized_stats",
         "sigma_part_supplier",
+        "pysource_write_roundtrip",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -2068,3 +2068,54 @@ QUERIES.append(
         "CM-sketch heavy hitters: provable superset of true >=1/30-mass tokens",
     )
 )
+
+
+def pysource_write_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITER side of the custom Python Data Source under the
+    exact gate: 2000 telemetry rows go out through
+    ``df.write.format("synthetic_telemetry")`` — per-task JSONL files
+    with two-phase commit (tasks write ``.tmp`` + return commit
+    messages; only driver ``commit()`` renames them visible, the
+    exactly-once seam every real table format implements) — and come
+    back via ``spark.read.json`` to be hashed against the same LCG
+    oracle as the reader queries. Completes the DataSource API
+    matrix: batch read + partition-planned stream read + committed
+    write."""
+    import shutil
+    import tempfile
+
+    from map_reduce_project_spark.sources.pydatasource import (
+        SCHEMA_DDL,
+        register,
+    )
+
+    register(spark)
+    out_dir = tempfile.mkdtemp(prefix="pys_write_")
+    try:
+        src = (
+            spark.read.format("synthetic_telemetry")
+            .option("n_rows", 2000)
+            .option("n_partitions", 4)
+            .load()
+        )
+        src.write.format("synthetic_telemetry").option(
+            "path", out_dir
+        ).mode("append").save()
+        back = (
+            spark.read.schema(SCHEMA_DDL)
+            .json(f"{out_dir}/*.jsonl")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return back
+
+
+QUERIES.append(
+    Query(
+        "pysource_write_roundtrip",
+        pysource_write_roundtrip_q,
+        PYSOURCE_SQL,
+        "custom DataSource writer (2-phase commit JSONL) round trip vs LCG oracle",
+    )
+)

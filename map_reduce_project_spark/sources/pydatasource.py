@@ -26,7 +26,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -92,6 +94,9 @@ class SyntheticTelemetrySource(DataSource):
     def streamReader(self, schema: StructType) -> "DataSourceStreamReader":
         return _TelemetryStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "DataSourceWriter":
+        return _JsonlWriter(self.options)
+
 
 def register(spark) -> None:
     """Idempotent session registration."""
@@ -135,3 +140,56 @@ class _TelemetryStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class _JsonlCommitMessage(WriterCommitMessage):
+    def __init__(self, tmp_name: str) -> None:
+        self.tmp_name = tmp_name
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Per-task JSONL writer with TWO-PHASE COMMIT: each task writes
+    its rows to a ``.tmp`` file named by a task-unique uuid and
+    returns the name as its commit message; only the driver-side
+    ``commit()`` renames the reported files to their final names, and
+    ``abort()`` removes every reported temp file. A task retry/
+    speculative duplicate therefore leaves an orphaned ``.tmp`` at
+    worst — never a half-visible or doubly-visible output — which is
+    the exactly-once contract every real table format implements at
+    this seam (Spark calls ``commit`` once, with one message per
+    SUCCESSFUL task)."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("synthetic_telemetry writer needs option 'path'")
+        self.path = path
+
+    def write(self, iterator) -> "_JsonlCommitMessage":
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"part-{uuid.uuid4().hex}.jsonl.tmp"
+        cols = [c.strip().split(" ")[0] for c in SCHEMA_DDL.split(",")]
+        with open(os.path.join(self.path, tmp), "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(dict(zip(cols, row))) + "\n")
+        return _JsonlCommitMessage(tmp)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for m in messages:
+            src = os.path.join(self.path, m.tmp_name)
+            os.rename(src, src[: -len(".tmp")])
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except FileNotFoundError:
+                pass

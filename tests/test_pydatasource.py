@@ -52,3 +52,50 @@ def test_pydatasource_filter_and_agg_compose(spark):
             expect[device] = expect.get(device, 0) + reading
     got = {r.device: r.s for r in agg.collect()}
     assert got == expect
+
+
+def test_writer_two_phase_commit_leaves_no_tmp(spark, tmp_path):
+    # after a successful write, only committed .jsonl files exist
+    # (every .tmp was renamed in commit()), and the rows round-trip
+    from map_reduce_project_spark.sources.pydatasource import (
+        SCHEMA_DDL,
+        register,
+        telemetry_row,
+    )
+
+    register(spark)
+    out = str(tmp_path / "sink")
+    df = (
+        spark.read.format("synthetic_telemetry")
+        .option("n_rows", 97)
+        .option("n_partitions", 3)
+        .load()
+    )
+    df.write.format("synthetic_telemetry").option("path", out).mode(
+        "append"
+    ).save()
+    import os
+
+    files = os.listdir(out)
+    assert files and all(f.endswith(".jsonl") for f in files)
+    assert len(files) == 3  # one committed file per input partition
+    back = spark.read.schema(SCHEMA_DDL).json(f"{out}/*.jsonl")
+    got = {tuple(r) for r in back.collect()}
+    assert got == {telemetry_row(i) for i in range(97)}
+
+
+def test_writer_requires_path_option(spark):
+    from map_reduce_project_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_telemetry")
+        .option("n_rows", 5)
+        .load()
+    )
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with _pytest.raises((Py4JJavaError, PySparkException, Exception)):
+        df.write.format("synthetic_telemetry").mode("append").save()
