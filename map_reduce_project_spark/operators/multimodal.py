@@ -1089,3 +1089,247 @@ def attach_real_png_payload(
     return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
         process, gen_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF codec — pure stdlib + numpy. GIF's compression is variable-
+# width LZW (spec 89a appendix F) over palette indices, so a genuine
+# compressed-format decode needs a real LZW implementation: variable
+# code widths (cs+1 up to 12 bits, LSB-first bit packing), CLEAR/EOI
+# control codes, the KwKwK missing-entry case, and the width bump when
+# the next free slot reaches 2^width — the exact rules libgif pairs.
+# The decoder is pinned against the canonical spec example bytes (the
+# 1x1 white GIF every GIF text quotes), so the encoder cannot hide a
+# mutually-cancelling bug behind a round-trip test. 8-bit global
+# palette, single image, no interlace — the training-corpus shape.
+# ---------------------------------------------------------------------------
+
+_GIF_MAX_WIDTH = 12
+
+
+def _gif_lzw_compress(indices: bytes, cs: int) -> bytes:
+    """GIF-variant LZW: emit CLEAR, then codes of growing width;
+    width bumps when the next free slot reaches 2^width; table reset
+    via CLEAR at 4096. LSB-first bit packing (spec appendix F)."""
+    clear, eoi = 1 << cs, (1 << cs) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = cs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << cs)}
+    next_code = eoi + 1
+    emit(clear, width)
+    w = b""
+    for ch in indices:
+        wk = w + bytes([ch])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < (1 << _GIF_MAX_WIDTH):
+            table[wk] = next_code
+            next_code += 1
+            # the DECODER's table lags one entry behind (it inserts
+            # after READING the next code), so the encoder must widen
+            # one insert later than its own table size suggests:
+            # when next_code passes 2^width, not when it reaches it
+            if next_code == (1 << width) + 1 and width < _GIF_MAX_WIDTH:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << cs)}
+            next_code = eoi + 1
+            width = cs + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, cs: int) -> bytes:
+    """Inverse of the GIF LZW stream: real variable-width decode with
+    CLEAR/EOI handling and the KwKwK case (a code equal to the next
+    free slot references the string being defined: prev + prev[0])."""
+    clear, eoi = 1 << cs, (1 << cs) + 1
+    width = cs + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(1 << cs)}
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # missing EOI: tolerate truncation
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = {i: bytes([i]) for i in range(1 << cs)}
+            next_code = eoi + 1
+            width = cs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        if prev is not None and next_code < (1 << _GIF_MAX_WIDTH):
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < _GIF_MAX_WIDTH:
+                width += 1
+        out += entry
+        prev = entry
+
+
+def encode_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 palette indices + (256, 3) palette -> spec-valid
+    GIF89a with a global color table and a real LZW-compressed image
+    block (sub-block framed)."""
+    h, w = idx.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0xF7)  # global table, 8 bits/entry, 256 entries
+    out += b"\x00\x00"  # background index, aspect
+    out += palette.astype(np.uint8).tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    cs = 8
+    out.append(cs)
+    lzw = _gif_lzw_compress(idx.reshape(-1).astype(np.uint8).tobytes(), cs)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _parse_gif(b: bytes) -> dict:
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", b[6:10])
+    return {"width": w, "height": h}
+
+
+def _decode_gif_pixels(b: bytes) -> np.ndarray:
+    """REAL GIF decode: global color table + LZW-decompressed palette
+    indices -> (h, w, 3) uint8 RGB. Single non-interlaced image with
+    a global table (the encoder's shape); extensions are skipped."""
+    meta = _parse_gif(b)
+    packed = b[10]
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    table_len = 2 << (packed & 0x07)
+    pos = 13
+    palette = np.frombuffer(
+        b[pos : pos + 3 * table_len], dtype=np.uint8
+    ).reshape(table_len, 3)
+    pos += 3 * table_len
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif marker == 0x2C:
+            left, top, w, h = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+            lpacked = b[pos + 9]
+            if lpacked & 0x80:
+                raise ValueError("local color tables not supported")
+            if lpacked & 0x40:
+                raise ValueError("interlaced GIFs not supported")
+            pos += 10
+            cs = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while b[pos] != 0:
+                n = b[pos]
+                lzw += b[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            indices = np.frombuffer(
+                _gif_lzw_decompress(bytes(lzw), cs)[: w * h], dtype=np.uint8
+            )
+            return palette[indices.reshape(h, w)]
+        elif marker == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+    raise ValueError("no image block in GIF")
+
+
+_HEADER_DECODERS["image/gif"] = _parse_gif
+_PIXEL_DECODERS["image/gif"] = _decode_gif_pixels
+
+
+def gradient_gif_image(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic gradient GIF for the oracle gate: w = 16 + id %
+    16, h = 12 + (id // 16) % 8 (300-600 pixels, enough for the LZW
+    code width to grow past 9 bits so the variable-width machinery is
+    actually exercised); palette entry i = (i, 7i % 256, 13i % 256);
+    pixel index (x, y) = (id + 3x + 5y) % 256 — channel sums are
+    SQL-predictable from the composed formulas."""
+    w = 16 + doc_id % 16
+    h = 12 + (doc_id // 16) % 8
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    idx = ((doc_id + 3 * xs[None, :] + 5 * ys[:, None]) % 256).astype(
+        np.uint8
+    )
+    i = np.arange(256, dtype=np.int64)
+    palette = np.stack([i % 256, (7 * i) % 256, (13 * i) % 256], axis=1)
+    return "image/gif", encode_gif(idx, palette)
+
+
+def attach_real_gif_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL GIF payloads manufactured distributively from the id
+    column (mapInPandas, never driver-side)."""
+    gen_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mods, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                m, p = gradient_gif_image(int(doc_id))
+                mods.append(m)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": mods, "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        process, gen_schema
+    )

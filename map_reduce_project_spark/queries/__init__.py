@@ -199,6 +199,7 @@ def all_queries() -> dict[str, Query]:
         "q86_winsorized_stats",
         "sigma_part_supplier",
         "pysource_write_roundtrip",
+        "mm_gif_pixel_stats",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

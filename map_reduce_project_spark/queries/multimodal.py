@@ -580,3 +580,60 @@ QUERIES.append(
         "real PNG inflate+unfilter decode (all 5 filters, RGBA) -> exact channel sums",
     )
 )
+
+
+def mm_gif_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode under the exact gate: payloads are spec-valid
+    GIF89a files (real variable-width LZW — the decoder is pinned
+    against the canonical 1x1 spec example, so the encoder cannot
+    hide a mutually-cancelling bug behind the round trip) built
+    distributively from doc_id, 300-600 pixels each so the LZW code
+    width genuinely grows past its initial 9 bits. Palette entry i =
+    (i, 7i%256, 13i%256), pixel index (x,y) = (id+3x+5y)%256, so the
+    decoded channel sums compose two formulas the oracle replays; a
+    wrong width-bump rule or KwKwK case is a hash mismatch."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_gif_payload,
+        pixel_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pixel_stats(attach_real_gif_payload(docs))
+
+
+# w = 16 + id % 16, h = 12 + (id // 16) % 8; idx = (id + 3x + 5y) % 256;
+# channels (idx, 7*idx % 256, 13*idx % 256)
+MM_GIF_PIXEL_STATS_SQL = """
+WITH g AS (
+  SELECT x.g AS x, y.g AS y
+  FROM generate_series(0, 31) x(g), generate_series(0, 19) y(g)
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  'image/gif' AS modality,
+  CAST(12 + (d.doc_id // 16) % 8 AS BIGINT) AS height,
+  CAST(16 + d.doc_id % 16 AS BIGINT) AS width,
+  CAST((16 + d.doc_id % 16) * (12 + (d.doc_id // 16) % 8) AS BIGINT)
+    AS n_pixels,
+  CAST(SUM(CASE WHEN g.x < 16 + d.doc_id % 16
+                 AND g.y < 12 + (d.doc_id // 16) % 8
+           THEN (d.doc_id + 3 * g.x + 5 * g.y) % 256 END) AS BIGINT) AS sum_r,
+  CAST(SUM(CASE WHEN g.x < 16 + d.doc_id % 16
+                 AND g.y < 12 + (d.doc_id // 16) % 8
+           THEN (7 * ((d.doc_id + 3 * g.x + 5 * g.y) % 256)) % 256 END)
+       AS BIGINT) AS sum_g,
+  CAST(SUM(CASE WHEN g.x < 16 + d.doc_id % 16
+                 AND g.y < 12 + (d.doc_id // 16) % 8
+           THEN (13 * ((d.doc_id + 3 * g.x + 5 * g.y) % 256)) % 256 END)
+       AS BIGINT) AS sum_b
+FROM documents d CROSS JOIN g
+GROUP BY d.doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "mm_gif_pixel_stats",
+        mm_gif_pixel_stats_q,
+        MM_GIF_PIXEL_STATS_SQL,
+        "real GIF LZW decode (variable width, spec-pinned) -> exact channel sums",
+    )
+)

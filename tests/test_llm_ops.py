@@ -1241,3 +1241,60 @@ def test_bpe_train_exhausts_on_tiny_input(spark):
     rows = bpe_train(docs, 5).collect()
     # round 1 merges (x,y) -> "xy"; round 2 has no pairs -> stop early
     assert len(rows) == 1 and rows[0]["merged"] == "xy"
+
+
+def test_gif_decoder_matches_spec_golden():
+    # the canonical 1x1 white GIF from the spec literature: decoding
+    # it pins the LZW decoder (widths, clear/EOI) against GIF89a
+    # itself, independent of our own encoder
+    from map_reduce_project_spark.operators.multimodal import (
+        _decode_gif_pixels,
+    )
+
+    golden = bytes.fromhex(
+        "47494638396101000100800000ffffff000000"
+        "21f90400000000002c00000000010001000002024401003b"
+    )
+    assert _decode_gif_pixels(golden).tolist() == [[[255, 255, 255]]]
+
+
+def test_gif_lzw_roundtrip_covers_width_growth_and_reset():
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        _gif_lzw_compress,
+        _gif_lzw_decompress,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = [
+        b"\x00",
+        b"a" * 500,  # KwKwK chain
+        bytes(range(256)) * 4,  # width growth past 9 bits
+        rng.randint(0, 256, 60000, dtype=np.uint8).tobytes(),  # 4096-slot reset
+    ]
+    for data in cases:
+        assert _gif_lzw_decompress(_gif_lzw_compress(data, 8), 8) == data
+    for data in [b"\x00\x01\x02\x03" * 50, bytes([0, 1] * 5000)]:
+        assert _gif_lzw_decompress(_gif_lzw_compress(data, 2), 2) == data
+
+
+def test_gif_gradient_roundtrips_exact_pixels():
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        _decode_gif_pixels,
+        gradient_gif_image,
+    )
+
+    for did in (0, 19, 137, 499):
+        _, payload = gradient_gif_image(did)
+        px = _decode_gif_pixels(payload)
+        h, w, _ = px.shape
+        assert (h, w) == (12 + (did // 16) % 8, 16 + did % 16)
+        xs = np.arange(w)
+        ys = np.arange(h)
+        idx = (did + 3 * xs[None, :] + 5 * ys[:, None]) % 256
+        assert (px[:, :, 0] == idx).all()
+        assert (px[:, :, 1] == (7 * idx) % 256).all()
+        assert (px[:, :, 2] == (13 * idx) % 256).all()
