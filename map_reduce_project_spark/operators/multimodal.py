@@ -177,8 +177,9 @@ def decode_media(payload: bytes, modality: str) -> dict:
     production pipeline runs over billions of payloads (full pixel
     decode is deferred to the narrow featurize stage and a far
     smaller row set). Pixel/sample decode and resize are real for
-    PPM/BMP/WAV and (via stdlib zlib) PNG; JPEG pixel decode still
-    needs libjpeg and stays stubbed. The ``fake/*`` modality yields deterministic
+    PPM/BMP/WAV, (via stdlib zlib) PNG, GIF (real LZW), and the
+    DC-only baseline JPEG profile; general JPEG (nonzero AC, color)
+    still needs libjpeg and raises from inside the decoder. The ``fake/*`` modality yields deterministic
     dimensions derived from the payload so the full pipeline is
     testable end-to-end without any real media bytes.
     """
@@ -266,10 +267,12 @@ def decode_pixels(payload: bytes, modality: str) -> np.ndarray:
 
     Supported without media libraries: P6 PPM, uncompressed BMP, and
     real compressed PNG (8-bit RGB/RGBA via stdlib zlib + scanline
-    unfiltering). The ``fake/*`` modality derives a deterministic
-    buffer from the payload bytes (same contract as ``decode_media``)
-    so pipelines are testable end-to-end. JPEG raises
-    NotImplementedError — swap in PIL/libvips at the decoder table,
+    unfiltering), real GIF (variable-width LZW), and DC-only baseline
+    JPEG (integer entropy layer; see decode_jpeg_dc). The ``fake/*``
+    modality derives a deterministic buffer from the payload bytes
+    (same contract as ``decode_media``) so pipelines are testable
+    end-to-end. General JPEG profiles raise NotImplementedError from
+    inside the decoder — swap in PIL/libvips at the decoder table,
     nothing else changes.
     """
     if modality.startswith("fake/"):
@@ -1324,6 +1327,304 @@ def attach_real_gif_payload(
             mods, payloads = [], []
             for doc_id in pdf["doc_id"]:
                 m, p = gradient_gif_image(int(doc_id))
+                mods.append(m)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": mods, "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        process, gen_schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG decode — DC-only tier. A full baseline decoder
+# needs the AC coefficient path through an IDCT (that's what libjpeg
+# is for, and IDCT implementations are not bit-identical across
+# decoders anyway); but the ENTROPY layer — marker segments, DQT/DHT
+# parsing, canonical Huffman decode, DC prediction chain, byte
+# unstuffing — is pure integer arithmetic, so a DC-only baseline JPEG
+# (every 8x8 block constant: all AC coefficients zero) decodes
+# EXACTLY: IDCT of a lone DC is flat dc*q00/8, and with q00 = 8 the
+# whole pipeline is integers end to end. The decoder is a real T.81
+# reader for this profile and raises honestly the moment a nonzero AC
+# coefficient, color scan, or progressive frame appears.
+# ---------------------------------------------------------------------------
+
+# ITU T.81 Annex K.3.3.1/2 — the standard luminance Huffman tables
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _huff_canonical(bits: tuple, vals: tuple) -> dict:
+    """T.81 C.2: canonical (code, length) -> value table."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_map(bits: tuple, vals: tuple) -> dict:
+    return {v: (ln, c) for (ln, c), v in _huff_canonical(bits, vals).items()}
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec F.1.2.3
+        return bytes(self.out)
+
+
+def encode_jpeg_dc(gray: np.ndarray, q00: int = 8) -> bytes:
+    """(h, w) uint8 with h, w multiples of 8 and every 8x8 block
+    CONSTANT -> spec-valid baseline JFIF (grayscale, standard Annex K
+    Huffman tables). DC-only: each block encodes its DC diff plus an
+    AC end-of-block, nothing else."""
+    h, w = gray.shape
+    if h % 8 or w % 8:
+        raise ValueError("DC-only fixture needs multiple-of-8 dims")
+    dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    eob_len, eob_code = ac_map[0x00]
+    bw = _JpegBitWriter()
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            v = int(gray[by * 8, bx * 8])
+            dc = (8 * (v - 128)) // q00  # exact when q00 divides 8(v-128)
+            diff = dc - pred
+            pred = dc
+            mag = abs(diff)
+            size = mag.bit_length()
+            ln, code = dc_map[size]
+            bw.put(code, ln)
+            if size:
+                amp = diff if diff > 0 else diff + (1 << size) - 1
+                bw.put(amp, size)
+            bw.put(eob_code, eob_len)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([q00] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    raise ValueError(f"unexpected marker in scan: FF {nxt:02x}")
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(amp: int, size: int) -> int:
+    # T.81 F.2.2.1 EXTEND: amplitudes with a 0 high bit are negative
+    if size == 0:
+        return 0
+    return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+
+
+def decode_jpeg_dc(b: bytes) -> np.ndarray:
+    """REAL T.81 baseline decode of the DC-only grayscale profile:
+    walks the marker stream, parses DQT/SOF0/DHT/SOS, Huffman-decodes
+    every block's DC diff through the canonical tables with byte
+    unstuffing, and reconstructs each flat block as dc*q00/8 + 128 —
+    exact integers for the fixtures' q00 = 8. Raises honestly on the
+    profiles that genuinely need libjpeg: nonzero AC coefficients,
+    progressive frames, color scans, restart intervals."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    qtables: dict[int, bytes] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    dims = comp_q = None
+    scan_dc = scan_ac = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("marker expected")
+        marker = b[i + 1]
+        (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+        payload = b[i + 4 : i + 2 + seg_len]
+        i += 2 + seg_len
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tq] = payload[p + 1 : p + 65]
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = tuple(payload[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = tuple(payload[p + 17 : p + 17 + nvals])
+                htables[(tc, th)] = _huff_canonical(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xC0:
+            h, w = struct.unpack(">HH", payload[1:5])
+            ncomp = payload[5]
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "color JPEG needs IDCT + chroma upsampling (libjpeg)"
+                )
+            comp_q = payload[8]
+            dims = (h, w)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("only baseline sequential JPEG")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:
+            scan_dc = htables[(0, payload[2] >> 4)]
+            scan_ac = htables[(1, payload[2] & 0x0F)]
+            scan_start = i
+            break
+    if dims is None or scan_dc is None:
+        raise ValueError("incomplete JPEG header")
+    h, w = dims
+    end = b.rfind(b"\xff\xd9")
+    reader = _JpegBitReader(b[scan_start:end])
+    q00 = qtables[comp_q][0]
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    out = np.empty((bh * 8, bw_ * 8), dtype=np.uint8)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            size = reader.huff(scan_dc)
+            pred += _jpeg_extend(reader.bits(size), size)
+            rs = reader.huff(scan_ac)
+            if rs != 0x00:
+                raise NotImplementedError(
+                    "nonzero AC coefficients need an IDCT (libjpeg)"
+                )
+            val = (2 * pred * q00 + 8) // 16 + 128  # round(dc*q00/8)+128
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = max(0, min(255, val))
+    gray = out[:h, :w]
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+_PIXEL_DECODERS["image/jpeg"] = decode_jpeg_dc
+
+
+def gradient_jpeg_image(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic block-constant grayscale JPEG: w = 8*(2+id%4),
+    h = 8*(1+(id//4)%3); block (bx, by) holds (id + 11bx + 17by) %
+    256. Channel sums = 64 * sum of block values, replicated across
+    r/g/b — SQL-predictable."""
+    w = 8 * (2 + doc_id % 4)
+    h = 8 * (1 + (doc_id // 4) % 3)
+    gray = np.empty((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            gray[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                doc_id + 11 * bx + 17 * by
+            ) % 256
+    return "image/jpeg", encode_jpeg_dc(gray)
+
+
+def attach_real_jpeg_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL DC-only JPEG payloads manufactured distributively."""
+    gen_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mods, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                m, p = gradient_jpeg_image(int(doc_id))
                 mods.append(m)
                 payloads.append(p)
             yield pd.DataFrame(

@@ -637,3 +637,59 @@ QUERIES.append(
         "real GIF LZW decode (variable width, spec-pinned) -> exact channel sums",
     )
 )
+
+
+def mm_jpeg_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode under the exact gate — the DC-only
+    profile where the T.81 entropy layer is pure integers: payloads
+    are spec-valid grayscale JFIFs (standard Annex K Huffman tables,
+    byte stuffing, DC prediction chain) with every 8x8 block
+    constant, so IDCT of the lone DC is flat and dc*q00/8 + 128 is
+    exact at q00 = 8. A wrong Huffman table, EXTEND sign rule, or
+    prediction reset shows up as a hash mismatch. Profiles that
+    genuinely need libjpeg (nonzero AC, color) raise honestly inside
+    the decoder."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_jpeg_payload,
+        pixel_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pixel_stats(attach_real_jpeg_payload(docs))
+
+
+# w = 8*(2 + id%4), h = 8*(1 + (id//4)%3); block (bx, by) value
+# (id + 11bx + 17by) % 256; every channel sum = 64 * sum over blocks
+MM_JPEG_PIXEL_STATS_SQL = """
+WITH g AS (
+  SELECT x.g AS bx, y.g AS by
+  FROM generate_series(0, 4) x(g), generate_series(0, 2) y(g)
+),
+sums AS (
+  SELECT d.doc_id,
+    64 * SUM(CASE WHEN g.bx < 2 + d.doc_id % 4
+                   AND g.by < 1 + (d.doc_id // 4) % 3
+             THEN (d.doc_id + 11 * g.bx + 17 * g.by) % 256 END) AS s
+  FROM documents d CROSS JOIN g
+  GROUP BY d.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  'image/jpeg' AS modality,
+  CAST(8 * (1 + (doc_id // 4) % 3) AS BIGINT) AS height,
+  CAST(8 * (2 + doc_id % 4) AS BIGINT) AS width,
+  CAST(64 * (2 + doc_id % 4) * (1 + (doc_id // 4) % 3) AS BIGINT)
+    AS n_pixels,
+  CAST(s AS BIGINT) AS sum_r,
+  CAST(s AS BIGINT) AS sum_g,
+  CAST(s AS BIGINT) AS sum_b
+FROM sums
+"""
+
+QUERIES.append(
+    Query(
+        "mm_jpeg_pixel_stats",
+        mm_jpeg_pixel_stats_q,
+        MM_JPEG_PIXEL_STATS_SQL,
+        "real DC-only baseline JPEG decode (T.81 entropy layer) -> exact sums",
+    )
+)

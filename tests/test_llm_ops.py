@@ -427,17 +427,35 @@ def test_resize_images_shape_and_determinism(spark, docs):
     assert [bytes(r.payload) for r in out] == [
         bytes(r.payload) for r in again
     ]
-    # JPEG stays gated; PNG resizes for real now (round-4 codec)
+    # PNG resizes for real (round-4 codec); DC-only JPEG decodes for
+    # real now too, and the profiles that genuinely need libjpeg
+    # (color scans) still raise honestly from inside the decoder
     import numpy as np
     import pytest as _pytest
 
     from map_reduce_project_spark.operators.multimodal import (
         _decode_ppm_pixels,
         encode_png,
+        gradient_jpeg_image,
     )
 
+    _, dc_jpeg = gradient_jpeg_image(5)
+    resized = resize_media(dc_jpeg, "image/jpeg", 8, 8)
+    assert _decode_ppm_pixels(resized).shape == (8, 8, 3)
+    import struct as _st
+
+    color_sof = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + _st.pack(">H", 17)
+        + _st.pack(">BHHB", 8, 8, 8, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
     with _pytest.raises(NotImplementedError):
-        resize_media(b"\x00", "image/jpeg", 8, 8)
+        from map_reduce_project_spark.operators.multimodal import (
+            decode_jpeg_dc,
+        )
+
+        decode_jpeg_dc(color_sof)
     px = (np.arange(27).reshape(3, 3, 3) * 9 % 256).astype(np.uint8)
     resized = resize_media(encode_png(px), "image/png", 8, 8)
     assert _decode_ppm_pixels(resized).shape == (8, 8, 3)
@@ -1298,3 +1316,30 @@ def test_gif_gradient_roundtrips_exact_pixels():
         assert (px[:, :, 0] == idx).all()
         assert (px[:, :, 1] == (7 * idx) % 256).all()
         assert (px[:, :, 2] == (13 * idx) % 256).all()
+
+
+def test_jpeg_dc_codec_exact_blocks():
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_jpeg_dc,
+        encode_jpeg_dc,
+        gradient_jpeg_image,
+    )
+
+    for did in (0, 3, 137, 499):
+        _, payload = gradient_jpeg_image(did)
+        px = decode_jpeg_dc(payload)
+        h, w, _ = px.shape
+        assert (h, w) == (8 * (1 + (did // 4) % 3), 8 * (2 + did % 4))
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                v = (did + 11 * bx + 17 * by) % 256
+                assert (px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == v).all()
+    # extreme DC swings exercise negative diffs + EXTEND sign rule
+    g = np.zeros((8, 24), dtype=np.uint8)
+    g[:, :8], g[:, 8:16], g[:, 16:] = 200, 3, 255
+    px = decode_jpeg_dc(encode_jpeg_dc(g))
+    assert (px[:, :8, 0] == 200).all()
+    assert (px[:, 8:16, 0] == 3).all()
+    assert (px[:, 16:, 0] == 255).all()
