@@ -201,6 +201,7 @@ def all_queries() -> dict[str, Query]:
         "pysource_write_roundtrip",
         "mm_gif_pixel_stats",
         "mm_jpeg_pixel_stats",
+        "betweenness_evidence",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

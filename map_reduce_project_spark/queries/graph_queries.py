@@ -1347,3 +1347,82 @@ QUERIES.append(
         "shortest-path counts (Brandes sigma) per probe seed, exact int64 DP",
     )
 )
+
+
+def betweenness_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Betweenness EVIDENCE table for the probe seed pairs: for every
+    node v on a shortest s-t path (s, t both probe seeds),
+    sigma_st(v) = sigma_sv * sigma_vt — the exact integer numerators
+    of Brandes' pair dependencies (delta_st(v) = sigma_st(v) /
+    sigma_st, where sigma_st is the v = s row). Emitting the
+    numerators keeps the gate exact (the normalized deltas are
+    ratios whose float summation would be order-sensitive); the
+    consumer's betweenness is one division + sum away. Pure
+    composition: the gated sigma table self-joined on the node, path
+    membership tested by d(s,v) + d(v,t) = d(s,t). Undirected graph,
+    so sigma_vt equals sigma_tv from t's own BFS."""
+    from map_reduce_project_spark.graph.analytics import (
+        shortest_path_counts,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    seeds = (
+        li.where(F.col("l_suppkey") % 25 == 0)
+        .select(F.concat(F.lit("s:"), F.col("l_suppkey")).alias("node"))
+        .distinct()
+    )
+    sig = shortest_path_counts(
+        _part_supplier_edges(spark, sf_dir), seeds, max_hops=4
+    )
+    a = sig.select(
+        F.col("seed").alias("src"),
+        "node",
+        F.col("hop").alias("d_sv"),
+        F.col("n_paths").alias("p_sv"),
+    )
+    b = sig.select(
+        F.col("seed").alias("dst"),
+        "node",
+        F.col("hop").alias("d_vt"),
+        F.col("n_paths").alias("p_vt"),
+    )
+    dd = sig.select(
+        F.col("seed").alias("src"),
+        F.col("node").alias("dst"),
+        F.col("hop").alias("d_st"),
+    )
+    return (
+        a.join(b, "node")
+        .where(F.col("src") < F.col("dst"))
+        .join(dd, ["src", "dst"])
+        .where(F.col("d_sv") + F.col("d_vt") == F.col("d_st"))
+        .select(
+            "src",
+            "dst",
+            "node",
+            "d_sv",
+            "d_vt",
+            (F.col("p_sv") * F.col("p_vt")).cast("long").alias("sigma_st_v"),
+        )
+    )
+
+
+BETWEENNESS_SQL = f"""
+WITH sig AS MATERIALIZED ({_sigma_unrolled_sql(max_hops=4)})
+SELECT a.seed AS src, b.seed AS dst, a.node,
+       a.hop AS d_sv, b.hop AS d_vt,
+       CAST(a.n_paths * b.n_paths AS BIGINT) AS sigma_st_v
+FROM sig a
+JOIN sig b ON a.node = b.node AND a.seed < b.seed
+JOIN sig dd ON dd.seed = a.seed AND dd.node = b.seed
+WHERE a.hop + b.hop = dd.hop
+"""
+
+QUERIES.append(
+    Query(
+        "betweenness_evidence",
+        betweenness_evidence,
+        BETWEENNESS_SQL,
+        "Brandes pair-dependency numerators sigma_st(v), exact int64 composition",
+    )
+)

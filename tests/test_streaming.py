@@ -301,3 +301,40 @@ def test_stream_stream_left_outer_join_contract(spark, sf0001):
     old_nulls = {p for p in batch_null_ids if all_purchases[p] < horizon}
     assert old_nulls <= got_null_ids
     assert len(old_nulls) > 0  # the assertion is not vacuous
+
+
+def test_available_now_replay_is_exactly_once(spark, tmp_path):
+    # the recovery contract production ETL relies on: re-starting an
+    # availableNow file stream against the SAME checkpoint must add
+    # nothing (offsets are committed per batch), and NEW source files
+    # are picked up incrementally by the next run
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(100).selectExpr("id", "id % 7 AS k").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 100
+    run_once()  # replay: nothing new
+    assert spark.read.parquet(sink).count() == 100
+    # incremental pickup: one more source file -> exactly its rows
+    spark.range(100, 130).selectExpr("id", "id % 7 AS k").write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == 130
+    assert out.select("id").distinct().count() == 130
