@@ -1508,21 +1508,37 @@ def _jpeg_extend(amp: int, size: int) -> int:
     return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
 
 
+def _fd16(x: int) -> int:
+    """Floor-divide by 2^16 (toward -infinity, also for negatives) —
+    the fixed-point descale step of the YCbCr conversion. Spelled as
+    a floor so the DuckDB oracle replays it with FLOOR(x / 65536.0)
+    regardless of either engine's native shift/div semantics."""
+    return x >> 16  # python's >> floors
+
+
 def decode_jpeg_dc(b: bytes) -> np.ndarray:
-    """REAL T.81 baseline decode of the DC-only grayscale profile:
-    walks the marker stream, parses DQT/SOF0/DHT/SOS, Huffman-decodes
-    every block's DC diff through the canonical tables with byte
+    """REAL T.81 baseline decode of the DC-only profile: walks the
+    marker stream, parses DQT/SOF0/DHT/SOS, Huffman-decodes every
+    block's DC diff through the canonical tables with byte
     unstuffing, and reconstructs each flat block as dc*q00/8 + 128 —
-    exact integers for the fixtures' q00 = 8. Raises honestly on the
-    profiles that genuinely need libjpeg: nonzero AC coefficients,
-    progressive frames, color scans, restart intervals."""
+    exact integers for the fixtures' q00 = 8. Grayscale AND
+    interleaved 3-component (1x1 sampling) scans are supported; color
+    converts YCbCr -> RGB in libjpeg-style 2^16 fixed point
+    (R = Y + fd(91881*Cr'), B = Y + fd(116130*Cb'),
+    G = Y + fd(-22554*Cb' - 46802*Cr'), each + 32768 rounding, Cb'/
+    Cr' centered at 128, clamped) — deterministic integers end to
+    end, which is what lets an SQL oracle replay the conversion.
+    Raises honestly on the profiles that genuinely need libjpeg:
+    nonzero AC coefficients, progressive frames, subsampled chroma,
+    restart intervals."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     i = 2
     qtables: dict[int, bytes] = {}
     htables: dict[tuple[int, int], dict] = {}
-    dims = comp_q = None
-    scan_dc = scan_ac = None
+    dims = None
+    comps: list = []
+    scan_tables = None
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError("marker expected")
@@ -1550,43 +1566,72 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
         elif marker == 0xC0:
             h, w = struct.unpack(">HH", payload[1:5])
             ncomp = payload[5]
-            if ncomp != 1:
-                raise NotImplementedError(
-                    "color JPEG needs IDCT + chroma upsampling (libjpeg)"
-                )
-            comp_q = payload[8]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG")
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma needs upsampling (libjpeg)"
+                    )
+                comps.append((cid, tq))
             dims = (h, w)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("only baseline sequential JPEG")
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals")
         elif marker == 0xDA:
-            scan_dc = htables[(0, payload[2] >> 4)]
-            scan_ac = htables[(1, payload[2] & 0x0F)]
+            ns = payload[0]
+            scan_tables = []
+            for c in range(ns):
+                td_ta = payload[2 + 2 * c]
+                scan_tables.append(
+                    (htables[(0, td_ta >> 4)], htables[(1, td_ta & 0x0F)])
+                )
             scan_start = i
             break
-    if dims is None or scan_dc is None:
+    if dims is None or scan_tables is None:
         raise ValueError("incomplete JPEG header")
     h, w = dims
     end = b.rfind(b"\xff\xd9")
     reader = _JpegBitReader(b[scan_start:end])
-    q00 = qtables[comp_q][0]
+    ncomp = len(comps)
     bh, bw_ = -(-h // 8), -(-w // 8)
-    out = np.empty((bh * 8, bw_ * 8), dtype=np.uint8)
-    pred = 0
+    planes = [
+        np.empty((bh * 8, bw_ * 8), dtype=np.int64) for _ in range(ncomp)
+    ]
+    preds = [0] * ncomp
     for by in range(bh):
         for bx in range(bw_):
-            size = reader.huff(scan_dc)
-            pred += _jpeg_extend(reader.bits(size), size)
-            rs = reader.huff(scan_ac)
-            if rs != 0x00:
-                raise NotImplementedError(
-                    "nonzero AC coefficients need an IDCT (libjpeg)"
+            # interleaved MCU: one 8x8 block per component (1x1
+            # sampling), each with its own DC predictor chain
+            for ci in range(ncomp):
+                scan_dc, scan_ac = scan_tables[ci]
+                size = reader.huff(scan_dc)
+                preds[ci] += _jpeg_extend(reader.bits(size), size)
+                rs = reader.huff(scan_ac)
+                if rs != 0x00:
+                    raise NotImplementedError(
+                        "nonzero AC coefficients need an IDCT (libjpeg)"
+                    )
+                q00 = qtables[comps[ci][1]][0]
+                # round(dc*q00/8) + 128
+                val = (2 * preds[ci] * q00 + 8) // 16 + 128
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = max(
+                    0, min(255, val)
                 )
-            val = (2 * pred * q00 + 8) // 16 + 128  # round(dc*q00/8)+128
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = max(0, min(255, val))
-    gray = out[:h, :w]
-    return np.repeat(gray[:, :, None], 3, axis=2)
+    if ncomp == 1:
+        gray = planes[0][:h, :w].astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    y = planes[0][:h, :w]
+    cb = planes[1][:h, :w] - 128
+    cr = planes[2][:h, :w] - 128
+    r = y + ((91881 * cr + 32768) >> 16)
+    g = y + ((-22554 * cb - 46802 * cr + 32768) >> 16)
+    bl = y + ((116130 * cb + 32768) >> 16)
+    rgb = np.dstack([r, g, bl]).clip(0, 255).astype(np.uint8)
+    return rgb
 
 
 _PIXEL_DECODERS["image/jpeg"] = decode_jpeg_dc
@@ -1625,6 +1670,111 @@ def attach_real_jpeg_payload(
             mods, payloads = [], []
             for doc_id in pdf["doc_id"]:
                 m, p = gradient_jpeg_image(int(doc_id))
+                mods.append(m)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": mods, "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        process, gen_schema
+    )
+
+
+def encode_jpeg_dc_color(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, q00: int = 8
+) -> bytes:
+    """Block-constant YCbCr planes -> baseline JFIF with an
+    interleaved 3-component scan (1x1 sampling, shared quant and
+    Huffman tables — spec-legal). DC-only like the grayscale
+    encoder; per-component DC predictor chains."""
+    h, w = y.shape
+    if h % 8 or w % 8:
+        raise ValueError("DC-only fixture needs multiple-of-8 dims")
+    dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    eob_len, eob_code = ac_map[0x00]
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+    planes = (y, cb, cr)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for ci, plane in enumerate(planes):
+                v = int(plane[by * 8, bx * 8])
+                dc = (8 * (v - 128)) // q00
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                mag = abs(diff)
+                size = mag.bit_length()
+                ln, code = dc_map[size]
+                bw.put(code, ln)
+                if size:
+                    amp = diff if diff > 0 else diff + (1 << size) - 1
+                    bw.put(amp, size)
+                bw.put(eob_code, eob_len)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([q00] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def gradient_jpeg_color_image(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic block-constant COLOR JPEG: w = 8*(2+id%3),
+    h = 8*(1+(id//3)%2); block (bx, by) YCbCr =
+    ((id+23bx+41by)%256, (3id+29bx+7by)%256, (5id+13bx+31by)%256).
+    The decoder's fixed-point YCbCr->RGB is documented integer math,
+    so per-channel sums are SQL-predictable."""
+    w = 8 * (2 + doc_id % 3)
+    h = 8 * (1 + (doc_id // 3) % 2)
+
+    def plane(f):
+        out = np.empty((h, w), dtype=np.uint8)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = f(bx, by) % 256
+        return out
+
+    y = plane(lambda bx, by: doc_id + 23 * bx + 41 * by)
+    cb = plane(lambda bx, by: 3 * doc_id + 29 * bx + 7 * by)
+    cr = plane(lambda bx, by: 5 * doc_id + 13 * bx + 31 * by)
+    return "image/jpeg", encode_jpeg_dc_color(y, cb, cr)
+
+
+def attach_real_jpeg_color_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL color DC-only JPEG payloads manufactured distributively."""
+    gen_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mods, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                m, p = gradient_jpeg_color_image(int(doc_id))
                 mods.append(m)
                 payloads.append(p)
             yield pd.DataFrame(

@@ -693,3 +693,68 @@ QUERIES.append(
         "real DC-only baseline JPEG decode (T.81 entropy layer) -> exact sums",
     )
 )
+
+
+def mm_jpeg_color_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR baseline-JPEG decode under the exact gate: interleaved
+    3-component scans (1x1 sampling, per-component DC prediction
+    chains) with the YCbCr->RGB conversion in documented 2^16
+    fixed-point integer math — so the oracle replays marker parse,
+    three Huffman chains, AND the color conversion formula per
+    block. Subsampled-chroma profiles still raise honestly (that is
+    where real upsampling interpolation starts)."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_jpeg_color_payload,
+        pixel_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pixel_stats(attach_real_jpeg_color_payload(docs))
+
+
+# fixed-point conversion replayed per block; fd(x) = FLOOR(x/65536)
+MM_JPEG_COLOR_SQL = """
+WITH g AS (
+  SELECT x.g AS bx, y.g AS by
+  FROM generate_series(0, 3) x(g), generate_series(0, 1) y(g)
+),
+blocks AS (
+  SELECT d.doc_id, g.bx, g.by,
+    (d.doc_id + 23 * g.bx + 41 * g.by) % 256 AS yv,
+    (3 * d.doc_id + 29 * g.bx + 7 * g.by) % 256 - 128 AS cbv,
+    (5 * d.doc_id + 13 * g.bx + 31 * g.by) % 256 - 128 AS crv
+  FROM documents d CROSS JOIN g
+  WHERE g.bx < 2 + d.doc_id % 3 AND g.by < 1 + (d.doc_id // 3) % 2
+),
+px AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0,
+      yv + CAST(FLOOR((91881 * crv + 32768) / 65536.0) AS BIGINT))) AS r,
+    LEAST(255, GREATEST(0,
+      yv + CAST(FLOOR((-22554 * cbv - 46802 * crv + 32768) / 65536.0)
+                AS BIGINT))) AS gg,
+    LEAST(255, GREATEST(0,
+      yv + CAST(FLOOR((116130 * cbv + 32768) / 65536.0) AS BIGINT))) AS b
+  FROM blocks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  'image/jpeg' AS modality,
+  CAST(8 * (1 + (doc_id // 3) % 2) AS BIGINT) AS height,
+  CAST(8 * (2 + doc_id % 3) AS BIGINT) AS width,
+  CAST(64 * (2 + doc_id % 3) * (1 + (doc_id // 3) % 2) AS BIGINT)
+    AS n_pixels,
+  CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+  CAST(64 * SUM(gg) AS BIGINT) AS sum_g,
+  CAST(64 * SUM(b) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "mm_jpeg_color_stats",
+        mm_jpeg_color_stats_q,
+        MM_JPEG_COLOR_SQL,
+        "color DC-only JPEG: 3 Huffman chains + fixed-point YCbCr->RGB, exact",
+    )
+)

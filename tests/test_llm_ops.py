@@ -1343,3 +1343,56 @@ def test_jpeg_dc_codec_exact_blocks():
     assert (px[:, :8, 0] == 200).all()
     assert (px[:, 8:16, 0] == 3).all()
     assert (px[:, 16:, 0] == 255).all()
+
+
+def test_jpeg_color_dc_fixed_point_conversion():
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_jpeg_dc,
+        encode_jpeg_dc_color,
+    )
+
+    h, w = 16, 24
+
+    def plane(f):
+        out = np.empty((h, w), dtype=np.uint8)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = f(bx, by) % 256
+        return out
+
+    y = plane(lambda bx, by: 40 + 50 * bx + 30 * by)
+    cb = plane(lambda bx, by: 10 + 70 * bx)
+    cr = plane(lambda bx, by: 200 + 90 * by)
+    px = decode_jpeg_dc(encode_jpeg_dc_color(y, cb, cr))
+
+    def expect(Y, Cb, Cr):
+        c_b, c_r = Cb - 128, Cr - 128
+        r = Y + ((91881 * c_r + 32768) >> 16)
+        g = Y + ((-22554 * c_b - 46802 * c_r + 32768) >> 16)
+        b = Y + ((116130 * c_b + 32768) >> 16)
+        return [max(0, min(255, v)) for v in (r, g, b)]
+
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            got = px[by * 8, bx * 8].tolist()
+            want = expect(
+                int(y[by * 8, bx * 8]),
+                int(cb[by * 8, bx * 8]),
+                int(cr[by * 8, bx * 8]),
+            )
+            assert got == want
+    # subsampled chroma stays honestly gated
+    import pytest as _pytest
+    import struct as _st
+
+    sub = (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + _st.pack(">H", 17)
+        + _st.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_dc(sub)
