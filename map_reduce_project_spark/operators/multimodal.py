@@ -1784,3 +1784,212 @@ def attach_real_jpeg_color_payload(
     return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
         process, gen_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL FLAC decode — constant-subframe tier. FLAC's container and
+# integrity layers are pure integer bitstream work: STREAMINFO
+# parsing, frame-sync + header field codes, UTF-8-coded frame
+# numbers, CRC-8 (poly 0x07) over the header and CRC-16 (poly
+# 0x8005) over the whole frame — both VERIFIED, not skipped. The
+# CONSTANT subframe (type 0) carries one signed sample value for the
+# whole block, so a "held tones" stream decodes exactly with no DSP;
+# the LPC/rice tiers are the honest boundary (that is where real
+# audio modeling starts). Mono 16-bit.
+# ---------------------------------------------------------------------------
+
+
+def _crc8_flac(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _BitWriterMSB:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.out)
+
+
+def encode_flac_constant(
+    frame_values: list[int], blocksize: int = 256, rate_code: int = 0b1001
+) -> bytes:
+    """Mono 16-bit FLAC whose every frame is one CONSTANT subframe of
+    ``blocksize`` samples (value per frame from ``frame_values``,
+    signed 16-bit). Real container: STREAMINFO + per-frame CRC-8 and
+    CRC-16. blocksize must be 256 (header code 0b1000)."""
+    if blocksize != 256:
+        raise ValueError("fixture encoder emits blocksize 256 only")
+    total = blocksize * len(frame_values)
+    out = bytearray(b"fLaC")
+    info = bytearray()
+    info += struct.pack(">HH", blocksize, blocksize)
+    info += b"\x00\x00\x00" * 2  # min/max framesize unknown
+    rate = 44100
+    packed = (rate << 44) | ((1 - 1) << 41) | ((16 - 1) << 36) | total
+    info += packed.to_bytes(8, "big")
+    info += b"\x00" * 16  # md5 unset
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+    for fno, v in enumerate(frame_values):
+        bw = _BitWriterMSB()
+        bw.put(0b11111111111110, 14)
+        bw.put(0, 1)  # reserved
+        bw.put(0, 1)  # fixed blocksize strategy
+        bw.put(0b1000, 4)  # blocksize 256
+        bw.put(rate_code, 4)  # 44.1 kHz
+        bw.put(0b0000, 4)  # mono
+        bw.put(0b100, 3)  # 16 bps
+        bw.put(0, 1)  # reserved
+        if fno > 0x7F:
+            raise ValueError("fixture encoder: frame number < 128")
+        bw.put(fno, 8)  # UTF-8 single byte
+        bw.align()
+        header = bw.bytes()
+        frame = bytearray(header)
+        frame.append(_crc8_flac(header))
+        bw2 = _BitWriterMSB()
+        bw2.put(0, 1)  # subframe padding bit
+        bw2.put(0, 6)  # type: CONSTANT
+        bw2.put(0, 1)  # no wasted bits
+        bw2.put(v & 0xFFFF, 16)  # the constant sample
+        bw2.align()
+        frame += bw2.bytes()
+        frame += struct.pack(">H", _crc16_flac(bytes(frame)))
+        out += bytes(frame)
+    return bytes(out)
+
+
+class _BitReaderMSB:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.bitpos = pos * 8
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            byte = self.data[self.bitpos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
+            self.bitpos += 1
+        return v
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    def bytepos(self) -> int:
+        return self.bitpos >> 3
+
+
+def decode_flac_constant(b: bytes) -> np.ndarray:
+    """REAL FLAC decode of the constant-subframe tier: STREAMINFO,
+    frame sync walk, header field decode, UTF-8 frame numbers, and
+    BOTH CRCs verified per frame. Returns int16 samples. Raises
+    honestly at the tiers that need real DSP: VERBATIM/FIXED/LPC
+    subframes, stereo decorrelation, non-16 bps."""
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    blocksize = None
+    while True:
+        hdr = b[pos]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        length = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        if btype == 0:
+            info = b[pos + 4 : pos + 4 + length]
+            blocksize = struct.unpack(">H", info[0:2])[0]
+            packed = int.from_bytes(info[10:18], "big")
+            channels = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            if channels != 1 or bps != 16:
+                raise NotImplementedError(
+                    "stereo decorrelation / non-16bps need the DSP tier"
+                )
+        pos += 4 + length
+        if last:
+            break
+    if blocksize is None:
+        raise ValueError("missing STREAMINFO")
+    samples: list[int] = []
+    while pos < len(b) and len(samples) < total:
+        r = _BitReaderMSB(b, pos)
+        if r.bits(14) != 0b11111111111110:
+            raise ValueError("lost FLAC frame sync")
+        r.bits(1)
+        r.bits(1)
+        bs_code = r.bits(4)
+        if bs_code != 0b1000:
+            raise NotImplementedError("fixture tier reads blocksize-256 frames")
+        r.bits(4)  # rate code (from STREAMINFO otherwise)
+        if r.bits(4) != 0:
+            raise NotImplementedError("stereo decorrelation")
+        if r.bits(3) != 0b100:
+            raise NotImplementedError("non-16bps")
+        r.bits(1)
+        first = r.bits(8)
+        if first > 0x7F:
+            raise NotImplementedError("multi-byte UTF-8 frame numbers")
+        r.align()
+        header = b[pos : r.bytepos()]
+        crc8 = r.bits(8)
+        if crc8 != _crc8_flac(header):
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        r.bits(1)
+        stype = r.bits(6)
+        if stype != 0:
+            raise NotImplementedError(
+                "VERBATIM/FIXED/LPC subframes need the DSP tier"
+            )
+        if r.bits(1):
+            raise NotImplementedError("wasted bits")
+        raw = r.bits(16)
+        v = raw - 0x10000 if raw >= 0x8000 else raw
+        r.align()
+        body_end = r.bytepos()
+        crc16 = r.bits(16)
+        if crc16 != _crc16_flac(b[pos:body_end]):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        samples.extend([v] * 256)
+        pos = r.bytepos()
+    return np.asarray(samples[:total], dtype=np.int16)
+
+
+def tone_flac_audio(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic held-tone FLAC: 2 + id%3 frames of 256 samples,
+    frame f holds (7*id + 13*f) % 4096 - 2048 — sums/extrema are
+    SQL-predictable."""
+    n_frames = 2 + doc_id % 3
+    vals = [(7 * doc_id + 13 * f) % 4096 - 2048 for f in range(n_frames)]
+    return "audio/flac", encode_flac_constant(vals)

@@ -203,6 +203,7 @@ def all_queries() -> dict[str, Query]:
         "mm_jpeg_pixel_stats",
         "betweenness_evidence",
         "mm_jpeg_color_stats",
+        "mm_flac_audio_stats",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

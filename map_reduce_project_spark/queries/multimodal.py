@@ -758,3 +758,84 @@ QUERIES.append(
         "color DC-only JPEG: 3 Huffman chains + fixed-point YCbCr->RGB, exact",
     )
 )
+
+
+def mm_flac_audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode under the exact gate — the constant-subframe
+    tier, where FLAC's container and INTEGRITY layers are pure
+    integers: STREAMINFO, frame sync, header field codes, and both
+    CRCs (8 over the header, 16 over the frame) verified per frame
+    (a corrupted payload raises, pinned by test). Held-tone fixtures
+    (2-4 frames of 256 constant samples each) make the stream stats
+    SQL-predictable; LPC/rice/stereo tiers raise honestly — that is
+    where real audio DSP starts."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_flac_constant,
+        tone_flac_audio,
+    )
+
+    import pandas as pd
+
+    docs = read_table(spark, sf_dir, "documents").selectExpr(
+        "CAST(doc_id AS LONG) AS doc_id"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("sum_samples", LongType()),
+            StructField("min_sample", LongType()),
+            StructField("max_sample", LongType()),
+        ]
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                _, payload = tone_flac_audio(int(doc_id))
+                s = decode_flac_constant(payload)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": len(s),
+                        "sum_samples": int(s.sum()),
+                        "min_sample": int(s.min()),
+                        "max_sample": int(s.max()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(stats, schema)
+
+
+# frame f in 0..(2+id%3)-1 holds (7id+13f)%4096-2048 for 256 samples
+MM_FLAC_SQL = """
+WITH f AS (SELECT g AS f FROM generate_series(0, 4) t(g)),
+vals AS (
+  SELECT d.doc_id, (7 * d.doc_id + 13 * f.f) % 4096 - 2048 AS v
+  FROM documents d JOIN f ON f.f < 2 + d.doc_id % 3
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(256 * COUNT(*) AS BIGINT) AS n_samples,
+  CAST(256 * SUM(v) AS BIGINT) AS sum_samples,
+  CAST(MIN(v) AS BIGINT) AS min_sample,
+  CAST(MAX(v) AS BIGINT) AS max_sample
+FROM vals
+GROUP BY doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "mm_flac_audio_stats",
+        mm_flac_audio_stats_q,
+        MM_FLAC_SQL,
+        "real FLAC constant-subframe decode with verified CRCs -> exact stats",
+    )
+)

@@ -1396,3 +1396,29 @@ def test_jpeg_color_dc_fixed_point_conversion():
     )
     with _pytest.raises(NotImplementedError):
         decode_jpeg_dc(sub)
+
+
+def test_flac_constant_codec_and_crc_verification():
+    from map_reduce_project_spark.operators.multimodal import (
+        _crc8_flac,
+        decode_flac_constant,
+        tone_flac_audio,
+    )
+
+    assert _crc8_flac(b"123456789") == 0xF4  # published poly-0x07 vector
+    for did in (0, 5, 137):
+        _, payload = tone_flac_audio(did)
+        s = decode_flac_constant(payload)
+        nf = 2 + did % 3
+        assert len(s) == 256 * nf
+        for f in range(nf):
+            assert (s[f * 256 : (f + 1) * 256]
+                    == (7 * did + 13 * f) % 4096 - 2048).all()
+    # a flipped sample bit parses fine but MUST fail the frame CRC-16
+    import pytest as _pytest
+
+    _, payload = tone_flac_audio(3)
+    bad = bytearray(payload)
+    bad[-4] ^= 0x01
+    with _pytest.raises(ValueError, match="CRC-16"):
+        decode_flac_constant(bytes(bad))
