@@ -827,6 +827,15 @@ def k_truss(
             break
         cur = kept.select("src", "dst")
         n_cur = n_new
+    else:
+        # exhausting the budget without a fixed point would return
+        # supports computed against a larger edge set — an invalid
+        # truss indistinguishable from a correct one; fail loudly
+        raise ValueError(
+            f"k_truss did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds (peeling cascades can be long on chains "
+            "of dependent triangles)"
+        )
     return kept.select("src", "dst", "support")
 
 
@@ -861,7 +870,13 @@ def shortest_path_counts(
         CheckpointCycler,
     )
 
-    und = canonical_undirected(edges).withColumnRenamed("src", "node")
+    # pin the adjacency: it feeds EVERY DP level's join, and without
+    # the checkpoint each level re-runs canonical_pairs' dedup shuffle
+    und = (
+        canonical_undirected(edges)
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
     dist = per_seed_bfs(edges, seeds, max_hops).localCheckpoint(eager=True)
 
     level = (

@@ -1194,6 +1194,8 @@ def _gif_lzw_decompress(data: bytes, cs: int) -> bytes:
         if code == eoi:
             return bytes(out)
         if prev is None:
+            if code not in table:
+                raise ValueError(f"corrupt LZW stream: code {code}")
             entry = table[code]
         elif code in table:
             entry = table[code]
@@ -1292,9 +1294,10 @@ _PIXEL_DECODERS["image/gif"] = _decode_gif_pixels
 
 def gradient_gif_image(doc_id: int) -> tuple[str, bytes]:
     """Deterministic gradient GIF for the oracle gate: w = 16 + id %
-    16, h = 12 + (id // 16) % 8 (300-600 pixels, enough for the LZW
-    code width to grow past 9 bits so the variable-width machinery is
-    actually exercised); palette entry i = (i, 7i % 256, 13i % 256);
+    16, h = 12 + (id // 16) % 8 (192-589 pixels; the larger ids grow
+    the LZW code width past its initial 9 bits — the width-bump path
+    itself is separately pinned by the codec unit tests for every
+    size); palette entry i = (i, 7i % 256, 13i % 256);
     pixel index (x, y) = (id + 3x + 5y) % 256 — channel sums are
     SQL-predictable from the composed formulas."""
     w = 16 + doc_id % 16
@@ -1479,6 +1482,8 @@ class _JpegBitReader:
                 nxt = self.data[self.pos] if self.pos < len(self.data) else None
                 if nxt == 0x00:
                     self.pos += 1  # unstuff
+                elif nxt is None:
+                    raise ValueError("JPEG scan truncated at 0xFF")
                 else:
                     raise ValueError(f"unexpected marker in scan: FF {nxt:02x}")
             self.acc = byte

@@ -130,8 +130,13 @@ def count_min_estimate(
         .fillna(0, subset=["cnt"])
         .groupBy(key_col)
         .agg(F.min("cnt").cast("long").alias("cm_est"))
-    )
-    return probes.join(est, key_col, "left")
+    ).withColumnRenamed(key_col, "_cm_key")
+    # null-SAFE join back: a NULL probe key is a real group (its
+    # hashes are NULL -> no cell matches -> estimate 0) and must not
+    # fall out of an equi-join as a NULL verdict
+    return probes.join(
+        est, F.col(key_col).eqNullSafe(F.col("_cm_key")), "left"
+    ).drop("_cm_key")
 
 
 def bloom_bits(
@@ -207,5 +212,9 @@ def bloom_probe(
                 "bloom_hit"
             )
         )
-    )
-    return probes.join(hits, key_col, "left")
+    ).withColumnRenamed(key_col, "_bl_key")
+    # null-safe join back (same reason as count_min_estimate): a NULL
+    # key's verdict is a concrete False, never a NULL
+    return probes.join(
+        hits, F.col(key_col).eqNullSafe(F.col("_bl_key")), "left"
+    ).drop("_bl_key")

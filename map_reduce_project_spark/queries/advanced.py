@@ -1998,15 +1998,16 @@ QUERIES.append(
 def sketch_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter extraction THROUGH the count-min sketch — the
     serving pattern the CM table exists for: estimate every distinct
-    token of the corpus against the broadcast 4x64 table and keep the
-    ones whose estimate clears 2% of total token mass. The CM
+    token of the corpus against the broadcast 4x16 table and keep the
+    ones whose estimate clears 1/30 of total token mass. The CM
     never-undercounts guarantee makes the result a provable SUPERSET
     of the true heavy hitters (every true HH is present;
     ``is_true_hh`` exposes the collision-driven false-positive tail,
-    the price of a constant-size sketch). The threshold test is exact
-    integer cross-multiplication (est*50 >= total), and the sketch is
-    md5-bit-exact cross-engine, so the whole verdict set is
-    hash-gated."""
+    the price of a constant-size sketch — the 4x16 sizing is
+    deliberately tight so BOTH verdict kinds appear at gate scale).
+    The threshold test is exact integer cross-multiplication
+    (est*30 >= total), and the sketch is md5-bit-exact cross-engine,
+    so the whole verdict set is hash-gated."""
     from map_reduce_project_spark.operators.sketches import (
         count_min_estimate,
         count_min_table,

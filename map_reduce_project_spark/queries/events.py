@@ -1887,15 +1887,20 @@ QUERIES.append(
 def ev_chisq_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test cells for event_type x part-of-day
     (hour div 6): the pre-launch check that event mix is (not) uniform
-    across the day. Emitted PER CELL in exact integers —
-    num = (n*o - r*c)^2 and den = n*r*c are pure int64 (bounds: n,o,
-    r,c <= 1e5 at gate scale, so num <= ~1e16 < 2^63), and ``contrib``
-    = num/den is one IEEE division per row; the chi2 statistic is the
-    consumer's sum. Summing engine-side would hash-drift (float
-    summation order), which is why the gate hashes the CELLS. The
-    full type x bucket grid is materialized (broadcast cross of two
-    tiny distinct lists) so structurally-zero cells carry their
-    expected-count term instead of vanishing."""
+    across the day. Emitted PER CELL: ``num_signed`` = n*o - r*c is
+    exact int64 (|d| <= n^2, safe to ~3e9 input rows), and
+    ``contrib`` = d^2/(n*r*c) is computed entirely in double with
+    PINNED association ((d*d)/((n*r)*c)) — every operand is an exact
+    int-to-double cast, so both engines run the identical IEEE
+    sequence. (The obvious all-int64 d^2 and n*r*c pair would wrap
+    silently in Spark past ~2e5 rows — non-ANSI long multiplication —
+    while DuckDB errors; doubles keep the engines symmetric.) The
+    chi2 statistic is the consumer's sum; an engine-side float sum
+    would hash-drift on reduction order, which is why the gate hashes
+    the CELLS. The full type x bucket grid is pinned with one
+    localCheckpoint so its four margin consumers share a single scan,
+    and structurally-zero cells carry their expected-count term
+    instead of vanishing."""
     ev = read_table(spark, sf_dir, "events")
     cells = ev.select(
         "event_type",
@@ -1909,8 +1914,10 @@ def ev_chisq_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .crossJoin(cells.select("bucket").distinct())
     )
-    full = grid.join(obs, ["event_type", "bucket"], "left").fillna(
-        0, subset=["o"]
+    full = (
+        grid.join(obs, ["event_type", "bucket"], "left")
+        .fillna(0, subset=["o"])
+        .localCheckpoint(eager=True)
     )
     r = full.groupBy("event_type").agg(F.sum("o").alias("r"))
     c = full.groupBy("bucket").agg(F.sum("o").alias("c"))
@@ -1921,16 +1928,16 @@ def ev_chisq_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
     )
     d = F.col("n") * F.col("o") - F.col("r") * F.col("c")
+    dd = d.cast("double")
+    den = (
+        F.col("n").cast("double") * F.col("r").cast("double")
+    ) * F.col("c").cast("double")
     return withm.select(
         "event_type",
         "bucket",
         "o",
-        (d * d).cast("long").alias("num"),
-        (F.col("n") * F.col("r") * F.col("c")).cast("long").alias("den"),
-        (
-            (d * d).cast("double")
-            / (F.col("n") * F.col("r") * F.col("c")).cast("double")
-        ).alias("contrib"),
+        d.cast("long").alias("num_signed"),
+        ((dd * dd) / den).alias("contrib"),
     )
 
 
@@ -1955,10 +1962,11 @@ r AS (SELECT event_type, SUM(o) AS r FROM filled GROUP BY 1),
 c AS (SELECT bucket, SUM(o) AS c FROM filled GROUP BY 1),
 tot AS (SELECT SUM(o) AS n FROM filled)
 SELECT f.event_type, f.bucket, f.o,
-  CAST((tot.n * f.o - r.r * c.c) * (tot.n * f.o - r.r * c.c) AS BIGINT) AS num,
-  CAST(tot.n * r.r * c.c AS BIGINT) AS den,
-  CAST((tot.n * f.o - r.r * c.c) * (tot.n * f.o - r.r * c.c) AS DOUBLE)
-    / CAST(tot.n * r.r * c.c AS DOUBLE) AS contrib
+  CAST(tot.n * f.o - r.r * c.c AS BIGINT) AS num_signed,
+  (CAST(tot.n * f.o - r.r * c.c AS DOUBLE)
+     * CAST(tot.n * f.o - r.r * c.c AS DOUBLE))
+    / ((CAST(tot.n AS DOUBLE) * CAST(r.r AS DOUBLE)) * CAST(c.c AS DOUBLE))
+    AS contrib
 FROM filled f
 JOIN r USING (event_type)
 JOIN c USING (bucket)
@@ -1970,6 +1978,6 @@ QUERIES.append(
         "ev_chisq_cells",
         ev_chisq_cells_q,
         EV_CHISQ_SQL,
-        "chi-square independence cells in exact integers (num/den per cell)",
+        "chi-square independence cells: exact int64 d + pinned-IEEE contrib",
     )
 )

@@ -587,8 +587,9 @@ def mm_gif_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     GIF89a files (real variable-width LZW — the decoder is pinned
     against the canonical 1x1 spec example, so the encoder cannot
     hide a mutually-cancelling bug behind the round trip) built
-    distributively from doc_id, 300-600 pixels each so the LZW code
-    width genuinely grows past its initial 9 bits. Palette entry i =
+    distributively from doc_id (192-589 pixels; the larger ids push
+    the LZW code width past its initial 9 bits, and the width-bump
+    machinery is separately pinned by codec unit tests). Palette entry i =
     (i, 7i%256, 13i%256), pixel index (x,y) = (id+3x+5y)%256, so the
     decoded channel sums compose two formulas the oracle replays; a
     wrong width-bump rule or KwKwK case is a hash mismatch."""

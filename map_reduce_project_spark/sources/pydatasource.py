@@ -95,7 +95,7 @@ class SyntheticTelemetrySource(DataSource):
         return _TelemetryStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> "DataSourceWriter":
-        return _JsonlWriter(self.options)
+        return _JsonlWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:
@@ -159,11 +159,17 @@ class _JsonlWriter(DataSourceWriter):
     this seam (Spark calls ``commit`` once, with one message per
     SUCCESSFUL task)."""
 
-    def __init__(self, options: dict) -> None:
+    def __init__(
+        self, options: dict, schema: StructType, overwrite: bool
+    ) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("synthetic_telemetry writer needs option 'path'")
         self.path = path
+        # the WRITTEN DataFrame's schema, not SCHEMA_DDL: a caller may
+        # reorder/project columns and rows arrive in ITS order
+        self.cols = [f.name for f in schema.fields]
+        self.overwrite = overwrite
 
     def write(self, iterator) -> "_JsonlCommitMessage":
         import json as _json
@@ -172,15 +178,20 @@ class _JsonlWriter(DataSourceWriter):
 
         os.makedirs(self.path, exist_ok=True)
         tmp = f"part-{uuid.uuid4().hex}.jsonl.tmp"
-        cols = [c.strip().split(" ")[0] for c in SCHEMA_DDL.split(",")]
         with open(os.path.join(self.path, tmp), "w") as f:
             for row in iterator:
-                f.write(_json.dumps(dict(zip(cols, row))) + "\n")
+                f.write(_json.dumps(dict(zip(self.cols, row))) + "\n")
         return _JsonlCommitMessage(tmp)
 
     def commit(self, messages) -> None:
         import os
 
+        if self.overwrite:
+            # overwrite semantics resolve at COMMIT time: drop every
+            # previously committed file, then reveal this write's set
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, name))
         for m in messages:
             src = os.path.join(self.path, m.tmp_name)
             os.rename(src, src[: -len(".tmp")])

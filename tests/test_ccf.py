@@ -325,3 +325,17 @@ def test_k_truss_rejects_k_below_3(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with _pytest.raises(ValueError):
         k_truss(edges, k=2)
+
+
+def test_k_truss_raises_when_rounds_exhausted(spark):
+    import pytest as _pytest
+
+    from map_reduce_project_spark.graph.analytics import k_truss
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    # max_rounds=0 can never reach a verified fixed point: the
+    # contract is fail-loud, never supports-from-a-larger-edge-set
+    with _pytest.raises(ValueError, match="did not converge"):
+        k_truss(edges, k=3, max_rounds=0)

@@ -1422,3 +1422,21 @@ def test_flac_constant_codec_and_crc_verification():
     bad[-4] ^= 0x01
     with _pytest.raises(ValueError, match="CRC-16"):
         decode_flac_constant(bytes(bad))
+
+
+def test_codec_error_contracts_on_corrupt_input():
+    import pytest as _pytest
+
+    from map_reduce_project_spark.operators.multimodal import (
+        _gif_lzw_decompress,
+        _JpegBitReader,
+    )
+
+    # a scan ending on a bare 0xFF must raise the decoder's ValueError
+    # contract, not a TypeError from formatting None (regression)
+    with _pytest.raises(ValueError, match="truncated"):
+        _JpegBitReader(b"\xff").bit()
+    # a first code past the table range must be the decoder's
+    # 'corrupt LZW stream' ValueError, not a bare KeyError (regression)
+    with _pytest.raises(ValueError, match="corrupt LZW"):
+        _gif_lzw_decompress(b"\xff\xff\xff", 8)

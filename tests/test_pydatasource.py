@@ -99,3 +99,35 @@ def test_writer_requires_path_option(spark):
 
     with _pytest.raises((Py4JJavaError, PySparkException, Exception)):
         df.write.format("synthetic_telemetry").mode("append").save()
+
+
+def test_writer_respects_dataframe_column_order_and_overwrite(spark, tmp_path):
+    from map_reduce_project_spark.sources.pydatasource import (
+        SCHEMA_DDL,
+        register,
+        telemetry_row,
+    )
+
+    register(spark)
+    out = str(tmp_path / "sink2")
+    df = (
+        spark.read.format("synthetic_telemetry")
+        .option("n_rows", 20)
+        .option("n_partitions", 2)
+        .load()
+    )
+    # REORDERED projection: values must land under the right JSON keys
+    df.select("metric", "reading", "row_id", "device").write.format(
+        "synthetic_telemetry"
+    ).option("path", out).mode("append").save()
+    back = spark.read.schema(SCHEMA_DDL).json(f"{out}/*.jsonl")
+    got = {
+        (r["row_id"], r["device"], r["metric"], r["reading"])
+        for r in back.collect()
+    }
+    assert got == {telemetry_row(i) for i in range(20)}
+    # mode=overwrite replaces the committed generation, not appends
+    df.write.format("synthetic_telemetry").option("path", out).mode(
+        "overwrite"
+    ).save()
+    assert spark.read.schema(SCHEMA_DDL).json(f"{out}/*.jsonl").count() == 20

@@ -79,3 +79,21 @@ def test_bloom_rejects_most_non_members_when_sized(spark):
     )
     # ~250 set bits of 4096 -> fp rate (250/4096)^5 ~ 1e-6
     assert fp.count() <= 2
+
+
+def test_probes_with_null_keys_get_concrete_verdicts(spark):
+    # NULL is a real probe key: its hashes are NULL, no cell/bit can
+    # match, so the verdict is a concrete 0 / False — an equi-join
+    # back would silently drop it to NULL (regression)
+    members = spark.range(50).selectExpr("CAST(id AS STRING) AS k")
+    bits = bloom_bits(members, "k", n_bits=1024, n_hashes=5)
+    probes = spark.createDataFrame([("1",), (None,)], "k string")
+    rows = {r["k"]: r["bloom_hit"] for r in
+            bloom_probe(bits, probes, "k", n_bits=1024, n_hashes=5).collect()}
+    assert rows["1"] is True
+    assert rows[None] is False
+    cm = count_min_table(members, "k", depth=4, width=32)
+    est = {r["k"]: r["cm_est"] for r in
+           count_min_estimate(cm, probes, "k", depth=4, width=32).collect()}
+    assert est["1"] >= 1
+    assert est[None] == 0
