@@ -204,6 +204,9 @@ def all_queries() -> dict[str, Query]:
         "betweenness_evidence",
         "mm_jpeg_color_stats",
         "mm_flac_audio_stats",
+        "q87_join_ivm",
+        "q88_agg_ivm",
+        "sample_bottom_k",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -2120,3 +2120,119 @@ QUERIES.append(
         "custom DataSource writer (2-phase commit JSONL) round trip vs LCG oracle",
     )
 )
+
+
+def q87_join_ivm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance hash-proven equal to the full
+    rebuild — the delta rule every streaming/materialized-view engine
+    implements: with base tables split into old + delta (orders and
+    lineitem arriving after '2001-06-01' are "today's batch"),
+    new(R join S) = old_R join old_S  UNION ALL  dR join old_S
+    UNION ALL  old_R join dS  UNION ALL  dR join dS — three
+    delta-sized joins instead of one full re-join. The gate compares
+    the UNION of the four terms against the oracle's plain full join
+    (per-key revenue agg on top so the result is small and
+    order-free); any missing/duplicated delta term is a hash
+    mismatch. At 100 TB the three delta joins touch only the new
+    partitions plus index lookups into the old side — the difference
+    between a nightly full re-join and minutes."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cut = F.lit("2001-06-01")
+    o_old, o_new = orders.where(F.col("o_orderdate") < cut), orders.where(
+        F.col("o_orderdate") >= cut
+    )
+    l_old, l_new = li.where(F.col("l_shipdate") < cut), li.where(
+        F.col("l_shipdate") >= cut
+    )
+    cond = F.col("o_orderkey") == F.col("l_orderkey")
+    joined = (
+        o_old.join(l_old, cond)
+        .unionByName(o_new.join(l_old, cond))
+        .unionByName(o_old.join(l_new, cond))
+        .unionByName(o_new.join(l_new, cond))
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+Q87_SQL = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+QUERIES.append(
+    Query(
+        "q87_join_ivm",
+        q87_join_ivm_q,
+        Q87_SQL,
+        "join IVM delta rule (old+delta split, 4 terms) == full re-join",
+    )
+)
+
+
+def q88_agg_ivm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AGGREGATE maintenance: the materialized per-nation
+    revenue rollup is maintained by MERGING the old aggregate state
+    with the delta batch's partial aggregate (sums and counts add;
+    no rescan of history), hash-proven equal to the full rebuild.
+    This is the self-maintainable-aggregate property (SUM/COUNT need
+    no base access; MIN/MAX under deletes would) that makes streaming
+    rollups and OLAP cubes cheap to keep fresh."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    cut = F.lit("2001-06-01")
+    base = orders.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        F.col("o_orderdate"),
+    )
+
+    def agg(df):
+        return df.groupBy("nationkey").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("p").alias("s"),
+        )
+
+    old_state = agg(base.where(F.col("o_orderdate") < cut))
+    delta = agg(base.where(F.col("o_orderdate") >= cut))
+    merged = (
+        old_state.unionByName(delta)
+        .groupBy("nationkey")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("s").cast("double").alias("total_revenue"),
+        )
+    )
+    return merged
+
+
+Q88_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+QUERIES.append(
+    Query(
+        "q88_agg_ivm",
+        q88_agg_ivm_q,
+        Q88_SQL,
+        "aggregate IVM: old state merged with delta partials == full rebuild",
+    )
+)

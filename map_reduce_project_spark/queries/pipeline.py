@@ -775,3 +775,44 @@ QUERIES.append(
         "length-curriculum manifest: exact decile stages + salted within-stage order",
     )
 )
+
+
+def sample_bottom_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-SIZE uniform sample without replacement via bottom-k
+    hashing: rank documents by a salted md5 of their id and keep the
+    100 smallest — the deterministic twin of reservoir sampling
+    (Bernoulli samplers give a BINOMIAL size; bottom-k gives exactly
+    k, which is what eval-set carving and sketch-union estimators
+    need). One rank over a content hash — on a cluster this is a
+    top-k (takeOrdered-shaped) aggregation, never a global sort of
+    the corpus; the same hash order is reproducible across engines,
+    retries, and partitionings."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = F.md5(F.concat(F.lit("bk|"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(F.col("_h"), F.col("doc_id"))
+    return (
+        docs.withColumn("_h", h)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 100)
+        .select("doc_id", "n_chars", "rank")
+    )
+
+
+SAMPLE_BOTTOM_K_SQL = """
+SELECT doc_id, n_chars,
+  CAST(ROW_NUMBER() OVER (ORDER BY md5('bk|' || doc_id), doc_id) AS BIGINT)
+    AS rank
+FROM documents
+QUALIFY rank <= 100
+"""
+
+QUERIES.append(
+    Query(
+        "sample_bottom_k",
+        sample_bottom_k_q,
+        SAMPLE_BOTTOM_K_SQL,
+        "bottom-k hash sample: exactly-k uniform draw, reproducible cross-engine",
+    )
+)
