@@ -207,6 +207,8 @@ def all_queries() -> dict[str, Query]:
         "q87_join_ivm",
         "q88_agg_ivm",
         "sample_bottom_k",
+        "text_cooccurrence",
+        "graph_walk_pairs",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1426,3 +1426,90 @@ QUERIES.append(
         "Brandes pair-dependency numerators sigma_st(v), exact int64 composition",
     )
 )
+
+
+def graph_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk skip-gram data prep: (center, context) training pairs
+    from the deterministic random-walk corpus, window 2 — the stage
+    between walk generation and embedding training. Pairs are built
+    by a step-offset self-join of the walk table (walks are short,
+    so the join is per-(start, step) equi-keys, never cross), and the
+    count aggregate is the final co-occurrence multiset. Everything
+    rides the gated md5-draw walks, so the pair multiset is exact
+    cross-engine."""
+    from map_reduce_project_spark.graph.analytics import (
+        deterministic_walks,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    seeds = (
+        li.where(F.col("l_suppkey") % 25 == 0)
+        .select(F.concat(F.lit("s:"), F.col("l_suppkey")).alias("node"))
+        .distinct()
+    )
+    walks = deterministic_walks(
+        _part_supplier_edges(spark, sf_dir), seeds, steps=3
+    )
+    pairs = None
+    for off in (1, 2):
+        ctx = walks.select(
+            "start",
+            (F.col("step") - off).alias("step"),
+            F.col("node").alias("context"),
+        )
+        p = walks.join(ctx, ["start", "step"]).select(
+            F.col("node").alias("center"), "context"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+# the oracle re-derives the same walks (md5 draw per step over the
+# ranked adjacency — the graph_walks oracle's construction) and then
+# window-joins them at offsets 1 and 2
+GRAPH_WALK_PAIRS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), adj AS (
+  SELECT src AS node, dst AS nbr,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+  FROM und
+), deg AS (
+  SELECT node, MAX(rn) AS deg FROM adj GROUP BY 1
+), walk AS (
+  SELECT DISTINCT 's:' || l_suppkey AS start, 's:' || l_suppkey AS node,
+         0 AS step
+  FROM lineitem WHERE l_suppkey % 25 = 0
+  UNION ALL
+  SELECT w.start, a.nbr AS node, w.step + 1 AS step
+  FROM walk w
+  JOIN deg d ON d.node = w.node
+  JOIN adj a ON a.node = w.node
+   AND a.rn = ('0x' || substr(md5('walk|' || w.start || '|' || (w.step + 1)
+               || '|' || w.node), 1, 8))::BIGINT % d.deg + 1
+  WHERE w.step < 3
+),
+pairs AS (
+  SELECT a.node AS center, b.node AS context
+  FROM walk a
+  JOIN (VALUES (1), (2)) o(o) ON TRUE
+  JOIN walk b ON b.start = a.start AND b.step = a.step + o.o
+)
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1, 2
+"""
+
+QUERIES.append(
+    Query(
+        "graph_walk_pairs",
+        graph_walk_pairs,
+        GRAPH_WALK_PAIRS_SQL,
+        "DeepWalk skip-gram (center, context) pair multiset from gated walks",
+    )
+)

@@ -1098,3 +1098,69 @@ QUERIES.append(
         "corpus drift: top term-rate shifts between two halves, exact counts",
     )
 )
+
+
+def text_cooccurrence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GloVe-style weighted co-occurrence counts: for every ordered
+    token pair within a window of 3, accumulate weight 1/distance —
+    kept EXACT by the x6 scaling (6/1, 6/2, 6/3 = 6, 3, 2, all
+    integers; the same exact-rational trick as the attribution
+    credits and harmonic centrality). The co-occurrence matrix is THE
+    data-prep stage of count-based embedding training, and the skew
+    reality is real: frequent-pair cells dominate, which is exactly
+    what the partial+final count aggregate absorbs map-side. Top-50
+    cells with deterministic tiebreak keep the gate result small."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+    )
+    pairs = None
+    for dist in (1, 2, 3):
+        right = toks.select(
+            "doc_id",
+            (F.col("pos") - dist).alias("pos"),
+            F.col("term").alias("ctx"),
+        )
+        p = toks.join(right, ["doc_id", "pos"]).select(
+            "term", "ctx", F.lit(6 // dist).cast("long").alias("w6")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.groupBy("term", "ctx")
+        .agg(F.sum("w6").cast("long").alias("weight_x6"))
+        .orderBy(F.col("weight_x6").desc(), "term", "ctx")
+        .limit(50)
+    )
+
+
+TEXT_COOC_SQL = """
+WITH toks AS (
+  SELECT doc_id, pos - 1 AS pos, term
+  FROM (
+    SELECT doc_id,
+           UNNEST(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  )
+),
+pairs AS (
+  SELECT a.term, b.term AS ctx, CAST(6 / d.d AS BIGINT) AS w6
+  FROM toks a
+  JOIN (VALUES (1), (2), (3)) d(d) ON TRUE
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + d.d
+)
+SELECT term, ctx, CAST(SUM(w6) AS BIGINT) AS weight_x6
+FROM pairs GROUP BY 1, 2
+ORDER BY weight_x6 DESC, term, ctx
+LIMIT 50
+"""
+
+QUERIES.append(
+    Query(
+        "text_cooccurrence",
+        text_cooccurrence_q,
+        TEXT_COOC_SQL,
+        "GloVe-prep windowed co-occurrence, 1/distance weights exact via x6",
+    )
+)
