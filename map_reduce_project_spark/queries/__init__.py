@@ -209,6 +209,8 @@ def all_queries() -> dict[str, Query]:
         "sample_bottom_k",
         "text_cooccurrence",
         "graph_walk_pairs",
+        "text_span_corruption",
+        "pagerank_weighted_part_supplier",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

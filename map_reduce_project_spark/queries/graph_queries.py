@@ -1513,3 +1513,63 @@ QUERIES.append(
         "DeepWalk skip-gram (center, context) pair multiset from gated walks",
     )
 )
+
+
+def pagerank_weighted_part_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted PageRank over the part-supplier graph with edge
+    weight = shipment count per (part, supplier) pair — rank flows
+    proportionally to relationship strength instead of uniformly.
+    Exact int64 fixed point (graph/analytics.py:pagerank_weighted_int)
+    vs a recursive-CTE oracle; positive operands make Spark's `div`
+    and DuckDB's `//` identical."""
+    from map_reduce_project_spark.graph.analytics import (
+        pagerank_weighted_int,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    weighted = li.groupBy(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    ).agg(F.count("*").cast("long").alias("w"))
+    return pagerank_weighted_int(weighted, iterations=4)
+
+
+PAGERANK_W_SQL = """
+WITH RECURSIVE e AS (
+  SELECT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+), und AS (
+  SELECT src, dst, w FROM e
+  UNION ALL SELECT dst, src, w FROM e
+), wdeg AS (
+  SELECT src AS node, SUM(w) AS wdeg FROM und GROUP BY src
+), consts AS (
+  SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS init,
+         CAST((15 * (1000000000000 // COUNT(*))) // 100 AS BIGINT) AS tp
+  FROM wdeg
+), pr AS (
+  SELECT 0 AS it, node, (SELECT init FROM consts) AS rank FROM wdeg
+  UNION ALL
+  SELECT pr.it + 1 AS it, und.dst AS node,
+         (SELECT tp FROM consts)
+           + (85 * SUM((pr.rank * und.w) // wdeg.wdeg)) // 100 AS rank
+  FROM pr
+  JOIN wdeg ON wdeg.node = pr.node
+  JOIN und ON und.src = pr.node
+  WHERE pr.it < 4
+  GROUP BY pr.it, und.dst
+)
+SELECT node, rank FROM pr WHERE it = 4
+"""
+
+QUERIES.append(
+    Query(
+        "pagerank_weighted_part_supplier",
+        pagerank_weighted_part_supplier,
+        PAGERANK_W_SQL,
+        "weighted PageRank: rank flows by edge strength, exact int64 fixed point",
+    )
+)

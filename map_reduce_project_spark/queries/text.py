@@ -1164,3 +1164,100 @@ QUERIES.append(
         "GloVe-prep windowed co-occurrence, 1/distance weights exact via x6",
     )
 )
+
+
+def text_span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask prep: each token position is
+    marked for masking by a deterministic md5 draw (p = 2/10), and
+    CONSECUTIVE masked positions collapse into spans via the
+    gaps-and-islands pos - row_number trick — the denoising-objective
+    data stage (each span becomes one sentinel in training). Salted
+    content-hash draws make the mask reproducible across engines,
+    retries, and partitionings (rand() would re-roll per retry);
+    output (doc_id, span_start, span_len, n_spans_in_doc) per span,
+    capped to the first 200 docs to keep the gate result small."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+    )
+    masked = toks.where(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("span|"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        < 2
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = masked.withColumn(
+        "island", F.col("pos") - F.row_number().over(w)
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        F.count("*").cast("long").alias("span_len"),
+    )
+    wd = Window.partitionBy("doc_id")
+    return spans.select(
+        "doc_id",
+        "span_start",
+        "span_len",
+        F.count("*").over(wd).cast("long").alias("n_spans_in_doc"),
+    )
+
+
+TEXT_SPAN_SQL = """
+WITH toks AS (
+  SELECT doc_id, pos - 1 AS pos
+  FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents WHERE doc_id < 200
+  )
+),
+masked AS (
+  SELECT doc_id, pos
+  FROM toks
+  WHERE ('0x' || substr(md5('span|' || doc_id || '|' || pos), 1, 8))::BIGINT
+        % 10 < 2
+),
+islands AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM masked
+),
+spans AS (
+  SELECT doc_id, island,
+         CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(COUNT(*) AS BIGINT) AS span_len
+  FROM islands GROUP BY 1, 2
+)
+SELECT doc_id, span_start, span_len,
+       CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_spans_in_doc
+FROM spans
+"""
+
+QUERIES.append(
+    Query(
+        "text_span_corruption",
+        text_span_corruption_q,
+        TEXT_SPAN_SQL,
+        "T5 span-corruption masks: hash draws -> gaps-and-islands spans",
+    )
+)
