@@ -1998,3 +1998,162 @@ def tone_flac_audio(doc_id: int) -> tuple[str, bytes]:
     n_frames = 2 + doc_id % 3
     vals = [(7 * doc_id + 13 * f) % 4096 - 2048 for f in range(n_frames)]
     return "audio/flac", encode_flac_constant(vals)
+
+
+# ---------------------------------------------------------------------------
+# REAL AVI decode — uncompressed BI_RGB tier. AVI is a RIFF container
+# (like WAV): LIST/chunk walking, the avih main header, the vids
+# stream's BITMAPINFOHEADER, '00db' frame chunks of bottom-up
+# 4-byte-stride-padded BGR rows, and the idx1 index whose per-frame
+# offsets/sizes are VERIFIED against the frames actually found —
+# real container integrity work with zero codec DSP. Compressed
+# codecs (MJPEG/H.264) are the honest boundary.
+# ---------------------------------------------------------------------------
+
+
+def _avi_row_stride(w: int) -> int:
+    return (3 * w + 3) & ~3
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames -> spec-valid AVI with an
+    uncompressed BI_RGB 24-bit 'DIB ' video stream and an idx1
+    index. Rows are written bottom-up, BGR, stride-padded to 4."""
+    h, w, _ = frames[0].shape
+    stride = _avi_row_stride(w)
+    frame_bytes = []
+    for px in frames:
+        rows = []
+        for y in range(h - 1, -1, -1):
+            row = px[y, :, ::-1].tobytes()  # BGR
+            rows.append(row + b"\x00" * (stride - len(row)))
+        frame_bytes.append(b"".join(rows))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(tag: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", tag + data)
+
+    avih = struct.pack(
+        "<14I",
+        1000000 // fps,  # us per frame
+        0, 0, 0x10,      # max bytes/sec, padding, flags (HASINDEX)
+        len(frames), 0, 1, 0,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(frames), 0, 0, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = []
+    offsets = []
+    pos = 4  # idx1 offsets count from the start of the 'movi' tag data
+    for fb in frame_bytes:
+        offsets.append(pos)
+        c = chunk(b"00db", fb)
+        movi_chunks.append(c)
+        pos += len(c)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx = b"".join(
+        b"00db" + struct.pack("<III", 0x10, off, len(fb))
+        for off, fb in zip(offsets, frame_bytes)
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(b: bytes) -> list[np.ndarray]:
+    """REAL AVI decode: RIFF walk -> avih dims/frame count ->
+    BITMAPINFOHEADER (BI_RGB 24-bit only; compressed codecs raise) ->
+    bottom-up stride-padded BGR '00db' chunks -> RGB frames; the idx1
+    offsets AND sizes are verified against the frames actually found
+    (a desynced index raises)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    dims = None
+    frames: list[np.ndarray] = []
+    frame_meta: list[tuple[int, int]] = []
+    idx_entries: list[tuple[int, int]] = []
+    bitcount = compression = None
+
+    def walk(start: int, end: int) -> None:
+        nonlocal dims, bitcount, compression
+        i = start
+        while i + 8 <= end:
+            tag = b[i : i + 4]
+            (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+            data0 = i + 8
+            if tag == b"LIST":
+                walk(data0 + 4, data0 + size)
+            elif tag == b"avih":
+                n_frames, = struct.unpack("<I", b[data0 + 16 : data0 + 20])
+                w, h = struct.unpack("<II", b[data0 + 32 : data0 + 40])
+                dims = (w, h, n_frames)
+            elif tag == b"strf":
+                (_bisize, _w2, _h2, _planes, bitcount, compression) = (
+                    struct.unpack("<IiiHHI", b[data0 : data0 + 20])
+                )
+            elif tag == b"00db":
+                frame_meta.append((i, size))
+            elif tag == b"idx1":
+                for p in range(data0, data0 + size, 16):
+                    ck, _flags, off, sz = struct.unpack(
+                        "<4sIII", b[p : p + 16]
+                    )
+                    if ck == b"00db":
+                        idx_entries.append((off, sz))
+            i = data0 + size + (size & 1)
+
+    walk(12, len(b))
+    if dims is None or bitcount is None:
+        raise ValueError("incomplete AVI header")
+    if compression != 0 or bitcount != 24:
+        raise NotImplementedError(
+            "compressed AVI codecs need a real video decoder (BI_RGB only)"
+        )
+    w, h, n_frames = dims
+    stride = _avi_row_stride(w)
+    movi_pos = b.find(b"movi")
+    if len(idx_entries) != len(frame_meta):
+        raise ValueError("idx1 entry count != frames present")
+    for (fpos, fsize), (off, sz) in zip(frame_meta, idx_entries):
+        if fsize != sz or (movi_pos + off) != fpos:
+            raise ValueError("idx1 offset/size desynced from movi chunks")
+        raw = b[fpos + 8 : fpos + 8 + fsize]
+        if fsize != stride * h:
+            raise ValueError("frame size != stride * height")
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+        bgr = arr[:, : 3 * w].reshape(h, w, 3)
+        frames.append(bgr[::-1, :, ::-1].copy())  # top-down RGB
+    if len(frames) != n_frames:
+        raise ValueError("frame count mismatch vs avih")
+    return frames
+
+
+def gradient_avi_video(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic gradient AVI: 2 + id%3 frames of
+    (6 + (id//8)%4) x (8 + id%8) pixels (odd widths exercise the
+    4-byte stride padding); channel c of frame f at (x, y) =
+    (id*kc + 2f + 3x + 5y) % 256 for kc in (1, 7, 13)."""
+    w = 8 + doc_id % 8
+    h = 6 + (doc_id // 8) % 4
+    n_frames = 2 + doc_id % 3
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    grid = 3 * xs[None, :] + 5 * ys[:, None]
+    frames = []
+    for f in range(n_frames):
+        px = np.dstack(
+            [(doc_id * k + 2 * f + grid) % 256 for k in (1, 7, 13)]
+        ).astype(np.uint8)
+        frames.append(px)
+    return "video/avi", encode_avi(frames)

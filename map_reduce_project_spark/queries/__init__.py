@@ -211,6 +211,8 @@ def all_queries() -> dict[str, Query]:
         "graph_walk_pairs",
         "text_span_corruption",
         "pagerank_weighted_part_supplier",
+        "q89_equidepth_hist",
+        "mm_avi_frame_stats",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

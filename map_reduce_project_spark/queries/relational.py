@@ -2260,3 +2260,78 @@ QUERIES.append(
         "winsorized mean at exact p01/p99 boundaries with clamp counts",
     )
 )
+
+
+def q89_equidepth_hist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order prices: bin boundaries
+    are the exact percentile_disc deciles (real data values,
+    engine-exact), bin id = count of boundaries strictly below the
+    value, per-bin count + decimal sum. The equi-depth sketch is what
+    an optimizer's column statistics actually store; computed here
+    with ONE boundary-aggregate row broadcast back lazily (no
+    collect) + one partial/final agg over the assignment."""
+    orders = read_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        *[
+            F.expr(
+                f"percentile_disc({i / 10}) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bin_id = (
+        sum(
+            F.when(F.col("o_totalprice") > F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(1, 10)
+        )
+    ).cast("long")
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias(
+                "bin_sum"
+            ),
+        )
+    )
+
+
+Q89_SQL = """
+WITH bounds AS (
+  SELECT
+    percentile_disc(0.1) WITHIN GROUP (ORDER BY o_totalprice) AS b1,
+    percentile_disc(0.2) WITHIN GROUP (ORDER BY o_totalprice) AS b2,
+    percentile_disc(0.3) WITHIN GROUP (ORDER BY o_totalprice) AS b3,
+    percentile_disc(0.4) WITHIN GROUP (ORDER BY o_totalprice) AS b4,
+    percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS b5,
+    percentile_disc(0.6) WITHIN GROUP (ORDER BY o_totalprice) AS b6,
+    percentile_disc(0.7) WITHIN GROUP (ORDER BY o_totalprice) AS b7,
+    percentile_disc(0.8) WITHIN GROUP (ORDER BY o_totalprice) AS b8,
+    percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS b9
+  FROM orders
+)
+SELECT CAST(
+    (CASE WHEN o_totalprice > b1 THEN 1 ELSE 0 END)
+  + (CASE WHEN o_totalprice > b2 THEN 1 ELSE 0 END)
+  + (CASE WHEN o_totalprice > b3 THEN 1 ELSE 0 END)
+  + (CASE WHEN o_totalprice > b4 THEN 1 ELSE 0 END)
+  + (CASE WHEN o_totalprice > b5 THEN 1 ELSE 0 END)
+  + (CASE WHEN o_totalprice > b6 THEN 1 ELSE 0 END)
+  + (CASE WHEN o_totalprice > b7 THEN 1 ELSE 0 END)
+  + (CASE WHEN o_totalprice > b8 THEN 1 ELSE 0 END)
+  + (CASE WHEN o_totalprice > b9 THEN 1 ELSE 0 END) AS BIGINT) AS bin_id,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_sum
+FROM orders CROSS JOIN bounds
+GROUP BY 1
+"""
+
+QUERIES.append(
+    Query(
+        "q89_equidepth_hist",
+        q89_equidepth_hist_q,
+        Q89_SQL,
+        "equi-depth decile histogram at exact percentile_disc boundaries",
+    )
+)

@@ -1440,3 +1440,33 @@ def test_codec_error_contracts_on_corrupt_input():
     # 'corrupt LZW stream' ValueError, not a bare KeyError (regression)
     with _pytest.raises(ValueError, match="corrupt LZW"):
         _gif_lzw_decompress(b"\xff\xff\xff", 8)
+
+
+def test_avi_container_roundtrip_and_index_integrity():
+    import numpy as np
+    import pytest as _pytest
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_avi_frames,
+        gradient_avi_video,
+    )
+
+    for did in (0, 9, 137):  # did=9 -> width 17: stride padding path
+        _, payload = gradient_avi_video(did)
+        frames = decode_avi_frames(payload)
+        w, h = 8 + did % 8, 6 + (did // 8) % 4
+        assert len(frames) == 2 + did % 3
+        xs = np.arange(w)
+        ys = np.arange(h)
+        grid = 3 * xs[None, :] + 5 * ys[:, None]
+        for f, px in enumerate(frames):
+            assert px.shape == (h, w, 3)
+            for ci, k in enumerate((1, 7, 13)):
+                assert (px[:, :, ci] == (did * k + 2 * f + grid) % 256).all()
+    # a desynced idx1 entry must raise, not decode silently
+    _, payload = gradient_avi_video(3)
+    bad = bytearray(payload)
+    i = payload.rfind(b"idx1")
+    bad[i + 8 + 12] ^= 0x01
+    with _pytest.raises(ValueError, match="idx1"):
+        decode_avi_frames(bytes(bad))
