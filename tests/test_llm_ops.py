@@ -428,8 +428,8 @@ def test_resize_images_shape_and_determinism(spark, docs):
         bytes(r.payload) for r in again
     ]
     # PNG resizes for real (round-4 codec); DC-only JPEG decodes for
-    # real now too, and the profiles that genuinely need libjpeg
-    # (color scans) still raise honestly from inside the decoder
+    # real now too (grayscale AND 1x1-sampled color), and the
+    # profiles that genuinely need libjpeg still raise honestly
     import numpy as np
     import pytest as _pytest
 
@@ -444,11 +444,13 @@ def test_resize_images_shape_and_determinism(spark, docs):
     assert _decode_ppm_pixels(resized).shape == (8, 8, 3)
     import struct as _st
 
+    # 1x1-sampled color is decodable now; SUBSAMPLED chroma is the
+    # profile that still needs libjpeg and must raise
     color_sof = (
         b"\xff\xd8"
         + b"\xff\xc0" + _st.pack(">H", 17)
         + _st.pack(">BHHB", 8, 8, 8, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
     )
     with _pytest.raises(NotImplementedError):
         from map_reduce_project_spark.operators.multimodal import (
