@@ -213,6 +213,7 @@ def all_queries() -> dict[str, Query]:
         "pagerank_weighted_part_supplier",
         "q89_equidepth_hist",
         "mm_avi_frame_stats",
+        "mm_webdataset_shards",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

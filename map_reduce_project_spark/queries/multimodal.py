@@ -7,6 +7,7 @@ every output column is a deterministic function of the bytes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from map_reduce_project_spark.operators.multimodal import (
     attach_fake_payload,
@@ -929,5 +930,75 @@ QUERIES.append(
         mm_avi_frame_stats_q,
         MM_AVI_SQL,
         "real AVI container decode (RIFF walk + verified idx1) -> per-frame sums",
+    )
+)
+
+
+def mm_webdataset_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest for a MULTIMODAL training
+    corpus: each record's byte cost is its text length plus its
+    (deterministic synthetic) image payload size, records are laid
+    out in doc_id order, and a record belongs to shard
+    floor(start_byte / shard_bytes) — the tar-shard planning stage
+    every large-scale multimodal loader (WebDataset/tfrecord) runs
+    before writing. The exclusive prefix sum is a single running
+    window ordered by id over record-COUNT-sized rows (one row per
+    record, no payload bytes move); at extreme corpus sizes the same
+    two-pass partition-offset formulation as pack_sequences applies.
+    Exact int64 arithmetic end to end."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    # synthetic payload size mirrors attach_real_gif_payload's dims:
+    # (16 + id%16) x (12 + (id//16)%8) x 3 bytes of pixels
+    rec = docs.select(
+        "doc_id",
+        (
+            F.col("n_chars").cast("long")
+            + (16 + F.col("doc_id") % 16)
+            * (12 + (F.col("doc_id") / 16).cast("long") % 8)
+            * 3
+        ).alias("rec_bytes"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        rec.withColumn(
+            "start_byte",
+            F.coalesce(F.sum("rec_bytes").over(w), F.lit(0)).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "rec_bytes",
+            "start_byte",
+            F.expr("start_byte div 65536").cast("long").alias("shard_id"),
+        )
+    )
+
+
+MM_WDS_SQL = """
+WITH rec AS (
+  SELECT doc_id,
+    CAST(n_chars + (16 + doc_id % 16) * (12 + (doc_id // 16) % 8) * 3
+         AS BIGINT) AS rec_bytes
+  FROM documents
+)
+SELECT doc_id, rec_bytes,
+  CAST(COALESCE(SUM(rec_bytes) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS start_byte,
+  CAST(COALESCE(SUM(rec_bytes) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 65536
+       AS BIGINT) AS shard_id
+FROM rec
+"""
+
+QUERIES.append(
+    Query(
+        "mm_webdataset_shards",
+        mm_webdataset_shards_q,
+        MM_WDS_SQL,
+        "WebDataset shard manifest: byte-budget layout of text+media records",
     )
 )
