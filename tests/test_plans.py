@@ -371,3 +371,13 @@ def test_tpch_q79_has_no_cartesian_and_prunes_part(spark, registry):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     # the brand filter must reach the part scan
     assert "p_brand" in " ".join(pushed_filters(df))
+
+
+def test_new_graph_queries_have_no_cartesian(spark, registry):
+    from map_reduce_project_spark.plans.inspect import simple_plan
+
+    for name in ("betweenness_evidence", "graph_walk_pairs"):
+        df = registry[name].fn(spark, SF)
+        plan = simple_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
