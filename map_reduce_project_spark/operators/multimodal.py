@@ -1533,9 +1533,11 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
     G = Y + fd(-22554*Cb' - 46802*Cr'), each + 32768 rounding, Cb'/
     Cr' centered at 128, clamped) — deterministic integers end to
     end, which is what lets an SQL oracle replay the conversion.
-    Raises honestly on the profiles that genuinely need libjpeg:
-    nonzero AC coefficients, progressive frames, subsampled chroma,
-    restart intervals."""
+    4:2:0 subsampled scans decode too (4 Y + Cb + Cr per macroblock,
+    chroma upsampled by exact 2x2 replication — T.81 leaves the
+    filter to the decoder). Raises honestly on the profiles that
+    genuinely need libjpeg: nonzero AC coefficients, progressive
+    frames, non-4:2:0 subsampling layouts, restart intervals."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     i = 2
@@ -1576,11 +1578,17 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "subsampled chroma needs upsampling (libjpeg)"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, tq, samp >> 4, samp & 0x0F))
+            samplings = [(hc, vc) for _, _, hc, vc in comps]
+            if samplings not in (
+                [(1, 1)],
+                [(1, 1)] * 3,
+                [(2, 2), (1, 1), (1, 1)],
+            ):
+                raise NotImplementedError(
+                    f"unsupported sampling layout {samplings} (1x1 and "
+                    "4:2:0 supported; others need libjpeg)"
+                )
             dims = (h, w)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("only baseline sequential JPEG")
@@ -1602,29 +1610,64 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
     end = b.rfind(b"\xff\xd9")
     reader = _JpegBitReader(b[scan_start:end])
     ncomp = len(comps)
+
+    def read_block_dc(ci: int) -> int:
+        scan_dc, scan_ac = scan_tables[ci]
+        size = reader.huff(scan_dc)
+        preds[ci] += _jpeg_extend(reader.bits(size), size)
+        rs = reader.huff(scan_ac)
+        if rs != 0x00:
+            raise NotImplementedError(
+                "nonzero AC coefficients need an IDCT (libjpeg)"
+            )
+        q00 = qtables[comps[ci][1]][0]
+        # round(dc*q00/8) + 128
+        return max(0, min(255, (2 * preds[ci] * q00 + 8) // 16 + 128))
+
+    preds = [0] * ncomp
+    if ncomp == 3 and comps[0][2:] == (2, 2):
+        # 4:2:0 — the dominant real-corpus layout: each interleaved
+        # MCU covers a 16x16 luma macroblock as 4 Y blocks (2x2 in
+        # raster order) + 1 Cb + 1 Cr; chroma is upsampled by 2x2
+        # REPLICATION (a documented decoder choice — T.81 leaves the
+        # upsampling filter to the implementation; replication keeps
+        # the pipeline exact integers)
+        mw, mh = -(-w // 16), -(-h // 16)
+        y_plane = np.empty((mh * 16, mw * 16), dtype=np.int64)
+        cb_p = np.empty((mh * 8, mw * 8), dtype=np.int64)
+        cr_p = np.empty((mh * 8, mw * 8), dtype=np.int64)
+        for my in range(mh):
+            for mx in range(mw):
+                for blk in range(4):
+                    v = read_block_dc(0)
+                    oy = my * 16 + (blk // 2) * 8
+                    ox = mx * 16 + (blk % 2) * 8
+                    y_plane[oy : oy + 8, ox : ox + 8] = v
+                cb_p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                    read_block_dc(1)
+                )
+                cr_p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                    read_block_dc(2)
+                )
+        y = y_plane[:h, :w]
+        cb = np.repeat(np.repeat(cb_p, 2, axis=0), 2, axis=1)[:h, :w] - 128
+        cr = np.repeat(np.repeat(cr_p, 2, axis=0), 2, axis=1)[:h, :w] - 128
+        r = y + ((91881 * cr + 32768) >> 16)
+        g = y + ((-22554 * cb - 46802 * cr + 32768) >> 16)
+        bl = y + ((116130 * cb + 32768) >> 16)
+        return np.dstack([r, g, bl]).clip(0, 255).astype(np.uint8)
+
     bh, bw_ = -(-h // 8), -(-w // 8)
     planes = [
         np.empty((bh * 8, bw_ * 8), dtype=np.int64) for _ in range(ncomp)
     ]
-    preds = [0] * ncomp
     for by in range(bh):
         for bx in range(bw_):
             # interleaved MCU: one 8x8 block per component (1x1
             # sampling), each with its own DC predictor chain
             for ci in range(ncomp):
-                scan_dc, scan_ac = scan_tables[ci]
-                size = reader.huff(scan_dc)
-                preds[ci] += _jpeg_extend(reader.bits(size), size)
-                rs = reader.huff(scan_ac)
-                if rs != 0x00:
-                    raise NotImplementedError(
-                        "nonzero AC coefficients need an IDCT (libjpeg)"
-                    )
-                q00 = qtables[comps[ci][1]][0]
-                # round(dc*q00/8) + 128
-                val = (2 * preds[ci] * q00 + 8) // 16 + 128
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = max(
-                    0, min(255, val)
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    read_block_dc(ci)
                 )
     if ncomp == 1:
         gray = planes[0][:h, :w].astype(np.uint8)
@@ -2157,3 +2200,114 @@ def gradient_avi_video(doc_id: int) -> tuple[str, bytes]:
         ).astype(np.uint8)
         frames.append(px)
     return "video/avi", encode_avi(frames)
+
+
+def encode_jpeg_dc_420(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, q00: int = 8
+) -> bytes:
+    """Block-constant planes -> baseline JFIF with a 4:2:0 interleaved
+    scan: y is (h, w) with h, w multiples of 16 and constant 8x8
+    blocks; cb/cr are (h/2, w/2) with constant 8x8 blocks (one chroma
+    block per 16x16 luma macroblock). MCU order: 4 Y blocks in 2x2
+    raster, then Cb, then Cr — per-component DC predictor chains."""
+    h, w = y.shape
+    if h % 16 or w % 16:
+        raise ValueError("4:2:0 fixture needs multiple-of-16 dims")
+    dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    eob_len, eob_code = ac_map[0x00]
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+
+    def put_block(ci: int, v: int) -> None:
+        dc = (8 * (v - 128)) // q00
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        mag = abs(diff)
+        size = mag.bit_length()
+        ln, code = dc_map[size]
+        bw.put(code, ln)
+        if size:
+            amp = diff if diff > 0 else diff + (1 << size) - 1
+            bw.put(amp, size)
+        bw.put(eob_code, eob_len)
+
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for blk in range(4):
+                oy = my * 16 + (blk // 2) * 8
+                ox = mx * 16 + (blk % 2) * 8
+                put_block(0, int(y[oy, ox]))
+            put_block(1, int(cb[my * 8, mx * 8]))
+            put_block(2, int(cr[my * 8, mx * 8]))
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([q00] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def gradient_jpeg_420_image(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic block-constant 4:2:0 JPEG: w = 16*(1+id%3),
+    h = 16*(1+(id//3)%2); Y block (bx, by) (8px grid) =
+    (id + 9bx + 21by) % 256; chroma blocks (cx, cy) (16px luma grid):
+    Cb = (3id + 17cx) % 256, Cr = (5id + 27cy) % 256."""
+    w = 16 * (1 + doc_id % 3)
+    h = 16 * (1 + (doc_id // 3) % 2)
+
+    def plane(hh, ww, f):
+        out = np.empty((hh, ww), dtype=np.uint8)
+        for by in range(hh // 8):
+            for bx in range(ww // 8):
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = f(bx, by) % 256
+        return out
+
+    y = plane(h, w, lambda bx, by: doc_id + 9 * bx + 21 * by)
+    cb = plane(h // 2, w // 2, lambda cx, cy: 3 * doc_id + 17 * cx)
+    cr = plane(h // 2, w // 2, lambda cx, cy: 5 * doc_id + 27 * cy)
+    return "image/jpeg", encode_jpeg_dc_420(y, cb, cr)
+
+
+def attach_real_jpeg_420_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL 4:2:0 DC-only JPEG payloads manufactured distributively."""
+    gen_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mods, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                m, p = gradient_jpeg_420_image(int(doc_id))
+                mods.append(m)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": mods, "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        process, gen_schema
+    )

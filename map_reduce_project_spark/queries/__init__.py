@@ -214,6 +214,7 @@ def all_queries() -> dict[str, Query]:
         "q89_equidepth_hist",
         "mm_avi_frame_stats",
         "mm_webdataset_shards",
+        "mm_jpeg_420_stats",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

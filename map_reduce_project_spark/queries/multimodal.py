@@ -1002,3 +1002,68 @@ QUERIES.append(
         "WebDataset shard manifest: byte-budget layout of text+media records",
     )
 )
+
+
+def mm_jpeg_420_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 SUBSAMPLED baseline-JPEG decode under the exact gate —
+    the dominant real-corpus layout: each interleaved MCU carries 4 Y
+    blocks + Cb + Cr, chroma is upsampled by exact 2x2 replication
+    (T.81 leaves the filter to the decoder; replication keeps every
+    step integer), and the fixed-point YCbCr->RGB follows. Channels
+    are constant per 8x8 luma block, so the oracle replays the
+    composed block formulas; a wrong macroblock raster order,
+    predictor chain, or upsample alignment is a hash mismatch."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_jpeg_420_payload,
+        pixel_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pixel_stats(attach_real_jpeg_420_payload(docs))
+
+
+MM_JPEG_420_SQL = """
+WITH g AS (
+  SELECT x.g AS bx, y.g AS by
+  FROM generate_series(0, 5) x(g), generate_series(0, 3) y(g)
+),
+blocks AS (
+  SELECT d.doc_id, g.bx, g.by,
+    (d.doc_id + 9 * g.bx + 21 * g.by) % 256 AS yv,
+    (3 * d.doc_id + 17 * (g.bx // 2)) % 256 - 128 AS cbv,
+    (5 * d.doc_id + 27 * (g.by // 2)) % 256 - 128 AS crv
+  FROM documents d CROSS JOIN g
+  WHERE g.bx < 2 * (1 + d.doc_id % 3) AND g.by < 2 * (1 + (d.doc_id // 3) % 2)
+),
+px AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0,
+      yv + CAST(FLOOR((91881 * crv + 32768) / 65536.0) AS BIGINT))) AS r,
+    LEAST(255, GREATEST(0,
+      yv + CAST(FLOOR((-22554 * cbv - 46802 * crv + 32768) / 65536.0)
+                AS BIGINT))) AS gg,
+    LEAST(255, GREATEST(0,
+      yv + CAST(FLOOR((116130 * cbv + 32768) / 65536.0) AS BIGINT))) AS b
+  FROM blocks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  'image/jpeg' AS modality,
+  CAST(16 * (1 + (doc_id // 3) % 2) AS BIGINT) AS height,
+  CAST(16 * (1 + doc_id % 3) AS BIGINT) AS width,
+  CAST(256 * (1 + doc_id % 3) * (1 + (doc_id // 3) % 2) AS BIGINT)
+    AS n_pixels,
+  CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+  CAST(64 * SUM(gg) AS BIGINT) AS sum_g,
+  CAST(64 * SUM(b) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "mm_jpeg_420_stats",
+        mm_jpeg_420_stats_q,
+        MM_JPEG_420_SQL,
+        "4:2:0 subsampled JPEG: macroblock interleave + replicate upsample, exact",
+    )
+)

@@ -1385,7 +1385,8 @@ def test_jpeg_color_dc_fixed_point_conversion():
                 int(cr[by * 8, bx * 8]),
             )
             assert got == want
-    # subsampled chroma stays honestly gated
+    # 4:2:0 decodes now; OTHER subsampling layouts (4:2:2 here)
+    # stay honestly gated
     import pytest as _pytest
     import struct as _st
 
@@ -1394,7 +1395,7 @@ def test_jpeg_color_dc_fixed_point_conversion():
         + b"\xff\xc0"
         + _st.pack(">H", 17)
         + _st.pack(">BHHB", 8, 16, 16, 3)
-        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+        + bytes([1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0])
     )
     with _pytest.raises(NotImplementedError):
         decode_jpeg_dc(sub)
@@ -1472,3 +1473,33 @@ def test_avi_container_roundtrip_and_index_integrity():
     bad[i + 8 + 12] ^= 0x01
     with _pytest.raises(ValueError, match="idx1"):
         decode_avi_frames(bytes(bad))
+
+
+def test_jpeg_420_upsample_alignment():
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_jpeg_dc,
+        encode_jpeg_dc_420,
+        gradient_jpeg_420_image,
+    )
+
+    # distinct chroma per macroblock: a wrong upsample alignment or
+    # macroblock raster order shifts whole 8x8 regions
+    for did in (0, 4, 137):
+        _, payload = gradient_jpeg_420_image(did)
+        px = decode_jpeg_dc(payload)
+        h, w = 16 * (1 + (did // 3) % 2), 16 * (1 + did % 3)
+        assert px.shape == (h, w, 3)
+        fd = lambda x: x >> 16
+        clamp = lambda v: max(0, min(255, v))
+        for yy, xx in [(0, 0), (8, 8), (15, 15), (h - 1, w - 1)]:
+            yv = (did + 9 * (xx // 8) + 21 * (yy // 8)) % 256
+            cbv = (3 * did + 17 * (xx // 16)) % 256 - 128
+            crv = (5 * did + 27 * (yy // 16)) % 256 - 128
+            exp = [
+                clamp(yv + fd(91881 * crv + 32768)),
+                clamp(yv + fd(-22554 * cbv - 46802 * crv + 32768)),
+                clamp(yv + fd(116130 * cbv + 32768)),
+            ]
+            assert px[yy, xx].tolist() == exp, (did, yy, xx)
