@@ -791,13 +791,15 @@ def sample_bottom_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     h = F.md5(F.concat(F.lit("bk|"), F.col("doc_id").cast("string")))
+    # orderBy+limit plans as TakeOrderedAndProject — a DISTRIBUTED
+    # top-k (per-partition heaps merged at the driver), never a
+    # single-partition global sort; the rank window then runs over
+    # exactly k rows
+    top = docs.withColumn("_h", h).orderBy("_h", "doc_id").limit(100)
     w = Window.orderBy(F.col("_h"), F.col("doc_id"))
-    return (
-        docs.withColumn("_h", h)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 100)
-        .select("doc_id", "n_chars", "rank")
-    )
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("doc_id", "n_chars", "rank")
 
 
 SAMPLE_BOTTOM_K_SQL = """

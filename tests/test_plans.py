@@ -381,3 +381,12 @@ def test_new_graph_queries_have_no_cartesian(spark, registry):
         plan = simple_plan(df)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_bottom_k_sample_is_distributed_topk(spark, registry):
+    # the k-draw must plan as TakeOrderedAndProject (per-partition
+    # heaps), never a single-partition global sort of the corpus;
+    # the rank window afterwards touches exactly k rows
+    df = registry["sample_bottom_k"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
