@@ -2311,3 +2311,74 @@ def attach_real_jpeg_420_payload(
     return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
         process, gen_schema
     )
+
+
+def _parse_mp4(b: bytes) -> dict:
+    """ISO-BMFF (MP4) box walk: ftyp validation, then moov -> trak ->
+    tkhd for the video track's width/height (16.16 fixed point in the
+    spec — the integer part is returned). Real container metadata
+    parsing, the header-pass tier (sample decode needs real codecs).
+    Handles 64-bit largesize boxes and version-0/1 tkhd layouts."""
+    if len(b) < 12:
+        raise ValueError("not an MP4")
+    (first_size,) = struct.unpack(">I", b[0:4])
+    if b[4:8] != b"ftyp" or first_size < 8:
+        raise ValueError("not an MP4 (missing ftyp)")
+
+    def walk(start: int, end: int, path: tuple) -> dict | None:
+        i = start
+        while i + 8 <= end:
+            (size,) = struct.unpack(">I", b[i : i + 4])
+            tag = b[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+                hdr = 16
+            elif size == 0:  # to end of enclosing box
+                size = end - i
+            if size < hdr:
+                raise ValueError("corrupt MP4 box size")
+            if tag == b"tkhd" and path == (b"moov", b"trak"):
+                ver = b[i + hdr]
+                # fullbox header (4) + v0 20 / v1 32 bytes of times and
+                # ids, then reserved+layer+group+volume+matrix (52)
+                wh = i + hdr + 4 + (20 if ver == 0 else 32) + 52
+                w16, h16 = struct.unpack(">II", b[wh : wh + 8])
+                if w16 and h16:  # audio tracks carry 0x0
+                    return {"width": w16 >> 16, "height": h16 >> 16}
+            if tag in (b"moov", b"trak"):
+                found = walk(i + hdr, i + size, path + (tag,))
+                if found:
+                    return found
+            i += size
+        return None
+
+    meta = walk(0, len(b), ())
+    if meta is None:
+        raise ValueError("no video tkhd in MP4")
+    return meta
+
+
+_HEADER_DECODERS["video/mp4"] = _parse_mp4
+
+
+def minimal_mp4(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic minimal MP4: ftyp + moov/trak/tkhd (version 0)
+    declaring w = 64 + 16*(id%8), h = 48 + 16*((id//8)%6) in 16.16
+    fixed point. Container-metadata fixture (no media data)."""
+    w = 64 + 16 * (doc_id % 8)
+    h = 48 + 16 * ((doc_id // 8) % 6)
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + tag + payload
+
+    tkhd = box(
+        b"tkhd",
+        b"\x00" + b"\x00\x00\x07"  # version 0, flags
+        + b"\x00" * 20  # creation/modification/track_ID/reserved/duration
+        + b"\x00" * 52  # reserved/layer/group/volume/reserved/matrix
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    moov = box(b"moov", box(b"trak", tkhd))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    return "video/mp4", ftyp + moov

@@ -1503,3 +1503,42 @@ def test_jpeg_420_upsample_alignment():
                 clamp(yv + fd(116130 * cbv + 32768)),
             ]
             assert px[yy, xx].tolist() == exp, (did, yy, xx)
+
+
+def test_mp4_box_walk_metadata():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_project_spark.operators.multimodal import (
+        _parse_mp4,
+        decode_media,
+        minimal_mp4,
+    )
+
+    import pytest as _pytest
+
+    for did in (0, 7, 63, 499):
+        m, b = minimal_mp4(did)
+        assert decode_media(b, m) == {
+            "width": 64 + 16 * (did % 8),
+            "height": 48 + 16 * ((did // 8) % 6),
+        }
+    with _pytest.raises(ValueError):
+        _parse_mp4(b"\x00\x00\x00\x08free")
+
+
+def test_gif_lzw_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_project_spark.operators.multimodal import (
+        _gif_lzw_compress,
+        _gif_lzw_decompress,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=4000))
+    def roundtrip(data):
+        assert _gif_lzw_decompress(_gif_lzw_compress(data, 8), 8) == data
+
+    roundtrip()
