@@ -1535,8 +1535,12 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
     end, which is what lets an SQL oracle replay the conversion.
     4:2:0 subsampled scans decode too (4 Y + Cb + Cr per macroblock,
     chroma upsampled by exact 2x2 replication — T.81 leaves the
-    filter to the decoder). Raises honestly on the profiles that
-    genuinely need libjpeg: nonzero AC coefficients, progressive
+    filter to the decoder). AC coefficients decode for REAL through
+    the full entropy layer — zigzag, (run, size) symbols, ZRL, EOB —
+    into the module's DEFINED fixed-point integer IDCT (see the
+    _IDCT_W table note: T.81 permits IDCT variance; ours is exact
+    int64 and oracle-replayable, and reproduces the flat-block
+    fixtures bit-for-bit). Still honestly out of scope: progressive
     frames, non-4:2:0 subsampling layouts, restart intervals."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -1611,18 +1615,42 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
     reader = _JpegBitReader(b[scan_start:end])
     ncomp = len(comps)
 
-    def read_block_dc(ci: int) -> int:
+    def read_block(ci: int) -> np.ndarray:
+        """Full baseline block decode: DC diff + AC run/size symbols
+        (ZRL, EOB) through the zigzag order, dequantized with the
+        component's table (DQT is stored in zigzag order too), then
+        the defined integer IDCT. Returns the 8x8 pixel block."""
         scan_dc, scan_ac = scan_tables[ci]
+        qt = qtables[comps[ci][1]]
+        zz = [0] * 64
         size = reader.huff(scan_dc)
         preds[ci] += _jpeg_extend(reader.bits(size), size)
-        rs = reader.huff(scan_ac)
-        if rs != 0x00:
-            raise NotImplementedError(
-                "nonzero AC coefficients need an IDCT (libjpeg)"
-            )
-        q00 = qtables[comps[ci][1]][0]
-        # round(dc*q00/8) + 128
-        return max(0, min(255, (2 * preds[ci] * q00 + 8) // 16 + 128))
+        zz[0] = preds[ci] * qt[0]
+        k = 1
+        while k < 64:
+            rs = reader.huff(scan_ac)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("AC run past block end")
+            sz = rs & 0x0F
+            zz[k] = _jpeg_extend(reader.bits(sz), sz) * qt[k]
+            k += 1
+        coef = np.zeros((8, 8), dtype=np.int64)
+        flat = coef.reshape(-1)
+        for kk in range(64):
+            flat[_JPEG_ZIGZAG[kk]] = zz[kk]
+        return np.clip(_idct_int(coef), 0, 255)
+
+    def read_block_dc(ci: int) -> int:
+        # DC-only convenience for the flat-block fast paths: decodes
+        # the FULL block (AC included) and returns its top-left value
+        # — for genuinely flat blocks every pixel is that value
+        return int(read_block(ci)[0, 0])
 
     preds = [0] * ncomp
     if ncomp == 3 and comps[0][2:] == (2, 2):
@@ -1639,16 +1667,11 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
         for my in range(mh):
             for mx in range(mw):
                 for blk in range(4):
-                    v = read_block_dc(0)
                     oy = my * 16 + (blk // 2) * 8
                     ox = mx * 16 + (blk % 2) * 8
-                    y_plane[oy : oy + 8, ox : ox + 8] = v
-                cb_p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-                    read_block_dc(1)
-                )
-                cr_p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-                    read_block_dc(2)
-                )
+                    y_plane[oy : oy + 8, ox : ox + 8] = read_block(0)
+                cb_p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = read_block(1)
+                cr_p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = read_block(2)
         y = y_plane[:h, :w]
         cb = np.repeat(np.repeat(cb_p, 2, axis=0), 2, axis=1)[:h, :w] - 128
         cr = np.repeat(np.repeat(cr_p, 2, axis=0), 2, axis=1)[:h, :w] - 128
@@ -1667,7 +1690,7 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
             # sampling), each with its own DC predictor chain
             for ci in range(ncomp):
                 planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    read_block_dc(ci)
+                    read_block(ci)
                 )
     if ncomp == 1:
         gray = planes[0][:h, :w].astype(np.uint8)
@@ -2382,3 +2405,167 @@ def minimal_mp4(doc_id: int) -> tuple[str, bytes]:
     moov = box(b"moov", box(b"trak", tkhd))
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
     return "video/mp4", ftyp + moov
+
+
+# --- Full-AC tier: zigzag + run/size entropy decode + a DEFINED
+# fixed-point integer IDCT. T.81 permits IDCT implementation variance
+# (that's why libjpeg ships three); this decoder's transform is the
+# exact-integer spec below, which an SQL oracle can replay term by
+# term: p(x,y) = ((sum_uv F[v][u]*W[u][x]*W[v][y] + 2^19) >> 20) + 128
+# with W[u][x] = round((c_u/2)*cos((2x+1)u*pi/16)*2^10), c_0 = 1/sqrt2.
+# For the DC-only fixtures this reproduces round(F/8)+128 exactly
+# (their true values are integers and the table error is < 0.04), so
+# the earlier DC-only gates stay bit-green under the general path. ---
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_IDCT_SCALE = 10
+
+
+def _idct_w_table() -> np.ndarray:
+    import math
+
+    w = np.zeros((8, 8), dtype=np.int64)
+    for u in range(8):
+        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            w[u][x] = round(
+                (cu / 2)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                * (1 << _IDCT_SCALE)
+            )
+    return w
+
+
+_IDCT_W = _idct_w_table()
+
+
+def _idct_int(coef: np.ndarray) -> np.ndarray:
+    """The defined integer IDCT: exact int64 triple product + one
+    rounded shift; coef is the 8x8 DEQUANTIZED natural-order block."""
+    tmp = _IDCT_W.T @ coef @ _IDCT_W  # (x,y) orientation: W[u][x]
+    return ((tmp + (1 << (2 * _IDCT_SCALE - 1))) >> (2 * _IDCT_SCALE)) + 128
+
+
+def encode_jpeg_gray_coeffs(
+    coef_blocks: list[list[np.ndarray]], q00: int = 1
+) -> bytes:
+    """Grayscale baseline JFIF from ARBITRARY quantized coefficient
+    blocks (natural-order 8x8 int arrays, rows of blocks): full AC
+    run-length entropy coding — zigzag scan, (run, size) Huffman
+    symbols, ZRL for zero-runs past 15, EOB — the complete T.81
+    baseline entropy layer. Quant table all-q00."""
+    bh = len(coef_blocks)
+    bw_n = len(coef_blocks[0])
+    h, w = bh * 8, bw_n * 8
+    dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    pred = 0
+    for row in coef_blocks:
+        for coef in row:
+            flat = coef.reshape(-1)
+            zz = [int(flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+            diff = zz[0] - pred
+            pred = zz[0]
+            mag = abs(diff)
+            size = mag.bit_length()
+            ln, code = dc_map[size]
+            bw.put(code, ln)
+            if size:
+                amp = diff if diff > 0 else diff + (1 << size) - 1
+                bw.put(amp, size)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_map[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                sz = abs(zz[k]).bit_length()
+                ln, code = ac_map[(run << 4) | sz]
+                bw.put(code, ln)
+                amp = zz[k] if zz[k] > 0 else zz[k] + (1 << sz) - 1
+                bw.put(amp, sz)
+                run = 0
+            if last_nz < 63:
+                ln, code = ac_map[0x00]  # EOB
+                bw.put(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([q00] * 64))
+    sof = seg(
+        0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def gradient_jpeg_ac_image(doc_id: int) -> tuple[str, bytes]:
+    """Grayscale baseline JPEG with REAL AC content: 2x3 blocks of
+    sparse coefficients — DC = (id + 13bx + 29by) % 256 - 128,
+    AC(u=1) = (3id + 7bx) % 64 - 32, AC(v=1) = (5id + 11by) % 64 - 32,
+    plus a deep coefficient at zigzag position 40 (natural (v=3,u=5);
+    its 37-zero run forces TWO ZRL symbols) = id % 16 + 1. q00 = 1;
+    pixels follow the defined integer IDCT, which the oracle replays
+    term by term."""
+    blocks = []
+    for by in range(2):
+        row = []
+        for bx in range(3):
+            coef = np.zeros((8, 8), dtype=np.int64)
+            coef[0, 0] = (doc_id + 13 * bx + 29 * by) % 256 - 128
+            coef[0, 1] = (3 * doc_id + 7 * bx) % 64 - 32
+            coef[1, 0] = (5 * doc_id + 11 * by) % 64 - 32
+            coef.reshape(-1)[_JPEG_ZIGZAG[40]] = doc_id % 16 + 1
+            row.append(coef)
+        blocks.append(row)
+    return "image/jpeg", encode_jpeg_gray_coeffs(blocks, q00=1)
+
+
+def attach_real_jpeg_ac_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL AC-bearing JPEG payloads manufactured distributively."""
+    gen_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mods, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                m, p = gradient_jpeg_ac_image(int(doc_id))
+                mods.append(m)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": mods, "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        process, gen_schema
+    )

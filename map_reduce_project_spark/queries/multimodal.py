@@ -1067,3 +1067,102 @@ QUERIES.append(
         "4:2:0 subsampled JPEG: macroblock interleave + replicate upsample, exact",
     )
 )
+
+
+def mm_jpeg_ac_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AC-coefficient baseline-JPEG decode under the exact gate:
+    the full T.81 entropy layer — zigzag scan, (run, size) Huffman
+    symbols, double-ZRL zero runs, EOB — feeding the module's DEFINED
+    fixed-point integer IDCT, whose four nonzero terms per pixel the
+    oracle replays with the same inlined W constants and the same
+    floor-shift rounding. A wrong zigzag entry, run accounting, or
+    IDCT constant is a hash mismatch on all 500 files."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_jpeg_ac_payload,
+        pixel_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pixel_stats(attach_real_jpeg_ac_payload(docs))
+
+
+MM_JPEG_AC_SQL = """
+WITH w(u, x, wv) AS (
+  VALUES
+    (0, 0, 362),
+    (0, 1, 362),
+    (0, 2, 362),
+    (0, 3, 362),
+    (0, 4, 362),
+    (0, 5, 362),
+    (0, 6, 362),
+    (0, 7, 362),
+    (1, 0, 502),
+    (1, 1, 426),
+    (1, 2, 284),
+    (1, 3, 100),
+    (1, 4, -100),
+    (1, 5, -284),
+    (1, 6, -426),
+    (1, 7, -502),
+    (3, 0, 426),
+    (3, 1, -100),
+    (3, 2, -502),
+    (3, 3, -284),
+    (3, 4, 284),
+    (3, 5, 502),
+    (3, 6, 100),
+    (3, 7, -426),
+    (5, 0, 284),
+    (5, 1, -502),
+    (5, 2, 100),
+    (5, 3, 426),
+    (5, 4, -426),
+    (5, 5, -100),
+    (5, 6, 502),
+    (5, 7, -284)
+),
+g AS (
+  SELECT bx.g AS bx, by.g AS by, px.g AS px, py.g AS py
+  FROM generate_series(0, 2) bx(g), generate_series(0, 1) by(g),
+       generate_series(0, 7) px(g), generate_series(0, 7) py(g)
+),
+pix AS (
+  SELECT d.doc_id, g.bx, g.by, g.px, g.py,
+    LEAST(255, GREATEST(0,
+      CAST(FLOOR((
+          ((d.doc_id + 13 * g.bx + 29 * g.by) % 256 - 128)
+            * w0x.wv * w0y.wv
+        + ((3 * d.doc_id + 7 * g.bx) % 64 - 32) * w1x.wv * w0y.wv
+        + ((5 * d.doc_id + 11 * g.by) % 64 - 32) * w0x.wv * w1y.wv
+        + (d.doc_id % 16 + 1) * w5x.wv * w3y.wv
+        + 524288) / 1048576.0) AS BIGINT) + 128)) AS p
+  FROM documents d
+  CROSS JOIN g
+  JOIN w w0x ON w0x.u = 0 AND w0x.x = g.px
+  JOIN w w0y ON w0y.u = 0 AND w0y.x = g.py
+  JOIN w w1x ON w1x.u = 1 AND w1x.x = g.px
+  JOIN w w1y ON w1y.u = 1 AND w1y.x = g.py
+  JOIN w w5x ON w5x.u = 5 AND w5x.x = g.px
+  JOIN w w3y ON w3y.u = 3 AND w3y.x = g.py
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  'image/jpeg' AS modality,
+  CAST(16 AS BIGINT) AS height,
+  CAST(24 AS BIGINT) AS width,
+  CAST(384 AS BIGINT) AS n_pixels,
+  CAST(SUM(p) AS BIGINT) AS sum_r,
+  CAST(SUM(p) AS BIGINT) AS sum_g,
+  CAST(SUM(p) AS BIGINT) AS sum_b
+FROM pix
+GROUP BY doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "mm_jpeg_ac_stats",
+        mm_jpeg_ac_stats_q,
+        MM_JPEG_AC_SQL,
+        "full AC entropy decode + defined integer IDCT, oracle-replayed per term",
+    )
+)

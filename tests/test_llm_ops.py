@@ -1542,3 +1542,36 @@ def test_gif_lzw_roundtrip_property():
         assert _gif_lzw_decompress(_gif_lzw_compress(data, 8), 8) == data
 
     roundtrip()
+
+
+def test_jpeg_ac_entropy_and_idct():
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _idct_int,
+        decode_jpeg_dc,
+        encode_jpeg_gray_coeffs,
+    )
+
+    rng = np.random.RandomState(2)
+    blocks = []
+    for r in range(2):
+        row = []
+        for c in range(3):
+            coef = np.zeros((8, 8), dtype=np.int64)
+            coef[0, 0] = int(rng.randint(-200, 200))
+            coef[0, 1] = int(rng.randint(-80, 80))
+            coef[1, 0] = int(rng.randint(-80, 80))
+            # deep zigzag position: forces two ZRL symbols
+            coef.reshape(-1)[_JPEG_ZIGZAG[40]] = int(rng.randint(1, 50))
+            # and a dense block in one corner: many consecutive ACs
+            if (r, c) == (1, 2):
+                coef[:4, :4] = rng.randint(-30, 30, (4, 4))
+            row.append(coef)
+        blocks.append(row)
+    px = decode_jpeg_dc(encode_jpeg_gray_coeffs(blocks, q00=1))
+    for r in range(2):
+        for c in range(3):
+            expected = np.clip(_idct_int(blocks[r][c]), 0, 255)
+            assert (px[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8, 0] == expected).all()
