@@ -1985,9 +1985,13 @@ class _BitReaderMSB:
 def decode_flac_constant(b: bytes) -> np.ndarray:
     """REAL FLAC decode of the constant-subframe tier: STREAMINFO,
     frame sync walk, header field decode, UTF-8 frame numbers, and
-    BOTH CRCs verified per frame. Returns int16 samples. Raises
-    honestly at the tiers that need real DSP: VERBATIM/FIXED/LPC
-    subframes, stereo decorrelation, non-16 bps."""
+    BOTH CRCs verified per frame. CONSTANT and FIXED-predictor
+    subframes decode — the latter through genuine partitioned-Rice
+    entropy decoding (unary quotient + k remainder bits, zigzag sign
+    fold) and the exact integer polynomial reconstruction orders 0-4.
+    Returns int16 samples. Raises honestly at the adaptive-model
+    tiers: VERBATIM/LPC subframes, multi-partition Rice, stereo
+    decorrelation, non-16 bps."""
     if b[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -2039,20 +2043,75 @@ def decode_flac_constant(b: bytes) -> np.ndarray:
             raise ValueError("FLAC frame header CRC-8 mismatch")
         r.bits(1)
         stype = r.bits(6)
-        if stype != 0:
+        if stype != 0 and not (8 <= stype <= 12):
             raise NotImplementedError(
-                "VERBATIM/FIXED/LPC subframes need the DSP tier"
+                "VERBATIM/LPC subframes need the adaptive-model tier"
             )
         if r.bits(1):
             raise NotImplementedError("wasted bits")
-        raw = r.bits(16)
-        v = raw - 0x10000 if raw >= 0x8000 else raw
+        if stype == 0:
+            raw = r.bits(16)
+            v = raw - 0x10000 if raw >= 0x8000 else raw
+            frame_samples = [v] * 256
+        else:
+            # FIXED predictor subframe: order n warmup samples
+            # verbatim, then partitioned-Rice residuals — genuine
+            # entropy decoding (unary quotient + k remainder bits,
+            # zigzag sign fold), then the exact integer reconstruction
+            # s[t] = residual + fixed-polynomial extrapolation
+            order = stype & 0x07
+            warm = []
+            for _ in range(order):
+                raw = r.bits(16)
+                warm.append(raw - 0x10000 if raw >= 0x8000 else raw)
+            method = r.bits(2)
+            if method not in (0, 1):
+                raise ValueError("reserved residual coding method")
+            part_order = r.bits(4)
+            if part_order != 0:
+                raise NotImplementedError(
+                    "multi-partition Rice (fixture tier is one partition)"
+                )
+            kbits = 4 if method == 0 else 5
+            k = r.bits(kbits)
+            if k == (1 << kbits) - 1:
+                raise NotImplementedError("escaped (unencoded) partition")
+            resid = []
+            for _ in range(256 - order):
+                q = 0
+                while r.bits(1) == 0:
+                    q += 1
+                u = (q << k) | r.bits(k)
+                resid.append((u >> 1) ^ -(u & 1))  # zigzag unfold
+            frame_samples = list(warm)
+            for res in resid:
+                n_ = len(frame_samples)
+                if order == 0:
+                    pred = 0
+                elif order == 1:
+                    pred = frame_samples[n_ - 1]
+                elif order == 2:
+                    pred = 2 * frame_samples[n_ - 1] - frame_samples[n_ - 2]
+                elif order == 3:
+                    pred = (
+                        3 * frame_samples[n_ - 1]
+                        - 3 * frame_samples[n_ - 2]
+                        + frame_samples[n_ - 3]
+                    )
+                else:
+                    pred = (
+                        4 * frame_samples[n_ - 1]
+                        - 6 * frame_samples[n_ - 2]
+                        + 4 * frame_samples[n_ - 3]
+                        - frame_samples[n_ - 4]
+                    )
+                frame_samples.append(res + pred)
         r.align()
         body_end = r.bytepos()
         crc16 = r.bits(16)
         if crc16 != _crc16_flac(b[pos:body_end]):
             raise ValueError("FLAC frame CRC-16 mismatch")
-        samples.extend([v] * 256)
+        samples.extend(frame_samples)
         pos = r.bytepos()
     return np.asarray(samples[:total], dtype=np.int16)
 
@@ -2569,3 +2628,96 @@ def attach_real_jpeg_ac_payload(
     return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
         process, gen_schema
     )
+
+
+def encode_flac_fixed(
+    frames: list[list[int]], order: int = 2, k: int = 4
+) -> bytes:
+    """Mono 16-bit FLAC whose frames are FIXED-predictor subframes:
+    ``order`` warmup samples verbatim, then single-partition Rice
+    residuals (parameter ``k``) of the fixed-polynomial prediction —
+    the exact-integer tier of real FLAC compression. 256-sample
+    frames, real CRC-8/CRC-16."""
+    for f in frames:
+        if len(f) != 256:
+            raise ValueError("fixture frames are 256 samples")
+    total = 256 * len(frames)
+    out = bytearray(b"fLaC")
+    info = bytearray()
+    info += struct.pack(">HH", 256, 256)
+    info += b"\x00\x00\x00" * 2
+    packed = (44100 << 44) | (0 << 41) | (15 << 36) | total
+    info += packed.to_bytes(8, "big")
+    info += b"\x00" * 16
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+    for fno, samp in enumerate(frames):
+        bw = _BitWriterMSB()
+        bw.put(0b11111111111110, 14)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0b1000, 4)
+        bw.put(0b1001, 4)
+        bw.put(0b0000, 4)
+        bw.put(0b100, 3)
+        bw.put(0, 1)
+        if fno > 0x7F:
+            raise ValueError("fixture encoder: frame number < 128")
+        bw.put(fno, 8)
+        bw.align()
+        header = bw.bytes()
+        frame = bytearray(header)
+        frame.append(_crc8_flac(header))
+        bw2 = _BitWriterMSB()
+        bw2.put(0, 1)
+        bw2.put(0b001000 | order, 6)
+        bw2.put(0, 1)
+        for t in range(order):
+            bw2.put(samp[t] & 0xFFFF, 16)
+        bw2.put(0, 2)   # residual method: 4-bit rice
+        bw2.put(0, 4)   # partition order 0
+        bw2.put(k, 4)
+        for t in range(order, 256):
+            if order == 0:
+                pred = 0
+            elif order == 1:
+                pred = samp[t - 1]
+            elif order == 2:
+                pred = 2 * samp[t - 1] - samp[t - 2]
+            elif order == 3:
+                pred = 3 * samp[t - 1] - 3 * samp[t - 2] + samp[t - 3]
+            else:
+                pred = (
+                    4 * samp[t - 1] - 6 * samp[t - 2]
+                    + 4 * samp[t - 3] - samp[t - 4]
+                )
+            v = samp[t] - pred
+            u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+            q = u >> k
+            for _ in range(q):
+                bw2.put(0, 1)
+            bw2.put(1, 1)
+            bw2.put(u & ((1 << k) - 1), k)
+        bw2.align()
+        frame += bw2.bytes()
+        frame += struct.pack(">H", _crc16_flac(bytes(frame)))
+        out += bytes(frame)
+    return bytes(out)
+
+
+def melody_flac_audio(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic 'melody' FLAC with FIXED order-2 prediction:
+    1 + id%2 frames of s(t) = (id % 1000) + ((id % 50) - 25) * t
+    + ((13t + id) % 7) - 3 — linear trend (perfectly predicted by
+    order 2) plus a small periodic residual the Rice coder carries."""
+    n_frames = 1 + doc_id % 2
+    frames = []
+    for f in range(n_frames):
+        base = doc_id % 1000 + f
+        slope = (doc_id % 50) - 25
+        frames.append(
+            [
+                base + slope * t + ((13 * t + doc_id) % 7) - 3
+                for t in range(256)
+            ]
+        )
+    return "audio/flac", encode_flac_fixed(frames, order=2, k=4)

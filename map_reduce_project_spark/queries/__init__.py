@@ -216,6 +216,7 @@ def all_queries() -> dict[str, Query]:
         "mm_webdataset_shards",
         "mm_jpeg_420_stats",
         "mm_jpeg_ac_stats",
+        "mm_flac_fixed_stats",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1166,3 +1166,85 @@ QUERIES.append(
         "full AC entropy decode + defined integer IDCT, oracle-replayed per term",
     )
 )
+
+
+def mm_flac_fixed_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-predictor FLAC decode under the exact gate: frames carry
+    order-2 polynomial prediction with genuine partitioned-Rice
+    entropy decoding (unary quotient + k remainder bits, zigzag sign
+    fold) — the exact-integer tier of real FLAC compression, beyond
+    the constant-subframe tier. Melody fixtures (linear trend the
+    predictor absorbs + a small periodic residual the Rice coder
+    carries) make the reconstructed stream stats SQL-predictable;
+    adaptive-model tiers (LPC, multi-partition Rice) raise
+    honestly."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_flac_constant,
+        melody_flac_audio,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").selectExpr(
+        "CAST(doc_id AS LONG) AS doc_id"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("sum_samples", LongType()),
+            StructField("min_sample", LongType()),
+            StructField("max_sample", LongType()),
+        ]
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                _, payload = melody_flac_audio(int(doc_id))
+                sarr = decode_flac_constant(payload)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": len(sarr),
+                        "sum_samples": int(sarr.sum()),
+                        "min_sample": int(sarr.min()),
+                        "max_sample": int(sarr.max()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(stats, schema)
+
+
+MM_FLAC_FIXED_SQL = """
+WITH f AS (SELECT g AS f FROM generate_series(0, 1) t(g)),
+ts AS (SELECT g AS t FROM generate_series(0, 255) t(g)),
+vals AS (
+  SELECT d.doc_id,
+    (d.doc_id % 1000 + f.f)
+      + ((d.doc_id % 50) - 25) * ts.t
+      + ((13 * ts.t + d.doc_id) % 7) - 3 AS v
+  FROM documents d
+  JOIN f ON f.f < 1 + d.doc_id % 2
+  CROSS JOIN ts
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_samples,
+  CAST(SUM(v) AS BIGINT) AS sum_samples,
+  CAST(MIN(v) AS BIGINT) AS min_sample,
+  CAST(MAX(v) AS BIGINT) AS max_sample
+FROM vals
+GROUP BY doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "mm_flac_fixed_stats",
+        mm_flac_fixed_stats_q,
+        MM_FLAC_FIXED_SQL,
+        "FIXED-predictor FLAC with real Rice entropy decode -> exact stats",
+    )
+)

@@ -1575,3 +1575,30 @@ def test_jpeg_ac_entropy_and_idct():
         for c in range(3):
             expected = np.clip(_idct_int(blocks[r][c]), 0, 255)
             assert (px[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8, 0] == expected).all()
+
+
+def test_flac_fixed_predictor_rice_roundtrip():
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_flac_constant,
+        encode_flac_fixed,
+        melody_flac_audio,
+    )
+
+    # every fixed order 0..4 reconstructs exactly through Rice decode
+    frames = [[100 + 3 * t + ((t * 7) % 5) - 2 for t in range(256)]]
+    for order in range(5):
+        s = decode_flac_constant(encode_flac_fixed(frames, order=order, k=5))
+        assert s.tolist() == frames[0], order
+    # negative residuals + multi-frame warmup resets
+    for did in (0, 7, 137):
+        _, payload = melody_flac_audio(did)
+        s = decode_flac_constant(payload)
+        nf = 1 + did % 2
+        for f in range(nf):
+            base = did % 1000 + f
+            slope = (did % 50) - 25
+            exp = [
+                base + slope * t + ((13 * t + did) % 7) - 3
+                for t in range(256)
+            ]
+            assert s[f * 256 : (f + 1) * 256].tolist() == exp
