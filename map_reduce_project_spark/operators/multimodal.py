@@ -1109,6 +1109,20 @@ def attach_real_png_payload(
 
 _GIF_MAX_WIDTH = 12
 
+# FLAC fixed-predictor coefficients by order (newest sample first) —
+# ONE table shared by the decoder's reconstruction and the fixture
+# encoder's residual computation, so the codec cannot silently
+# diverge from its own fixtures
+_FLAC_FIXED_COEFFS = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]]
+
+
+def _flac_fixed_predict(hist: list, order: int, n: int) -> int:
+    """Prediction for position n from the ``order`` previous samples
+    of ``hist`` using the shared coefficient table."""
+    return sum(
+        c * hist[n - 1 - j] for j, c in enumerate(_FLAC_FIXED_COEFFS[order])
+    )
+
 
 def _gif_lzw_compress(indices: bytes, cs: int) -> bytes:
     """GIF-variant LZW: emit CLEAR, then codes of growing width;
@@ -1396,6 +1410,32 @@ def _huff_encode_map(bits: tuple, vals: tuple) -> dict:
     return {v: (ln, c) for (ln, c), v in _huff_canonical(bits, vals).items()}
 
 
+def _jpeg_put_flat_block(
+    bw: "_JpegBitWriter",
+    dc_map: dict,
+    ac_map: dict,
+    preds: list,
+    ci: int,
+    v: int,
+    q00: int,
+) -> None:
+    """Emit one DC-only (flat) block: DC diff through the Huffman
+    table + EOB — the shared encoder step for all three DC-only
+    fixture encoders (grayscale / 1x1 color / 4:2:0), so their
+    entropy layer cannot drift apart."""
+    dc = (8 * (v - 128)) // q00
+    diff = dc - preds[ci]
+    preds[ci] = dc
+    size = abs(diff).bit_length()
+    ln, code = dc_map[size]
+    bw.put(code, ln)
+    if size:
+        amp = diff if diff > 0 else diff + (1 << size) - 1
+        bw.put(amp, size)
+    ln, code = ac_map[0x00]
+    bw.put(code, ln)
+
+
 class _JpegBitWriter:
     def __init__(self) -> None:
         self.out = bytearray()
@@ -1429,23 +1469,13 @@ def encode_jpeg_dc(gray: np.ndarray, q00: int = 8) -> bytes:
         raise ValueError("DC-only fixture needs multiple-of-8 dims")
     dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    eob_len, eob_code = ac_map[0x00]
     bw = _JpegBitWriter()
-    pred = 0
+    preds = [0]
     for by in range(h // 8):
         for bx in range(w // 8):
-            v = int(gray[by * 8, bx * 8])
-            dc = (8 * (v - 128)) // q00  # exact when q00 divides 8(v-128)
-            diff = dc - pred
-            pred = dc
-            mag = abs(diff)
-            size = mag.bit_length()
-            ln, code = dc_map[size]
-            bw.put(code, ln)
-            if size:
-                amp = diff if diff > 0 else diff + (1 << size) - 1
-                bw.put(amp, size)
-            bw.put(eob_code, eob_len)
+            _jpeg_put_flat_block(
+                bw, dc_map, ac_map, preds, 0, int(gray[by * 8, bx * 8]), q00
+            )
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -1633,6 +1663,8 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
                 break
             if rs == 0xF0:  # ZRL: sixteen zeros
                 k += 16
+                if k > 64:
+                    raise ValueError("AC run past block end")
                 continue
             k += rs >> 4
             if k > 63:
@@ -1645,12 +1677,6 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
         for kk in range(64):
             flat[_JPEG_ZIGZAG[kk]] = zz[kk]
         return np.clip(_idct_int(coef), 0, 255)
-
-    def read_block_dc(ci: int) -> int:
-        # DC-only convenience for the flat-block fast paths: decodes
-        # the FULL block (AC included) and returns its top-left value
-        # — for genuinely flat blocks every pixel is that value
-        return int(read_block(ci)[0, 0])
 
     preds = [0] * ncomp
     if ncomp == 3 and comps[0][2:] == (2, 2):
@@ -1764,25 +1790,16 @@ def encode_jpeg_dc_color(
         raise ValueError("DC-only fixture needs multiple-of-8 dims")
     dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    eob_len, eob_code = ac_map[0x00]
     bw = _JpegBitWriter()
     preds = [0, 0, 0]
     planes = (y, cb, cr)
     for by in range(h // 8):
         for bx in range(w // 8):
             for ci, plane in enumerate(planes):
-                v = int(plane[by * 8, bx * 8])
-                dc = (8 * (v - 128)) // q00
-                diff = dc - preds[ci]
-                preds[ci] = dc
-                mag = abs(diff)
-                size = mag.bit_length()
-                ln, code = dc_map[size]
-                bw.put(code, ln)
-                if size:
-                    amp = diff if diff > 0 else diff + (1 << size) - 1
-                    bw.put(amp, size)
-                bw.put(eob_code, eob_len)
+                _jpeg_put_flat_block(
+                    bw, dc_map, ac_map, preds, ci,
+                    int(plane[by * 8, bx * 8]), q00,
+                )
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -2085,27 +2102,12 @@ def decode_flac_constant(b: bytes) -> np.ndarray:
                 resid.append((u >> 1) ^ -(u & 1))  # zigzag unfold
             frame_samples = list(warm)
             for res in resid:
-                n_ = len(frame_samples)
-                if order == 0:
-                    pred = 0
-                elif order == 1:
-                    pred = frame_samples[n_ - 1]
-                elif order == 2:
-                    pred = 2 * frame_samples[n_ - 1] - frame_samples[n_ - 2]
-                elif order == 3:
-                    pred = (
-                        3 * frame_samples[n_ - 1]
-                        - 3 * frame_samples[n_ - 2]
-                        + frame_samples[n_ - 3]
+                frame_samples.append(
+                    res
+                    + _flac_fixed_predict(
+                        frame_samples, order, len(frame_samples)
                     )
-                else:
-                    pred = (
-                        4 * frame_samples[n_ - 1]
-                        - 6 * frame_samples[n_ - 2]
-                        + 4 * frame_samples[n_ - 3]
-                        - frame_samples[n_ - 4]
-                    )
-                frame_samples.append(res + pred)
+                )
         r.align()
         body_end = r.bytepos()
         crc16 = r.bits(16)
@@ -2209,15 +2211,22 @@ def decode_avi_frames(b: bytes) -> list[np.ndarray]:
     frame_meta: list[tuple[int, int]] = []
     idx_entries: list[tuple[int, int]] = []
     bitcount = compression = None
+    movi_pos = None
 
     def walk(start: int, end: int) -> None:
-        nonlocal dims, bitcount, compression
+        nonlocal dims, bitcount, compression, movi_pos
         i = start
         while i + 8 <= end:
             tag = b[i : i + 4]
             (size,) = struct.unpack("<I", b[i + 4 : i + 8])
             data0 = i + 8
             if tag == b"LIST":
+                # idx1 offsets count from the 'movi' fourcc inside the
+                # LIST — record the WALKED position, not a byte scan
+                # (the literal bytes 'movi' can legally appear inside
+                # an INFO/JUNK chunk earlier in the file)
+                if b[data0 : data0 + 4] == b"movi" and movi_pos is None:
+                    movi_pos = data0
                 walk(data0 + 4, data0 + size)
             elif tag == b"avih":
                 n_frames, = struct.unpack("<I", b[data0 + 16 : data0 + 20])
@@ -2247,7 +2256,8 @@ def decode_avi_frames(b: bytes) -> list[np.ndarray]:
         )
     w, h, n_frames = dims
     stride = _avi_row_stride(w)
-    movi_pos = b.find(b"movi")
+    if movi_pos is None:
+        raise ValueError("no movi list in AVI")
     if len(idx_entries) != len(frame_meta):
         raise ValueError("idx1 entry count != frames present")
     for (fpos, fsize), (off, sz) in zip(frame_meta, idx_entries):
@@ -2297,22 +2307,11 @@ def encode_jpeg_dc_420(
         raise ValueError("4:2:0 fixture needs multiple-of-16 dims")
     dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    eob_len, eob_code = ac_map[0x00]
     bw = _JpegBitWriter()
     preds = [0, 0, 0]
 
     def put_block(ci: int, v: int) -> None:
-        dc = (8 * (v - 128)) // q00
-        diff = dc - preds[ci]
-        preds[ci] = dc
-        mag = abs(diff)
-        size = mag.bit_length()
-        ln, code = dc_map[size]
-        bw.put(code, ln)
-        if size:
-            amp = diff if diff > 0 else diff + (1 << size) - 1
-            bw.put(amp, size)
-        bw.put(eob_code, eob_len)
+        _jpeg_put_flat_block(bw, dc_map, ac_map, preds, ci, v, q00)
 
     for my in range(h // 16):
         for mx in range(w // 16):
@@ -2677,20 +2676,7 @@ def encode_flac_fixed(
         bw2.put(0, 4)   # partition order 0
         bw2.put(k, 4)
         for t in range(order, 256):
-            if order == 0:
-                pred = 0
-            elif order == 1:
-                pred = samp[t - 1]
-            elif order == 2:
-                pred = 2 * samp[t - 1] - samp[t - 2]
-            elif order == 3:
-                pred = 3 * samp[t - 1] - 3 * samp[t - 2] + samp[t - 3]
-            else:
-                pred = (
-                    4 * samp[t - 1] - 6 * samp[t - 2]
-                    + 4 * samp[t - 3] - samp[t - 4]
-                )
-            v = samp[t] - pred
+            v = samp[t] - _flac_fixed_predict(samp, order, t)
             u = (v << 1) if v >= 0 else ((-v) << 1) - 1
             q = u >> k
             for _ in range(q):

@@ -334,9 +334,12 @@ def test_multimodal_metadata_roundtrip(spark, docs):
 
 def test_decode_media_stub_gates_real_modalities():
     # modalities WITHOUT a header parser still raise (full decode
-    # needs media libs); a known format with corrupt bytes errors
-    # loudly rather than inventing metadata
+    # needs media libs); known formats with corrupt bytes error
+    # loudly rather than inventing metadata (mp4 has a real box-walk
+    # parser now, so garbage mp4 is a ValueError, not a stub)
     with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x01", "video/webm")
+    with pytest.raises(ValueError):
         decode_media(b"\x00\x01", "video/mp4")
     with pytest.raises(ValueError):
         decode_media(b"\x89PNG", "image/png")  # truncated header
@@ -450,7 +453,7 @@ def test_resize_images_shape_and_determinism(spark, docs):
         b"\xff\xd8"
         + b"\xff\xc0" + _st.pack(">H", 17)
         + _st.pack(">BHHB", 8, 8, 8, 3)
-        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+        + bytes([1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0])  # 4:2:2 stays gated
     )
     with _pytest.raises(NotImplementedError):
         from map_reduce_project_spark.operators.multimodal import (
@@ -728,7 +731,7 @@ def test_unknown_modality_still_raises(spark):
     from map_reduce_project_spark.operators.multimodal import decode_media
 
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x00", "video/mp4")
+        decode_media(b"\x00", "video/webm")
 
 
 def test_bow_cosine_counts_weighting_beats_jaccard_sets(spark):
@@ -1506,9 +1509,6 @@ def test_jpeg_420_upsample_alignment():
 
 
 def test_mp4_box_walk_metadata():
-    from hypothesis import given, settings
-    from hypothesis import strategies as st
-
     from map_reduce_project_spark.operators.multimodal import (
         _parse_mp4,
         decode_media,
