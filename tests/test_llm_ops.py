@@ -1602,3 +1602,26 @@ def test_flac_fixed_predictor_rice_roundtrip():
                 for t in range(256)
             ]
             assert s[f * 256 : (f + 1) * 256].tolist() == exp
+
+
+def test_idct_w_table_golden():
+    # the defined transform's constants are part of the decoder's
+    # SPEC (the oracle inlines them): pin all 64 values
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import _IDCT_W
+
+    expected = np.array(
+        [
+            [362, 362, 362, 362, 362, 362, 362, 362],
+            [502, 426, 284, 100, -100, -284, -426, -502],
+            [473, 196, -196, -473, -473, -196, 196, 473],
+            [426, -100, -502, -284, 284, 502, 100, -426],
+            [362, -362, -362, 362, 362, -362, -362, 362],
+            [284, -502, 100, 426, -426, -100, 502, -284],
+            [196, -473, 473, -196, -196, 473, -473, 196],
+            [100, -284, 426, -502, 502, -426, 284, -100],
+        ],
+        dtype=np.int64,
+    )
+    assert (_IDCT_W == expected).all()
