@@ -1999,16 +1999,66 @@ class _BitReaderMSB:
         return self.bitpos >> 3
 
 
+def _flac_read_subframe(r: "_BitReaderMSB", bps: int, blocksize: int) -> list:
+    """One subframe: CONSTANT or FIXED-predictor with partitioned
+    Rice residuals (any partition order whose partitions divide the
+    blocksize evenly). ``bps`` varies per channel under stereo
+    decorrelation (the side channel carries one extra bit)."""
+    r.bits(1)
+    stype = r.bits(6)
+    if stype != 0 and not (8 <= stype <= 12):
+        raise NotImplementedError(
+            "VERBATIM/LPC subframes need the adaptive-model tier"
+        )
+    if r.bits(1):
+        raise NotImplementedError("wasted bits")
+
+    def signed(nbits: int) -> int:
+        raw = r.bits(nbits)
+        return raw - (1 << nbits) if raw >= (1 << (nbits - 1)) else raw
+
+    if stype == 0:
+        return [signed(bps)] * blocksize
+    order = stype & 0x07
+    warm = [signed(bps) for _ in range(order)]
+    method = r.bits(2)
+    if method not in (0, 1):
+        raise ValueError("reserved residual coding method")
+    part_order = r.bits(4)
+    n_parts = 1 << part_order
+    if blocksize % n_parts:
+        raise ValueError("partition count does not divide blocksize")
+    kbits = 4 if method == 0 else 5
+    out = list(warm)
+    for part in range(n_parts):
+        k = r.bits(kbits)
+        if k == (1 << kbits) - 1:
+            raise NotImplementedError("escaped (unencoded) partition")
+        n_res = (blocksize >> part_order) - (order if part == 0 else 0)
+        for _ in range(n_res):
+            q = 0
+            while r.bits(1) == 0:
+                q += 1
+            u = (q << k) | r.bits(k)
+            res = (u >> 1) ^ -(u & 1)  # zigzag unfold
+            out.append(res + _flac_fixed_predict(out, order, len(out)))
+    return out
+
+
 def decode_flac_constant(b: bytes) -> np.ndarray:
-    """REAL FLAC decode of the constant-subframe tier: STREAMINFO,
-    frame sync walk, header field decode, UTF-8 frame numbers, and
-    BOTH CRCs verified per frame. CONSTANT and FIXED-predictor
-    subframes decode — the latter through genuine partitioned-Rice
-    entropy decoding (unary quotient + k remainder bits, zigzag sign
-    fold) and the exact integer polynomial reconstruction orders 0-4.
-    Returns int16 samples. Raises honestly at the adaptive-model
-    tiers: VERBATIM/LPC subframes, multi-partition Rice, stereo
-    decorrelation, non-16 bps."""
+    """REAL FLAC decode: STREAMINFO, frame sync walk, header field
+    decode, UTF-8 frame numbers, and BOTH CRCs verified per frame.
+    CONSTANT and FIXED-predictor subframes decode — the latter
+    through genuine partitioned-Rice entropy decoding (unary
+    quotient + k remainder bits, zigzag sign fold, ANY evenly
+    dividing partition order) and the exact integer polynomial
+    reconstruction orders 0-4. Mono and stereo streams decode;
+    stereo supports all four channel assignments (independent,
+    left/side, right/side, mid/side — the decorrelation inverses are
+    exact integer identities, and the side channel reads bps+1
+    bits). Returns int16 samples, channel-interleaved for stereo.
+    Raises honestly at the adaptive-model tiers: VERBATIM/LPC
+    subframes, escaped partitions, non-16 bps."""
     if b[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -2025,9 +2075,9 @@ def decode_flac_constant(b: bytes) -> np.ndarray:
             channels = ((packed >> 41) & 0x7) + 1
             bps = ((packed >> 36) & 0x1F) + 1
             total = packed & ((1 << 36) - 1)
-            if channels != 1 or bps != 16:
+            if channels not in (1, 2) or bps != 16:
                 raise NotImplementedError(
-                    "stereo decorrelation / non-16bps need the DSP tier"
+                    "only mono/stereo 16-bit streams in this tier"
                 )
         pos += 4 + length
         if last:
@@ -2035,7 +2085,8 @@ def decode_flac_constant(b: bytes) -> np.ndarray:
     if blocksize is None:
         raise ValueError("missing STREAMINFO")
     samples: list[int] = []
-    while pos < len(b) and len(samples) < total:
+    needed = total * channels
+    while pos < len(b) and len(samples) < needed:
         r = _BitReaderMSB(b, pos)
         if r.bits(14) != 0b11111111111110:
             raise ValueError("lost FLAC frame sync")
@@ -2045,8 +2096,11 @@ def decode_flac_constant(b: bytes) -> np.ndarray:
         if bs_code != 0b1000:
             raise NotImplementedError("fixture tier reads blocksize-256 frames")
         r.bits(4)  # rate code (from STREAMINFO otherwise)
-        if r.bits(4) != 0:
-            raise NotImplementedError("stereo decorrelation")
+        chan_code = r.bits(4)
+        if chan_code not in (0b0000, 0b0001, 0b1000, 0b1001, 0b1010):
+            raise NotImplementedError(
+                f"channel assignment {chan_code:04b} beyond this tier"
+            )
         if r.bits(3) != 0b100:
             raise NotImplementedError("non-16bps")
         r.bits(1)
@@ -2058,56 +2112,29 @@ def decode_flac_constant(b: bytes) -> np.ndarray:
         crc8 = r.bits(8)
         if crc8 != _crc8_flac(header):
             raise ValueError("FLAC frame header CRC-8 mismatch")
-        r.bits(1)
-        stype = r.bits(6)
-        if stype != 0 and not (8 <= stype <= 12):
-            raise NotImplementedError(
-                "VERBATIM/LPC subframes need the adaptive-model tier"
-            )
-        if r.bits(1):
-            raise NotImplementedError("wasted bits")
-        if stype == 0:
-            raw = r.bits(16)
-            v = raw - 0x10000 if raw >= 0x8000 else raw
-            frame_samples = [v] * 256
+        if chan_code == 0b0000:
+            frame_samples = _flac_read_subframe(r, 16, 256)
         else:
-            # FIXED predictor subframe: order n warmup samples
-            # verbatim, then partitioned-Rice residuals — genuine
-            # entropy decoding (unary quotient + k remainder bits,
-            # zigzag sign fold), then the exact integer reconstruction
-            # s[t] = residual + fixed-polynomial extrapolation
-            order = stype & 0x07
-            warm = []
-            for _ in range(order):
-                raw = r.bits(16)
-                warm.append(raw - 0x10000 if raw >= 0x8000 else raw)
-            method = r.bits(2)
-            if method not in (0, 1):
-                raise ValueError("reserved residual coding method")
-            part_order = r.bits(4)
-            if part_order != 0:
-                raise NotImplementedError(
-                    "multi-partition Rice (fixture tier is one partition)"
-                )
-            kbits = 4 if method == 0 else 5
-            k = r.bits(kbits)
-            if k == (1 << kbits) - 1:
-                raise NotImplementedError("escaped (unencoded) partition")
-            resid = []
-            for _ in range(256 - order):
-                q = 0
-                while r.bits(1) == 0:
-                    q += 1
-                u = (q << k) | r.bits(k)
-                resid.append((u >> 1) ^ -(u & 1))  # zigzag unfold
-            frame_samples = list(warm)
-            for res in resid:
-                frame_samples.append(
-                    res
-                    + _flac_fixed_predict(
-                        frame_samples, order, len(frame_samples)
-                    )
-                )
+            # stereo: the decorrelated channel assignments carry the
+            # SIDE (difference) signal with one extra bit; inverses
+            # are exact integer identities (flac spec 9.2)
+            bps0 = 16 + (1 if chan_code == 0b1001 else 0)
+            bps1 = 16 + (1 if chan_code in (0b1000, 0b1010) else 0)
+            c0 = _flac_read_subframe(r, bps0, 256)
+            c1 = _flac_read_subframe(r, bps1, 256)
+            frame_samples = []
+            for a, bb in zip(c0, c1):
+                if chan_code == 0b0001:
+                    left, right = a, bb
+                elif chan_code == 0b1000:  # left/side
+                    left, right = a, a - bb
+                elif chan_code == 0b1001:  # right/side: (side, right)
+                    left, right = bb + a, bb
+                else:  # mid/side
+                    mid2 = (a << 1) | (bb & 1)
+                    left = (mid2 + bb) >> 1
+                    right = (mid2 - bb) >> 1
+                frame_samples.extend([left, right])
         r.align()
         body_end = r.bytepos()
         crc16 = r.bits(16)
@@ -2115,7 +2142,7 @@ def decode_flac_constant(b: bytes) -> np.ndarray:
             raise ValueError("FLAC frame CRC-16 mismatch")
         samples.extend(frame_samples)
         pos = r.bytepos()
-    return np.asarray(samples[:total], dtype=np.int16)
+    return np.asarray(samples[:needed], dtype=np.int16)
 
 
 def tone_flac_audio(doc_id: int) -> tuple[str, bytes]:
@@ -2667,22 +2694,9 @@ def encode_flac_fixed(
         frame = bytearray(header)
         frame.append(_crc8_flac(header))
         bw2 = _BitWriterMSB()
-        bw2.put(0, 1)
-        bw2.put(0b001000 | order, 6)
-        bw2.put(0, 1)
-        for t in range(order):
-            bw2.put(samp[t] & 0xFFFF, 16)
-        bw2.put(0, 2)   # residual method: 4-bit rice
-        bw2.put(0, 4)   # partition order 0
-        bw2.put(k, 4)
-        for t in range(order, 256):
-            v = samp[t] - _flac_fixed_predict(samp, order, t)
-            u = (v << 1) if v >= 0 else ((-v) << 1) - 1
-            q = u >> k
-            for _ in range(q):
-                bw2.put(0, 1)
-            bw2.put(1, 1)
-            bw2.put(u & ((1 << k) - 1), k)
+        _FlacSubframeWriter(bw2).fixed(
+            samp, order=order, k_per_part=[k], bps=16, part_order=0
+        )
         bw2.align()
         frame += bw2.bytes()
         frame += struct.pack(">H", _crc16_flac(bytes(frame)))
@@ -2707,3 +2721,109 @@ def melody_flac_audio(doc_id: int) -> tuple[str, bytes]:
             ]
         )
     return "audio/flac", encode_flac_fixed(frames, order=2, k=4)
+
+
+class _FlacSubframeWriter:
+    """Shared subframe emission for the fixture encoders: CONSTANT or
+    FIXED order-n with partitioned Rice residuals — mirrors
+    _flac_read_subframe bit for bit."""
+
+    def __init__(self, bw: _BitWriterMSB) -> None:
+        self.bw = bw
+
+    def constant(self, v: int, bps: int) -> None:
+        self.bw.put(0, 1)
+        self.bw.put(0, 6)
+        self.bw.put(0, 1)
+        self.bw.put(v & ((1 << bps) - 1), bps)
+
+    def fixed(
+        self,
+        samp: list,
+        order: int,
+        k_per_part: list,
+        bps: int,
+        part_order: int = 0,
+    ) -> None:
+        bw = self.bw
+        blocksize = len(samp)
+        n_parts = 1 << part_order
+        assert len(k_per_part) == n_parts
+        bw.put(0, 1)
+        bw.put(0b001000 | order, 6)
+        bw.put(0, 1)
+        for t in range(order):
+            bw.put(samp[t] & ((1 << bps) - 1), bps)
+        bw.put(0, 2)
+        bw.put(part_order, 4)
+        t = order
+        for part, k in enumerate(k_per_part):
+            bw.put(k, 4)
+            n_res = (blocksize >> part_order) - (order if part == 0 else 0)
+            for _ in range(n_res):
+                v = samp[t] - _flac_fixed_predict(samp, order, t)
+                t += 1
+                u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+                q = u >> k
+                for _ in range(q):
+                    bw.put(0, 1)
+                bw.put(1, 1)
+                bw.put(u & ((1 << k) - 1), k)
+
+
+def encode_flac_stereo(
+    left: list, right: list, assignment: str = "mid_side"
+) -> bytes:
+    """Stereo 16-bit FLAC (one 256-sample frame) using the requested
+    channel assignment — independent / left_side / right_side /
+    mid_side — with FIXED order-1 subframes and 2-partition Rice,
+    exercising the full decorrelation + partition machinery."""
+    assert len(left) == len(right) == 256
+    codes = {
+        "independent": 0b0001,
+        "left_side": 0b1000,
+        "right_side": 0b1001,
+        "mid_side": 0b1010,
+    }
+    code = codes[assignment]
+    out = bytearray(b"fLaC")
+    info = bytearray()
+    info += struct.pack(">HH", 256, 256)
+    info += b"\x00\x00\x00" * 2
+    packed = (44100 << 44) | (1 << 41) | (15 << 36) | 256
+    info += packed.to_bytes(8, "big")
+    info += b"\x00" * 16
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+    side = [l - r for l, r in zip(left, right)]
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+    if assignment == "independent":
+        chans = [(left, 16), (right, 16)]
+    elif assignment == "left_side":
+        chans = [(left, 16), (side, 17)]
+    elif assignment == "right_side":
+        chans = [(side, 17), (right, 16)]
+    else:
+        chans = [(mid, 16), (side, 17)]
+    bw = _BitWriterMSB()
+    bw.put(0b11111111111110, 14)
+    bw.put(0, 1)
+    bw.put(0, 1)
+    bw.put(0b1000, 4)
+    bw.put(0b1001, 4)
+    bw.put(code, 4)
+    bw.put(0b100, 3)
+    bw.put(0, 1)
+    bw.put(0, 8)
+    bw.align()
+    header = bw.bytes()
+    frame = bytearray(header)
+    frame.append(_crc8_flac(header))
+    bw2 = _BitWriterMSB()
+    wr = _FlacSubframeWriter(bw2)
+    for samp, bps in chans:
+        wr.fixed(samp, order=1, k_per_part=[5, 6], bps=bps, part_order=1)
+    bw2.align()
+    frame += bw2.bytes()
+    frame += struct.pack(">H", _crc16_flac(bytes(frame)))
+    out += bytes(frame)
+    return bytes(out)

@@ -1625,3 +1625,20 @@ def test_idct_w_table_golden():
         dtype=np.int64,
     )
     assert (_IDCT_W == expected).all()
+
+
+def test_flac_stereo_decorrelation_all_assignments():
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_flac_constant,
+        encode_flac_stereo,
+    )
+
+    # every channel assignment's decorrelation inverse is an exact
+    # integer identity; frames use FIXED order-1 subframes with
+    # TWO-partition Rice, so the partition walk is exercised too
+    L = [100 + 3 * t + ((t * 5) % 9) - 4 for t in range(256)]
+    R = [-50 + 2 * t + ((t * 11) % 7) - 3 for t in range(256)]
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        s = decode_flac_constant(encode_flac_stereo(L, R, mode))
+        assert s[0::2].tolist() == L, mode
+        assert s[1::2].tolist() == R, mode
