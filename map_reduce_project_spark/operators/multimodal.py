@@ -2006,10 +2006,10 @@ def _flac_read_subframe(r: "_BitReaderMSB", bps: int, blocksize: int) -> list:
     decorrelation (the side channel carries one extra bit)."""
     r.bits(1)
     stype = r.bits(6)
-    if stype != 0 and not (8 <= stype <= 12):
-        raise NotImplementedError(
-            "VERBATIM/LPC subframes need the adaptive-model tier"
-        )
+    if not (
+        stype in (0, 1) or 8 <= stype <= 12 or stype & 0x20
+    ):
+        raise NotImplementedError(f"reserved subframe type {stype:06b}")
     if r.bits(1):
         raise NotImplementedError("wasted bits")
 
@@ -2019,8 +2019,31 @@ def _flac_read_subframe(r: "_BitReaderMSB", bps: int, blocksize: int) -> list:
 
     if stype == 0:
         return [signed(bps)] * blocksize
-    order = stype & 0x07
-    warm = [signed(bps) for _ in range(order)]
+    if stype == 1:  # VERBATIM: every sample literal
+        return [signed(bps) for _ in range(blocksize)]
+    if stype & 0x20:  # LPC, order = low 5 bits + 1
+        order = (stype & 0x1F) + 1
+        warm = [signed(bps) for _ in range(order)]
+        precision = r.bits(4) + 1
+        if precision == 16:
+            raise ValueError("invalid qlp precision escape")
+        shift = r.bits(5)  # spec: signed, but negative is forbidden
+        qlp = [signed(precision) for _ in range(order)]
+
+        def predict(hist: list, n: int) -> int:
+            # the EXACT integer prediction the spec mandates: decoding
+            # LPC is mechanical; only FITTING coefficients is DSP
+            return sum(
+                c * hist[n - 1 - j] for j, c in enumerate(qlp)
+            ) >> shift
+
+    else:
+        order = stype & 0x07
+        warm = [signed(bps) for _ in range(order)]
+
+        def predict(hist: list, n: int) -> int:
+            return _flac_fixed_predict(hist, order, n)
+
     method = r.bits(2)
     if method not in (0, 1):
         raise ValueError("reserved residual coding method")
@@ -2041,7 +2064,7 @@ def _flac_read_subframe(r: "_BitReaderMSB", bps: int, blocksize: int) -> list:
                 q += 1
             u = (q << k) | r.bits(k)
             res = (u >> 1) ^ -(u & 1)  # zigzag unfold
-            out.append(res + _flac_fixed_predict(out, order, len(out)))
+            out.append(res + predict(out, len(out)))
     return out
 
 
@@ -2056,9 +2079,13 @@ def decode_flac_constant(b: bytes) -> np.ndarray:
     stereo supports all four channel assignments (independent,
     left/side, right/side, mid/side — the decorrelation inverses are
     exact integer identities, and the side channel reads bps+1
-    bits). Returns int16 samples, channel-interleaved for stereo.
-    Raises honestly at the adaptive-model tiers: VERBATIM/LPC
-    subframes, escaped partitions, non-16 bps."""
+    bits). ALL FOUR subframe types decode — CONSTANT, VERBATIM,
+    FIXED, and LPC (quantized-coefficient prediction is an exact
+    integer shift by spec: only FITTING coefficients is DSP; decoding
+    them is mechanical). Returns int16 samples, channel-interleaved
+    for stereo. Remaining honest boundaries: escaped (unencoded)
+    Rice partitions, multi-byte frame numbers, non-16 bps, >2
+    channels."""
     if b[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -2769,6 +2796,91 @@ class _FlacSubframeWriter:
                     bw.put(0, 1)
                 bw.put(1, 1)
                 bw.put(u & ((1 << k) - 1), k)
+
+
+def _flac_writer_verbatim(wr: "_FlacSubframeWriter", samp: list, bps: int) -> None:
+    wr.bw.put(0, 1)
+    wr.bw.put(1, 6)
+    wr.bw.put(0, 1)
+    for v in samp:
+        wr.bw.put(v & ((1 << bps) - 1), bps)
+
+
+def _flac_writer_lpc(
+    wr: "_FlacSubframeWriter",
+    samp: list,
+    qlp: list,
+    shift: int,
+    precision: int,
+    k: int,
+    bps: int,
+) -> None:
+    """LPC subframe with the given quantized coefficients: warmup,
+    precision/shift/coefs, single-partition Rice residuals of the
+    exact integer prediction."""
+    bw = wr.bw
+    order = len(qlp)
+    bw.put(0, 1)
+    bw.put(0x20 | (order - 1), 6)
+    bw.put(0, 1)
+    for t in range(order):
+        bw.put(samp[t] & ((1 << bps) - 1), bps)
+    bw.put(precision - 1, 4)
+    bw.put(shift, 5)
+    for c in qlp:
+        bw.put(c & ((1 << precision) - 1), precision)
+    bw.put(0, 2)
+    bw.put(0, 4)
+    bw.put(k, 4)
+    for t in range(order, len(samp)):
+        pred = sum(c * samp[t - 1 - j] for j, c in enumerate(qlp)) >> shift
+        v = samp[t] - pred
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+        q = u >> k
+        for _ in range(q):
+            bw.put(0, 1)
+        bw.put(1, 1)
+        bw.put(u & ((1 << k) - 1), k)
+
+
+def encode_flac_mono_subframe(kind: str, samp: list, **kw) -> bytes:
+    """One-frame mono FLAC around an arbitrary subframe kind
+    ('verbatim' | 'lpc') — the fixture harness for the decoder's
+    remaining subframe types."""
+    assert len(samp) == 256
+    out = bytearray(b"fLaC")
+    info = bytearray()
+    info += struct.pack(">HH", 256, 256)
+    info += b"\x00\x00\x00" * 2
+    packed = (44100 << 44) | (0 << 41) | (15 << 36) | 256
+    info += packed.to_bytes(8, "big")
+    info += b"\x00" * 16
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+    bw = _BitWriterMSB()
+    bw.put(0b11111111111110, 14)
+    bw.put(0, 1)
+    bw.put(0, 1)
+    bw.put(0b1000, 4)
+    bw.put(0b1001, 4)
+    bw.put(0b0000, 4)
+    bw.put(0b100, 3)
+    bw.put(0, 1)
+    bw.put(0, 8)
+    bw.align()
+    header = bw.bytes()
+    frame = bytearray(header)
+    frame.append(_crc8_flac(header))
+    bw2 = _BitWriterMSB()
+    wr = _FlacSubframeWriter(bw2)
+    if kind == "verbatim":
+        _flac_writer_verbatim(wr, samp, 16)
+    else:
+        _flac_writer_lpc(wr, samp, bps=16, **kw)
+    bw2.align()
+    frame += bw2.bytes()
+    frame += struct.pack(">H", _crc16_flac(bytes(frame)))
+    out += bytes(frame)
+    return bytes(out)
 
 
 def encode_flac_stereo(

@@ -1642,3 +1642,23 @@ def test_flac_stereo_decorrelation_all_assignments():
         s = decode_flac_constant(encode_flac_stereo(L, R, mode))
         assert s[0::2].tolist() == L, mode
         assert s[1::2].tolist() == R, mode
+
+
+def test_flac_verbatim_and_lpc_subframes():
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_flac_constant,
+        encode_flac_mono_subframe,
+    )
+
+    samp = [((t * 37 + 11) % 4001) - 2000 for t in range(256)]
+    out = decode_flac_constant(encode_flac_mono_subframe("verbatim", samp))
+    assert out.tolist() == samp
+    # LPC: the quantized-coefficient prediction is an exact integer
+    # shift by spec — decode must reproduce the encoder's residual
+    # chain bit for bit
+    qlp = [29, -18, 7]
+    samp = [300 + ((t * 13) % 23) - 11 + (t % 3) for t in range(256)]
+    payload = encode_flac_mono_subframe(
+        "lpc", samp, qlp=qlp, shift=5, precision=6, k=9
+    )
+    assert decode_flac_constant(payload).tolist() == samp
