@@ -2939,3 +2939,23 @@ def encode_flac_stereo(
     frame += struct.pack(">H", _crc16_flac(bytes(frame)))
     out += bytes(frame)
     return bytes(out)
+
+
+def stereo_flac_audio(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic stereo FLAC: one 256-sample frame whose channel
+    assignment rotates with the doc id (independent / left_side /
+    right_side / mid_side), L(t) = (id%500) + 2t + ((5t+id)%11) - 5,
+    R(t) = (id%300) - t + ((7t+id)%9) - 4 — FIXED order-1 subframes,
+    two-partition Rice."""
+    modes = ("independent", "left_side", "right_side", "mid_side")
+    left = [
+        (doc_id % 500) + 2 * t + ((5 * t + doc_id) % 11) - 5
+        for t in range(256)
+    ]
+    right = [
+        (doc_id % 300) - t + ((7 * t + doc_id) % 9) - 4
+        for t in range(256)
+    ]
+    return "audio/flac", encode_flac_stereo(
+        left, right, modes[doc_id % 4]
+    )

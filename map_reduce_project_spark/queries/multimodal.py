@@ -1248,3 +1248,84 @@ QUERIES.append(
         "FIXED-predictor FLAC with real Rice entropy decode -> exact stats",
     )
 )
+
+
+def mm_flac_stereo_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO FLAC decode under the exact gate: the channel
+    assignment rotates across docs (independent, left/side,
+    right/side, mid/side), so all four exact-integer decorrelation
+    inverses — side channels carrying bps+1 bits — plus the
+    two-partition Rice walk are hash-gated, not just unit-tested.
+    Per-channel sums are SQL-predictable from the L/R formulas
+    REGARDLESS of assignment (the inverses are exact), which is
+    itself the property being proven."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_flac_constant,
+        stereo_flac_audio,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").selectExpr(
+        "CAST(doc_id AS LONG) AS doc_id"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("sum_left", LongType()),
+            StructField("sum_right", LongType()),
+            StructField("max_left", LongType()),
+            StructField("min_right", LongType()),
+        ]
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                _, payload = stereo_flac_audio(int(doc_id))
+                sarr = decode_flac_constant(payload)
+                left, right = sarr[0::2], sarr[1::2]
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": len(sarr),
+                        "sum_left": int(left.sum()),
+                        "sum_right": int(right.sum()),
+                        "max_left": int(left.max()),
+                        "min_right": int(right.min()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(stats, schema)
+
+
+MM_FLAC_STEREO_SQL = """
+WITH ts AS (SELECT g AS t FROM generate_series(0, 255) t(g)),
+vals AS (
+  SELECT d.doc_id,
+    (d.doc_id % 500) + 2 * ts.t + ((5 * ts.t + d.doc_id) % 11) - 5 AS l,
+    (d.doc_id % 300) - ts.t + ((7 * ts.t + d.doc_id) % 9) - 4 AS r
+  FROM documents d CROSS JOIN ts
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(512 AS BIGINT) AS n_samples,
+  CAST(SUM(l) AS BIGINT) AS sum_left,
+  CAST(SUM(r) AS BIGINT) AS sum_right,
+  CAST(MAX(l) AS BIGINT) AS max_left,
+  CAST(MIN(r) AS BIGINT) AS min_right
+FROM vals
+GROUP BY doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "mm_flac_stereo_stats",
+        mm_flac_stereo_stats_q,
+        MM_FLAC_STEREO_SQL,
+        "stereo FLAC: all four decorrelation inverses hash-gated via rotation",
+    )
+)
