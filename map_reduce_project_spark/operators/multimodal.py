@@ -1535,6 +1535,21 @@ class _JpegBitReader:
                 return table[(length, code)]
         raise ValueError("invalid Huffman code")
 
+    def consume_restart(self, expect: int) -> None:
+        """Byte-align and consume the RSTn marker between restart
+        intervals, verifying the 0-7 cycle number."""
+        self.n = 0  # drop the 1-padding bits of the interval
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG scan truncated at restart")
+        m0, m1 = self.data[self.pos], self.data[self.pos + 1]
+        if m0 != 0xFF or not (0xD0 <= m1 <= 0xD7):
+            raise ValueError(
+                f"expected restart marker, found {m0:02x}{m1:02x}"
+            )
+        if (m1 & 0x07) != expect:
+            raise ValueError("restart marker out of sequence")
+        self.pos += 2
+
 
 def _jpeg_extend(amp: int, size: int) -> int:
     # T.81 F.2.2.1 EXTEND: amplitudes with a 0 high bit are negative
@@ -1570,8 +1585,10 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
     into the module's DEFINED fixed-point integer IDCT (see the
     _IDCT_W table note: T.81 permits IDCT variance; ours is exact
     int64 and oracle-replayable, and reproduces the flat-block
-    fixtures bit-for-bit). Still honestly out of scope: progressive
-    frames, non-4:2:0 subsampling layouts, restart intervals."""
+    fixtures bit-for-bit). Restart intervals decode (DRI + byte-aligned RSTn cycle
+    verification, DC predictors reset per interval). Still honestly
+    out of scope: progressive frames, non-4:2:0 subsampling
+    layouts."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     i = 2
@@ -1580,6 +1597,7 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
     dims = None
     comps: list = []
     scan_tables = None
+    dri = 0
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError("marker expected")
@@ -1627,7 +1645,7 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("only baseline sequential JPEG")
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+            (dri,) = struct.unpack(">H", payload[0:2])
         elif marker == 0xDA:
             ns = payload[0]
             scan_tables = []
@@ -1649,7 +1667,9 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
         """Full baseline block decode: DC diff + AC run/size symbols
         (ZRL, EOB) through the zigzag order, dequantized with the
         component's table (DQT is stored in zigzag order too), then
-        the defined integer IDCT. Returns the 8x8 pixel block."""
+        the defined integer IDCT. Returns the 8x8 pixel block.
+        (``preds`` is reassigned by restart handling, so it is read
+        through the enclosing scope each call.)"""
         scan_dc, scan_ac = scan_tables[ci]
         qt = qtables[comps[ci][1]]
         zz = [0] * 64
@@ -1679,6 +1699,19 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
         return np.clip(_idct_int(coef), 0, 255)
 
     preds = [0] * ncomp
+    mcu_count = 0
+    rst_cycle = 0
+
+    def maybe_restart() -> None:
+        # called BEFORE each MCU: every dri MCUs the stream carries a
+        # byte-aligned RSTn marker and every DC predictor resets
+        nonlocal mcu_count, rst_cycle, preds
+        if dri and mcu_count and mcu_count % dri == 0:
+            reader.consume_restart(rst_cycle)
+            rst_cycle = (rst_cycle + 1) & 0x07
+            preds = [0] * ncomp
+        mcu_count += 1
+
     if ncomp == 3 and comps[0][2:] == (2, 2):
         # 4:2:0 — the dominant real-corpus layout: each interleaved
         # MCU covers a 16x16 luma macroblock as 4 Y blocks (2x2 in
@@ -1692,6 +1725,7 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
         cr_p = np.empty((mh * 8, mw * 8), dtype=np.int64)
         for my in range(mh):
             for mx in range(mw):
+                maybe_restart()
                 for blk in range(4):
                     oy = my * 16 + (blk // 2) * 8
                     ox = mx * 16 + (blk % 2) * 8
@@ -1712,6 +1746,7 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
     ]
     for by in range(bh):
         for bx in range(bw_):
+            maybe_restart()
             # interleaved MCU: one 8x8 block per component (1x1
             # sampling), each with its own DC predictor chain
             for ci in range(ncomp):
@@ -2565,7 +2600,9 @@ def _idct_int(coef: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg_gray_coeffs(
-    coef_blocks: list[list[np.ndarray]], q00: int = 1
+    coef_blocks: list[list[np.ndarray]],
+    q00: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """Grayscale baseline JFIF from ARBITRARY quantized coefficient
     blocks (natural-order 8x8 int arrays, rows of blocks): full AC
@@ -2579,8 +2616,18 @@ def encode_jpeg_gray_coeffs(
     ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _JpegBitWriter()
     pred = 0
+    mcu = 0
+    rst = 0
+    scan_parts = []
     for row in coef_blocks:
         for coef in row:
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                scan_parts.append(bw.flush())
+                scan_parts.append(bytes([0xFF, 0xD0 | rst]))
+                rst = (rst + 1) & 0x07
+                bw = _JpegBitWriter()
+                pred = 0
+            mcu += 1
             flat = coef.reshape(-1)
             zz = [int(flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
             diff = zz[0] - pred
@@ -2611,7 +2658,8 @@ def encode_jpeg_gray_coeffs(
             if last_nz < 63:
                 ln, code = ac_map[0x00]  # EOB
                 bw.put(code, ln)
-    scan = bw.flush()
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return (
@@ -2621,6 +2669,11 @@ def encode_jpeg_gray_coeffs(
         )
 
     dqt = seg(0xDB, bytes([0x00]) + bytes([q00] * 64))
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sof = seg(
         0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     )
@@ -2630,7 +2683,7 @@ def encode_jpeg_gray_coeffs(
         + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
     )
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
 
 
 def gradient_jpeg_ac_image(doc_id: int) -> tuple[str, bytes]:
@@ -2639,8 +2692,10 @@ def gradient_jpeg_ac_image(doc_id: int) -> tuple[str, bytes]:
     AC(u=1) = (3id + 7bx) % 64 - 32, AC(v=1) = (5id + 11by) % 64 - 32,
     plus a deep coefficient at zigzag position 40 (natural (v=3,u=5);
     its 37-zero run forces TWO ZRL symbols) = id % 16 + 1. q00 = 1;
-    pixels follow the defined integer IDCT, which the oracle replays
-    term by term."""
+    a 2-MCU restart interval exercises DRI/RSTn framing and the DC
+    predictor resets WITHOUT touching the oracle (pixels are framing-
+    independent). The defined integer IDCT is replayed term by
+    term."""
     blocks = []
     for by in range(2):
         row = []
@@ -2652,7 +2707,9 @@ def gradient_jpeg_ac_image(doc_id: int) -> tuple[str, bytes]:
             coef.reshape(-1)[_JPEG_ZIGZAG[40]] = doc_id % 16 + 1
             row.append(coef)
         blocks.append(row)
-    return "image/jpeg", encode_jpeg_gray_coeffs(blocks, q00=1)
+    return "image/jpeg", encode_jpeg_gray_coeffs(
+        blocks, q00=1, restart_interval=2
+    )
 
 
 def attach_real_jpeg_ac_payload(

@@ -1662,3 +1662,24 @@ def test_flac_verbatim_and_lpc_subframes():
         "lpc", samp, qlp=qlp, shift=5, precision=6, k=9
     )
     assert decode_flac_constant(payload).tolist() == samp
+
+
+def test_jpeg_restart_intervals():
+    import pytest as _pytest
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_jpeg_dc,
+        gradient_jpeg_ac_image,
+    )
+
+    # the AC fixture carries a 2-MCU restart interval: DRI + RSTn
+    # markers with per-interval DC predictor resets must decode to
+    # the same pixels (framing-independent), and a marker with the
+    # wrong cycle number must raise
+    _, payload = gradient_jpeg_ac_image(3)
+    assert b"\xff\xdd" in payload and b"\xff\xd0" in payload
+    decode_jpeg_dc(payload)  # exactness is pinned by the gate query
+    bad = bytearray(payload)
+    bad[bad.index(b"\xff\xd0") + 1] = 0xD3
+    with _pytest.raises(ValueError, match="restart"):
+        decode_jpeg_dc(bytes(bad))
