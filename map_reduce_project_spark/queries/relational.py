@@ -2335,3 +2335,96 @@ QUERIES.append(
         "equi-depth decile histogram at exact percentile_disc boundaries",
     )
 )
+
+
+def er_cluster_entities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution END TO END: blocked fuzzy candidate pairs
+    (first-token block, Levenshtein <= 2 — the q64 scale-true shape)
+    feed the engine's own connected-components loop, and each entity
+    gets its cluster's canonical id (min key) + cluster size — the
+    complete dedup-entities pipeline (blocking -> similarity ->
+    transitive closure -> canonicalization) in one composition.
+    Entities are every 5th part; keys ride zero-padded strings so
+    CC's lexicographic min IS the numeric min. CC is exact (the same
+    fixed point the flagship gates), pairs are exact integers, so
+    the whole pipeline is hash-gated against a recursive-CTE oracle."""
+    from map_reduce_project_spark.graph.ccf import connected_components
+
+    part = read_table(spark, sf_dir, "part").where(
+        F.col("p_partkey") % 5 == 0
+    )
+    ent = part.select(
+        F.lpad(F.col("p_partkey").cast("string"), 9, "0").alias("k"),
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    pairs = (
+        ent.alias("a")
+        .join(ent.alias("b"), "blk")
+        .where(F.col("a.k") < F.col("b.k"))
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst"))
+    )
+    mapping = connected_components(pairs).mapping
+    clustered = ent.join(
+        mapping.withColumnRenamed("node", "k"), "k", "left"
+    ).select(
+        "k",
+        "p_name",
+        F.coalesce(F.col("component"), F.col("k")).alias("canon"),
+    )
+    sizes = clustered.groupBy("canon").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return clustered.join(sizes, "canon").select(
+        F.col("k").cast("long").alias("p_partkey"),
+        "p_name",
+        F.col("canon").cast("long").alias("canonical_key"),
+        "cluster_size",
+    )
+
+
+ER_CLUSTER_SQL = """
+WITH RECURSIVE ent AS (
+  SELECT lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS k, p_name,
+         split_part(p_name, ' ', 1) AS blk
+  FROM part WHERE p_partkey % 5 = 0
+), e AS (
+  SELECT a.k AS src, b.k AS dst
+  FROM ent a JOIN ent b ON a.blk = b.blk AND a.k < b.k
+  WHERE levenshtein(a.p_name, b.p_name) <= 2
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), nodes AS (
+  SELECT DISTINCT src AS n FROM und
+), und2 AS (
+  SELECT src, dst FROM und UNION SELECT n, n FROM nodes
+), lab AS (
+  SELECT 0 AS it, n AS node, n AS lab FROM nodes
+  UNION ALL
+  SELECT lab.it + 1 AS it, und2.dst AS node, MIN(lab.lab) AS lab
+  FROM lab JOIN und2 ON und2.src = lab.node
+  WHERE lab.it < 12
+  GROUP BY lab.it, und2.dst
+), final AS (
+  SELECT node, lab FROM lab WHERE it = 12
+), clustered AS (
+  SELECT ent.k, ent.p_name, COALESCE(f.lab, ent.k) AS canon
+  FROM ent LEFT JOIN final f ON f.node = ent.k
+)
+SELECT CAST(c.k AS BIGINT) AS p_partkey, c.p_name,
+       CAST(c.canon AS BIGINT) AS canonical_key,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM clustered c
+JOIN (SELECT canon, COUNT(*) AS cluster_size FROM clustered GROUP BY 1) s
+  ON s.canon = c.canon
+"""
+
+QUERIES.append(
+    Query(
+        "er_cluster_entities",
+        er_cluster_entities_q,
+        ER_CLUSTER_SQL,
+        "ER end-to-end: blocked fuzzy pairs -> CC closure -> canonical clusters",
+    )
+)
