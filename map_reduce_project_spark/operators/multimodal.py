@@ -2090,9 +2090,21 @@ def _flac_read_subframe(r: "_BitReaderMSB", bps: int, blocksize: int) -> list:
     out = list(warm)
     for part in range(n_parts):
         k = r.bits(kbits)
-        if k == (1 << kbits) - 1:
-            raise NotImplementedError("escaped (unencoded) partition")
         n_res = (blocksize >> part_order) - (order if part == 0 else 0)
+        if k == (1 << kbits) - 1:
+            # ESCAPED partition: residuals stored verbatim at an
+            # explicit bit width instead of Rice codes (the spec's
+            # pressure valve for incompressible audio)
+            nb = r.bits(5)
+            for _ in range(n_res):
+                raw = r.bits(nb) if nb else 0
+                res = (
+                    raw - (1 << nb)
+                    if nb and raw >= (1 << (nb - 1))
+                    else raw
+                )
+                out.append(res + predict(out, len(out)))
+            continue
         for _ in range(n_res):
             q = 0
             while r.bits(1) == 0:
@@ -2118,9 +2130,9 @@ def decode_flac_constant(b: bytes) -> np.ndarray:
     FIXED, and LPC (quantized-coefficient prediction is an exact
     integer shift by spec: only FITTING coefficients is DSP; decoding
     them is mechanical). Returns int16 samples, channel-interleaved
-    for stereo. Remaining honest boundaries: escaped (unencoded)
-    Rice partitions, multi-byte frame numbers, non-16 bps, >2
-    channels."""
+    for stereo; escaped (verbatim-width) Rice partitions decode too.
+    Remaining honest boundaries: multi-byte frame numbers, non-16
+    bps, >2 channels."""
     if b[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4

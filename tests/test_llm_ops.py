@@ -1683,3 +1683,51 @@ def test_jpeg_restart_intervals():
     bad[bad.index(b"\xff\xd0") + 1] = 0xD3
     with _pytest.raises(ValueError, match="restart"):
         decode_jpeg_dc(bytes(bad))
+
+
+def test_flac_escaped_partition_decodes_verbatim_residuals():
+    import struct
+
+    from map_reduce_project_spark.operators.multimodal import (
+        _BitWriterMSB,
+        _crc8_flac,
+        _crc16_flac,
+        decode_flac_constant,
+    )
+
+    # hand-built frame: FIXED order-0 subframe whose single Rice
+    # partition is ESCAPED (parameter 0b1111) to 7-bit verbatim
+    # residuals — the spec's pressure valve for incompressible audio
+    samp = [((t * 19) % 61) - 30 for t in range(256)]
+    out = bytearray(b"fLaC")
+    info = bytearray()
+    info += struct.pack(">HH", 256, 256)
+    info += b"\x00\x00\x00" * 2
+    info += ((44100 << 44) | (15 << 36) | 256).to_bytes(8, "big")
+    info += b"\x00" * 16
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+    bw = _BitWriterMSB()
+    for v, n in [
+        (0b11111111111110, 14), (0, 1), (0, 1), (0b1000, 4),
+        (0b1001, 4), (0, 4), (0b100, 3), (0, 1), (0, 8),
+    ]:
+        bw.put(v, n)
+    bw.align()
+    header = bw.bytes()
+    frame = bytearray(header)
+    frame.append(_crc8_flac(header))
+    bw2 = _BitWriterMSB()
+    bw2.put(0, 1)
+    bw2.put(0b001000, 6)
+    bw2.put(0, 1)
+    bw2.put(0, 2)
+    bw2.put(0, 4)
+    bw2.put(0b1111, 4)
+    bw2.put(7, 5)
+    for v in samp:
+        bw2.put(v & 0x7F, 7)
+    bw2.align()
+    frame += bw2.bytes()
+    frame += struct.pack(">H", _crc16_flac(bytes(frame)))
+    out += bytes(frame)
+    assert decode_flac_constant(bytes(out)).tolist() == samp
