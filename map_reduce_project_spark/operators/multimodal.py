@@ -1966,6 +1966,52 @@ class _BitWriterMSB:
         return bytes(self.out)
 
 
+def _flac_stream(channels: int, total: int, frames: list[bytes]) -> bytes:
+    """fLaC magic + STREAMINFO + the given frame bytes — the ONE
+    container builder behind every fixture encoder (and the tests'
+    hand-built frames)."""
+    out = bytearray(b"fLaC")
+    info = bytearray()
+    info += struct.pack(">HH", 256, 256)
+    info += b"\x00\x00\x00" * 2  # min/max framesize unknown
+    packed = (44100 << 44) | ((channels - 1) << 41) | (15 << 36) | total
+    info += packed.to_bytes(8, "big")
+    info += b"\x00" * 16  # md5 unset
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+    for f in frames:
+        out += f
+    return bytes(out)
+
+
+def _flac_frame(
+    fno: int, chan_code: int, write_subframes
+) -> bytes:
+    """One 256-sample frame: sync + field codes + UTF-8 frame number
+    + CRC-8, subframes via the callback, byte alignment, CRC-16."""
+    if fno > 0x7F:
+        raise ValueError("fixture encoder: frame number < 128")
+    bw = _BitWriterMSB()
+    bw.put(0b11111111111110, 14)
+    bw.put(0, 1)  # reserved
+    bw.put(0, 1)  # fixed blocksize strategy
+    bw.put(0b1000, 4)  # blocksize 256
+    bw.put(0b1001, 4)  # 44.1 kHz
+    bw.put(chan_code, 4)
+    bw.put(0b100, 3)  # 16 bps
+    bw.put(0, 1)  # reserved
+    bw.put(fno, 8)  # UTF-8 single byte
+    bw.align()
+    header = bw.bytes()
+    frame = bytearray(header)
+    frame.append(_crc8_flac(header))
+    bw2 = _BitWriterMSB()
+    write_subframes(_FlacSubframeWriter(bw2))
+    bw2.align()
+    frame += bw2.bytes()
+    frame += struct.pack(">H", _crc16_flac(bytes(frame)))
+    return bytes(frame)
+
+
 def encode_flac_constant(
     frame_values: list[int], blocksize: int = 256, rate_code: int = 0b1001
 ) -> bytes:
@@ -1975,43 +2021,11 @@ def encode_flac_constant(
     CRC-16. blocksize must be 256 (header code 0b1000)."""
     if blocksize != 256:
         raise ValueError("fixture encoder emits blocksize 256 only")
-    total = blocksize * len(frame_values)
-    out = bytearray(b"fLaC")
-    info = bytearray()
-    info += struct.pack(">HH", blocksize, blocksize)
-    info += b"\x00\x00\x00" * 2  # min/max framesize unknown
-    rate = 44100
-    packed = (rate << 44) | ((1 - 1) << 41) | ((16 - 1) << 36) | total
-    info += packed.to_bytes(8, "big")
-    info += b"\x00" * 16  # md5 unset
-    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
-    for fno, v in enumerate(frame_values):
-        bw = _BitWriterMSB()
-        bw.put(0b11111111111110, 14)
-        bw.put(0, 1)  # reserved
-        bw.put(0, 1)  # fixed blocksize strategy
-        bw.put(0b1000, 4)  # blocksize 256
-        bw.put(rate_code, 4)  # 44.1 kHz
-        bw.put(0b0000, 4)  # mono
-        bw.put(0b100, 3)  # 16 bps
-        bw.put(0, 1)  # reserved
-        if fno > 0x7F:
-            raise ValueError("fixture encoder: frame number < 128")
-        bw.put(fno, 8)  # UTF-8 single byte
-        bw.align()
-        header = bw.bytes()
-        frame = bytearray(header)
-        frame.append(_crc8_flac(header))
-        bw2 = _BitWriterMSB()
-        bw2.put(0, 1)  # subframe padding bit
-        bw2.put(0, 6)  # type: CONSTANT
-        bw2.put(0, 1)  # no wasted bits
-        bw2.put(v & 0xFFFF, 16)  # the constant sample
-        bw2.align()
-        frame += bw2.bytes()
-        frame += struct.pack(">H", _crc16_flac(bytes(frame)))
-        out += bytes(frame)
-    return bytes(out)
+    frames = [
+        _flac_frame(fno, 0b0000, lambda wr, v=v: wr.constant(v, 16))
+        for fno, v in enumerate(frame_values)
+    ]
+    return _flac_stream(1, blocksize * len(frame_values), frames)
 
 
 class _BitReaderMSB:
@@ -2763,41 +2777,17 @@ def encode_flac_fixed(
     for f in frames:
         if len(f) != 256:
             raise ValueError("fixture frames are 256 samples")
-    total = 256 * len(frames)
-    out = bytearray(b"fLaC")
-    info = bytearray()
-    info += struct.pack(">HH", 256, 256)
-    info += b"\x00\x00\x00" * 2
-    packed = (44100 << 44) | (0 << 41) | (15 << 36) | total
-    info += packed.to_bytes(8, "big")
-    info += b"\x00" * 16
-    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
-    for fno, samp in enumerate(frames):
-        bw = _BitWriterMSB()
-        bw.put(0b11111111111110, 14)
-        bw.put(0, 1)
-        bw.put(0, 1)
-        bw.put(0b1000, 4)
-        bw.put(0b1001, 4)
-        bw.put(0b0000, 4)
-        bw.put(0b100, 3)
-        bw.put(0, 1)
-        if fno > 0x7F:
-            raise ValueError("fixture encoder: frame number < 128")
-        bw.put(fno, 8)
-        bw.align()
-        header = bw.bytes()
-        frame = bytearray(header)
-        frame.append(_crc8_flac(header))
-        bw2 = _BitWriterMSB()
-        _FlacSubframeWriter(bw2).fixed(
-            samp, order=order, k_per_part=[k], bps=16, part_order=0
+    built = [
+        _flac_frame(
+            fno,
+            0b0000,
+            lambda wr, samp=samp: wr.fixed(
+                samp, order=order, k_per_part=[k], bps=16, part_order=0
+            ),
         )
-        bw2.align()
-        frame += bw2.bytes()
-        frame += struct.pack(">H", _crc16_flac(bytes(frame)))
-        out += bytes(frame)
-    return bytes(out)
+        for fno, samp in enumerate(frames)
+    ]
+    return _flac_stream(1, 256 * len(frames), built)
 
 
 def melody_flac_audio(doc_id: int) -> tuple[str, bytes]:
@@ -2819,10 +2809,24 @@ def melody_flac_audio(doc_id: int) -> tuple[str, bytes]:
     return "audio/flac", encode_flac_fixed(frames, order=2, k=4)
 
 
+def _put_rice(bw: _BitWriterMSB, v: int, k: int) -> None:
+    """ONE Rice emission (zigzag fold, unary quotient, k-bit
+    remainder) shared by every residual writer — a change to the
+    coding cannot silently diverge between subframe kinds. k must
+    stay below the decoder's escape code (15)."""
+    assert k < 15
+    u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+    q = u >> k
+    for _ in range(q):
+        bw.put(0, 1)
+    bw.put(1, 1)
+    bw.put(u & ((1 << k) - 1), k)
+
+
 class _FlacSubframeWriter:
-    """Shared subframe emission for the fixture encoders: CONSTANT or
-    FIXED order-n with partitioned Rice residuals — mirrors
-    _flac_read_subframe bit for bit."""
+    """Shared subframe emission for the fixture encoders — ALL FOUR
+    subframe kinds live here, mirroring _flac_read_subframe bit for
+    bit."""
 
     def __init__(self, bw: _BitWriterMSB) -> None:
         self.bw = bw
@@ -2832,6 +2836,13 @@ class _FlacSubframeWriter:
         self.bw.put(0, 6)
         self.bw.put(0, 1)
         self.bw.put(v & ((1 << bps) - 1), bps)
+
+    def verbatim(self, samp: list, bps: int) -> None:
+        self.bw.put(0, 1)
+        self.bw.put(1, 6)
+        self.bw.put(0, 1)
+        for v in samp:
+            self.bw.put(v & ((1 << bps) - 1), bps)
 
     def fixed(
         self,
@@ -2857,59 +2868,40 @@ class _FlacSubframeWriter:
             bw.put(k, 4)
             n_res = (blocksize >> part_order) - (order if part == 0 else 0)
             for _ in range(n_res):
-                v = samp[t] - _flac_fixed_predict(samp, order, t)
+                _put_rice(bw, samp[t] - _flac_fixed_predict(samp, order, t), k)
                 t += 1
-                u = (v << 1) if v >= 0 else ((-v) << 1) - 1
-                q = u >> k
-                for _ in range(q):
-                    bw.put(0, 1)
-                bw.put(1, 1)
-                bw.put(u & ((1 << k) - 1), k)
 
-
-def _flac_writer_verbatim(wr: "_FlacSubframeWriter", samp: list, bps: int) -> None:
-    wr.bw.put(0, 1)
-    wr.bw.put(1, 6)
-    wr.bw.put(0, 1)
-    for v in samp:
-        wr.bw.put(v & ((1 << bps) - 1), bps)
-
-
-def _flac_writer_lpc(
-    wr: "_FlacSubframeWriter",
-    samp: list,
-    qlp: list,
-    shift: int,
-    precision: int,
-    k: int,
-    bps: int,
-) -> None:
-    """LPC subframe with the given quantized coefficients: warmup,
-    precision/shift/coefs, single-partition Rice residuals of the
-    exact integer prediction."""
-    bw = wr.bw
-    order = len(qlp)
-    bw.put(0, 1)
-    bw.put(0x20 | (order - 1), 6)
-    bw.put(0, 1)
-    for t in range(order):
-        bw.put(samp[t] & ((1 << bps) - 1), bps)
-    bw.put(precision - 1, 4)
-    bw.put(shift, 5)
-    for c in qlp:
-        bw.put(c & ((1 << precision) - 1), precision)
-    bw.put(0, 2)
-    bw.put(0, 4)
-    bw.put(k, 4)
-    for t in range(order, len(samp)):
-        pred = sum(c * samp[t - 1 - j] for j, c in enumerate(qlp)) >> shift
-        v = samp[t] - pred
-        u = (v << 1) if v >= 0 else ((-v) << 1) - 1
-        q = u >> k
-        for _ in range(q):
-            bw.put(0, 1)
-        bw.put(1, 1)
-        bw.put(u & ((1 << k) - 1), k)
+    def lpc(
+        self,
+        samp: list,
+        qlp: list,
+        shift: int,
+        precision: int,
+        k: int,
+        bps: int,
+    ) -> None:
+        """LPC subframe with the given quantized coefficients: warmup,
+        precision/shift/coefs, single-partition Rice residuals of the
+        exact integer prediction."""
+        bw = self.bw
+        order = len(qlp)
+        bw.put(0, 1)
+        bw.put(0x20 | (order - 1), 6)
+        bw.put(0, 1)
+        for t in range(order):
+            bw.put(samp[t] & ((1 << bps) - 1), bps)
+        bw.put(precision - 1, 4)
+        bw.put(shift, 5)
+        for c in qlp:
+            bw.put(c & ((1 << precision) - 1), precision)
+        bw.put(0, 2)
+        bw.put(0, 4)
+        bw.put(k, 4)
+        for t in range(order, len(samp)):
+            pred = (
+                sum(c * samp[t - 1 - j] for j, c in enumerate(qlp)) >> shift
+            )
+            _put_rice(bw, samp[t] - pred, k)
 
 
 def encode_flac_mono_subframe(kind: str, samp: list, **kw) -> bytes:
@@ -2917,39 +2909,14 @@ def encode_flac_mono_subframe(kind: str, samp: list, **kw) -> bytes:
     ('verbatim' | 'lpc') — the fixture harness for the decoder's
     remaining subframe types."""
     assert len(samp) == 256
-    out = bytearray(b"fLaC")
-    info = bytearray()
-    info += struct.pack(">HH", 256, 256)
-    info += b"\x00\x00\x00" * 2
-    packed = (44100 << 44) | (0 << 41) | (15 << 36) | 256
-    info += packed.to_bytes(8, "big")
-    info += b"\x00" * 16
-    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
-    bw = _BitWriterMSB()
-    bw.put(0b11111111111110, 14)
-    bw.put(0, 1)
-    bw.put(0, 1)
-    bw.put(0b1000, 4)
-    bw.put(0b1001, 4)
-    bw.put(0b0000, 4)
-    bw.put(0b100, 3)
-    bw.put(0, 1)
-    bw.put(0, 8)
-    bw.align()
-    header = bw.bytes()
-    frame = bytearray(header)
-    frame.append(_crc8_flac(header))
-    bw2 = _BitWriterMSB()
-    wr = _FlacSubframeWriter(bw2)
-    if kind == "verbatim":
-        _flac_writer_verbatim(wr, samp, 16)
-    else:
-        _flac_writer_lpc(wr, samp, bps=16, **kw)
-    bw2.align()
-    frame += bw2.bytes()
-    frame += struct.pack(">H", _crc16_flac(bytes(frame)))
-    out += bytes(frame)
-    return bytes(out)
+
+    def body(wr: _FlacSubframeWriter) -> None:
+        if kind == "verbatim":
+            wr.verbatim(samp, 16)
+        else:
+            wr.lpc(samp, bps=16, **kw)
+
+    return _flac_stream(1, 256, [_flac_frame(0, 0b0000, body)])
 
 
 def encode_flac_stereo(
@@ -2967,14 +2934,6 @@ def encode_flac_stereo(
         "mid_side": 0b1010,
     }
     code = codes[assignment]
-    out = bytearray(b"fLaC")
-    info = bytearray()
-    info += struct.pack(">HH", 256, 256)
-    info += b"\x00\x00\x00" * 2
-    packed = (44100 << 44) | (1 << 41) | (15 << 36) | 256
-    info += packed.to_bytes(8, "big")
-    info += b"\x00" * 16
-    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
     side = [l - r for l, r in zip(left, right)]
     mid = [(l + r) >> 1 for l, r in zip(left, right)]
     if assignment == "independent":
@@ -2985,29 +2944,14 @@ def encode_flac_stereo(
         chans = [(side, 17), (right, 16)]
     else:
         chans = [(mid, 16), (side, 17)]
-    bw = _BitWriterMSB()
-    bw.put(0b11111111111110, 14)
-    bw.put(0, 1)
-    bw.put(0, 1)
-    bw.put(0b1000, 4)
-    bw.put(0b1001, 4)
-    bw.put(code, 4)
-    bw.put(0b100, 3)
-    bw.put(0, 1)
-    bw.put(0, 8)
-    bw.align()
-    header = bw.bytes()
-    frame = bytearray(header)
-    frame.append(_crc8_flac(header))
-    bw2 = _BitWriterMSB()
-    wr = _FlacSubframeWriter(bw2)
-    for samp, bps in chans:
-        wr.fixed(samp, order=1, k_per_part=[5, 6], bps=bps, part_order=1)
-    bw2.align()
-    frame += bw2.bytes()
-    frame += struct.pack(">H", _crc16_flac(bytes(frame)))
-    out += bytes(frame)
-    return bytes(out)
+
+    def body(wr: _FlacSubframeWriter) -> None:
+        for samp, bps in chans:
+            wr.fixed(
+                samp, order=1, k_per_part=[5, 6], bps=bps, part_order=1
+            )
+
+    return _flac_stream(2, 256, [_flac_frame(0, code, body)])
 
 
 def stereo_flac_audio(doc_id: int) -> tuple[str, bytes]:

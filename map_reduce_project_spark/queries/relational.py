@@ -2404,10 +2404,10 @@ WITH RECURSIVE ent AS (
   UNION ALL
   SELECT lab.it + 1 AS it, und2.dst AS node, MIN(lab.lab) AS lab
   FROM lab JOIN und2 ON und2.src = lab.node
-  WHERE lab.it < 12
+  WHERE lab.it < 30
   GROUP BY lab.it, und2.dst
 ), final AS (
-  SELECT node, lab FROM lab WHERE it = 12
+  SELECT node, lab FROM lab WHERE it = 30
 ), clustered AS (
   SELECT ent.k, ent.p_name, COALESCE(f.lab, ent.k) AS canon
   FROM ent LEFT JOIN final f ON f.node = ent.k
