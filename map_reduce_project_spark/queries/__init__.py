@@ -219,6 +219,7 @@ def all_queries() -> dict[str, Query]:
         "mm_flac_fixed_stats",
         "mm_flac_stereo_stats",
         "er_cluster_entities",
+        "ev_lorenz_deciles",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1981,3 +1981,70 @@ QUERIES.append(
         "chi-square independence cells: exact int64 d + pinned-IEEE contrib",
     )
 )
+
+
+def ev_lorenz_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve decile table for event concentration: users
+    ranked by activity into ntile(10) buckets, each with its user
+    count, exact event total, and cumulative share of all events —
+    the concentration table behind 'top 10% of users drive X%'
+    readouts (the scalar Gini twin is q59). Shares are single IEEE
+    divisions of exact integer sums; the cumulative sum runs over 10
+    rows. ntile runs on the per-user AGGREGATE (one row per user),
+    with ties broken by user_id for a deterministic bucket edge."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    deciled = per_user.withColumn("decile", F.ntile(10).over(w))
+    agg = deciled.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("events"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = per_user.agg(F.sum("n_events")).collect()[0][0]
+    return agg.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_users",
+        "events",
+        (
+            F.sum("events").over(wc).cast("double") / F.lit(float(total))
+        ).alias("cum_share"),
+    )
+
+
+EV_LORENZ_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+deciled AS (
+  SELECT user_id, n_events,
+         ntile(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+  FROM per_user
+),
+agg AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(n_events) AS BIGINT) AS events
+  FROM deciled GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_users, events,
+  CAST(SUM(events) OVER (ORDER BY decile
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / CAST((SELECT SUM(n_events) FROM per_user) AS DOUBLE) AS cum_share
+FROM agg
+"""
+
+QUERIES.append(
+    Query(
+        "ev_lorenz_deciles",
+        ev_lorenz_deciles_q,
+        EV_LORENZ_SQL,
+        "Lorenz decile concentration table with exact sums + cumulative shares",
+    )
+)
