@@ -220,6 +220,9 @@ def all_queries() -> dict[str, Query]:
         "mm_flac_stereo_stats",
         "er_cluster_entities",
         "ev_lorenz_deciles",
+        "q90_running_distinct",
+        "q91_order_gap_hist",
+        "text_burstiness",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

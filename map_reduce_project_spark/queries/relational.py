@@ -2428,3 +2428,118 @@ QUERIES.append(
         "ER end-to-end: blocked fuzzy pairs -> CC closure -> canonical clusters",
     )
 )
+
+
+def q90_running_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT customers per order month WITHOUT a
+    stateful distinct-over-window (which Spark cannot express and a
+    warehouse cannot afford): a customer contributes to the running
+    count from their FIRST order month onward, so the answer is a
+    cumulative sum over first-appearance counts — the standard
+    min-first-appearance rewrite that turns an O(n*months) distinct
+    state into two aggregates and a 10-row window."""
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("first_m")
+    )
+    per_month = firsts.groupBy(F.col("first_m").alias("month")).agg(
+        F.count("*").cast("long").alias("new_customers")
+    )
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_month.select(
+        "month",
+        "new_customers",
+        F.sum("new_customers").over(w).cast("long").alias(
+            "cum_distinct_customers"
+        ),
+    )
+
+
+Q90_SQL = """
+WITH firsts AS (
+  SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS first_m
+  FROM orders GROUP BY 1
+),
+per_month AS (
+  SELECT first_m AS month, CAST(COUNT(*) AS BIGINT) AS new_customers
+  FROM firsts GROUP BY 1
+)
+SELECT month, new_customers,
+  CAST(SUM(new_customers) OVER (ORDER BY month
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_distinct_customers
+FROM per_month
+"""
+
+QUERIES.append(
+    Query(
+        "q90_running_distinct",
+        q90_running_distinct_q,
+        Q90_SQL,
+        "cumulative distinct customers via the first-appearance rewrite",
+    )
+)
+
+
+def q91_order_gap_hist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-customer inter-order gaps (days between
+    consecutive orders, log2-binned): the repeat-purchase cadence
+    profile. LAG per customer (partitioned window — never global),
+    integer datediff, power-of-two bins via the bit length of the
+    gap — all exact."""
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev", F.lag("o_orderdate").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            F.datediff(F.col("o_orderdate"), F.col("prev")).alias("gap")
+        )
+    )
+    # log2 bin: 0 for gap 0, else floor(log2(gap)) + 1 computed via
+    # string length of the binary representation (exact integer)
+    bin_id = F.when(F.col("gap") <= 0, 0).otherwise(
+        F.length(F.conv(F.col("gap").cast("string"), 10, 2))
+    )
+    return (
+        gaps.groupBy(bin_id.cast("long").alias("gap_bin"))
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.min("gap").cast("long").alias("min_gap"),
+            F.max("gap").cast("long").alias("max_gap"),
+        )
+    )
+
+
+Q91_SQL = """
+WITH gaps AS (
+  SELECT date_diff('day',
+           LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap
+  FROM orders
+)
+SELECT CAST(CASE WHEN gap <= 0 THEN 0
+            ELSE LENGTH(to_binary_repr) END AS BIGINT) AS gap_bin,
+  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  CAST(MIN(gap) AS BIGINT) AS min_gap,
+  CAST(MAX(gap) AS BIGINT) AS max_gap
+FROM (SELECT gap, bin(gap::UBIGINT) AS to_binary_repr FROM gaps
+      WHERE gap IS NOT NULL)
+GROUP BY 1
+"""
+
+QUERIES.append(
+    Query(
+        "q91_order_gap_hist",
+        q91_order_gap_hist_q,
+        Q91_SQL,
+        "log2-binned inter-order gap histogram per customer cadence",
+    )
+)

@@ -1261,3 +1261,62 @@ QUERIES.append(
         "T5 span-corruption masks: hash draws -> gaps-and-islands spans",
     )
 )
+
+
+def text_burstiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness: the variance-to-mean ratio of per-document
+    counts (zeros included — a bursty term concentrates in few docs,
+    VMR > 1; a uniform function word sits near 1). The moments are
+    exact integers and the ratio is assembled as ONE division of
+    integer-valued doubles with pinned association:
+    vmr = (N*sum_sq - sum^2) / ((N-1) * sum) — both operands exact in
+    double at gate scale, so the hash is stable cross-engine."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    stats = counts.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("total_sq"),
+    )
+    num = (
+        F.lit(n_docs) * F.col("total_sq") - F.col("total") * F.col("total")
+    ).cast("double")
+    den = (F.lit(n_docs - 1) * F.col("total")).cast("double")
+    return stats.select(
+        "term", "df", "total", (num / den).alias("vmr")
+    )
+
+
+TEXT_BURSTINESS_SQL = """
+WITH counts AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY 1, 2
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term,
+  CAST(COUNT(*) AS BIGINT) AS df,
+  CAST(SUM(c) AS BIGINT) AS total,
+  CAST((SELECT n_docs FROM n) * SUM(c * c) - SUM(c) * SUM(c) AS DOUBLE)
+    / CAST(((SELECT n_docs FROM n) - 1) * SUM(c) AS DOUBLE) AS vmr
+FROM counts
+GROUP BY term
+"""
+
+QUERIES.append(
+    Query(
+        "text_burstiness",
+        text_burstiness_q,
+        TEXT_BURSTINESS_SQL,
+        "term burstiness (VMR with zeros) from exact integer moments",
+    )
+)
