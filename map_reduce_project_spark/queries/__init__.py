@@ -223,6 +223,7 @@ def all_queries() -> dict[str, Query]:
         "q90_running_distinct",
         "q91_order_gap_hist",
         "text_burstiness",
+        "graph_modularity",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1573,3 +1573,113 @@ QUERIES.append(
         "weighted PageRank: rank flows by edge strength, exact int64 fixed point",
     )
 )
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the LPA communities — the quality score that
+    judges a partition (Newman 2004): Q = sum_c [L_c/m -
+    (d_c/(2m))^2]. Kept EXACT by clearing denominators — the emitted
+    per-community ``q_term_x4m2`` = 4m*L_c - d_c^2 is pure int64
+    (Q = sum / 4m^2 is the consumer's one division), the same
+    exact-rational discipline as the attribution credits. L_c =
+    intra-community undirected edges, d_c = community degree sum;
+    both are one aggregate over the edge list joined to the gated
+    2-round LPA labels."""
+    from map_reduce_project_spark.graph.analytics import (
+        canonical_pairs,
+        label_propagation,
+    )
+
+    edges = _part_supplier_edges(spark, sf_dir)
+    labels = label_propagation(edges, rounds=2).localCheckpoint(eager=True)
+    canon = canonical_pairs(edges)
+    m = canon.count()
+    la = labels.withColumnRenamed("node", "src").withColumnRenamed(
+        "community", "ca"
+    )
+    lb = labels.withColumnRenamed("node", "dst").withColumnRenamed(
+        "community", "cb"
+    )
+    edged = canon.join(la, "src").join(lb, "dst")
+    intra = (
+        edged.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").cast("long").alias("l_c"))
+    )
+    deg = (
+        edged.select(F.col("ca").alias("community"))
+        .unionAll(edged.select(F.col("cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count("*").cast("long").alias("d_c"))
+    )
+    return (
+        deg.join(intra, "community", "left")
+        .fillna(0, subset=["l_c"])
+        .select(
+            "community",
+            "l_c",
+            "d_c",
+            (
+                F.lit(4 * m) * F.col("l_c") - F.col("d_c") * F.col("d_c")
+            ).cast("long").alias("q_term_x4m2"),
+        )
+    )
+
+
+GRAPH_MODULARITY_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), l1 AS (
+  SELECT node, community FROM (
+    SELECT und.dst AS node, und.src AS community,
+           ROW_NUMBER() OVER (PARTITION BY und.dst
+                              ORDER BY COUNT(*) DESC, und.src) AS rn
+    FROM und GROUP BY und.dst, und.src
+  ) WHERE rn = 1
+), l2 AS (
+  SELECT node, community FROM (
+    SELECT und.dst AS node, l1.community AS community,
+           ROW_NUMBER() OVER (PARTITION BY und.dst
+                              ORDER BY COUNT(*) DESC, l1.community) AS rn
+    FROM und JOIN l1 ON l1.node = und.src
+    GROUP BY und.dst, l1.community
+  ) WHERE rn = 1
+), canon AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e
+  GROUP BY 1, 2
+), m AS (SELECT COUNT(*) AS m FROM canon),
+edged AS (
+  SELECT la.community AS ca, lb.community AS cb
+  FROM canon
+  JOIN l2 la ON la.node = canon.a
+  JOIN l2 lb ON lb.node = canon.b
+),
+deg AS (
+  SELECT community, CAST(COUNT(*) AS BIGINT) AS d_c FROM (
+    SELECT ca AS community FROM edged
+    UNION ALL SELECT cb FROM edged
+  ) GROUP BY 1
+),
+intra AS (
+  SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS l_c
+  FROM edged WHERE ca = cb GROUP BY 1
+)
+SELECT deg.community,
+  CAST(COALESCE(intra.l_c, 0) AS BIGINT) AS l_c,
+  deg.d_c,
+  CAST(4 * (SELECT m FROM m) * COALESCE(intra.l_c, 0)
+       - deg.d_c * deg.d_c AS BIGINT) AS q_term_x4m2
+FROM deg LEFT JOIN intra ON intra.community = deg.community
+"""
+
+QUERIES.append(
+    Query(
+        "graph_modularity",
+        graph_modularity,
+        GRAPH_MODULARITY_SQL,
+        "Newman modularity terms of the LPA partition, exact via x4m^2 scaling",
+    )
+)
