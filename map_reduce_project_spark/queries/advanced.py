@@ -910,10 +910,13 @@ def q42_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~6e30 per row leaves two orders of magnitude of headroom at sf0.1;
     at 1e9+ rows shard the sum into per-bucket decimals or rescale
     cents first — documented bound, same as q36's moment machinery),
-    then ONE fixed IEEE expression tree per statistic over the double
-    casts of those exact sums — identical association in the DuckDB
-    twin, so bit-equal despite the classic cancellation sensitivity
-    of the raw-moment formulas."""
+    then ONE fixed IEEE expression tree per statistic over
+    LIMB-EXACT doubles of those sums (three < 2^53 limbs recombined
+    with one identical IEEE add — a direct big-int -> double cast can
+    differ cross-engine by an ulp on boundary values, which the
+    cancellation-sensitive raw-moment formulas amplify; caught by the
+    sf0.1 full sweep) — identical association in the DuckDB twin, so
+    bit-equal at every scale."""
     o = read_table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
         "bigint"
@@ -923,14 +926,41 @@ def q42_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cents magnitudes (5e7^3 ~ 1e23); decimal(38,0) products stay
     # exact to ~1e38
     cd = F.col("c").cast("decimal(38,0)")
-    m = j.groupBy("prio").agg(
+    sums = j.groupBy("prio").agg(
         F.count("*").alias("n"),
         F.sum("c").alias("s1"),
-        F.sum(cd * F.col("c")).cast("double").alias("s2"),
-        F.sum(cd * F.col("c") * F.col("c")).cast("double").alias("s3"),
-        F.sum(cd * F.col("c") * F.col("c") * F.col("c"))
-        .cast("double")
-        .alias("s4"),
+        F.sum(cd * F.col("c")).alias("s2d"),
+        F.sum(cd * F.col("c") * F.col("c")).alias("s3d"),
+        F.sum(cd * F.col("c") * F.col("c") * F.col("c")).alias("s4d"),
+    )
+
+    # ENGINE-PROOF exact-integer -> double: a direct decimal->double
+    # cast can differ from DuckDB's hugeint->double by one ulp on
+    # boundary values (caught by the sf0.1 full-registry sweep: the
+    # 5-LOW group's sums hit such a boundary and the cancellation-
+    # sensitive formulas amplified the ulp to 1e-14). Splitting the
+    # exact sum into three < 2^53 limbs makes every cast exact and the
+    # one rounding step an IDENTICAL IEEE add on both engines.
+    PLIMB = 1125899906842624
+
+    def exact_double(name):
+        sc = F.col(name)
+        h0 = sc % PLIMB
+        r1 = (sc - h0) / PLIMB  # exact: numerator is a multiple
+        h1 = r1 % PLIMB
+        h2 = (r1 - h1) / PLIMB
+        pd_ = F.lit(float(PLIMB))
+        return (
+            h2.cast("double") * pd_ * pd_ + h1.cast("double") * pd_
+        ) + h0.cast("double")
+
+    m = sums.select(
+        "prio",
+        "n",
+        "s1",
+        exact_double("s2d").alias("s2"),
+        exact_double("s3d").alias("s3"),
+        exact_double("s4d").alias("s4"),
     )
     nd = F.col("n").cast("double")
     mean = F.col("s1").cast("double") / nd
@@ -960,12 +990,19 @@ WITH j AS (
   SELECT o_orderpriority AS prio,
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
   FROM orders
-), m AS (
+), sums AS (
   SELECT prio, COUNT(*) AS n, SUM(c) AS s1,
-    CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2,
-    CAST(SUM(CAST(c AS HUGEINT) * c * c) AS DOUBLE) AS s3,
-    CAST(SUM(CAST(c AS HUGEINT) * c * c * c) AS DOUBLE) AS s4
+    SUM(CAST(c AS HUGEINT) * c) AS s2r,
+    SUM(CAST(c AS HUGEINT) * c * c) AS s3r,
+    SUM(CAST(c AS HUGEINT) * c * c * c) AS s4r
   FROM j GROUP BY prio
+), m AS (
+  -- limb-exact integer->double (see the Spark twin's comment)
+  SELECT prio, n, s1,
+    ((CAST((((s2r - s2r % 1125899906842624) // 1125899906842624) - ((s2r - s2r % 1125899906842624) // 1125899906842624) % 1125899906842624) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 * 1125899906842624.0 + CAST(((s2r - s2r % 1125899906842624) // 1125899906842624) % 1125899906842624 AS DOUBLE) * 1125899906842624.0) + CAST(s2r % 1125899906842624 AS DOUBLE)) AS s2,
+    ((CAST((((s3r - s3r % 1125899906842624) // 1125899906842624) - ((s3r - s3r % 1125899906842624) // 1125899906842624) % 1125899906842624) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 * 1125899906842624.0 + CAST(((s3r - s3r % 1125899906842624) // 1125899906842624) % 1125899906842624 AS DOUBLE) * 1125899906842624.0) + CAST(s3r % 1125899906842624 AS DOUBLE)) AS s3,
+    ((CAST((((s4r - s4r % 1125899906842624) // 1125899906842624) - ((s4r - s4r % 1125899906842624) // 1125899906842624) % 1125899906842624) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 * 1125899906842624.0 + CAST(((s4r - s4r % 1125899906842624) // 1125899906842624) % 1125899906842624 AS DOUBLE) * 1125899906842624.0) + CAST(s4r % 1125899906842624 AS DOUBLE)) AS s4
+  FROM sums
 )
 SELECT prio, CAST(n AS BIGINT) AS n_orders,
   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
