@@ -595,6 +595,27 @@ QUERIES.append(
 )
 
 
+_LIMB = 1125899906842624  # 2^50: three limbs cover |sum| < 2^150, each cast exact
+
+
+def _limb_exact_double(col):
+    """Engine-proof exact-integer -> double for hash-gated statistics
+    whose operands can cross 2^53: split into three < 2^53 limbs
+    (every cast exact — C-style signed remainders are identical in
+    Spark and DuckDB, and the identity s = h2*P^2 + h1*P + h0 holds
+    for signed values), recombine with one fixed IEEE add. A direct
+    big-decimal -> double cast can differ cross-engine by an ulp on
+    boundary values (caught by the sf0.1 full sweep on q42)."""
+    h0 = col % _LIMB
+    r1 = (col - h0) / _LIMB  # exact: numerator is a multiple
+    h1 = r1 % _LIMB
+    h2 = (r1 - h1) / _LIMB
+    pd_ = F.lit(float(_LIMB))
+    return (
+        h2.cast("double") * pd_ * pd_ + h1.cast("double") * pd_
+    ) + h0.cast("double")
+
+
 def q36_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (sample variance/stddev/covariance/
     correlation) made hash-exact: built-in corr()/stddev() accumulate
@@ -619,15 +640,25 @@ def q36_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("xc").alias("sx"),
         F.sum("yc").alias("sy"),
-        F.sum((F.col("xc") * F.col("yc")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("sxy"),
-        F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("sxx"),
-        F.sum((F.col("yc") * F.col("yc")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("syy"),
+        F.sum((F.col("xc") * F.col("yc")).cast("decimal(38,0)")).alias(
+            "sxyd"
+        ),
+        F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).alias(
+            "sxxd"
+        ),
+        F.sum((F.col("yc") * F.col("yc")).cast("decimal(38,0)")).alias(
+            "syyd"
+        ),
+    ).select(
+        "seg",
+        "n",
+        "sx",
+        "sy",
+        # product sums reach ~2.5e19 at sf0.1 — past 2^53, so the
+        # double conversion must be limb-exact (see _limb_exact_double)
+        _limb_exact_double(F.col("sxyd")).alias("sxy"),
+        _limb_exact_double(F.col("sxxd")).alias("sxx"),
+        _limb_exact_double(F.col("syyd")).alias("syy"),
     )
     nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")
@@ -656,10 +687,16 @@ WITH j AS (
 ), m AS (
   SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
     CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
-    CAST(SUM(CAST(xc*yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-    CAST(SUM(CAST(xc*xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-    CAST(SUM(CAST(yc*yc AS DECIMAL(38,0))) AS DOUBLE) AS syy
+    SUM(CAST(xc AS HUGEINT)*yc) AS sxyr,
+    SUM(CAST(xc AS HUGEINT)*xc) AS sxxr,
+    SUM(CAST(yc AS HUGEINT)*yc) AS syyr
   FROM j GROUP BY seg
+), mm AS (
+  SELECT seg, n, sx, sy,
+    ((CAST((((sxyr - sxyr % 1125899906842624) // 1125899906842624) - ((sxyr - sxyr % 1125899906842624) // 1125899906842624) % 1125899906842624) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 * 1125899906842624.0 + CAST(((sxyr - sxyr % 1125899906842624) // 1125899906842624) % 1125899906842624 AS DOUBLE) * 1125899906842624.0) + CAST(sxyr % 1125899906842624 AS DOUBLE)) AS sxy,
+    ((CAST((((sxxr - sxxr % 1125899906842624) // 1125899906842624) - ((sxxr - sxxr % 1125899906842624) // 1125899906842624) % 1125899906842624) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 * 1125899906842624.0 + CAST(((sxxr - sxxr % 1125899906842624) // 1125899906842624) % 1125899906842624 AS DOUBLE) * 1125899906842624.0) + CAST(sxxr % 1125899906842624 AS DOUBLE)) AS sxx,
+    ((CAST((((syyr - syyr % 1125899906842624) // 1125899906842624) - ((syyr - syyr % 1125899906842624) // 1125899906842624) % 1125899906842624) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 * 1125899906842624.0 + CAST(((syyr - syyr % 1125899906842624) // 1125899906842624) % 1125899906842624 AS DOUBLE) * 1125899906842624.0) + CAST(syyr % 1125899906842624 AS DOUBLE)) AS syy
+  FROM m
 )
 SELECT seg, n AS n_orders,
   CAST(sx AS DOUBLE) / n AS mean_acctbal_cents,
@@ -670,7 +707,7 @@ SELECT seg, n AS n_orders,
   ((sxy - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n) / (n - 1.0))
     / (sqrt((sxx - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) / (n - 1.0))
        * sqrt((syy - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n) / (n - 1.0))) AS corr
-FROM m
+FROM mm
 """
 
 
@@ -934,33 +971,16 @@ def q42_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cd * F.col("c") * F.col("c") * F.col("c")).alias("s4d"),
     )
 
-    # ENGINE-PROOF exact-integer -> double: a direct decimal->double
-    # cast can differ from DuckDB's hugeint->double by one ulp on
-    # boundary values (caught by the sf0.1 full-registry sweep: the
-    # 5-LOW group's sums hit such a boundary and the cancellation-
-    # sensitive formulas amplified the ulp to 1e-14). Splitting the
-    # exact sum into three < 2^53 limbs makes every cast exact and the
-    # one rounding step an IDENTICAL IEEE add on both engines.
-    PLIMB = 1125899906842624
-
-    def exact_double(name):
-        sc = F.col(name)
-        h0 = sc % PLIMB
-        r1 = (sc - h0) / PLIMB  # exact: numerator is a multiple
-        h1 = r1 % PLIMB
-        h2 = (r1 - h1) / PLIMB
-        pd_ = F.lit(float(PLIMB))
-        return (
-            h2.cast("double") * pd_ * pd_ + h1.cast("double") * pd_
-        ) + h0.cast("double")
-
+    # product sums cross 2^53 — the double conversion must be the
+    # shared limb-exact helper (see _limb_exact_double; the sf0.1
+    # full sweep caught the 5-LOW group's sums on a cast boundary)
     m = sums.select(
         "prio",
         "n",
         "s1",
-        exact_double("s2d").alias("s2"),
-        exact_double("s3d").alias("s3"),
-        exact_double("s4d").alias("s4"),
+        _limb_exact_double(F.col("s2d")).alias("s2"),
+        _limb_exact_double(F.col("s3d")).alias("s3"),
+        _limb_exact_double(F.col("s4d")).alias("s4"),
     )
     nd = F.col("n").cast("double")
     mean = F.col("s1").cast("double") / nd
