@@ -7,6 +7,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from map_reduce_project_spark.functions.exact import (
+    limb_exact_double as _limb_exact_double,
+)
 from map_reduce_project_spark.queries import Query
 from map_reduce_project_spark.sources.io import read_table
 
@@ -593,27 +596,6 @@ QUERIES.append(
         "pandas GROUPED_AGG UDAF: exact int64-cents median vs DuckDB median(BIGINT)",
     )
 )
-
-
-_LIMB = 1125899906842624  # 2^50: three limbs cover |sum| < 2^150, each cast exact
-
-
-def _limb_exact_double(col):
-    """Engine-proof exact-integer -> double for hash-gated statistics
-    whose operands can cross 2^53: split into three < 2^53 limbs
-    (every cast exact — C-style signed remainders are identical in
-    Spark and DuckDB, and the identity s = h2*P^2 + h1*P + h0 holds
-    for signed values), recombine with one fixed IEEE add. A direct
-    big-decimal -> double cast can differ cross-engine by an ulp on
-    boundary values (caught by the sf0.1 full sweep on q42)."""
-    h0 = col % _LIMB
-    r1 = (col - h0) / _LIMB  # exact: numerator is a multiple
-    h1 = r1 % _LIMB
-    h2 = (r1 - h1) / _LIMB
-    pd_ = F.lit(float(_LIMB))
-    return (
-        h2.cast("double") * pd_ * pd_ + h1.cast("double") * pd_
-    ) + h0.cast("double")
 
 
 def q36_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

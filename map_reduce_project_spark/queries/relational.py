@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from map_reduce_project_spark.functions.exact import (
+    limb_exact_double as _limb_exact_double,
+)
 from map_reduce_project_spark.queries import Query
 from map_reduce_project_spark.sources.io import read_table
 
@@ -763,11 +766,16 @@ def q59_revenue_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ranked.agg(
         F.count("*").alias("n"),
         F.sum("rev").alias("sx"),
-        F.sum(F.col("i") * F.col("rev")).alias("six"),
+        # the rank-weighted sum crosses 2^53 at sf0.1 and int64 at
+        # ~sf1 — accumulate in decimal and convert limb-exactly
+        F.sum(
+            (F.col("i") * F.col("rev")).cast("decimal(38,0)")
+        ).alias("sixd"),
     )
     n = F.col("n").cast("double")
     gini = (
-        F.lit(2.0) * F.col("six").cast("double") / (n * F.col("sx").cast("double"))
+        F.lit(2.0) * _limb_exact_double(F.col("sixd"))
+        / (n * F.col("sx").cast("double"))
         - (n + 1.0) / n
     )
     return s.select(
@@ -790,11 +798,11 @@ ranked AS (
 ),
 s AS (
   SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS sx,
-         CAST(SUM(i * rev) AS BIGINT) AS six
+         SUM(CAST(i AS HUGEINT) * rev) AS sixr
   FROM ranked
 )
 SELECT CAST(n AS BIGINT) AS n_customers, sx AS total_cents,
-  2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+  2.0 * ((CAST((((sixr - sixr % 1125899906842624) // 1125899906842624) - ((sixr - sixr % 1125899906842624) // 1125899906842624) % 1125899906842624) // 1125899906842624 AS DOUBLE) * 1125899906842624.0 * 1125899906842624.0 + CAST(((sixr - sixr % 1125899906842624) // 1125899906842624) % 1125899906842624 AS DOUBLE) * 1125899906842624.0) + CAST(sixr % 1125899906842624 AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
   - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
 FROM s
 """
