@@ -224,6 +224,7 @@ def all_queries() -> dict[str, Query]:
         "q91_order_gap_hist",
         "text_burstiness",
         "graph_modularity",
+        "rec_covisit_topk",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -2048,3 +2048,95 @@ QUERIES.append(
         "Lorenz decile concentration table with exact sums + cumulative shares",
     )
 )
+
+
+def rec_covisit_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item co-visitation recommender — the classic candidate
+    generator behind "users who viewed X also viewed Y".
+
+    Baskets are (user_id, day); items are the ``props.k`` id of
+    view/click events, DISTINCT within a basket so the pair counts are
+    set co-occurrence, not event cross products. Pair generation is a
+    self-equi-join ON THE BASKET KEY with ``item_a < item_b`` — fan-out
+    is quadratic only in basket size, which the (user, day) scoping
+    bounds by construction (and ``cap_per_group_skew`` caps further for
+    degenerate power users at 100 TB); it is never a global cross
+    join. Counts are exact int64; the per-item top-3 neighbor ranking
+    uses a deterministic (count DESC, neighbor ASC) tiebreak so the
+    output is engine-exact.
+    """
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    items = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count("*").alias("co_count"))
+    )
+    sym = pairs.select(
+        F.col("i").alias("item"), F.col("j").alias("neighbor"), "co_count"
+    ).unionAll(
+        pairs.select(
+            F.col("j").alias("item"), F.col("i").alias("neighbor"), "co_count"
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("co_count").desc(), F.col("neighbor")
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("item", "neighbor", "co_count", "rnk")
+    )
+
+
+REC_COVISIT_SQL = """
+WITH items AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+  SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS co_count
+  FROM items a
+  JOIN items b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT i AS item, j AS neighbor, co_count FROM pairs
+  UNION ALL
+  SELECT j AS item, i AS neighbor, co_count FROM pairs
+)
+SELECT item, neighbor, co_count, rnk FROM (
+  SELECT item, neighbor, co_count,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY item ORDER BY co_count DESC, neighbor
+         ) AS BIGINT) AS rnk
+  FROM sym
+) WHERE rnk <= 3
+"""
+
+QUERIES.append(
+    Query(
+        "rec_covisit_topk",
+        rec_covisit_topk_q,
+        REC_COVISIT_SQL,
+        "item-item co-visitation top-3 recommender (basket-scoped self-join, exact counts)",
+    )
+)
