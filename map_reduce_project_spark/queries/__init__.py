@@ -225,6 +225,7 @@ def all_queries() -> dict[str, Query]:
         "text_burstiness",
         "graph_modularity",
         "rec_covisit_topk",
+        "q92_hll_union",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -2275,3 +2275,60 @@ QUERIES.append(
         "aggregate IVM: old state merged with delta partials == full rebuild",
     )
 )
+
+
+def q92_hll_union_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketch rollup — the incremental-pipeline contract that
+    makes distinct-count maintainable at 100 TB: per-day partial HLL
+    sketches (one tiny binary per (event_type, day) group) merged with
+    ``hll_union_agg`` into a global estimate WITHOUT revisiting raw
+    rows. q51 gates the one-shot sketch; this gates the union path —
+    the estimate from merged partials must land within the error bound
+    of the exact global distinct, so a broken merge (e.g. one that
+    double-biases registers) flips the verdict and hash-mismatches the
+    oracle's literal TRUE. Daily partials are exactly what a streaming
+    or partition-incremental rollup would persist; the union is
+    associative, so any re-aggregation topology gives the same answer.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_partials"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("_est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    bound = 0.05
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_partials",
+        "exact_distinct",
+        (
+            F.abs(
+                F.col("_est").cast("double")
+                - F.col("exact_distinct").cast("double")
+            )
+            <= F.lit(bound) * F.col("exact_distinct").cast("double")
+        ).alias("within_bound"),
+    )
+
+
+Q92_SQL = """
+SELECT event_type,
+  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_partials,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+  TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+QUERIES.append(
+    Query(
+        "q92_hll_union",
+        q92_hll_union_q,
+        Q92_SQL,
+        "per-day HLL partials merged via hll_union_agg, estimate gated within the error bound of exact",
+    )
+)
