@@ -968,3 +968,217 @@ def pagerank_weighted_int(
         ).localCheckpoint(eager=True)
         cycler.cycle(ranks)
     return ranks
+
+
+def _directed_simple_edges(edges: DataFrame) -> DataFrame:
+    """Directed-graph intake: first two columns as (src, dst), nulls
+    and self-loops dropped, duplicate ordered pairs removed. The
+    directed twin of ``canonical_pairs`` — NO orientation canonicalization
+    (direction is the data)."""
+    c = edges.columns
+    return (
+        edges.select(F.col(c[0]).alias("src"), F.col(c[1]).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _min_reach_labels(
+    edges: DataFrame, nodes: DataFrame, max_iters: int = 100
+) -> DataFrame:
+    """Fixed point of ``lbl(v) = min({v} ∪ {lbl(u) : (u,v) ∈ E})`` —
+    after convergence ``lbl(v)`` is the minimum id over v and every
+    node that can REACH v along edge direction. Bellman-Ford-style:
+    every round joins the full edge set to the current labels (the
+    standard distributed-coloring cost; rounds = directed diameter).
+    One lazy checkpoint + one counting action per round; generations
+    released through the ownership cycler. The returned labels ride
+    the final checkpoint — the caller owns (and should release) it.
+    """
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
+    cycler = CheckpointCycler(edges.sparkSession)
+    labels = nodes.select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint(eager=True)
+    cycler.cycle(labels)
+    for _ in range(max_iters):
+        incoming = (
+            edges.join(
+                labels.select(F.col("node").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("in_lbl"))
+        )
+        nxt = (
+            labels.join(incoming, "node", "left")
+            .select(
+                "node",
+                # least() skips NULL (no in-edges -> keep own label)
+                F.least("lbl", "in_lbl").alias("lbl"),
+                (F.col("in_lbl") < F.col("lbl")).alias("_chg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_changed = nxt.where(F.col("_chg")).count()
+        cycler.cycle(nxt)
+        labels = nxt.select("node", "lbl")
+        if n_changed == 0:
+            return labels
+    raise ValueError(
+        f"min-label propagation did not converge within {max_iters} "
+        "iterations — raise max_iters (rounds track the directed "
+        "diameter of the surviving subgraph)"
+    )
+
+
+def strongly_connected_components_directed(
+    edges: DataFrame, max_rounds: int = 40, max_label_iters: int = 100
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph — the classic
+    decomposition CC (undirected) cannot express. Returns
+    ``(node, scc)`` for EVERY node appearing in the edge list, where
+    ``scc`` is the minimum node id of the component (same
+    lexicographic-min representative convention as the CCF mapping,
+    S1; unlike CC's S3, representatives DO map to themselves here).
+
+    Trim + simultaneous forward/backward min-coloring, each peel round:
+
+    1. **Trim** (iterated to fixed point): a node with no in-edges or
+       no out-edges in the surviving subgraph can sit on no cycle —
+       it is a singleton SCC; peel it. Dissolves DAG regions in
+       rounds-of-cascade, which is exactly the case that starves
+       pivot-style peeling.
+    2. **Color**: ``f(v)`` = min id over nodes reaching v (forward
+       propagation fixed point), ``b(v)`` = min id over nodes v
+       reaches (same loop on reversed edges). Ancestor and descendant
+       sets are SCC-invariant, so whenever ``f(v) == b(v) == c`` the
+       entire SCC(c) satisfies it: c reaches v AND v reaches c, and
+       the peeled set is a union of COMPLETE SCCs with their true
+       minimum as label. The global-min node always qualifies
+       (f = b = itself), so every color round peels >= 1 whole SCC —
+       typically many (one per color class whose min lies on a cycle
+       in its class).
+
+    All propagation is equi-joins + partial/final min-aggs (never a
+    collect, never a cross join); per-round state rides one
+    localCheckpoint generation, released by the ownership cycler.
+    The emitted result pieces are separate pinned checkpoints (they
+    are the return value; bounded by total node count). Raises — not
+    returns a partial decomposition — if ``max_rounds`` peels don't
+    dissolve the graph (worst case is a chain of SCCs; each round
+    peels at least one full SCC plus every trimmable node).
+    """
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+        _unpersist_rdds,
+        checkpoint_rdd_ids,
+    )
+
+    spark = edges.sparkSession
+    cur = _directed_simple_edges(edges).localCheckpoint(eager=True)
+    nodes = (
+        cur.select(F.col("src").alias("node"))
+        .unionAll(cur.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    empty = nodes.select("node", F.col("node").alias("scc")).where(
+        F.lit(False)
+    )
+    pieces: list[DataFrame] = []
+    outer = CheckpointCycler(spark)
+    outer.cycle(cur, nodes)
+    n_nodes = nodes.count()
+    for _ in range(max_rounds):
+        if n_nodes == 0:
+            break
+        # ---- trim one cascade step: sources/sinks are singleton SCCs
+        has_in = cur.select(F.col("dst").alias("node")).distinct()
+        has_out = cur.select(F.col("src").alias("node")).distinct()
+        keep = nodes.join(has_in, "node", "left_semi").join(
+            has_out, "node", "left_semi"
+        )
+        trivial = (
+            nodes.join(keep, "node", "left_anti")
+            .select("node", F.col("node").alias("scc"))
+            .localCheckpoint(eager=False)
+        )
+        n_triv = trivial.count()
+        if n_triv:
+            pieces.append(trivial)
+            new_nodes = keep.localCheckpoint(eager=False)
+            new_cur = (
+                cur.join(
+                    new_nodes.select(F.col("node").alias("src")),
+                    "src",
+                    "left_semi",
+                )
+                .join(
+                    new_nodes.select(F.col("node").alias("dst")),
+                    "dst",
+                    "left_semi",
+                )
+                .select("src", "dst")
+                .localCheckpoint(eager=False)
+            )
+            new_cur.count()
+            outer.cycle(new_cur, new_nodes)
+            nodes, cur = new_nodes, new_cur
+            n_nodes -= n_triv
+            continue  # cascade: removing sinks exposes new sinks
+        _unpersist_rdds(spark, checkpoint_rdd_ids(trivial))
+        # ---- color round: forward + backward min labels
+        f = _min_reach_labels(cur, nodes, max_label_iters)
+        rev = cur.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        b = _min_reach_labels(rev, nodes, max_label_iters)
+        done = (
+            f.join(b.withColumnRenamed("lbl", "blbl"), "node")
+            .where(F.col("lbl") == F.col("blbl"))
+            .select("node", F.col("lbl").alias("scc"))
+            .localCheckpoint(eager=False)
+        )
+        n_done = done.count()  # >= |SCC(global min)| >= 1
+        pieces.append(done)
+        new_nodes = nodes.join(
+            done.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=False)
+        new_cur = (
+            cur.join(
+                new_nodes.select(F.col("node").alias("src")),
+                "src",
+                "left_semi",
+            )
+            .join(
+                new_nodes.select(F.col("node").alias("dst")),
+                "dst",
+                "left_semi",
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        new_cur.count()
+        _unpersist_rdds(
+            spark, checkpoint_rdd_ids(f) | checkpoint_rdd_ids(b)
+        )
+        outer.cycle(new_cur, new_nodes)
+        nodes, cur = new_nodes, new_cur
+        n_nodes -= n_done
+    else:
+        if n_nodes:
+            # a partial decomposition is indistinguishable from a
+            # correct one downstream; fail loudly (k_truss discipline)
+            raise ValueError(
+                f"SCC peeling left {n_nodes} nodes after "
+                f"max_rounds={max_rounds}; raise max_rounds (worst "
+                "case is a long chain of SCCs)"
+            )
+    out = empty
+    for p in pieces:
+        out = out.unionAll(p)
+    return out

@@ -226,6 +226,7 @@ def all_queries() -> dict[str, Query]:
         "graph_modularity",
         "rec_covisit_topk",
         "q92_hll_union",
+        "scc_part_sequence",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -1683,3 +1683,87 @@ QUERIES.append(
         "Newman modularity terms of the LPA partition, exact via x4m^2 scaling",
     )
 )
+
+
+def scc_part_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRONGLY connected components — the directed decomposition the
+    undirected CC family cannot express (reference scope is undirected
+    only, RESULTS.md:125; this is the natural directed extension).
+
+    Graph: directed part->next-part edges from consecutive line numbers
+    within URGENT orders, thinned to the %3 part family so the fixture
+    keeps real structure (one giant SCC + a 2-cycle + singleton
+    periphery at the gate SFs) without a dense closure. The engine
+    runs trim + forward/backward min-coloring peeling
+    (``strongly_connected_components_directed``); the oracle computes
+    the transitive closure with a recursive CTE and takes min over
+    each node's mutually-reachable set — feasible only at oracle
+    scale, which is exactly why the engine side peels instead."""
+    from pyspark.sql.window import Window
+
+    from map_reduce_project_spark.graph.analytics import (
+        strongly_connected_components_directed,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    seq = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select("l_orderkey", "l_linenumber", "l_partkey")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    pairs = seq.select(
+        "l_partkey", F.lead("l_partkey").over(w).alias("next_part")
+    )
+    edges = pairs.where(
+        F.col("next_part").isNotNull()
+        & (F.col("next_part") != F.col("l_partkey"))
+        & (F.col("l_partkey") % 3 == 0)
+        & (F.col("next_part") % 3 == 0)
+    ).select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("next_part")).alias("dst"),
+    )
+    return strongly_connected_components_directed(edges)
+
+
+SCC_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         LEAD(l_partkey) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber
+         ) AS next_part
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+),
+edges AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 'p:' || next_part AS dst
+  FROM seq
+  WHERE next_part IS NOT NULL AND next_part <> l_partkey
+    AND l_partkey % 3 = 0 AND next_part % 3 = 0
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT n.node AS node,
+  LEAST(n.node,
+        COALESCE(MIN(r1.b) FILTER (WHERE r2.a IS NOT NULL),
+                 n.node)) AS scc
+FROM nodes n
+LEFT JOIN reach r1 ON r1.a = n.node
+LEFT JOIN reach r2 ON r2.a = r1.b AND r2.b = n.node
+GROUP BY n.node
+"""
+
+QUERIES.append(
+    Query(
+        "scc_part_sequence",
+        scc_part_sequence,
+        SCC_SQL,
+        "strongly connected components via trim + fwd/bwd min-coloring peeling vs transitive-closure oracle",
+    )
+)

@@ -339,3 +339,115 @@ def test_k_truss_raises_when_rounds_exhausted(spark):
     # contract is fail-loud, never supports-from-a-larger-edge-set
     with _pytest.raises(ValueError, match="did not converge"):
         k_truss(edges, k=3, max_rounds=0)
+
+
+def _py_scc(edge_list):
+    """Pure-Python Kosaraju (iterative) — SCC oracle for property tests.
+    Returns {node: min-id-of-its-SCC}."""
+    from collections import defaultdict
+
+    g, gr, nodes = defaultdict(list), defaultdict(list), set()
+    for s, d in edge_list:
+        if s == d:
+            continue
+        nodes.add(s)
+        nodes.add(d)
+        g[s].append(d)
+        gr[d].append(s)
+    visited, order = set(), []
+    for n in nodes:
+        if n in visited:
+            continue
+        visited.add(n)
+        stack = [(n, iter(g[n]))]
+        while stack:
+            node, it = stack[-1]
+            advanced = False
+            for nb in it:
+                if nb not in visited:
+                    visited.add(nb)
+                    stack.append((nb, iter(g[nb])))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(node)
+                stack.pop()
+    comp = {}
+    for n in reversed(order):
+        if n in comp:
+            continue
+        comp[n] = n
+        members, stack = [n], [n]
+        while stack:
+            x = stack.pop()
+            for nb in gr[x]:
+                if nb not in comp:
+                    comp[nb] = n
+                    members.append(nb)
+                    stack.append(nb)
+        m = min(members)
+        for v in members:
+            comp[v] = m
+    return comp
+
+
+def _run_scc(spark, edge_list):
+    from map_reduce_project_spark.graph.analytics import (
+        strongly_connected_components_directed,
+    )
+
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    return {
+        r["node"]: r["scc"]
+        for r in strongly_connected_components_directed(edges).collect()
+    }
+
+
+def test_scc_two_cycles_bridged(spark):
+    # cycle {a,b,c} -> bridge v -> cycle {d,e}; v trims only after a
+    # cycle peels, exercising the non-trivial middle-node case
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("c", "v"), ("v", "d"),
+        ("d", "e"), ("e", "d"),
+    ]
+    got = _run_scc(spark, edges)
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "v": "v",
+        "d": "d", "e": "d",
+    }
+
+
+def test_scc_dag_chain_trims(spark):
+    # pure DAG: every node a singleton, dissolved by trim cascades alone
+    edges = [(str(i), str(i + 1)) for i in range(9)]
+    got = _run_scc(spark, edges)
+    assert got == {str(i): str(i) for i in range(10)}
+
+
+def test_scc_self_loops_and_duplicates(spark):
+    edges = [("a", "a"), ("a", "b"), ("a", "b"), ("b", "a"), ("c", "a")]
+    got = _run_scc(spark, edges)
+    assert got == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_scc_empty(spark):
+    got = _run_scc(spark, [("x", "x")])  # only a self-loop -> no edges
+    assert got == {}
+
+
+def test_scc_matches_python_oracle_random(spark):
+    import random
+
+    for seed in (7, 42, 99):
+        rng = random.Random(seed)
+        n = 30
+        edge_list = list(
+            {
+                (str(rng.randrange(n)), str(rng.randrange(n)))
+                for _ in range(70)
+            }
+        )
+        got = _run_scc(spark, edge_list)
+        assert got == _py_scc(edge_list), f"seed={seed}"
