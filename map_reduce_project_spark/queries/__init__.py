@@ -227,6 +227,7 @@ def all_queries() -> dict[str, Query]:
         "rec_covisit_topk",
         "q92_hll_union",
         "scc_part_sequence",
+        "scc_condensation",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

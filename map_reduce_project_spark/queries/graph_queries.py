@@ -1685,25 +1685,13 @@ QUERIES.append(
 )
 
 
-def scc_part_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STRONGLY connected components — the directed decomposition the
-    undirected CC family cannot express (reference scope is undirected
-    only, RESULTS.md:125; this is the natural directed extension).
-
-    Graph: directed part->next-part edges from consecutive line numbers
-    within URGENT orders, thinned to the %3 part family so the fixture
-    keeps real structure (one giant SCC + a 2-cycle + singleton
-    periphery at the gate SFs) without a dense closure. The engine
-    runs trim + forward/backward min-coloring peeling
-    (``strongly_connected_components_directed``); the oracle computes
-    the transitive closure with a recursive CTE and takes min over
-    each node's mutually-reachable set — feasible only at oracle
-    scale, which is exactly why the engine side peels instead."""
+def _part_sequence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed part->next-part edges from consecutive line numbers
+    within URGENT orders, thinned to the %3 part family so the SCC
+    fixtures keep real structure (one giant SCC + a 2-cycle +
+    singleton periphery at the gate SFs) without a dense transitive
+    closure on the oracle side. Shared by the scc_* queries."""
     from pyspark.sql.window import Window
-
-    from map_reduce_project_spark.graph.analytics import (
-        strongly_connected_components_directed,
-    )
 
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders").where(
@@ -1716,7 +1704,7 @@ def scc_part_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = seq.select(
         "l_partkey", F.lead("l_partkey").over(w).alias("next_part")
     )
-    edges = pairs.where(
+    return pairs.where(
         F.col("next_part").isNotNull()
         & (F.col("next_part") != F.col("l_partkey"))
         & (F.col("l_partkey") % 3 == 0)
@@ -1725,10 +1713,29 @@ def scc_part_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
         F.concat(F.lit("p:"), F.col("next_part")).alias("dst"),
     )
-    return strongly_connected_components_directed(edges)
 
 
-SCC_SQL = """
+def scc_part_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRONGLY connected components — the directed decomposition the
+    undirected CC family cannot express (reference scope is undirected
+    only, RESULTS.md:125; this is the natural directed extension).
+
+    The engine runs trim + forward/backward min-coloring peeling
+    (``strongly_connected_components_directed``); the oracle computes
+    the transitive closure with a recursive CTE and takes min over
+    each node's mutually-reachable set — feasible only at oracle
+    scale, which is exactly why the engine side peels instead."""
+    from map_reduce_project_spark.graph.analytics import (
+        strongly_connected_components_directed,
+    )
+
+    return strongly_connected_components_directed(
+        _part_sequence_edges(spark, sf_dir)
+    )
+
+
+# shared oracle CTE prologue: edge construction + closure + SCC ids
+SCC_BASE_SQL = """
 WITH RECURSIVE seq AS (
   SELECT l_orderkey, l_linenumber, l_partkey,
          LEAD(l_partkey) OVER (
@@ -1748,16 +1755,20 @@ reach(a, b) AS (
   SELECT src, dst FROM edges
   UNION
   SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+scc AS (
+  SELECT n.node AS node,
+    LEAST(n.node,
+          COALESCE(MIN(r1.b) FILTER (WHERE r2.a IS NOT NULL),
+                   n.node)) AS scc
+  FROM nodes n
+  LEFT JOIN reach r1 ON r1.a = n.node
+  LEFT JOIN reach r2 ON r2.a = r1.b AND r2.b = n.node
+  GROUP BY n.node
 )
-SELECT n.node AS node,
-  LEAST(n.node,
-        COALESCE(MIN(r1.b) FILTER (WHERE r2.a IS NOT NULL),
-                 n.node)) AS scc
-FROM nodes n
-LEFT JOIN reach r1 ON r1.a = n.node
-LEFT JOIN reach r2 ON r2.a = r1.b AND r2.b = n.node
-GROUP BY n.node
 """
+
+SCC_SQL = SCC_BASE_SQL + "SELECT node, scc FROM scc"
 
 QUERIES.append(
     Query(
@@ -1765,5 +1776,60 @@ QUERIES.append(
         scc_part_sequence,
         SCC_SQL,
         "strongly connected components via trim + fwd/bwd min-coloring peeling vs transitive-closure oracle",
+    )
+)
+
+
+def scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONDENSATION of the directed graph: each SCC collapsed to
+    one node (its min-id representative), edges aggregated to
+    (scc_src, scc_dst, n_edges) over distinct underlying cross-edges.
+    The result is a DAG by construction — the decomposition that turns
+    any directed graph into something topologically sortable, which is
+    what dependency-ordering consumers actually want from SCC. Exact
+    int64 edge counts; intra-component edges drop out."""
+    from map_reduce_project_spark.graph.analytics import (
+        _directed_simple_edges,
+        strongly_connected_components_directed,
+    )
+
+    edges = _part_sequence_edges(spark, sf_dir)
+    mapping = strongly_connected_components_directed(edges)
+    e = _directed_simple_edges(edges)
+    return (
+        e.join(
+            mapping.select(
+                F.col("node").alias("src"), F.col("scc").alias("scc_src")
+            ),
+            "src",
+        )
+        .join(
+            mapping.select(
+                F.col("node").alias("dst"), F.col("scc").alias("scc_dst")
+            ),
+            "dst",
+        )
+        .where(F.col("scc_src") != F.col("scc_dst"))
+        .groupBy("scc_src", "scc_dst")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+
+
+SCC_CONDENSATION_SQL = SCC_BASE_SQL + """
+SELECT s1.scc AS scc_src, s2.scc AS scc_dst,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM edges e
+JOIN scc s1 ON s1.node = e.src
+JOIN scc s2 ON s2.node = e.dst
+WHERE s1.scc <> s2.scc
+GROUP BY 1, 2
+"""
+
+QUERIES.append(
+    Query(
+        "scc_condensation",
+        scc_condensation,
+        SCC_CONDENSATION_SQL,
+        "SCC condensation DAG: components collapsed, cross-edges counted exactly",
     )
 )

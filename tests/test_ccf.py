@@ -451,3 +451,21 @@ def test_scc_matches_python_oracle_random(spark):
         )
         got = _run_scc(spark, edge_list)
         assert got == _py_scc(edge_list), f"seed={seed}"
+
+
+def test_scc_condensation_is_dag(spark):
+    # condensing SCCs must leave an acyclic graph: rerunning SCC on the
+    # condensation yields only singletons
+    from map_reduce_project_spark.queries.graph_queries import (
+        scc_condensation,
+    )
+    from map_reduce_project_spark.graph.analytics import (
+        strongly_connected_components_directed,
+    )
+
+    cond = scc_condensation(spark, "/root/testdata/sf0.001")
+    cond_edges = cond.select(
+        F.col("scc_src").alias("src"), F.col("scc_dst").alias("dst")
+    )
+    again = strongly_connected_components_directed(cond_edges)
+    assert again.where(F.col("node") != F.col("scc")).count() == 0
