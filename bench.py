@@ -164,7 +164,7 @@ def main() -> None:
                 "metric": (
                     "end-to-end wall seconds (each line min-of-2): 3 "
                     "reference CCF benchmark configs + distributed "
-                    "500k-edge CC (uniform + hub-skewed) + 10 engine "
+                    "500k-edge CC (uniform + hub-skewed) + 11 engine "
                     "headline queries"
                 ),
                 "value": total,

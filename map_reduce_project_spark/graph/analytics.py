@@ -1182,3 +1182,70 @@ def strongly_connected_components_directed(
     for p in pieces:
         out = out.unionAll(p)
     return out
+
+
+def dag_longest_path_levels(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iters: int = 40,
+) -> DataFrame:
+    """Longest-path-from-any-source level per node of a DAG —
+    topological layering: level 0 = sources, level k = nodes whose
+    longest incoming chain has k edges (the stage number a dependency
+    scheduler would run them at).
+
+    Bellman-Ford-style max propagation (``lvl(v) = max(lvl(v),
+    lvl(u)+1)`` over in-edges) converges in depth rounds on a DAG; on
+    a CYCLE it never converges, so exhausting ``max_iters`` raises —
+    the fail-loud doubles as a cycle detector, which is the right
+    contract for an operator whose input is supposed to be a
+    condensation. ``nodes`` adds isolated vertices (level 0) the edge
+    list alone cannot see. Same per-round discipline as the other
+    loops: one lazy checkpoint, one counting action, ownership-cycled
+    generations.
+    """
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
+    e = _directed_simple_edges(edges)
+    node_set = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    if nodes is not None:
+        node_set = node_set.unionAll(nodes.select("node"))
+    cycler = CheckpointCycler(edges.sparkSession)
+    levels = (
+        node_set.distinct()
+        .select("node", F.lit(0).cast("long").alias("level"))
+        .localCheckpoint(eager=True)
+    )
+    cycler.cycle(levels)
+    for _ in range(max_iters):
+        incoming = (
+            e.join(
+                levels.select(F.col("node").alias("src"), "level"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.max("level") + 1).alias("in_lvl"))
+        )
+        nxt = (
+            levels.join(incoming, "node", "left")
+            .select(
+                "node",
+                # greatest() skips NULL (no in-edges -> keep level)
+                F.greatest("level", "in_lvl").alias("level"),
+                (F.col("in_lvl") > F.col("level")).alias("_chg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_changed = nxt.where(F.col("_chg")).count()
+        cycler.cycle(nxt)
+        levels = nxt.select("node", "level")
+        if n_changed == 0:
+            return levels
+    raise ValueError(
+        f"longest-path layering did not converge within {max_iters} "
+        "rounds — the input has a cycle (not a DAG), or its depth "
+        "exceeds max_iters"
+    )

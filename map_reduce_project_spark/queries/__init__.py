@@ -228,6 +228,7 @@ def all_queries() -> dict[str, Query]:
         "q92_hll_union",
         "scc_part_sequence",
         "scc_condensation",
+        "scc_topo_levels",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

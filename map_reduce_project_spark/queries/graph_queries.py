@@ -1833,3 +1833,89 @@ QUERIES.append(
         "SCC condensation DAG: components collapsed, cross-edges counted exactly",
     )
 )
+
+
+def scc_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological layering of the SCC condensation: each component's
+    longest-incoming-chain length — the stage number a dependency
+    scheduler would execute it at. Composes the engine's own SCC fixed
+    point (one run; condensation derived from its mapping) with the
+    DAG longest-path loop, whose fail-loud non-convergence doubles as
+    a cycle check on the condensation. The oracle replays the layering
+    as 40 unrolled Bellman-Ford-max rounds over the closure-derived
+    condensation (UNION-recursion on longest path is exponential in
+    path count; the unroll is linear — same MATERIALIZED-CTE
+    discipline as the k-truss oracle). The engine raises beyond depth
+    40, so engine and oracle can never silently diverge on depth."""
+    from map_reduce_project_spark.graph.analytics import (
+        _directed_simple_edges,
+        dag_longest_path_levels,
+        strongly_connected_components_directed,
+    )
+
+    edges = _part_sequence_edges(spark, sf_dir)
+    mapping = strongly_connected_components_directed(edges)
+    e = _directed_simple_edges(edges)
+    cond_edges = (
+        e.join(
+            mapping.select(
+                F.col("node").alias("src"), F.col("scc").alias("csrc")
+            ),
+            "src",
+        )
+        .join(
+            mapping.select(
+                F.col("node").alias("dst"), F.col("scc").alias("cdst")
+            ),
+            "dst",
+        )
+        .where(F.col("csrc") != F.col("cdst"))
+        .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .distinct()
+    )
+    cond_nodes = mapping.select(F.col("scc").alias("node")).distinct()
+    return dag_longest_path_levels(cond_edges, nodes=cond_nodes).select(
+        "node", "level"
+    )
+
+
+def _topo_unrolled_sql(rounds: int = 40) -> str:
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(
+            f"""lvl{t} AS MATERIALIZED (
+  SELECT l.node,
+         GREATEST(l.lvl, COALESCE(MAX(p.lvl) + 1, l.lvl)) AS lvl
+  FROM lvl{t - 1} l
+  LEFT JOIN cond_edges e ON e.cdst = l.node
+  LEFT JOIN lvl{t - 1} p ON p.node = e.csrc
+  GROUP BY l.node, l.lvl
+)"""
+        )
+    return (
+        SCC_BASE_SQL
+        + """,
+cond_edges AS MATERIALIZED (
+  SELECT DISTINCT s1.scc AS csrc, s2.scc AS cdst
+  FROM edges e
+  JOIN scc s1 ON s1.node = e.src
+  JOIN scc s2 ON s2.node = e.dst
+  WHERE s1.scc <> s2.scc
+),
+lvl0 AS MATERIALIZED (
+  SELECT DISTINCT scc AS node, 0 AS lvl FROM scc
+),
+"""
+        + ",\n".join(steps)
+        + f"\nSELECT node, CAST(lvl AS BIGINT) AS level FROM lvl{rounds}"
+    )
+
+
+QUERIES.append(
+    Query(
+        "scc_topo_levels",
+        scc_topo_levels,
+        _topo_unrolled_sql(),
+        "topological stage layering of the SCC condensation vs 40-round unrolled max-propagation oracle",
+    )
+)

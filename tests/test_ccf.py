@@ -469,3 +469,48 @@ def test_scc_condensation_is_dag(spark):
     )
     again = strongly_connected_components_directed(cond_edges)
     assert again.where(F.col("node") != F.col("scc")).count() == 0
+
+
+def test_dag_levels_chain_and_diamond(spark):
+    from map_reduce_project_spark.graph.analytics import (
+        dag_longest_path_levels,
+    )
+
+    # diamond with a long arm: a->b->d, a->c->e->d  => d at level 3
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "d"), ("a", "c"), ("c", "e"), ("e", "d")],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["level"]
+        for r in dag_longest_path_levels(edges).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1, "e": 2, "d": 3}
+
+
+def test_dag_levels_cycle_raises(spark):
+    import pytest
+
+    from map_reduce_project_spark.graph.analytics import (
+        dag_longest_path_levels,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        dag_longest_path_levels(edges, max_iters=6)
+
+
+def test_dag_levels_isolated_nodes(spark):
+    from map_reduce_project_spark.graph.analytics import (
+        dag_longest_path_levels,
+    )
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    nodes = spark.createDataFrame([("z",), ("a",)], "node string")
+    got = {
+        r["node"]: r["level"]
+        for r in dag_longest_path_levels(edges, nodes=nodes).collect()
+    }
+    assert got == {"a": 0, "b": 1, "z": 0}
