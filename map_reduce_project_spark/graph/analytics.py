@@ -1086,65 +1086,14 @@ def strongly_connected_components_directed(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    empty = nodes.select("node", F.col("node").alias("scc")).where(
-        F.lit(False)
-    )
     pieces: list[DataFrame] = []
     outer = CheckpointCycler(spark)
     outer.cycle(cur, nodes)
     n_nodes = nodes.count()
-    for _ in range(max_rounds):
-        if n_nodes == 0:
-            break
-        # ---- trim one cascade step: sources/sinks are singleton SCCs
-        has_in = cur.select(F.col("dst").alias("node")).distinct()
-        has_out = cur.select(F.col("src").alias("node")).distinct()
-        keep = nodes.join(has_in, "node", "left_semi").join(
-            has_out, "node", "left_semi"
-        )
-        trivial = (
-            nodes.join(keep, "node", "left_anti")
-            .select("node", F.col("node").alias("scc"))
-            .localCheckpoint(eager=False)
-        )
-        n_triv = trivial.count()
-        if n_triv:
-            pieces.append(trivial)
-            new_nodes = keep.localCheckpoint(eager=False)
-            new_cur = (
-                cur.join(
-                    new_nodes.select(F.col("node").alias("src")),
-                    "src",
-                    "left_semi",
-                )
-                .join(
-                    new_nodes.select(F.col("node").alias("dst")),
-                    "dst",
-                    "left_semi",
-                )
-                .select("src", "dst")
-                .localCheckpoint(eager=False)
-            )
-            new_cur.count()
-            outer.cycle(new_cur, new_nodes)
-            nodes, cur = new_nodes, new_cur
-            n_nodes -= n_triv
-            continue  # cascade: removing sinks exposes new sinks
-        _unpersist_rdds(spark, checkpoint_rdd_ids(trivial))
-        # ---- color round: forward + backward min labels
-        f = _min_reach_labels(cur, nodes, max_label_iters)
-        rev = cur.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")
-        )
-        b = _min_reach_labels(rev, nodes, max_label_iters)
-        done = (
-            f.join(b.withColumnRenamed("lbl", "blbl"), "node")
-            .where(F.col("lbl") == F.col("blbl"))
-            .select("node", F.col("lbl").alias("scc"))
-            .localCheckpoint(eager=False)
-        )
-        n_done = done.count()  # >= |SCC(global min)| >= 1
-        pieces.append(done)
+
+    def shrink(done: DataFrame) -> None:
+        """Commit a peeled piece: next node/edge generations, cycled."""
+        nonlocal cur, nodes
         new_nodes = nodes.join(
             done.select("node"), "node", "left_anti"
         ).localCheckpoint(eager=False)
@@ -1163,11 +1112,54 @@ def strongly_connected_components_directed(
             .localCheckpoint(eager=False)
         )
         new_cur.count()
+        outer.cycle(new_cur, new_nodes)
+        nodes, cur = new_nodes, new_cur
+
+    for _ in range(max_rounds):
+        # ---- trim cascade to fixed point: sources/sinks are singleton
+        # SCCs. Each pass strictly decreases n_nodes, so this inner
+        # loop always terminates on its own — it does NOT consume the
+        # color-round budget (max_rounds bounds chains of SCCs only;
+        # an arbitrarily deep DAG dissolves right here).
+        while n_nodes:
+            has_in = cur.select(F.col("dst").alias("node")).distinct()
+            has_out = cur.select(F.col("src").alias("node")).distinct()
+            keep = nodes.join(has_in, "node", "left_semi").join(
+                has_out, "node", "left_semi"
+            )
+            trivial = (
+                nodes.join(keep, "node", "left_anti")
+                .select("node", F.col("node").alias("scc"))
+                .localCheckpoint(eager=False)
+            )
+            n_triv = trivial.count()
+            if not n_triv:
+                _unpersist_rdds(spark, checkpoint_rdd_ids(trivial))
+                break
+            pieces.append(trivial)
+            shrink(trivial)
+            n_nodes -= n_triv
+        if n_nodes == 0:
+            break
+        # ---- color round: forward + backward min labels
+        f = _min_reach_labels(cur, nodes, max_label_iters)
+        rev = cur.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        b = _min_reach_labels(rev, nodes, max_label_iters)
+        done = (
+            f.join(b.withColumnRenamed("lbl", "blbl"), "node")
+            .where(F.col("lbl") == F.col("blbl"))
+            .select("node", F.col("lbl").alias("scc"))
+            .localCheckpoint(eager=False)
+        )
+        n_done = done.count()  # >= |SCC(global min)| >= 1
+        # done is its own checkpoint now; f/b are dead
         _unpersist_rdds(
             spark, checkpoint_rdd_ids(f) | checkpoint_rdd_ids(b)
         )
-        outer.cycle(new_cur, new_nodes)
-        nodes, cur = new_nodes, new_cur
+        pieces.append(done)
+        shrink(done)
         n_nodes -= n_done
     else:
         if n_nodes:
@@ -1178,8 +1170,10 @@ def strongly_connected_components_directed(
                 f"max_rounds={max_rounds}; raise max_rounds (worst "
                 "case is a long chain of SCCs)"
             )
-    out = empty
-    for p in pieces:
+    if not pieces:
+        return spark.createDataFrame([], "node string, scc string")
+    out = pieces[0]
+    for p in pieces[1:]:
         out = out.unionAll(p)
     return out
 

@@ -514,3 +514,19 @@ def test_dag_levels_isolated_nodes(spark):
         for r in dag_longest_path_levels(edges, nodes=nodes).collect()
     }
     assert got == {"a": 0, "b": 1, "z": 0}
+
+
+def test_scc_deep_dag_does_not_consume_round_budget(spark):
+    # a 120-node path needs ~60 trim cascades; they must not count
+    # against the color-round budget (max_rounds bounds SCC chains)
+    from map_reduce_project_spark.graph.analytics import (
+        strongly_connected_components_directed,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(119)],
+        "src string, dst string",
+    )
+    got = strongly_connected_components_directed(edges, max_rounds=3)
+    assert got.where(F.col("node") != F.col("scc")).count() == 0
+    assert got.count() == 120
