@@ -229,6 +229,8 @@ def all_queries() -> dict[str, Query]:
         "scc_part_sequence",
         "scc_condensation",
         "scc_topo_levels",
+        "feat_target_encode_oof",
+        "q93_l_diversity",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

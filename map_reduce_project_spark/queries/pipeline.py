@@ -818,3 +818,82 @@ QUERIES.append(
         "bottom-k hash sample: exactly-k uniform draw, reproducible cross-engine",
     )
 )
+
+
+def feat_target_encode_oof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe OUT-OF-FOLD target encoding — the feature-
+    engineering step that replaces a category with the target mean
+    computed on the OTHER folds, so a row never sees its own label
+    (in-fold encoding leaks the target and inflates validation
+    scores). Folds come from the same salted content hash as
+    sample_kfold (reproducible, partitioning-invariant); the encoding
+    is emitted as an exact integer (numerator, denominator) pair per
+    (category, fold) — the x-denominator rational discipline — so the
+    gate hashes pure int64 and the consumer performs the one division.
+    One aggregation + one category-window pass; no per-row shuffle of
+    the training table beyond the grouped agg."""
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kfold|"), "o_orderkey")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    target = (F.col("o_totalprice") >= 150000).cast("long")
+    per = (
+        orders.select(
+            F.col("o_orderpriority").alias("category"),
+            fold.alias("fold"),
+            target.alias("t"),
+        )
+        .groupBy("category", "fold")
+        .agg(
+            F.sum("t").cast("long").alias("fold_pos"),
+            F.count("*").cast("long").alias("fold_cnt"),
+        )
+    )
+    w = Window.partitionBy("category")
+    return per.select(
+        "category",
+        "fold",
+        (F.sum("fold_pos").over(w) - F.col("fold_pos"))
+        .cast("long")
+        .alias("oof_pos"),
+        (F.sum("fold_cnt").over(w) - F.col("fold_cnt"))
+        .cast("long")
+        .alias("oof_cnt"),
+    )
+
+
+FEAT_TARGET_ENCODE_SQL = """
+WITH per AS (
+  SELECT o_orderpriority AS category,
+    ('0x' || substr(md5('kfold|' || o_orderkey), 1, 8))::BIGINT % 5 AS fold,
+    CAST(SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END) AS BIGINT)
+      AS fold_pos,
+    CAST(COUNT(*) AS BIGINT) AS fold_cnt
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT category, fold,
+  CAST(SUM(fold_pos) OVER (PARTITION BY category) - fold_pos AS BIGINT)
+    AS oof_pos,
+  CAST(SUM(fold_cnt) OVER (PARTITION BY category) - fold_cnt AS BIGINT)
+    AS oof_cnt
+FROM per
+"""
+
+QUERIES.append(
+    Query(
+        "feat_target_encode_oof",
+        feat_target_encode_oof_q,
+        FEAT_TARGET_ENCODE_SQL,
+        "leakage-safe out-of-fold target encoding as exact (num, den) rationals",
+    )
+)

@@ -2551,3 +2551,60 @@ QUERIES.append(
         "log2-binned inter-order gap histogram per customer cadence",
     )
 )
+
+
+def q93_l_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's complement (q70): a class can
+    be large yet still leak if everyone in it shares the same
+    SENSITIVE value. Per (nation, market-segment) equivalence class:
+    the count of distinct sensitive values (account-balance band) and
+    a below-l flag at l=3. Exact distinct over a 3-valued derived
+    category; one partial+final aggregate."""
+    cust = read_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        cust.select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "c_mktsegment",
+            band.alias("band"),
+        )
+        .groupBy("nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("class_size"),
+            F.count_distinct("band").cast("long").alias("n_sensitive"),
+        )
+        .select(
+            "nationkey",
+            "c_mktsegment",
+            "class_size",
+            "n_sensitive",
+            (F.col("n_sensitive") < 3).alias("below_l"),
+        )
+    )
+
+
+Q93_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS class_size,
+  CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+                           WHEN c_acctbal < 5000 THEN 'low'
+                           ELSE 'high' END) AS BIGINT) AS n_sensitive,
+  COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+                      WHEN c_acctbal < 5000 THEN 'low'
+                      ELSE 'high' END) < 3 AS below_l
+FROM customer
+GROUP BY 1, 2
+"""
+
+QUERIES.append(
+    Query(
+        "q93_l_diversity",
+        q93_l_diversity_q,
+        Q93_SQL,
+        "l-diversity audit: distinct sensitive values per quasi-identifier class",
+    )
+)
