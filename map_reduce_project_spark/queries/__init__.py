@@ -231,6 +231,7 @@ def all_queries() -> dict[str, Query]:
         "scc_topo_levels",
         "feat_target_encode_oof",
         "q93_l_diversity",
+        "rec_covisit_eval",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

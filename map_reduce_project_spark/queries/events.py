@@ -2140,3 +2140,139 @@ QUERIES.append(
         "item-item co-visitation top-3 recommender (basket-scoped self-join, exact counts)",
     )
 )
+
+
+def rec_covisit_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-LAST-out evaluation of the co-visitation recommender —
+    the self-evaluation rung (dedup_recall_report / emb_ivf_recall
+    pattern) for the recsys stage: per basket, hold out the item of
+    the chronologically last view/click event, recommend from the
+    remaining history via each history item's top-3 co-visitation
+    neighbors, and flag whether the held-out item was recommended.
+    In-sample by design (the model sees all baskets — the standard
+    quick sanity eval; a production eval would time-split the model
+    corpus too, which only changes the model input). All counts and
+    ranks exact; the per-basket verdict is a boolean MAX over an
+    equi-join of history to the model — never a cross join. Baskets
+    with a single distinct item have no history and are excluded."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    base = ev.where(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull())
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    held = (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "day", F.col("item").alias("held_item"))
+    )
+    history = (
+        base.select("user_id", "day", "item")
+        .distinct()
+        .join(held, ["user_id", "day"])
+        .where(F.col("item") != F.col("held_item"))
+    )
+    recs = rec_covisit_topk_q(spark, sf_dir)
+    cand = history.join(recs.select("item", "neighbor"), "item").select(
+        "user_id", "day", "held_item", "neighbor"
+    )
+    return (
+        history.select("user_id", "day", "held_item")
+        .distinct()
+        .join(
+            cand.where(F.col("neighbor") == F.col("held_item"))
+            .select("user_id", "day")
+            .distinct()
+            .withColumn("hit", F.lit(True)),
+            ["user_id", "day"],
+            "left",
+        )
+        .select(
+            "user_id",
+            "day",
+            "held_item",
+            F.coalesce("hit", F.lit(False)).alias("hit"),
+        )
+    )
+
+
+REC_COVISIT_EVAL_SQL = """
+WITH items AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE event_type IN ('view', 'click')
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+pairs AS (
+  SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS co_count
+  FROM items a
+  JOIN items b
+    ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT i AS item, j AS neighbor, co_count FROM pairs
+  UNION ALL
+  SELECT j AS item, i AS neighbor, co_count FROM pairs
+),
+recs AS (
+  SELECT item, neighbor FROM (
+    SELECT item, neighbor,
+           ROW_NUMBER() OVER (
+             PARTITION BY item ORDER BY co_count DESC, neighbor
+           ) AS rnk
+    FROM sym
+  ) WHERE rnk <= 3
+),
+base AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE event_type IN ('view', 'click')
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+held AS (
+  SELECT user_id, day, item AS held_item FROM (
+    SELECT user_id, day, item,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM base
+  ) WHERE rn = 1
+),
+history AS (
+  SELECT DISTINCT b.user_id, b.day, h.held_item, b.item
+  FROM (SELECT DISTINCT user_id, day, item FROM base) b
+  JOIN held h ON h.user_id = b.user_id AND h.day = b.day
+  WHERE b.item <> h.held_item
+),
+hits AS (
+  SELECT DISTINCT hi.user_id, hi.day
+  FROM history hi
+  JOIN recs r ON r.item = hi.item
+  WHERE r.neighbor = hi.held_item
+)
+SELECT h.user_id, h.day, h.held_item,
+       COALESCE(ht.user_id IS NOT NULL, FALSE) AS hit
+FROM (SELECT DISTINCT user_id, day, held_item FROM history) h
+LEFT JOIN hits ht ON ht.user_id = h.user_id AND ht.day = h.day
+"""
+
+QUERIES.append(
+    Query(
+        "rec_covisit_eval",
+        rec_covisit_eval_q,
+        REC_COVISIT_EVAL_SQL,
+        "leave-last-out hit@3 evaluation of the co-visitation recommender",
+    )
+)
