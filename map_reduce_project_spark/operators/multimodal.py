@@ -1636,10 +1636,11 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
                 [(1, 1)],
                 [(1, 1)] * 3,
                 [(2, 2), (1, 1), (1, 1)],
+                [(2, 1), (1, 1), (1, 1)],
             ):
                 raise NotImplementedError(
-                    f"unsupported sampling layout {samplings} (1x1 and "
-                    "4:2:0 supported; others need libjpeg)"
+                    f"unsupported sampling layout {samplings} (1x1, "
+                    "4:2:0 and 4:2:2 supported; others need libjpeg)"
                 )
             dims = (h, w)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
@@ -1735,6 +1736,30 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
         y = y_plane[:h, :w]
         cb = np.repeat(np.repeat(cb_p, 2, axis=0), 2, axis=1)[:h, :w] - 128
         cr = np.repeat(np.repeat(cr_p, 2, axis=0), 2, axis=1)[:h, :w] - 128
+        r = y + ((91881 * cr + 32768) >> 16)
+        g = y + ((-22554 * cb - 46802 * cr + 32768) >> 16)
+        bl = y + ((116130 * cb + 32768) >> 16)
+        return np.dstack([r, g, bl]).clip(0, 255).astype(np.uint8)
+
+    if ncomp == 3 and comps[0][2:] == (2, 1):
+        # 4:2:2 — each interleaved MCU covers a 16x8 luma strip as 2 Y
+        # blocks side by side + 1 Cb + 1 Cr; chroma is upsampled by
+        # HORIZONTAL replication only (vertical resolution is full)
+        mw, mh = -(-w // 16), -(-h // 8)
+        y_plane = np.empty((mh * 8, mw * 16), dtype=np.int64)
+        cb_p = np.empty((mh * 8, mw * 8), dtype=np.int64)
+        cr_p = np.empty((mh * 8, mw * 8), dtype=np.int64)
+        for my in range(mh):
+            for mx in range(mw):
+                maybe_restart()
+                for blk in range(2):
+                    ox = mx * 16 + blk * 8
+                    y_plane[my * 8 : my * 8 + 8, ox : ox + 8] = read_block(0)
+                cb_p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = read_block(1)
+                cr_p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = read_block(2)
+        y = y_plane[:h, :w]
+        cb = np.repeat(cb_p, 2, axis=1)[:h, :w] - 128
+        cr = np.repeat(cr_p, 2, axis=1)[:h, :w] - 128
         r = y + ((91881 * cr + 32768) >> 16)
         g = y + ((-22554 * cb - 46802 * cr + 32768) >> 16)
         bl = y + ((116130 * cb + 32768) >> 16)
@@ -2971,4 +2996,102 @@ def stereo_flac_audio(doc_id: int) -> tuple[str, bytes]:
     ]
     return "audio/flac", encode_flac_stereo(
         left, right, modes[doc_id % 4]
+    )
+
+def encode_jpeg_dc_422(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, q00: int = 8
+) -> bytes:
+    """Block-constant planes -> baseline JFIF with a 4:2:2 interleaved
+    scan: y is (h, w) with h a multiple of 8 and w a multiple of 16,
+    constant 8x8 blocks; cb/cr are (h, w/2) with constant 8x8 blocks
+    (one chroma block per 16x8 luma strip). MCU order: 2 Y blocks side
+    by side, then Cb, then Cr — per-component DC predictor chains."""
+    h, w = y.shape
+    if h % 8 or w % 16:
+        raise ValueError("4:2:2 fixture needs h%8==0 and w%16==0 dims")
+    dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+
+    def put_block(ci: int, v: int) -> None:
+        _jpeg_put_flat_block(bw, dc_map, ac_map, preds, ci, v, q00)
+
+    for my in range(h // 8):
+        for mx in range(w // 16):
+            for blk in range(2):
+                put_block(0, int(y[my * 8, mx * 16 + blk * 8]))
+            put_block(1, int(cb[my * 8, mx * 8]))
+            put_block(2, int(cr[my * 8, mx * 8]))
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([q00] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def gradient_jpeg_422_image(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic block-constant 4:2:2 JPEG: w = 16*(1+id%3),
+    h = 8*(1+(id//3)%2); Y block (bx, by) (8px grid) =
+    (id + 9bx + 21by) % 256; chroma blocks (cx, cy) on the (16px wide,
+    8px tall) luma grid: Cb = (3id + 13cx + 7cy) % 256,
+    Cr = (5id + 23cy + 11cx) % 256."""
+    w = 16 * (1 + doc_id % 3)
+    h = 8 * (1 + (doc_id // 3) % 2)
+
+    def plane(hh, ww, f):
+        out = np.empty((hh, ww), dtype=np.uint8)
+        for by in range(hh // 8):
+            for bx in range(ww // 8):
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = f(bx, by) % 256
+        return out
+
+    y = plane(h, w, lambda bx, by: doc_id + 9 * bx + 21 * by)
+    cb = plane(h, w // 2, lambda cx, cy: 3 * doc_id + 13 * cx + 7 * cy)
+    cr = plane(h, w // 2, lambda cx, cy: 5 * doc_id + 23 * cy + 11 * cx)
+    return "image/jpeg", encode_jpeg_dc_422(y, cb, cr)
+
+
+def attach_real_jpeg_422_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL 4:2:2 DC-only JPEG payloads manufactured distributively."""
+    gen_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mods, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                m, p = gradient_jpeg_422_image(int(doc_id))
+                mods.append(m)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": mods, "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        process, gen_schema
     )

@@ -232,6 +232,7 @@ def all_queries() -> dict[str, Query]:
         "feat_target_encode_oof",
         "q93_l_diversity",
         "rec_covisit_eval",
+        "mm_jpeg_422_stats",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

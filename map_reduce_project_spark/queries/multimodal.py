@@ -1329,3 +1329,68 @@ QUERIES.append(
         "stereo FLAC: all four decorrelation inverses hash-gated via rotation",
     )
 )
+
+
+def mm_jpeg_422_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:2 SUBSAMPLED baseline-JPEG decode under the exact gate —
+    the broadcast/video-frame layout between 1x1 and 4:2:0: each
+    interleaved MCU carries 2 Y blocks + Cb + Cr over a 16x8 strip,
+    chroma upsampled by exact HORIZONTAL replication (full vertical
+    resolution), then the fixed-point YCbCr->RGB. Channels are
+    constant per 8x8 luma block, so the oracle replays the composed
+    block formulas; a wrong strip order, predictor chain, or the
+    4:2:0 upsample applied by mistake is a hash mismatch."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_jpeg_422_payload,
+        pixel_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pixel_stats(attach_real_jpeg_422_payload(docs))
+
+
+MM_JPEG_422_SQL = """
+WITH g AS (
+  SELECT x.g AS bx, y.g AS by
+  FROM generate_series(0, 5) x(g), generate_series(0, 1) y(g)
+),
+blocks AS (
+  SELECT d.doc_id, g.bx, g.by,
+    (d.doc_id + 9 * g.bx + 21 * g.by) % 256 AS yv,
+    (3 * d.doc_id + 13 * (g.bx // 2) + 7 * g.by) % 256 - 128 AS cbv,
+    (5 * d.doc_id + 23 * g.by + 11 * (g.bx // 2)) % 256 - 128 AS crv
+  FROM documents d CROSS JOIN g
+  WHERE g.bx < 2 * (1 + d.doc_id % 3) AND g.by < 1 + (d.doc_id // 3) % 2
+),
+px AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0,
+      yv + CAST(FLOOR((91881 * crv + 32768) / 65536.0) AS BIGINT))) AS r,
+    LEAST(255, GREATEST(0,
+      yv + CAST(FLOOR((-22554 * cbv - 46802 * crv + 32768) / 65536.0)
+                AS BIGINT))) AS gg,
+    LEAST(255, GREATEST(0,
+      yv + CAST(FLOOR((116130 * cbv + 32768) / 65536.0) AS BIGINT))) AS b
+  FROM blocks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  'image/jpeg' AS modality,
+  CAST(8 * (1 + (doc_id // 3) % 2) AS BIGINT) AS height,
+  CAST(16 * (1 + doc_id % 3) AS BIGINT) AS width,
+  CAST(128 * (1 + doc_id % 3) * (1 + (doc_id // 3) % 2) AS BIGINT)
+    AS n_pixels,
+  CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+  CAST(64 * SUM(gg) AS BIGINT) AS sum_g,
+  CAST(64 * SUM(b) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "mm_jpeg_422_stats",
+        mm_jpeg_422_stats_q,
+        MM_JPEG_422_SQL,
+        "4:2:2 subsampled JPEG: strip interleave + horizontal replicate upsample, exact",
+    )
+)
