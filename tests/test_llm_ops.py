@@ -447,13 +447,14 @@ def test_resize_images_shape_and_determinism(spark, docs):
     assert _decode_ppm_pixels(resized).shape == (8, 8, 3)
     import struct as _st
 
-    # 1x1-sampled color is decodable now; SUBSAMPLED chroma is the
-    # profile that still needs libjpeg and must raise
+    # 1x1, 4:2:0 and 4:2:2 sampled color are decodable now; the
+    # remaining exotic samplings (e.g. 4:1:1) still need libjpeg and
+    # must raise
     color_sof = (
         b"\xff\xd8"
         + b"\xff\xc0" + _st.pack(">H", 17)
         + _st.pack(">BHHB", 8, 8, 8, 3)
-        + bytes([1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0])  # 4:2:2 stays gated
+        + bytes([1, 0x41, 0, 2, 0x11, 0, 3, 0x11, 0])  # 4:1:1 stays gated
     )
     with _pytest.raises(NotImplementedError):
         from map_reduce_project_spark.operators.multimodal import (
