@@ -233,6 +233,9 @@ def all_queries() -> dict[str, Query]:
         "q93_l_diversity",
         "rec_covisit_eval",
         "mm_jpeg_422_stats",
+        "q94_sql_udf",
+        "q95_collation",
+        "q96_try_arithmetic",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

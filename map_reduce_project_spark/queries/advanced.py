@@ -2332,3 +2332,157 @@ QUERIES.append(
         "per-day HLL partials merged via hll_union_agg, estimate gated within the error bound of exact",
     )
 )
+
+
+def q94_sql_udf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4 ``CREATE FUNCTION ...
+    RETURNS ... RETURN expr``) — reusable expression logic that lives
+    in the catalog, planned INLINE by Catalyst exactly like the
+    written-out expression (no UDF boundary, full codegen/pushdown).
+    Two functions compose (a banding function and a priority-weighted
+    margin); the oracle inlines the same expressions, so a change in
+    how Spark expands SQL UDFs is a hash mismatch. Sum rides the
+    decimal cast per the float-agg discipline."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q94_orders"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q94_band(x DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN x < 50000 THEN 'low' "
+        "WHEN x < 150000 THEN 'mid' ELSE 'high' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q94_margin(x DOUBLE, "
+        "p STRING) RETURNS DOUBLE RETURN "
+        "CASE WHEN p = '1-URGENT' THEN x * 2 ELSE x END"
+    )
+    return spark.sql(
+        """
+SELECT q94_band(o_totalprice) AS band,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(q94_margin(o_totalprice, o_orderpriority)
+                AS DECIMAL(18,2))) AS DOUBLE) AS weighted_value
+FROM q94_orders
+GROUP BY 1
+"""
+    )
+
+
+Q94_SQL = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'high' END AS band,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN o_totalprice * 2
+                     ELSE o_totalprice END
+                AS DECIMAL(18,2))) AS DOUBLE) AS weighted_value
+FROM orders
+GROUP BY 1
+"""
+
+QUERIES.append(
+    Query(
+        "q94_sql_udf",
+        q94_sql_udf_q,
+        Q94_SQL,
+        "catalog-resident SQL scalar functions, inlined by Catalyst, vs the written-out oracle",
+    )
+)
+
+
+def q95_collation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATIONS: case-insensitive comparison via
+    UTF8_LCASE — predicates written against mixed-case literals match
+    without wrapping every column in lower() (and, at scale, without
+    breaking pushdown the way expression-wrapped columns can). The
+    oracle lowers both sides explicitly; equal counts pin the
+    collated semantics."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "q95_customer"
+    )
+    return spark.sql(
+        """
+SELECT
+  COUNT(*) AS n_all,
+  COUNT(*) FILTER (
+    WHERE c_mktsegment COLLATE UTF8_LCASE = 'bUiLdInG'
+  ) AS n_building_ci,
+  COUNT(*) FILTER (
+    WHERE startswith(c_name COLLATE UTF8_LCASE, 'cUsToMeR#')
+  ) AS n_name_prefix_ci
+FROM q95_customer
+"""
+    )
+
+
+Q95_SQL = """
+SELECT COUNT(*) AS n_all,
+  COUNT(*) FILTER (WHERE lower(c_mktsegment) = 'building')
+    AS n_building_ci,
+  COUNT(*) FILTER (WHERE lower(c_name) LIKE 'customer#%')
+    AS n_name_prefix_ci
+FROM customer
+"""
+
+QUERIES.append(
+    Query(
+        "q95_collation",
+        q95_collation_q,
+        Q95_SQL,
+        "UTF8_LCASE collated comparisons vs explicit lower() oracle",
+    )
+)
+
+
+def q96_try_arithmetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``try_*`` error-absorbing arithmetic family under ANSI
+    mode: try_divide (NULL on zero divisor), try_cast (NULL on
+    malformed input), try_add (NULL on int64 overflow) — the
+    functions that keep a 100 TB job from dying on the one bad row
+    while staying ANSI-strict everywhere else. The oracle reproduces
+    each NULL contract with explicit CASE/TRY_CAST; double quotients
+    of exact ints are IEEE-identical cross-engine, summed via the
+    decimal cast."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q96_orders"
+    )
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+  COUNT(*) AS n,
+  COUNT(*) FILTER (
+    WHERE try_divide(o_orderkey, o_orderkey % 7) IS NULL
+  ) AS n_div_null,
+  CAST(SUM(CAST(try_divide(o_orderkey, o_orderkey % 7)
+                AS DECIMAL(28,6))) AS DOUBLE) AS sum_quot,
+  COUNT(try_cast(o_orderpriority AS INT)) AS n_cast_ok,
+  COUNT(try_add(9223372036854775807, o_orderkey)) AS n_add_ok
+FROM q96_orders
+GROUP BY o_orderpriority
+"""
+    )
+
+
+Q96_SQL = """
+SELECT o_orderpriority,
+  COUNT(*) AS n,
+  COUNT(*) FILTER (WHERE o_orderkey % 7 = 0) AS n_div_null,
+  CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE CAST(CAST(o_orderkey AS DOUBLE)
+                          / (o_orderkey % 7) AS DECIMAL(28,6))
+           END) AS DOUBLE) AS sum_quot,
+  COUNT(TRY_CAST(o_orderpriority AS INT)) AS n_cast_ok,
+  COUNT(*) FILTER (WHERE o_orderkey = 0) AS n_add_ok
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+QUERIES.append(
+    Query(
+        "q96_try_arithmetic",
+        q96_try_arithmetic_q,
+        Q96_SQL,
+        "try_divide/try_cast/try_add NULL contracts vs explicit CASE oracle",
+    )
+)
