@@ -1389,8 +1389,8 @@ def test_jpeg_color_dc_fixed_point_conversion():
                 int(cr[by * 8, bx * 8]),
             )
             assert got == want
-    # 4:2:0 decodes now; OTHER subsampling layouts (4:2:2 here)
-    # stay honestly gated
+    # 4:2:0 and 4:2:2 decode now; the remaining exotic layouts
+    # (4:1:1 here) stay honestly gated
     import pytest as _pytest
     import struct as _st
 
@@ -1399,7 +1399,7 @@ def test_jpeg_color_dc_fixed_point_conversion():
         + b"\xff\xc0"
         + _st.pack(">H", 17)
         + _st.pack(">BHHB", 8, 16, 16, 3)
-        + bytes([1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0])
+        + bytes([1, 0x41, 0, 2, 0x11, 0, 3, 0x11, 0])
     )
     with _pytest.raises(NotImplementedError):
         decode_jpeg_dc(sub)
