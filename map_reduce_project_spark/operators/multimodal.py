@@ -1587,8 +1587,8 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
     int64 and oracle-replayable, and reproduces the flat-block
     fixtures bit-for-bit). Restart intervals decode (DRI + byte-aligned RSTn cycle
     verification, DC predictors reset per interval). Still honestly
-    out of scope: progressive frames, non-4:2:0 subsampling
-    layouts."""
+    out of scope: progressive frames and subsampling layouts beyond
+    1x1 / 4:2:0 / 4:2:2 (e.g. 4:1:1, 4:4:0)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     i = 2

@@ -236,6 +236,8 @@ def all_queries() -> dict[str, Query]:
         "q94_sql_udf",
         "q95_collation",
         "q96_try_arithmetic",
+        "q97_sql_tvf",
+        "ev_sessions_dynamic_gap",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -2486,3 +2486,46 @@ QUERIES.append(
         "try_divide/try_cast/try_add NULL contracts vs explicit CASE oracle",
     )
 )
+
+
+def q97_sql_tvf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE-VALUED function (Spark 4 ``CREATE FUNCTION ...
+    RETURNS TABLE``) — a parameterized view in the catalog, planned
+    inline like any subquery (no UDTF boundary, full pushdown into
+    the scan). The caller aggregates over the TVF at one threshold;
+    the oracle writes the WHERE out by hand."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q97_orders"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q97_big_orders(thr DOUBLE) "
+        "RETURNS TABLE (o_orderpriority STRING, o_totalprice DOUBLE) "
+        "RETURN SELECT o_orderpriority, o_totalprice FROM q97_orders "
+        "WHERE o_totalprice > thr"
+    )
+    return spark.sql(
+        """
+SELECT o_orderpriority, COUNT(*) AS n_big,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM q97_big_orders(250000.0D)
+GROUP BY o_orderpriority
+"""
+    )
+
+
+Q97_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_big,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice > 250000.0
+GROUP BY o_orderpriority
+"""
+
+QUERIES.append(
+    Query(
+        "q97_sql_tvf",
+        q97_sql_tvf_q,
+        Q97_SQL,
+        "catalog-resident SQL table-valued function (parameterized view) vs hand-written WHERE",
+    )
+)

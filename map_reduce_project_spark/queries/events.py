@@ -2276,3 +2276,79 @@ QUERIES.append(
         "leave-last-out hit@3 evaluation of the co-visitation recommender",
     )
 )
+
+
+def ev_sessions_dynamic_gap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap expression
+    (``F.session_window(ts, when(...))``) — error events keep the
+    session alive only 5 minutes, everything else 30: the
+    inactivity threshold becomes data-dependent, which no fixed-gap
+    sessionizer expresses. Spark merges the per-event intervals
+    [ts, ts+gap); the oracle replays exactly that with a running
+    MAX(ts+gap) horizon — a new session starts when an event's ts
+    reaches the horizon (end-exclusive, matching the fixed-gap
+    oracle's ``diff >= gap`` convention). session_end = MAX(ts+gap)
+    of the merged session is emitted too, pinning the merge
+    semantics, not just the grouping."""
+    ev = read_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", "5 minutes").otherwise(
+        "30 minutes"
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EV_SESSIONS_DYNAMIC_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTE
+         ELSE INTERVAL 30 MINUTE END AS gap
+  FROM events
+),
+m AS (
+  SELECT *, MAX(ts + gap) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ) AS horizon
+  FROM e
+),
+f AS (
+  SELECT *, CASE WHEN horizon IS NULL OR ts >= horizon
+                 THEN 1 ELSE 0 END AS new_s
+  FROM m
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS sid
+  FROM f
+)
+SELECT user_id,
+  MIN(ts) AS session_start,
+  MAX(ts + gap) AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, sid
+"""
+
+QUERIES.append(
+    Query(
+        "ev_sessions_dynamic_gap",
+        ev_sessions_dynamic_gap_q,
+        EV_SESSIONS_DYNAMIC_SQL,
+        "data-dependent per-event session gaps vs a running-horizon oracle",
+    )
+)
