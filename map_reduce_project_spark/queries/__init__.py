@@ -238,6 +238,7 @@ def all_queries() -> dict[str, Query]:
         "q96_try_arithmetic",
         "q97_sql_tvf",
         "ev_sessions_dynamic_gap",
+        "ev_sessions_dynamic_streaming",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -2352,3 +2352,32 @@ QUERIES.append(
         "data-dependent per-event session gaps vs a running-horizon oracle",
     )
 )
+
+
+def ev_sessions_dynamic_streaming_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dynamic-gap sessionizer run as a REAL Structured Streaming
+    query (availableNow) — per-event gap expressions exercise the
+    session-state MERGE path with variable interval lengths, the case
+    fixed-gap streaming sessions never hit. Final state is
+    hash-checked against the same running-horizon oracle as the batch
+    twin."""
+    from map_reduce_project_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_events,
+        stream_session_counts_dynamic,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    return run_stream_to_memory(stream_session_counts_dynamic(stream))
+
+
+QUERIES.append(
+    Query(
+        "ev_sessions_dynamic_streaming",
+        ev_sessions_dynamic_streaming_q,
+        EV_SESSIONS_DYNAMIC_SQL,
+        "Structured Streaming dynamic-gap session windows, final state vs the running-horizon oracle",
+    )
+)

@@ -155,3 +155,31 @@ def stream_enriched_segment_counts(
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
         )
     )
+
+
+def stream_session_counts_dynamic(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked session windows with a PER-EVENT gap expression —
+    the streaming twin of queries.events.ev_sessions_dynamic_gap_q
+    (error events hold the session 5 minutes, others 30). Identical
+    output columns, so the final state hash-matches the same
+    running-horizon oracle."""
+    gap = F.when(F.col("event_type") == "error", "5 minutes").otherwise(
+        "30 minutes"
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
