@@ -390,3 +390,22 @@ def test_bottom_k_sample_is_distributed_topk(spark, registry):
     df = registry["sample_bottom_k"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sql_udf_inlined_no_python_boundary(spark, registry):
+    # CREATE FUNCTION scalar SQL UDFs must be expanded by Catalyst
+    # into plain expressions: no Python eval operator, and the whole
+    # agg stays a one-shuffle hash aggregate
+    from map_reduce_project_spark.plans import operator_counts
+
+    df = registry["q94_sql_udf"].fn(spark, SF)
+    ops = " ".join(operator_counts(df))
+    assert "BatchEvalPython" not in ops and "ArrowEvalPython" not in ops
+    assert num_exchanges(df) <= 1
+
+
+def test_sql_tvf_filter_pushed_to_scan(spark, registry):
+    # the TVF's WHERE must reach the parquet scan as a pushed filter
+    df = registry["q97_sql_tvf"].fn(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_totalprice" in pushed
