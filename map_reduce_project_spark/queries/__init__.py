@@ -239,6 +239,7 @@ def all_queries() -> dict[str, Query]:
         "q97_sql_tvf",
         "ev_sessions_dynamic_gap",
         "ev_sessions_dynamic_streaming",
+        "q98_bitmap_distinct",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -2529,3 +2529,55 @@ QUERIES.append(
         "catalog-resident SQL table-valued function (parameterized view) vs hand-written WHERE",
     )
 )
+
+
+def q98_bitmap_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct-count via the bitmap aggregate family
+    (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count) — the
+    deterministic counterpart to the HLL rollup (q92): per-month
+    partial bitmaps are OR-merged across months, then counted, and
+    the result is not an estimate — it EQUALS count_distinct, so the
+    gate needs no tolerance verdict. This is how a 100 TB pipeline
+    maintains incremental exact distincts: one small bitmap per
+    (group, bucket) partition crossing the wire, re-mergeable under
+    any re-aggregation topology."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q98_orders"
+    )
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+  CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_distinct_custs
+FROM (
+  SELECT o_orderpriority, bkt, bitmap_or_agg(bm) AS bm
+  FROM (
+    SELECT o_orderpriority,
+           date_trunc('month', o_orderdate) AS mon,
+           bitmap_bucket_number(o_custkey) AS bkt,
+           bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+    FROM q98_orders
+    GROUP BY 1, 2, 3
+  )
+  GROUP BY 1, 2
+)
+GROUP BY o_orderpriority
+"""
+    )
+
+
+Q98_SQL = """
+SELECT o_orderpriority,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_custs
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+QUERIES.append(
+    Query(
+        "q98_bitmap_distinct",
+        q98_bitmap_distinct_q,
+        Q98_SQL,
+        "exact mergeable distinct via bitmap partials OR-merged across months == count_distinct",
+    )
+)
