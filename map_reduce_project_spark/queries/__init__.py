@@ -240,6 +240,7 @@ def all_queries() -> dict[str, Query]:
         "ev_sessions_dynamic_gap",
         "ev_sessions_dynamic_streaming",
         "q98_bitmap_distinct",
+        "q99_parameterized_sql",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -2581,3 +2581,43 @@ QUERIES.append(
         "exact mergeable distinct via bitmap partials OR-merged across months == count_distinct",
     )
 )
+
+
+def q99_parameterized_sql_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named parameter markers + the
+    IDENTIFIER clause): values bind as literals and the table name
+    binds through IDENTIFIER() — the injection-safe templating path
+    for programmatic query construction (string-splicing a filter
+    value into SQL text is the 100 TB pipeline's classic foot-gun).
+    The oracle is the fully resolved query text."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q99_orders"
+    )
+    return spark.sql(
+        """
+SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM IDENTIFIER(:tbl)
+WHERE o_orderdate >= :lo AND o_orderstatus = :status
+GROUP BY o_orderpriority
+""",
+        args={"tbl": "q99_orders", "lo": "1997-01-01", "status": "O"},
+    )
+
+
+Q99_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= '1997-01-01' AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+QUERIES.append(
+    Query(
+        "q99_parameterized_sql",
+        q99_parameterized_sql_q,
+        Q99_SQL,
+        "named parameter markers + IDENTIFIER clause vs the resolved query text",
+    )
+)
