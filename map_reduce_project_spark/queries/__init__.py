@@ -241,6 +241,7 @@ def all_queries() -> dict[str, Query]:
         "ev_sessions_dynamic_streaming",
         "q98_bitmap_distinct",
         "q99_parameterized_sql",
+        "q100_snapshot_diff",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

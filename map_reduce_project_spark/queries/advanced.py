@@ -2621,3 +2621,87 @@ QUERIES.append(
         "named parameter markers + IDENTIFIER clause vs the resolved query text",
     )
 )
+
+
+def q100_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF — the table-version comparison behind lakehouse
+    audits and CDC backfills: given two versions of the orders
+    dimension (pre/post a cutoff date standing in for two snapshots,
+    with the post version also re-pricing urgent orders), classify
+    every key as added / removed / changed / unchanged and count each
+    class. Implemented as one full-outer join on the key comparing
+    null-safe row fingerprints (md5 over the concatenated tracked
+    columns — the same fingerprint both engines can compute); exact
+    counts."""
+    orders = read_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderdate") < "1997-06-01")
+    new = orders.where(F.col("o_orderdate") >= "1995-06-01").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.round(F.col("o_totalprice") * F.lit(2), 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderstatus"),
+                    F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                )
+            ).alias("fp"),
+        )
+
+    o, n = fp(old).alias("o"), fp(new).alias("n")
+    classified = o.join(
+        n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    ).select(
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when(F.col("o.fp") != F.col("n.fp"), "changed")
+        .otherwise("unchanged")
+        .alias("change")
+    )
+    return classified.groupBy("change").agg(
+        F.count("*").cast("long").alias("n_keys")
+    )
+
+
+Q100_SQL = """
+WITH old AS (
+  SELECT o_orderkey,
+    md5(o_orderstatus || '|' ||
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS fp
+  FROM orders WHERE o_orderdate < '1997-06-01'
+),
+new AS (
+  SELECT o_orderkey,
+    md5(o_orderstatus || '|' ||
+        CAST(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN ROUND(o_totalprice * 2, 2)
+                       ELSE o_totalprice END AS DECIMAL(18,2)) AS VARCHAR)) AS fp
+  FROM orders WHERE o_orderdate >= '1995-06-01'
+)
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS change,
+  CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+GROUP BY 1
+"""
+
+QUERIES.append(
+    Query(
+        "q100_snapshot_diff",
+        q100_snapshot_diff_q,
+        Q100_SQL,
+        "snapshot diff: added/removed/changed/unchanged via full-outer fingerprint join",
+    )
+)
