@@ -1243,3 +1243,160 @@ def dag_longest_path_levels(
         "rounds — the input has a cycle (not a DAG), or its depth "
         "exceeds max_iters"
     )
+
+
+def minimum_spanning_forest(
+    edges: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Borůvka minimum spanning forest of an undirected weighted graph
+    — the classic O(log n)-round distributed MST. Input: first three
+    columns as (src, dst, weight); output: the forest's edges
+    ``(src, dst, weight)`` in id-canonical orientation.
+
+    Determinism: edges are totally ordered by (weight, src, dst), so
+    ties in weight cannot make the forest ambiguous — the result is
+    THE unique minimum forest under that order (cut property with a
+    total order), which is what lets a sequential Kruskal property
+    oracle pin it edge-for-edge.
+
+    Each round: attach component labels to both endpoints, keep
+    cross-component edges, pick each component's minimum incident
+    edge (one partial+final ``min(struct(weight, src, dst))`` agg over
+    the two orientations), dedup the winners, CONTRACT by running the
+    engine's own connected components on the winner COMPONENT graph
+    (node count = component count, shrinking geometrically), and
+    rewrite the label mapping through the contraction. Component
+    count at least halves per round — max_rounds=20 covers 2^20
+    components; exhausting it raises rather than returning a partial
+    forest. All equi-joins and aggs; per-round state is checkpointed
+    and released through the ownership cycler. Not SQL-oracle-able at
+    reasonable depth (each round nests a CC fixed point), so this
+    operator is property-tested against a total-order Kruskal oracle
+    instead of the DuckDB gate — the documented pytest tier."""
+    from map_reduce_project_spark.graph.ccf import connected_components
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
+    c = edges.columns
+    spark = edges.sparkSession
+    canon = (
+        edges.select(
+            F.least(F.col(c[0]), F.col(c[1])).alias("src"),
+            F.greatest(F.col(c[0]), F.col(c[1])).alias("dst"),
+            F.col(c[2]).cast("double").alias("weight"),
+        )
+        .where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        # parallel edges: keep only the minimal one under the total
+        # order (the others can never be in the forest)
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        canon.select(F.col("src").alias("node"))
+        .unionAll(canon.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    cycler = CheckpointCycler(spark)
+    cycler.cycle(canon, comp)
+    pieces: list[DataFrame] = []
+    for _ in range(max_rounds):
+        labeled = (
+            canon.join(
+                comp.select(
+                    F.col("node").alias("src"), F.col("comp").alias("csrc")
+                ),
+                "src",
+            )
+            .join(
+                comp.select(
+                    F.col("node").alias("dst"), F.col("comp").alias("cdst")
+                ),
+                "dst",
+            )
+            .where(F.col("csrc") != F.col("cdst"))
+        )
+        incident = labeled.select(
+            F.col("csrc").alias("c"), "weight", "src", "dst"
+        ).unionAll(
+            labeled.select(F.col("cdst").alias("c"), "weight", "src", "dst")
+        )
+        winners = (
+            incident.groupBy("c")
+            .agg(F.min(F.struct("weight", "src", "dst")).alias("e"))
+            .select("e.src", "e.dst", "e.weight")
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=False)
+        )
+        if not winners.take(1):
+            break
+        pieces.append(winners)
+        # contract: CC over the winner COMPONENT graph; the CC mapping
+        # omits representatives (S3) -> coalesce to identity
+        wl = (
+            winners.join(
+                comp.select(
+                    F.col("node").alias("src"), F.col("comp").alias("csrc")
+                ),
+                "src",
+            )
+            .join(
+                comp.select(
+                    F.col("node").alias("dst"), F.col("comp").alias("cdst")
+                ),
+                "dst",
+            )
+            .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        )
+        contraction = connected_components(wl).mapping.select(
+            F.col("node").alias("comp"), F.col("component").alias("newc")
+        )
+        new_comp = (
+            comp.join(contraction, "comp", "left")
+            .select(
+                "node", F.coalesce("newc", F.col("comp")).alias("comp")
+            )
+            .localCheckpoint(eager=False)
+        )
+        new_comp.count()
+        # winners pieces are the RESULT — never claimed, never freed
+        cycler.cycle(canon, new_comp)
+        comp = new_comp
+    else:
+        # if cross-component edges remain, the forest is incomplete
+        remaining = (
+            canon.join(
+                comp.select(
+                    F.col("node").alias("src"), F.col("comp").alias("csrc")
+                ),
+                "src",
+            )
+            .join(
+                comp.select(
+                    F.col("node").alias("dst"), F.col("comp").alias("cdst")
+                ),
+                "dst",
+            )
+            .where(F.col("csrc") != F.col("cdst"))
+            .count()
+        )
+        if remaining:
+            raise ValueError(
+                f"Boruvka left {remaining} cross-component edges after "
+                f"max_rounds={max_rounds} — raise max_rounds"
+            )
+    if not pieces:
+        return spark.createDataFrame(
+            [], "src string, dst string, weight double"
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionAll(p)
+    return out

@@ -530,3 +530,93 @@ def test_scc_deep_dag_does_not_consume_round_budget(spark):
     got = strongly_connected_components_directed(edges, max_rounds=3)
     assert got.where(F.col("node") != F.col("scc")).count() == 0
     assert got.count() == 120
+
+
+def _py_kruskal(edge_list):
+    """Total-order Kruskal — MSF oracle. Edges (src, dst, w); the
+    same (weight, src, dst) total order as the engine; returns the
+    canonical-orientation edge set."""
+    canon = {}
+    for s, d, w in edge_list:
+        if s == d or s is None or d is None:
+            continue
+        a, b = (s, d) if s < d else (d, s)
+        if (a, b) not in canon or w < canon[(a, b)]:
+            canon[(a, b)] = w
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for (a, b), w in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.add((a, b, w))
+    return out
+
+
+def _run_msf(spark, edge_list):
+    from map_reduce_project_spark.graph.analytics import (
+        minimum_spanning_forest,
+    )
+
+    df = spark.createDataFrame(
+        edge_list, "src string, dst string, weight double"
+    )
+    return {
+        (r["src"], r["dst"], r["weight"])
+        for r in minimum_spanning_forest(df).collect()
+    }
+
+
+def test_msf_small_known(spark):
+    # triangle + pendant: MST drops the heaviest triangle edge
+    edges = [
+        ("a", "b", 1.0),
+        ("b", "c", 2.0),
+        ("a", "c", 3.0),
+        ("c", "d", 4.0),
+    ]
+    assert _run_msf(spark, edges) == {
+        ("a", "b", 1.0),
+        ("b", "c", 2.0),
+        ("c", "d", 4.0),
+    }
+
+
+def test_msf_forest_and_duplicates(spark):
+    # two components, duplicate + reversed edges, equal weights broken
+    # by the (weight, src, dst) total order
+    edges = [
+        ("a", "b", 1.0),
+        ("b", "a", 1.0),
+        ("b", "c", 1.0),
+        ("a", "c", 1.0),
+        ("x", "y", 5.0),
+    ]
+    got = _run_msf(spark, edges)
+    assert got == _py_kruskal(edges)
+    assert len(got) == 3  # spanning forest: 2 comps, 5 nodes
+
+
+def test_msf_matches_kruskal_random(spark):
+    import random
+
+    for seed in (3, 17, 71):
+        rng = random.Random(seed)
+        n = 25
+        edge_list = [
+            (
+                str(rng.randrange(n)),
+                str(rng.randrange(n)),
+                float(rng.randrange(1, 40)),
+            )
+            for _ in range(60)
+        ]
+        assert _run_msf(spark, edge_list) == _py_kruskal(edge_list), seed
