@@ -242,6 +242,7 @@ def all_queries() -> dict[str, Query]:
         "q98_bitmap_distinct",
         "q99_parameterized_sql",
         "q100_snapshot_diff",
+        "q101_approx_topk",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -2705,3 +2705,45 @@ QUERIES.append(
         "snapshot diff: added/removed/changed/unchanged via full-outer fingerprint join",
     )
 )
+
+
+def q101_approx_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` under its CONTRACT (the q46/q47 sketch
+    discipline): with maxItemsTracked >= the column's distinct
+    cardinality the sketch degenerates to exact counting, so the
+    top-3 (item, count) rows must EQUAL the exact ones — and the
+    fixture's event-type counts are strictly distinct at every gate
+    SF, so rank order is deterministic too. At real scale the same
+    call is one mergeable sketch per partition; this pins the
+    degenerate-exact tier the way q23 pins HLL."""
+    read_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "q101_events"
+    )
+    return spark.sql(
+        """
+SELECT pos + 1 AS rnk, e.item AS event_type,
+       CAST(e.count AS BIGINT) AS n
+FROM (SELECT approx_top_k(event_type, 3, 10000) AS tk FROM q101_events)
+LATERAL VIEW posexplode(tk) AS pos, e
+"""
+    )
+
+
+Q101_SQL = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC) AS BIGINT) AS rnk,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY n DESC
+LIMIT 3
+"""
+
+QUERIES.append(
+    Query(
+        "q101_approx_topk",
+        q101_approx_topk_q,
+        Q101_SQL,
+        "approx_top_k degenerate-exact contract: top-3 equals exact when the sketch covers the cardinality",
+    )
+)
