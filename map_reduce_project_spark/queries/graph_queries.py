@@ -1919,3 +1919,62 @@ QUERIES.append(
         "topological stage layering of the SCC condensation vs 40-round unrolled max-propagation oracle",
     )
 )
+
+
+def graph_msf_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest under the hash gate, on a
+    fixture whose MST is analytically known (the codec-oracle
+    discipline applied to a graph algorithm): chain edges
+    (p, p+3) with scrambled weights 1000 + (7p mod 997) plus shortcut
+    edges (p, p+9) at weight 1e6 + p. Every chain weight is below
+    every shortcut weight and the chain alone spans, so THE minimum
+    spanning tree is exactly the chain — while the engine still has
+    to run real multi-round Borůvka (scrambled weights make each
+    component's minimum incident edge nontrivial, contraction runs
+    the CC fixed point) and a single wrongly kept shortcut or dropped
+    chain edge is a hash mismatch. The general algorithm is
+    property-tested edge-for-edge against a total-order Kruskal
+    oracle on random graphs (tests/test_ccf.py)."""
+    from map_reduce_project_spark.graph.analytics import (
+        minimum_spanning_forest,
+    )
+
+    part = read_table(spark, sf_dir, "part").where(
+        F.col("p_partkey") % 3 == 0
+    )
+    a = part.select(F.col("p_partkey").alias("pa"))
+    b = part.select(F.col("p_partkey").alias("pb"))
+
+    def link(step: int, weight):
+        return (
+            a.join(b, F.col("pb") == F.col("pa") + step)
+            .select(
+                F.concat(F.lit("p:"), F.col("pa")).alias("src"),
+                F.concat(F.lit("p:"), F.col("pb")).alias("dst"),
+                weight.alias("weight"),
+            )
+        )
+
+    chain = link(3, (F.lit(1000) + (F.col("pa") * 7) % 997).cast("double"))
+    short = link(9, (F.lit(1_000_000) + F.col("pa")).cast("double"))
+    return minimum_spanning_forest(chain.unionAll(short))
+
+
+GRAPH_MSF_SQL = """
+WITH base AS (
+  SELECT p_partkey AS p FROM part WHERE p_partkey % 3 = 0
+)
+SELECT LEAST('p:' || a.p, 'p:' || b.p) AS src,
+       GREATEST('p:' || a.p, 'p:' || b.p) AS dst,
+       CAST(1000 + (7 * a.p) % 997 AS DOUBLE) AS weight
+FROM base a JOIN base b ON b.p = a.p + 3
+"""
+
+QUERIES.append(
+    Query(
+        "graph_msf_chain",
+        graph_msf_chain,
+        GRAPH_MSF_SQL,
+        "Boruvka MSF on an analytically-known fixture: the spanning chain wins, shortcuts rejected",
+    )
+)
