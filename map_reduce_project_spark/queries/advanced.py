@@ -2747,3 +2747,101 @@ QUERIES.append(
         "approx_top_k degenerate-exact contract: top-3 equals exact when the sketch covers the cardinality",
     )
 )
+
+
+def q102_expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality EXPECTATIONS evaluated in one pass —
+    the dbt-test/Great-Expectations pattern as a single conditional
+    aggregate over the scan plus one distinct-count and one anti-join
+    probe: not-null rate, domain membership, range check, key
+    uniqueness, and referential integrity each emit
+    (expectation, n_violations, passed). All counts exact; one row
+    per expectation via an explicit stack, so adding a rule never
+    changes existing rows."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    base = orders.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("v_null_cust"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_status_domain"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_price_range"),
+        (F.count("*") - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("v_key_dupes"),
+    )
+    orphans = (
+        orders.join(
+            cust,
+            orders["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("v_orphans"))
+    )
+    both = base.crossJoin(orphans)  # two 1-row aggregates
+    stacked = both.selectExpr(
+        """stack(5,
+          'custkey_not_null', v_null_cust,
+          'status_in_domain', v_status_domain,
+          'price_positive', v_price_range,
+          'orderkey_unique', v_key_dupes,
+          'custkey_references_customer', v_orphans
+        ) AS (expectation, n_violations)"""
+    )
+    return stacked.select(
+        "expectation",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+Q102_SQL = """
+WITH base AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_null_cust,
+    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_status_domain,
+    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_price_range,
+    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_key_dupes
+  FROM orders
+),
+orph AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v_orphans
+  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_custkey IS NULL
+),
+stacked AS (
+  SELECT 'custkey_not_null' AS expectation, v_null_cust AS n_violations
+    FROM base
+  UNION ALL
+  SELECT 'status_in_domain', v_status_domain FROM base
+  UNION ALL
+  SELECT 'price_positive', v_price_range FROM base
+  UNION ALL
+  SELECT 'orderkey_unique', v_key_dupes FROM base
+  UNION ALL
+  SELECT 'custkey_references_customer', v_orphans FROM orph
+)
+SELECT expectation, n_violations, n_violations = 0 AS passed
+FROM stacked
+"""
+
+QUERIES.append(
+    Query(
+        "q102_expectations",
+        q102_expectations_q,
+        Q102_SQL,
+        "declarative data-quality expectations: null/domain/range/uniqueness/referential in one pass",
+    )
+)
