@@ -3095,3 +3095,160 @@ def attach_real_jpeg_422_payload(
     return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
         process, gen_schema
     )
+
+
+def encode_exif_jpeg(
+    orientation: int,
+    make: str,
+    model: str,
+    datetime_s: str,
+    big_endian: bool = False,
+) -> bytes:
+    """Minimal JPEG container carrying a REAL Exif APP1 segment: TIFF
+    header ('II' little- or 'MM' big-endian, magic 42, IFD0 at 8),
+    IFD0 with Make/Model/Orientation/DateTime, out-of-line ASCII
+    values in a data area addressed by offsets from the TIFF origin —
+    the genuine TIFF encoding, not a lookalike."""
+    e = ">" if big_endian else "<"
+    entries = []  # (tag, type, count, packed-value-or-None, raw-bytes)
+    for tag, s in ((0x010F, make), (0x0110, model), (0x0132, datetime_s)):
+        raw = s.encode("ascii") + b"\x00"
+        entries.append((tag, 2, len(raw), raw))
+    entries.append((0x0112, 3, 1, struct.pack(e + "H", orientation) + b"\x00\x00"))
+    entries.sort(key=lambda x: x[0])  # TIFF requires ascending tags
+    n = len(entries)
+    ifd_size = 2 + n * 12 + 4
+    data_off = 8 + ifd_size
+    body = b""
+    data = b""
+    for tag, typ, cnt, raw in entries:
+        if len(raw) <= 4:
+            val = raw.ljust(4, b"\x00")
+        else:
+            val = struct.pack(e + "I", data_off + len(data))
+            data += raw
+        body += struct.pack(e + "HHI", tag, typ, cnt) + val
+    tiff = (
+        (b"MM" if big_endian else b"II")
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", 8)
+        + struct.pack(e + "H", n)
+        + body
+        + struct.pack(e + "I", 0)
+        + data
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe1"
+        + struct.pack(">H", len(app1) + 2)
+        + app1
+        + b"\xff\xd9"
+    )
+
+
+def decode_exif(b: bytes) -> dict:
+    """Walk JPEG markers to the Exif APP1 segment and parse the TIFF
+    IFD0: endianness from the byte-order mark, magic-42 check, entry
+    walk with in-line vs offset-addressed values (ASCII type 2, SHORT
+    type 3). Returns {byte_order, orientation, make, model,
+    datetime}. Raises ValueError on malformed containers — the
+    codec-ladder error contract."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    tiff = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("marker expected")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+        payload = b[i + 4 : i + 2 + seg_len]
+        i += 2 + seg_len
+        if marker == 0xE1 and payload[:6] == b"Exif\x00\x00":
+            tiff = payload[6:]
+            break
+    if tiff is None:
+        raise ValueError("no Exif APP1 segment")
+    bom = tiff[:2]
+    if bom == b"II":
+        e = "<"
+    elif bom == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"bad TIFF byte order {bom!r}")
+    (magic,) = struct.unpack(e + "H", tiff[2:4])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd0,) = struct.unpack(e + "I", tiff[4:8])
+    (n,) = struct.unpack(e + "H", tiff[ifd0 : ifd0 + 2])
+    out: dict = {"byte_order": bom.decode()}
+    names = {0x010F: "make", 0x0110: "model", 0x0132: "datetime"}
+    for k in range(n):
+        off = ifd0 + 2 + k * 12
+        tag, typ, cnt = struct.unpack(e + "HHI", tiff[off : off + 8])
+        val = tiff[off + 8 : off + 12]
+        if typ == 2:  # ASCII, count includes the NUL
+            if cnt <= 4:
+                raw = val[:cnt]
+            else:
+                (p,) = struct.unpack(e + "I", val)
+                raw = tiff[p : p + cnt]
+            if tag in names:
+                out[names[tag]] = raw.rstrip(b"\x00").decode("ascii")
+        elif typ == 3 and tag == 0x0112:
+            (out["orientation"],) = struct.unpack(e + "H", val[:2])
+    return out
+
+
+def exif_jpeg_fixture(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic Exif JPEG: orientation 1 + id%8, maker/model/
+    timestamp derived from the id, byte order alternating II/MM by
+    parity — both TIFF endiannesses under the gate."""
+    return "image/jpeg", encode_exif_jpeg(
+        orientation=1 + doc_id % 8,
+        make=f"Maker{doc_id % 5}",
+        model=f"Cam{doc_id % 7}",
+        datetime_s=f"2024:01:{1 + doc_id % 28:02d} 12:{doc_id % 60:02d}:00",
+        big_endian=bool(doc_id % 2),
+    )
+
+
+def extract_exif(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Manufacture Exif payloads distributively and decode them back
+    through the REAL parser — schema (doc_id, byte_order,
+    orientation, make, model, datetime)."""
+    gen_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("byte_order", StringType()),
+            StructField("orientation", LongType()),
+            StructField("make", StringType()),
+            StructField("model", StringType()),
+            StructField("datetime", StringType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                _, payload = exif_jpeg_fixture(int(doc_id))
+                meta = decode_exif(payload)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "byte_order": meta["byte_order"],
+                        "orientation": meta["orientation"],
+                        "make": meta["make"],
+                        "model": meta["model"],
+                        "datetime": meta["datetime"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        process, gen_schema
+    )

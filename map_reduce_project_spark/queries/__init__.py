@@ -245,6 +245,7 @@ def all_queries() -> dict[str, Query]:
         "q101_approx_topk",
         "graph_msf_chain",
         "q102_expectations",
+        "mm_exif_metadata",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

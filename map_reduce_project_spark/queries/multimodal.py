@@ -1394,3 +1394,41 @@ QUERIES.append(
         "4:2:2 subsampled JPEG: strip interleave + horizontal replicate upsample, exact",
     )
 )
+
+
+def mm_exif_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Exif/TIFF metadata decode under the exact gate: each doc
+    gets a JPEG whose APP1 segment is genuine TIFF — byte-order mark
+    (alternating II/MM by doc parity, so BOTH endiannesses sit under
+    the hash), magic 42, IFD0 entry walk, in-line SHORT values and
+    offset-addressed ASCII strings. The oracle replays the fixture
+    formulas; a wrong endian branch, offset base, or NUL handling is
+    a hash mismatch on half the corpus."""
+    from map_reduce_project_spark.operators.multimodal import (
+        extract_exif,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return extract_exif(docs)
+
+
+MM_EXIF_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+  'Maker' || (doc_id % 5) AS make,
+  'Cam' || (doc_id % 7) AS model,
+  '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+    || ' 12:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+    || ':00' AS datetime
+FROM documents
+"""
+
+QUERIES.append(
+    Query(
+        "mm_exif_metadata",
+        mm_exif_metadata_q,
+        MM_EXIF_SQL,
+        "real Exif/TIFF IFD decode, both endiannesses, offset-addressed values, exact",
+    )
+)
