@@ -1732,3 +1732,34 @@ def test_flac_escaped_partition_decodes_verbatim_residuals():
     frame += struct.pack(">H", _crc16_flac(bytes(frame)))
     out += bytes(frame)
     assert decode_flac_constant(bytes(out)).tolist() == samp
+
+
+def test_exif_decode_contracts():
+    import pytest as _pytest
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_exif,
+        encode_exif_jpeg,
+        exif_jpeg_fixture,
+    )
+
+    # both endiannesses roundtrip
+    for did in (0, 1, 13, 28):
+        _, p = exif_jpeg_fixture(did)
+        m = decode_exif(p)
+        assert m["byte_order"] == ("MM" if did % 2 else "II")
+        assert m["orientation"] == 1 + did % 8
+        assert m["make"] == f"Maker{did % 5}"
+    # in-line short ASCII (<= 4 bytes incl. NUL) stays in the value
+    # field — no offset
+    p = encode_exif_jpeg(3, "abc", "x", "2024:01:01 00:00:00")
+    m = decode_exif(p)
+    assert m["make"] == "abc" and m["model"] == "x"
+    # error contracts
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_exif(b"nope")
+    with _pytest.raises(ValueError, match="no Exif"):
+        decode_exif(b"\xff\xd8\xff\xd9")
+    bad_bom = p.replace(b"Exif\x00\x00II", b"Exif\x00\x00XX")
+    with _pytest.raises(ValueError, match="byte order"):
+        decode_exif(bad_bom)
