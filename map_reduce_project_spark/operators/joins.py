@@ -272,3 +272,81 @@ def interval_overlap_join(
         )
         .drop("_bucket", "_llo", "_lhi", "_rlo", "_rhi")
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """NEAREST-event as-of join: for each left row, the right row
+    minimizing |right_ts - left_ts| within the key, with the BACKWARD
+    candidate winning exact-distance ties (and an equal-timestamp
+    right row counting as backward). Nulls when the key has no right
+    rows at all.
+
+    One union + ONE sort per key (two window passes over the same
+    ordering — Catalyst plans a single exchange+sort): the running
+    last-right-payload before each left row is the backward
+    candidate, the reverse-scan twin is the forward candidate, and a
+    per-row comparison of the two microsecond distances picks the
+    winner. Never an all-pairs join — the oracle does the quadratic
+    candidate ranking instead, which is exactly why the engine
+    doesn't. Ties BETWEEN two same-distance right rows on the same
+    side are resolved by the window order; pre-deduplicate the right
+    side per (key, ts) for fully deterministic output (same contract
+    as ``asof_join``)."""
+    l_payload = F.struct(*[F.col(c) for c in left.columns]).alias("_l")
+    r_payload = F.struct(*[F.col(c) for c in right.columns]).alias("_r")
+    l_type = left.select(l_payload).schema[0].dataType
+    r_type = right.select(r_payload).schema[0].dataType
+
+    tagged_l = left.select(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(key_cols)],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        l_payload,
+        F.lit(None).cast(r_type).alias("_r"),
+    )
+    tagged_r = right.select(
+        *[F.col(c).alias(f"_k{i}") for i, c in enumerate(key_cols)],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_type).alias("_l"),
+        r_payload,
+    )
+    both = tagged_l.unionByName(tagged_r)
+    keys = [f"_k{i}" for i in range(len(key_cols))]
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    back = F.last("_r", ignorenulls=True).over(w_back)
+    fwd = F.first("_r", ignorenulls=True).over(w_fwd)
+    lts = F.unix_micros(F.col("_ts"))
+    bdist = lts - F.unix_micros(back.getField(right_ts))
+    fdist = F.unix_micros(fwd.getField(right_ts)) - lts
+    chosen = (
+        F.when(back.isNull(), fwd)
+        .when(fwd.isNull(), back)
+        .when(bdist <= fdist, back)
+        .otherwise(fwd)
+    )
+    out = (
+        both.withColumn("_match", chosen)
+        .where(F.col("_side") == 1)
+    )
+    cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_match.{c}").alias(f"{right_prefix}{c}")
+        for c in right.columns
+    ]
+    return out.select(*cols)

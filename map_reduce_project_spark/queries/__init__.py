@@ -246,6 +246,7 @@ def all_queries() -> dict[str, Query]:
         "graph_msf_chain",
         "q102_expectations",
         "mm_exif_metadata",
+        "asof_nearest",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

@@ -641,3 +641,84 @@ QUERIES.append(
         "click-to-purchase delay percentiles (exact DISC) per purchase hour",
     )
 )
+
+
+def asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of: each purchase matched to the user's click
+    closest in time in EITHER direction, backward winning exact-
+    distance ties — the sensor-fusion/attribution variant neither
+    directional as-of expresses (operators.joins.asof_join_nearest:
+    one union + one sort per key, backward and forward candidates
+    from two window passes over the same ordering, never an
+    all-pairs join). The oracle ranks the quadratic per-user
+    candidate set instead — feasible only at oracle scale, which is
+    the point."""
+    from map_reduce_project_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    purchases = _typed(spark, sf_dir, "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = (
+        _typed(spark, sf_dir, "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join_nearest(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="ts",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("right_click_id").alias("click_id"),
+        F.col("right_ts").alias("click_ts"),
+    )
+
+
+ASOF_NEAREST_SQL = """
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+cand AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts,
+         c.click_id, c.ts AS click_ts,
+    ROW_NUMBER() OVER (
+      PARTITION BY p.purchase_id
+      ORDER BY CASE WHEN c.ts <= p.purchase_ts
+                    THEN p.purchase_ts - c.ts
+                    ELSE c.ts - p.purchase_ts END,
+               CASE WHEN c.ts <= p.purchase_ts THEN 0 ELSE 1 END
+    ) AS rn
+  FROM purchases p JOIN clicks c ON c.user_id = p.user_id
+)
+SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+FROM cand WHERE rn = 1
+UNION ALL
+SELECT p.purchase_id, p.user_id, p.purchase_ts,
+       CAST(NULL AS BIGINT) AS click_id,
+       CAST(NULL AS TIMESTAMP) AS click_ts
+FROM purchases p
+WHERE NOT EXISTS (SELECT 1 FROM clicks c WHERE c.user_id = p.user_id)
+"""
+
+QUERIES.append(
+    Query(
+        "asof_nearest",
+        asof_nearest_q,
+        ASOF_NEAREST_SQL,
+        "nearest-event as-of join (either direction, backward wins ties) vs quadratic candidate-ranking oracle",
+    )
+)
