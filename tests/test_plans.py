@@ -409,3 +409,16 @@ def test_sql_tvf_filter_pushed_to_scan(spark, registry):
     df = registry["q97_sql_tvf"].fn(spark, SF)
     pushed = " ".join(pushed_filters(df))
     assert "o_totalprice" in pushed
+
+
+def test_asof_nearest_single_sorted_window_pass(spark, registry):
+    # backward + forward candidates must fuse into ONE Window over
+    # ONE sort (same partitioning/ordering); budget: the clicks-dedup
+    # agg exchange + the window exchange
+    from map_reduce_project_spark.plans import operator_counts
+
+    df = registry["asof_nearest"].fn(spark, SF)
+    assert num_exchanges(df) <= 2
+    oc = operator_counts(df)
+    assert oc.get("Window", 0) == 1
+    assert oc.get("Sort", 0) == 1
