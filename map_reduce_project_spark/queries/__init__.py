@@ -247,6 +247,7 @@ def all_queries() -> dict[str, Query]:
         "q102_expectations",
         "mm_exif_metadata",
         "asof_nearest",
+        "ev_funnel_windowed",
     ]
     # environment-gated queries (registered only where their runtime
     # deps exist — e.g. ev_sessions_tws needs protobuf) float to the

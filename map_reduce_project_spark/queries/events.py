@@ -2381,3 +2381,92 @@ QUERIES.append(
         "Structured Streaming dynamic-gap session windows, final state vs the running-horizon oracle",
     )
 )
+
+
+def ev_funnel_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-CONSTRAINED conversion funnel: each stage must land
+    STRICTLY after the previous one AND within its conversion window
+    (click within 48h of signup, purchase within 72h of the click) —
+    the attribution-window semantics real funnel analytics use, which
+    the unconstrained ev_funnel deliberately omits. Same stage-wise
+    min-timestamp composition (one agg + one join per stage, base
+    scans pruned to one event_type each); note the window bounds the
+    EARLIEST qualifying event, so a user who clicks at hour 50 never
+    re-enters via a later click — exactly the 'conversion expired'
+    semantics."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def stage(
+        etype: str, prev: DataFrame, prev_col: str, out: str, hours: int
+    ) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(
+                (F.col("ts") > F.col(prev_col))
+                & (
+                    F.col("ts")
+                    <= F.col(prev_col) + F.expr(f"INTERVAL {hours} HOURS")
+                )
+            )
+            .groupBy("user_id", prev_col)
+            .agg(F.min("ts").alias(out))
+        )
+
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    click = stage("click", signup, "signup_ts", "click_ts", 48)
+    purchase = stage(
+        "purchase", click.select("user_id", "click_ts"), "click_ts", "purchase_ts", 72
+    )
+    return (
+        signup.join(click.select("user_id", "click_ts"), "user_id", "left")
+        .join(purchase.select("user_id", "purchase_ts"), "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("click_ts").isNotNull().cast("int")
+                + F.col("purchase_ts").isNotNull().cast("int")
+            ).alias("stage_reached"),
+            "signup_ts",
+            "click_ts",
+            "purchase_ts",
+        )
+    )
+
+
+EV_FUNNEL_WINDOWED_SQL = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN s ON s.user_id = e.user_id
+   AND e.ts > s.signup_ts AND e.ts <= s.signup_ts + INTERVAL 48 HOUR
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON c.user_id = e.user_id
+   AND e.ts > c.click_ts AND e.ts <= c.click_ts + INTERVAL 72 HOUR
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT s.user_id,
+  1 + CAST(c.user_id IS NOT NULL AS INT) + CAST(p.user_id IS NOT NULL AS INT)
+    AS stage_reached,
+  s.signup_ts, c.click_ts, p.purchase_ts
+FROM s LEFT JOIN c ON c.user_id = s.user_id
+       LEFT JOIN p ON p.user_id = s.user_id
+"""
+
+QUERIES.append(
+    Query(
+        "ev_funnel_windowed",
+        ev_funnel_windowed_q,
+        EV_FUNNEL_WINDOWED_SQL,
+        "conversion funnel with per-stage attribution windows (48h/72h expiry)",
+    )
+)
