@@ -422,3 +422,31 @@ def test_asof_nearest_single_sorted_window_pass(spark, registry):
     oc = operator_counts(df)
     assert oc.get("Window", 0) == 1
     assert oc.get("Sort", 0) == 1
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    # the 100 TB pattern: a fact table partitioned on the join key +
+    # a selective dim filter => Spark must prune fact partitions at
+    # RUNTIME from the dim side (dynamicpruning expression in the
+    # fact scan), not scan all partitions
+    import pyspark.sql.functions as F
+
+    fact_dir = str(tmp_path / "fact_part")
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(
+        fact_dir
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn("tier", F.substring("o_orderpriority", 1, 1))
+    )
+    joined = fact.join(dim.where(F.col("tier") == "1"), "o_orderpriority")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result is the pruned subset
+    assert (
+        joined.count()
+        == orders.where("o_orderpriority = '1-URGENT'").count()
+    )
