@@ -99,7 +99,7 @@ EV_SESSIONS_SQL = """
 WITH o AS (
   SELECT user_id, ts, event_id, value,
     CASE WHEN lag(ts) OVER w IS NULL
-           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -366,7 +366,7 @@ EV_SESSIONS_STATEFUL_SQL = """
 WITH o AS (
   SELECT user_id, ts, event_id,
     CASE WHEN lag(ts) OVER w IS NULL
-           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1087,7 +1087,7 @@ EV_SESSION_CONV_SQL = """
 WITH o AS (
   SELECT user_id, ts, event_id, event_type,
     CASE WHEN lag(ts) OVER w IS NULL
-           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2325,7 +2325,7 @@ m AS (
   FROM e
 ),
 f AS (
-  SELECT *, CASE WHEN horizon IS NULL OR ts >= horizon
+  SELECT *, CASE WHEN horizon IS NULL OR ts > horizon
                  THEN 1 ELSE 0 END AS new_s
   FROM m
 ),

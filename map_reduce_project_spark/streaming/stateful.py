@@ -82,7 +82,7 @@ def sessionize_with_state(
             ts_us = int(ts.value) // 1000  # pandas ns -> us
             if start is None:
                 start, last, n, sv = ts_us, ts_us, 1, float(value)
-            elif ts_us - last >= gap_us:
+            elif ts_us - last > gap_us:
                 closed.append((user_id, start, last, n, sv))
                 start, last, n, sv = ts_us, ts_us, 1, float(value)
             else:

@@ -127,3 +127,67 @@ def test_new_round4_ops_degenerate_inputs(spark):
     seeds = spark.createDataFrame([("x",)], "node string")
     rows = per_seed_bfs(empty_edges, seeds).collect()
     assert [(r["seed"], r["node"], r["hop"]) for r in rows] == [("x", "x", 0)]
+
+
+def test_dynamic_session_gap_matches_interval_merge(spark):
+    """Randomized semantics check for per-event gap session windows:
+    Spark's session_window(ts, gap_expr) must equal merging the
+    per-event [ts, ts+gap) intervals — the exact model the
+    ev_sessions_dynamic_gap oracle replays with its running-horizon
+    window. Ties and end-exclusive boundaries are the cases worth
+    fuzzing (events landing exactly at a session's end must START a
+    new session)."""
+    import datetime as dt
+    import random
+
+    import pyspark.sql.functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    for seed in (5, 23, 91):
+        rng = random.Random(seed)
+        rows = []
+        for user in range(4):
+            t = 0
+            for i in range(30):
+                # jumps chosen so some land exactly on gap boundaries
+                t += rng.choice([30, 60, 240, 300, 300, 600, 1800])
+                etype = rng.choice(["error", "click"])
+                rows.append(
+                    (user, base + dt.timedelta(seconds=t), etype)
+                )
+        df = spark.createDataFrame(
+            rows, "user_id int, ts timestamp, event_type string"
+        )
+        gap = F.when(F.col("event_type") == "error", "5 minutes").otherwise(
+            "10 minutes"
+        )
+        got = {
+            (r["user_id"], r["start"], r["end"], r["n"])
+            for r in df.groupBy("user_id", F.session_window("ts", gap))
+            .agg(F.count("*").alias("n"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("start"),
+                F.col("session_window.end").alias("end"),
+                "n",
+            )
+            .collect()
+        }
+        # python oracle: sort per user, merge [ts, ts+gap) end-exclusive
+        want = set()
+        per_user: dict = {}
+        for u, ts, etype in rows:
+            g = 300 if etype == "error" else 600
+            per_user.setdefault(u, []).append((ts, ts + dt.timedelta(seconds=g)))
+        for u, ivs in per_user.items():
+            ivs.sort()
+            cur_s, cur_e, n = ivs[0][0], ivs[0][1], 1
+            for s, e in ivs[1:]:
+                if s > cur_e:  # end-INCLUSIVE: touching MERGES (probed)
+                    want.add((u, cur_s, cur_e, n))
+                    cur_s, cur_e, n = s, e, 1
+                else:
+                    cur_e = max(cur_e, e)
+                    n += 1
+            want.add((u, cur_s, cur_e, n))
+        assert got == want, f"seed={seed}"

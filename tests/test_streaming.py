@@ -338,3 +338,41 @@ def test_available_now_replay_is_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 130
     assert out.select("id").distinct().count() == 130
+
+
+def test_stateful_sessionizer_gap_boundary_inclusive(spark, tmp_path):
+    """Two events exactly gap apart MERGE (end-inclusive, matching
+    F.session_window's probed semantics); one microsecond past the
+    gap splits. This is the boundary production timestamps never hit
+    — the fuzz test over session_window surfaced that the custom
+    sessionizers split at >= instead of >, fixed along with the
+    lag-gap oracles."""
+    import datetime as dt
+
+    from map_reduce_project_spark.streaming.stateful import (
+        sessionize_with_state,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(seconds=1800), 1.0),
+        (2, base, 1.0),
+        (2, base + dt.timedelta(seconds=1800, microseconds=1), 1.0),
+        (9, base + dt.timedelta(days=30), 0.0),  # watermark pusher
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    d = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(d)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    )
+    out = run_stream_to_memory(
+        sessionize_with_state(stream), output_mode="append"
+    )
+    sessions = {(r.user_id, r.n_events) for r in out.collect()}
+    assert (1, 2) in sessions, sessions  # exact-gap pair merged
+    assert (2, 1) in sessions, sessions  # past-gap pair split
+    assert (2, 2) not in sessions, sessions
