@@ -356,3 +356,51 @@ def test_interval_overlap_join_negative_coords(spark):
         if llo < rhi and rlo < lhi
     )
     assert got == want
+
+
+def test_asof_nearest_matches_python_oracle(spark):
+    """Randomized check of asof_join_nearest incl. exact-distance
+    ties (backward must win) and equal-timestamp right rows
+    (distance 0, backward by the window-order convention)."""
+    import datetime as dt
+    import random
+
+    from map_reduce_project_spark.operators.joins import asof_join_nearest
+
+    base = dt.datetime(2024, 1, 1)
+    for seed in (11, 47, 83):
+        rng = random.Random(seed)
+        lefts, rights = [], []
+        for k in ("a", "b"):
+            # coarse second grid => plenty of ties and collisions
+            for i in range(25):
+                lefts.append((f"L{k}{i}", k, base + dt.timedelta(seconds=rng.randrange(50))))
+            seen = set()
+            for i in range(15):
+                t = rng.randrange(50)
+                if (k, t) in seen:  # dedup per (key, ts): operator contract
+                    continue
+                seen.add((k, t))
+                rights.append((f"R{k}{i}", k, base + dt.timedelta(seconds=t)))
+        ldf = spark.createDataFrame(lefts, "lid string, k string, lts timestamp")
+        rdf = spark.createDataFrame(rights, "rid string, k string, rts timestamp")
+        out = asof_join_nearest(
+            ldf, rdf, key_cols=["k"], left_ts="lts", right_ts="rts"
+        )
+        got = {r["lid"]: r["right_rid"] for r in out.collect()}
+        want = {}
+        for lid, k, lts in lefts:
+            best = None
+            for rid, rk, rts in rights:
+                if rk != k:
+                    continue
+                d = abs((rts - lts).total_seconds())
+                back = rts <= lts
+                # order: distance, then backward-first
+                cand = (d, 0 if back else 1, rid)
+                if best is None or cand < best:
+                    best = cand
+                    want[lid] = rid
+            if best is None:
+                want[lid] = None
+        assert got == want, f"seed={seed}"
