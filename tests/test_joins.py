@@ -404,3 +404,60 @@ def test_asof_nearest_matches_python_oracle(spark):
             if best is None:
                 want[lid] = None
         assert got == want, f"seed={seed}"
+
+
+def test_asof_directional_matches_python_oracle(spark):
+    """Randomized check of asof_join backward/forward incl.
+    equal-timestamp rows: backward is <= (an equal-ts right row
+    matches), forward is >= — the boundary DuckDB's ASOF oracle only
+    exercises where the data happens to collide."""
+    import datetime as dt
+    import random
+
+    from map_reduce_project_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    for seed in (7, 29):
+        rng = random.Random(seed)
+        lefts, rights = [], []
+        for k in ("a", "b"):
+            for i in range(20):
+                lefts.append(
+                    (f"L{k}{i}", k, base + dt.timedelta(seconds=rng.randrange(40)))
+                )
+            seen = set()
+            for i in range(12):
+                t = rng.randrange(40)
+                if (k, t) in seen:
+                    continue
+                seen.add((k, t))
+                rights.append(
+                    (f"R{k}{i}", k, base + dt.timedelta(seconds=t))
+                )
+        ldf = spark.createDataFrame(lefts, "lid string, k string, lts timestamp")
+        rdf = spark.createDataFrame(rights, "rid string, k string, rts timestamp")
+        for direction in ("backward", "forward"):
+            out = asof_join(
+                ldf, rdf, ["k"], "lts", "rts", direction=direction
+            )
+            got = {r["lid"]: r["right_rid"] for r in out.collect()}
+            want = {}
+            for lid, k, lts in lefts:
+                best = None
+                for rid, rk, rts in rights:
+                    if rk != k:
+                        continue
+                    if direction == "backward":
+                        if rts > lts:
+                            continue
+                        cand = (-(rts - base).total_seconds(), rid)
+                    else:
+                        if rts < lts:
+                            continue
+                        cand = ((rts - base).total_seconds(), rid)
+                    if best is None or cand < best:
+                        best = cand
+                        want[lid] = rid
+                if best is None:
+                    want[lid] = None
+            assert got == want, f"{direction} seed={seed}"
