@@ -1643,8 +1643,15 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
                     "4:2:0 and 4:2:2 supported; others need libjpeg)"
                 )
             dims = (h, w)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-            raise NotImplementedError("only baseline sequential JPEG")
+        elif marker == 0xC2:
+            # progressive DCT frame: restart the walk in the
+            # multi-scan decoder (spectral selection + successive
+            # approximation need per-scan coefficient accumulation)
+            return _decode_jpeg_progressive(b)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError(
+                "only baseline sequential + progressive JPEG"
+            )
         elif marker == 0xDD:
             (dri,) = struct.unpack(">H", payload[0:2])
         elif marker == 0xDA:
@@ -2780,6 +2787,516 @@ def attach_real_jpeg_ac_payload(
             mods, payloads = [], []
             for doc_id in pdf["doc_id"]:
                 m, p = gradient_jpeg_ac_image(int(doc_id))
+                mods.append(m)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": mods, "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        process, gen_schema
+    )
+
+
+# --- Progressive tier: real SOF2 decode — spectral selection,
+# successive approximation (arithmetic-shift DC / toward-zero AC point
+# transforms), EOBRUN end-of-band runs, and the AC refinement
+# correction-bit algorithm (T.81 G.1.2/G.2 — the same control flow
+# libjpeg's decode_mcu_AC_refine implements). Progressive re-encoding
+# is LOSSLESS over the quantized coefficients, so a progressive
+# fixture built from the SAME coefficient recipe as the baseline AC
+# fixture decodes to bit-identical pixels and rides the same SQL
+# oracle: every scan-ordering, band, refinement-bit, or EOBRUN bug is
+# a hash mismatch on all 500 files. ---
+
+# progressive AC scans need EOBn symbols (n<<4, n=1..14) that the
+# Annex K baseline table lacks; a full 256-symbol canonical table —
+# values 0-127 at 8 bits, 128-255 at 9 bits (DHT length counts are
+# single bytes, so one length can't hold all 256; Kraft sum 0.75,
+# all-ones code unused) — covers every (run,size) and EOBn symbol.
+# Fixture-friendly, spec-legal, carried in DHT
+_JPEG_PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_PROG_AC_VALS = tuple(range(256))
+
+# libjpeg's default progression script for one component (jcparam.c
+# fill_scan_script): (Ss, Se, Ah, Al)
+_JPEG_PROG_SCRIPT = (
+    (0, 0, 0, 1),  # DC first, point transform 1
+    (1, 5, 0, 2),  # AC band 1-5 first, low 2 bits dropped
+    (6, 63, 0, 2),  # AC band 6-63 first
+    (1, 63, 2, 1),  # AC refinement 2 -> 1
+    (0, 0, 1, 0),  # DC refinement (final bit)
+    (1, 63, 1, 0),  # AC refinement 1 -> 0 (final)
+)
+
+
+class _ProgAcState:
+    """Cross-block AC-scan encoder state: the pending end-of-band run
+    and the correction bits attached to it (libjpeg's EOBRUN + BE)."""
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+
+def _emit_eobrun(bw: "_JpegBitWriter", ac_map: dict, st: _ProgAcState) -> None:
+    """Flush the pending EOBn symbol (category = floor(log2 eobrun),
+    that many extra bits) followed by its buffered correction bits."""
+    if st.eobrun > 0:
+        nbits = st.eobrun.bit_length() - 1
+        ln, code = ac_map[nbits << 4]
+        bw.put(code, ln)
+        if nbits:
+            bw.put(st.eobrun & ((1 << nbits) - 1), nbits)
+        st.eobrun = 0
+    for bit in st.pending:
+        bw.put(bit, 1)
+    st.pending = []
+
+
+def _encode_ac_first_block(
+    bw: "_JpegBitWriter",
+    ac_map: dict,
+    st: _ProgAcState,
+    zz: list,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """One block of an AC first scan: band coefficients point-
+    transformed TOWARD ZERO by Al, run/size coded with ZRL and the
+    deferred end-of-band run."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = zz[k]
+        if t < 0:
+            t = (-t) >> al
+            t2 = ~t  # negative amplitude pattern (T.81 F.1.2.2.1)
+        else:
+            t >>= al
+            t2 = t
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            _emit_eobrun(bw, ac_map, st)
+            ln, code = ac_map[0xF0]
+            bw.put(code, ln)
+            r -= 16
+        nbits = t.bit_length()
+        _emit_eobrun(bw, ac_map, st)
+        ln, code = ac_map[(r << 4) | nbits]
+        bw.put(code, ln)
+        bw.put(t2 & ((1 << nbits) - 1), nbits)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:  # spec cap for one EOBn symbol
+            _emit_eobrun(bw, ac_map, st)
+
+
+def _encode_ac_refine_block(
+    bw: "_JpegBitWriter",
+    ac_map: dict,
+    st: _ProgAcState,
+    zz: list,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """One block of an AC refinement scan (Ah = Al + 1): newly-nonzero
+    coefficients as (run,1) symbols + sign bit, already-nonzero ones
+    as buffered correction bits emitted after the next symbol."""
+    absvals = [0] * (se + 1)
+    eob = ss - 1  # index of last NEWLY-nonzero coefficient
+    for k in range(ss, se + 1):
+        t = abs(zz[k]) >> al
+        absvals[k] = t
+        if t == 1:
+            eob = k
+    r = 0
+    br: list[int] = []  # this block's correction bits
+    for k in range(ss, se + 1):
+        t = absvals[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _emit_eobrun(bw, ac_map, st)
+            ln, code = ac_map[0xF0]
+            bw.put(code, ln)
+            r -= 16
+            for bit in br:
+                bw.put(bit, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        _emit_eobrun(bw, ac_map, st)
+        ln, code = ac_map[(r << 4) | 1]
+        bw.put(code, ln)
+        bw.put(0 if zz[k] < 0 else 1, 1)
+        for bit in br:
+            bw.put(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF:
+            _emit_eobrun(bw, ac_map, st)
+
+
+def encode_jpeg_progressive_gray(
+    coef_blocks: list[list[np.ndarray]], q00: int = 1
+) -> bytes:
+    """Grayscale PROGRESSIVE JFIF (SOF2) from arbitrary quantized
+    coefficient blocks, encoded through libjpeg's default 6-scan
+    script — DC first at Al=1, two AC spectral bands at Al=2, an AC
+    2->1 refinement, the final DC bit, and the final AC 1->0
+    refinement — so spectral selection, successive approximation,
+    EOBRUN, and correction-bit emission are ALL exercised."""
+    bh = len(coef_blocks)
+    bwn = len(coef_blocks[0])
+    h, w = bh * 8, bwn * 8
+    dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_map = _huff_encode_map(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+    zzs = [
+        [int(coef.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64)]
+        for row in coef_blocks
+        for coef in row
+    ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    scans = []
+    for ss, se, ah, al in _JPEG_PROG_SCRIPT:
+        bw = _JpegBitWriter()
+        if ss == 0:  # DC scan (Se must be 0 in progressive)
+            if ah == 0:
+                preds = [0]
+                for zz in zzs:
+                    t = zz[0] >> al  # arithmetic shift per G.1.2.1
+                    diff = t - preds[0]
+                    preds[0] = t
+                    size = abs(diff).bit_length()
+                    ln, code = dc_map[size]
+                    bw.put(code, ln)
+                    if size:
+                        amp = diff if diff > 0 else diff + (1 << size) - 1
+                        bw.put(amp, size)
+            else:
+                for zz in zzs:
+                    bw.put((zz[0] >> al) & 1, 1)
+        else:  # AC scan: single component, one band
+            st = _ProgAcState()
+            for zz in zzs:
+                if ah == 0:
+                    _encode_ac_first_block(bw, ac_map, st, zz, ss, se, al)
+                else:
+                    _encode_ac_refine_block(bw, ac_map, st, zz, ss, se, al)
+            _emit_eobrun(bw, ac_map, st)  # scan-end flush
+        sos = seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        scans.append(sos + bw.flush())
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([q00] * 64))
+    sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10])
+        + bytes(_JPEG_PROG_AC_BITS)
+        + bytes(_JPEG_PROG_AC_VALS),
+    )
+    return b"\xff\xd8" + dqt + sof + dht + b"".join(scans) + b"\xff\xd9"
+
+
+def _decode_jpeg_progressive(b: bytes) -> np.ndarray:
+    """REAL T.81 progressive (SOF2) decode: walks every scan,
+    accumulating quantized coefficients per component across DC
+    first/refinement and AC first/refinement scans (spectral
+    selection, successive approximation, EOBRUN), then dequantizes
+    and runs the module's defined integer IDCT once at the end.
+    Supports grayscale and 3-component 1x1-sampled frames (DC scans
+    interleaved or single-component; AC scans are single-component by
+    spec). Subsampled progressive frames and restart intervals inside
+    progressive scans raise honestly."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    qtables: dict[int, bytes] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    dims = None
+    comps: list = []
+    coef_store: list = []
+    nblocks = 0
+    while i + 2 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("marker expected")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+        payload = b[i + 4 : i + 2 + seg_len]
+        i += 2 + seg_len
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tq] = payload[p + 1 : p + 65]
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = tuple(payload[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = tuple(payload[p + 17 : p + 17 + nvals])
+                htables[(tc, th)] = _huff_canonical(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xC2:
+            h, w = struct.unpack(">HH", payload[1:5])
+            ncomp = payload[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG")
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled progressive JPEG (1x1 only)"
+                    )
+                comps.append((cid, tq))
+            dims = (h, w)
+            nblocks = (-(-h // 8)) * (-(-w // 8))
+            coef_store = [
+                np.zeros((nblocks, 64), dtype=np.int64) for _ in comps
+            ]
+        elif marker == 0xC0:
+            raise ValueError("baseline frame in progressive decoder")
+        elif marker == 0xDD:
+            (dri,) = struct.unpack(">H", payload[0:2])
+            if dri:
+                raise NotImplementedError(
+                    "restart intervals in progressive scans"
+                )
+        elif marker == 0xDA:
+            if dims is None:
+                raise ValueError("SOS before SOF2")
+            ns = payload[0]
+            scomp = []
+            for c in range(ns):
+                cs = payload[1 + 2 * c]
+                td_ta = payload[2 + 2 * c]
+                ci = next(
+                    j for j, (cid, _) in enumerate(comps) if cid == cs
+                )
+                scomp.append((ci, td_ta >> 4, td_ta & 0x0F))
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ah_al = payload[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            # entropy span: up to the next unstuffed non-RST marker
+            j = i
+            while j < len(b):
+                if b[j] == 0xFF and j + 1 < len(b):
+                    nxt = b[j + 1]
+                    if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            reader = _JpegBitReader(b[i:j])
+            _decode_prog_scan(
+                reader, coef_store, scomp, htables, ss, se, ah, al, nblocks
+            )
+            i = j
+    if dims is None:
+        raise ValueError("incomplete progressive JPEG")
+    h, w = dims
+    bwn = -(-w // 8)
+    planes = []
+    for ci, (_, tq) in enumerate(comps):
+        qt = qtables[tq]
+        # DQT is zigzag order; coefficients are stored natural order
+        qt_nat = np.zeros(64, dtype=np.int64)
+        for k in range(64):
+            qt_nat[_JPEG_ZIGZAG[k]] = qt[k]
+        plane = np.empty((-(-h // 8) * 8, bwn * 8), dtype=np.int64)
+        for bi in range(nblocks):
+            coef = (coef_store[ci][bi] * qt_nat).reshape(8, 8)
+            by, bx = divmod(bi, bwn)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                _idct_int(coef), 0, 255
+            )
+        planes.append(plane)
+    if len(comps) == 1:
+        gray = planes[0][:h, :w].astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    y = planes[0][:h, :w]
+    cb = planes[1][:h, :w] - 128
+    cr = planes[2][:h, :w] - 128
+    r = y + ((91881 * cr + 32768) >> 16)
+    g = y + ((-22554 * cb - 46802 * cr + 32768) >> 16)
+    bl = y + ((116130 * cb + 32768) >> 16)
+    return np.dstack([r, g, bl]).clip(0, 255).astype(np.uint8)
+
+
+def _decode_prog_scan(
+    reader: "_JpegBitReader",
+    coef_store: list,
+    scomp: list,
+    htables: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    nblocks: int,
+) -> None:
+    """Decode one progressive scan into the coefficient store."""
+    if ss == 0:  # DC scan — all listed components, interleaved
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ah == 0:
+            preds = [0] * len(scomp)
+            for bi in range(nblocks):
+                for si, (ci, td, _) in enumerate(scomp):
+                    size = reader.huff(htables[(0, td)])
+                    preds[si] += _jpeg_extend(reader.bits(size), size)
+                    coef_store[ci][bi][0] = preds[si] << al
+        else:
+            p1 = 1 << al
+            for bi in range(nblocks):
+                for ci, _, _ in scomp:
+                    if reader.bit():
+                        coef_store[ci][bi][0] |= p1
+        return
+    if len(scomp) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, _, ta = scomp[0]
+    ac = htables[(1, ta)]
+    store = coef_store[ci]
+    eobrun = 0
+    if ah == 0:  # AC first scan
+        for bi in range(nblocks):
+            if eobrun:
+                eobrun -= 1
+                continue
+            blk = store[bi]
+            k = ss
+            while k <= se:
+                rs = reader.huff(ac)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1  # current block included
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                blk[_JPEG_ZIGZAG[k]] = (
+                    _jpeg_extend(reader.bits(s), s) << al
+                )
+                k += 1
+        return
+    # AC refinement scan: T.81 G.2 / libjpeg decode_mcu_AC_refine
+    p1 = 1 << al
+    m1 = -1 << al
+    for bi in range(nblocks):
+        blk = store[bi]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.huff(ac)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("refinement size must be 1")
+                    val = p1 if reader.bit() else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break  # remaining corrections in the eobrun pass
+                # advance past r zero-history coefficients, applying
+                # correction bits to every nonzero-history one crossed
+                while k <= se:
+                    idx = _JPEG_ZIGZAG[k]
+                    c = int(blk[idx])
+                    if c != 0:
+                        if reader.bit() and (c & p1) == 0:
+                            blk[idx] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("refinement run past band end")
+                    blk[_JPEG_ZIGZAG[k]] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                idx = _JPEG_ZIGZAG[k]
+                c = int(blk[idx])
+                if c != 0:
+                    if reader.bit() and (c & p1) == 0:
+                        blk[idx] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+
+def gradient_jpeg_progressive_image(doc_id: int) -> tuple[str, bytes]:
+    """The SAME deterministic coefficient recipe as
+    gradient_jpeg_ac_image (2x3 blocks: DC + two first-row/column AC
+    terms + a deep zigzag-40 coefficient), re-encoded PROGRESSIVELY
+    through the 6-scan script. Progressive coding is lossless over
+    quantized coefficients, so decoded pixels — and therefore the SQL
+    oracle — are bit-identical to the baseline AC fixture's."""
+    blocks = []
+    for by in range(2):
+        row = []
+        for bx in range(3):
+            coef = np.zeros((8, 8), dtype=np.int64)
+            coef[0, 0] = (doc_id + 13 * bx + 29 * by) % 256 - 128
+            coef[0, 1] = (3 * doc_id + 7 * bx) % 64 - 32
+            coef[1, 0] = (5 * doc_id + 11 * by) % 64 - 32
+            coef.reshape(-1)[_JPEG_ZIGZAG[40]] = doc_id % 16 + 1
+            row.append(coef)
+        blocks.append(row)
+    return "image/jpeg", encode_jpeg_progressive_gray(blocks, q00=1)
+
+
+def attach_real_jpeg_progressive_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL progressive (SOF2) JPEG payloads manufactured
+    distributively."""
+    gen_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mods, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                m, p = gradient_jpeg_progressive_image(int(doc_id))
                 mods.append(m)
                 payloads.append(p)
             yield pd.DataFrame(

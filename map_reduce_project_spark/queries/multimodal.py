@@ -1168,6 +1168,35 @@ QUERIES.append(
 )
 
 
+def mm_jpeg_progressive_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PROGRESSIVE (SOF2) JPEG decode under the exact gate: the
+    fixtures carry the SAME quantized coefficients as the baseline AC
+    fixture, re-encoded through libjpeg's 6-scan progression —
+    spectral selection (bands 1-5 / 6-63), successive approximation
+    (DC Al=1, AC Al=2 with two refinement passes), EOBRUN end-of-band
+    runs, and the AC correction-bit algorithm. Progressive coding is
+    lossless over quantized coefficients, so the decoded pixels ride
+    the identical term-by-term SQL oracle; any scan-ordering, band,
+    refinement, or EOBRUN bug is a hash mismatch on all 500 files."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_jpeg_progressive_payload,
+        pixel_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pixel_stats(attach_real_jpeg_progressive_payload(docs))
+
+
+QUERIES.append(
+    Query(
+        "mm_jpeg_progressive_stats",
+        mm_jpeg_progressive_stats_q,
+        MM_JPEG_AC_SQL,
+        "progressive SOF2 decode (spectral selection + successive approximation)",
+    )
+)
+
+
 def mm_flac_fixed_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIXED-predictor FLAC decode under the exact gate: frames carry
     order-2 polynomial prediction with genuine partitioned-Rice

@@ -1763,3 +1763,86 @@ def test_exif_decode_contracts():
     bad_bom = p.replace(b"Exif\x00\x00II", b"Exif\x00\x00XX")
     with _pytest.raises(ValueError, match="byte order"):
         decode_exif(bad_bom)
+
+
+def test_jpeg_progressive_matches_baseline_bit_for_bit():
+    # SOF2 progressive decode: the 6-scan script (spectral selection,
+    # successive approximation with two AC refinement passes, EOBRUN)
+    # must reconstruct the SAME quantized coefficients as baseline —
+    # progressive coding is lossless over them, so pixels are
+    # bit-identical
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_jpeg_dc,
+        encode_jpeg_gray_coeffs,
+        encode_jpeg_progressive_gray,
+        gradient_jpeg_ac_image,
+        gradient_jpeg_progressive_image,
+    )
+
+    for doc_id in (0, 1, 7, 15, 16, 63, 64, 255, 256, 511):
+        _, base = gradient_jpeg_ac_image(doc_id)
+        _, prog = gradient_jpeg_progressive_image(doc_id)
+        assert prog[2:4] != base[2:4] or b"\xff\xc2" in prog
+        assert np.array_equal(decode_jpeg_dc(base), decode_jpeg_dc(prog))
+
+    # adversarial coefficient shapes: dense blocks (ZRL inside
+    # refinement), all-zero blocks (EOBRUN spanning blocks), lone
+    # deep coefficients (long leading zero runs), sign boundaries
+    rng = np.random.RandomState(42)
+    for _ in range(40):
+        bh, bwn = rng.randint(1, 4), rng.randint(1, 5)
+        blocks = []
+        for _by in range(bh):
+            row = []
+            for _bx in range(bwn):
+                coef = np.zeros((8, 8), dtype=np.int64)
+                style = rng.randint(4)
+                if style == 0:
+                    pass  # all-zero: pure EOBRUN traffic
+                elif style == 1:
+                    coef.reshape(-1)[63] = rng.choice([-1, 1, -3, 3])
+                elif style == 2:
+                    nnz = rng.randint(1, 64)
+                    pos = rng.choice(64, size=nnz, replace=False)
+                    coef.reshape(-1)[pos] = rng.randint(-200, 201, size=nnz)
+                else:
+                    coef[:] = rng.choice([-1, 1, 2, -2, 4, -4], size=(8, 8))
+                coef[0, 0] = rng.randint(-1000, 1001)
+                row.append(coef)
+            blocks.append(row)
+        a = decode_jpeg_dc(encode_jpeg_gray_coeffs(blocks, q00=1))
+        b = decode_jpeg_dc(encode_jpeg_progressive_gray(blocks, q00=1))
+        assert np.array_equal(a, b)
+
+
+def test_jpeg_progressive_honest_gates():
+    # subsampled progressive frames and restart intervals inside
+    # progressive scans are out of scope and must raise, not decode
+    # garbage
+    import struct as st
+
+    import pytest as _pytest
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_jpeg_dc,
+    )
+
+    sub_sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + st.pack(">H", 17)
+        + st.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])  # 4:2:0
+    )
+    with _pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg_dc(sub_sof2)
+
+    dri_sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + st.pack(">H", 11)
+        + st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        + b"\xff\xdd" + st.pack(">HH", 4, 2)  # DRI = 2
+    )
+    with _pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg_dc(dri_sof2)
