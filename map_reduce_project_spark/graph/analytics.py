@@ -579,7 +579,8 @@ def closeness_centrality(
     edges: DataFrame, seeds: DataFrame, max_hops: int = 10
 ) -> DataFrame:
     """Closeness centrality of each probe seed within its max_hops
-    ball: n_reached (excluding the seed), total hop distance, and
+    ball: n_reached (INCLUDING the seed's own hop-0 row — subtract 1
+    for the neighbor count), total hop distance, and
     closeness = (n_reached - 1) / total_hops — the standard
     Bavelas/Beauchamp normalization, computed as ONE IEEE double
     division of exact int64 operands so the value is hash-stable

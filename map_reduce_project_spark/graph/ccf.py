@@ -377,7 +377,16 @@ def connected_components(
     (the caller owns the directory). The session's previous checkpoint
     dir is restored on exit; if none was set, it is parked at
     ``<dir>/session`` so a later ``df.checkpoint()`` elsewhere never
-    collides with loop files.
+    collides with loop files. Two session-global caveats follow:
+    deleting the directory while the session lives invalidates both
+    the returned mapping's backing files AND that parked checkpoint
+    dir (re-point with ``setCheckpointDir`` first, or collect the
+    mapping before removing); and because the loop re-points the
+    session checkpoint dir per iteration, it assumes a single driver
+    loop at a time — the same single-loop assumption already
+    documented for the shuffle-partition override. Concurrent
+    checkpointing work in the same session should use localCheckpoint
+    or run after the loop returns.
 
     Returns the (node, component) mapping where component is the
     lexicographically smallest node ID in the node's component; the

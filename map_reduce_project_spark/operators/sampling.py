@@ -314,6 +314,12 @@ def bootstrap_replicates(
     drop out; rows with count k are replicated k times with a
     ``replicate`` index — one narrow projection + one generator
     expression, no shuffle at all.
+
+    Rows with a NULL ``id_col`` are deterministically EXCLUDED from
+    every resample: md5 of NULL is NULL, so every Bernoulli trial
+    falls to its otherwise(0) branch and the count is 0. Content
+    hashing cannot give an anonymous row a stable identity; callers
+    who need NULL-id rows resampled must assign surrogate ids first.
     """
     if n_draws == 8:
         hit = ("0", "1")
@@ -367,15 +373,20 @@ def cap_per_group_skew(
         df.groupBy(group_col)
         .agg(F.count("*").alias("_n"))
         .where(F.col("_n") > cap)
-        .select(group_col)
+        .select(F.col(group_col).alias("_hot_key"))
         .localCheckpoint(eager=True)
     )
-    cold = df.join(F.broadcast(hot_keys), group_col, "left_anti")
+    # null-SAFE join condition: groupBy (and cap_per_group's window)
+    # treat NULL as a group, so an over-cap NULL group must route to
+    # the capped tier too — a plain equi-join would never match it
+    # and let it through uncapped
+    cond = F.col(group_col).eqNullSafe(F.col("_hot_key"))
+    cold = df.join(F.broadcast(hot_keys), cond, "left_anti")
     w = Window.partitionBy(group_col).orderBy(
         F.col(order_col).desc(), F.col(id_col)
     )
     hot_kept = (
-        df.join(F.broadcast(hot_keys), group_col, "left_semi")
+        df.join(F.broadcast(hot_keys), cond, "left_semi")
         .withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") <= cap)
         .drop("_r")

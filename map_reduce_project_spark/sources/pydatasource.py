@@ -127,6 +127,13 @@ class _TelemetryStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = int(start["pos"]), int(end["pos"])
+        # offset contract: latestOffset must be monotone relative to
+        # COMMITTED state, but a restarted query re-instantiates the
+        # reader with pos = 0 while handing the checkpointed offsets
+        # here (Spark replays the last unfinished batch first) — adopt
+        # them so the planning counter never runs behind the
+        # checkpoint and plans end < start batches
+        self.pos = max(self.pos, lo, hi)
         n = max(1, min(self.n_partitions, hi - lo))
         step = -(-(hi - lo) // n) if hi > lo else 1
         return [
@@ -139,7 +146,9 @@ class _TelemetryStreamReader(DataSourceStreamReader):
             yield telemetry_row(row_id)
 
     def commit(self, end: dict) -> None:
-        pass
+        # same adoption on the commit path: a committed offset is a
+        # floor for every future latestOffset
+        self.pos = max(self.pos, int(end["pos"]))
 
 
 class _JsonlCommitMessage(WriterCommitMessage):

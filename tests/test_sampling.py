@@ -219,11 +219,14 @@ def test_cap_per_group_skew_matches_full_window(spark):
         cap_per_group_skew,
     )
 
-    # group a: 50 rows (hot), b: 3 rows (cold), c: 5 rows (boundary)
+    # group a: 50 rows (hot), b: 3 rows (cold), c: 5 rows (boundary),
+    # NULL: 9 rows (hot — groupBy and the window both treat NULL as a
+    # group, so the skew tier must cap it too, via eqNullSafe)
     rows = (
         [(i, "a", i % 17) for i in range(50)]
         + [(100 + i, "b", i) for i in range(3)]
         + [(200 + i, "c", i) for i in range(5)]
+        + [(300 + i, None, i % 4) for i in range(9)]
     )
     df = spark.createDataFrame(rows, "doc_id long, grp string, score long")
     full = {
