@@ -461,3 +461,86 @@ def test_asof_directional_matches_python_oracle(spark):
                 if best is None:
                     want[lid] = None
             assert got == want, f"{direction} seed={seed}"
+
+
+def test_asof_duplicate_timestamps_both_sides(spark):
+    """Duplicate timestamps on BOTH sides: every left row (including
+    exact-duplicate left rows) must match a right row at the
+    oracle-best timestamp — the matched rid may be any of the rows
+    tied AT that timestamp (the documented pre-dedup contract), but
+    the matched timestamp itself is fully determined, and rows with
+    no candidate must be null. Runs backward, forward, and nearest."""
+    import datetime as dt
+    import random
+
+    from map_reduce_project_spark.operators.joins import (
+        asof_join,
+        asof_join_nearest,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    for seed in (19, 73):
+        rng = random.Random(seed)
+        lefts, rights = [], []
+        n_l = n_r = 0
+        for k in ("a", "b"):
+            # tiny timestamp domain -> many collisions on both sides,
+            # including left rows exactly ON duplicated right rows
+            for _ in range(24):
+                lefts.append(
+                    (f"L{n_l}", k, base + dt.timedelta(seconds=rng.randrange(10)))
+                )
+                n_l += 1
+            for _ in range(14):
+                rights.append(
+                    (f"R{n_r}", k, base + dt.timedelta(seconds=rng.randrange(10)))
+                )
+                n_r += 1
+        ldf = spark.createDataFrame(lefts, "lid string, k string, lts timestamp")
+        rdf = spark.createDataFrame(rights, "rid string, k string, rts timestamp")
+        rid_ts = {rid: (k, ts) for rid, k, ts in rights}
+
+        def check(out_rows, want_ts):
+            got = {r["lid"]: r["right_rid"] for r in out_rows}
+            assert set(got) == set(want_ts)
+            for lid, k, lts in lefts:
+                w = want_ts[lid]
+                rid = got[lid]
+                if w is None:
+                    assert rid is None, (lid, rid)
+                else:
+                    assert rid is not None, (lid, w)
+                    rk, rts = rid_ts[rid]
+                    assert rk == k and rts == w, (lid, rid, rts, w)
+
+        for direction in ("backward", "forward"):
+            out = asof_join(ldf, rdf, ["k"], "lts", "rts", direction=direction)
+            want_ts = {}
+            for lid, k, lts in lefts:
+                cands = [
+                    rts
+                    for rid, rk, rts in rights
+                    if rk == k
+                    and (rts <= lts if direction == "backward" else rts >= lts)
+                ]
+                want_ts[lid] = (
+                    (max(cands) if direction == "backward" else min(cands))
+                    if cands
+                    else None
+                )
+            check(out.collect(), want_ts)
+
+        out = asof_join_nearest(ldf, rdf, ["k"], "lts", "rts")
+        want_ts = {}
+        for lid, k, lts in lefts:
+            cands = [(abs((rts - lts).total_seconds()), rts <= lts, rts)
+                     for rid, rk, rts in rights if rk == k]
+            if not cands:
+                want_ts[lid] = None
+                continue
+            best_d = min(c[0] for c in cands)
+            tied = [c for c in cands if c[0] == best_d]
+            # backward candidate wins exact-distance ties
+            back = [c for c in tied if c[1]]
+            want_ts[lid] = (back[0][2] if back else tied[0][2])
+        check(out.collect(), want_ts)
