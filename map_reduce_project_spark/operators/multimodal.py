@@ -1586,9 +1586,11 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
     _IDCT_W table note: T.81 permits IDCT variance; ours is exact
     int64 and oracle-replayable, and reproduces the flat-block
     fixtures bit-for-bit). Restart intervals decode (DRI + byte-aligned RSTn cycle
-    verification, DC predictors reset per interval). Still honestly
-    out of scope: progressive frames and subsampling layouts beyond
-    1x1 / 4:2:0 / 4:2:2 (e.g. 4:1:1, 4:4:0)."""
+    verification, DC predictors reset per interval). 4:1:1 and 4:4:0
+    sampled scans decode too (horizontal-only 4x / vertical-only 2x
+    chroma replication). Progressive (SOF2) frames dispatch to the
+    multi-scan decoder. Still honestly out of scope: arithmetic
+    coding, hierarchical/lossless frames, 12-bit precision."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     i = 2
@@ -1637,10 +1639,13 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
                 [(1, 1)] * 3,
                 [(2, 2), (1, 1), (1, 1)],
                 [(2, 1), (1, 1), (1, 1)],
+                [(4, 1), (1, 1), (1, 1)],
+                [(1, 2), (1, 1), (1, 1)],
             ):
                 raise NotImplementedError(
                     f"unsupported sampling layout {samplings} (1x1, "
-                    "4:2:0 and 4:2:2 supported; others need libjpeg)"
+                    "4:2:0, 4:2:2, 4:1:1 and 4:4:0 supported; others "
+                    "need libjpeg)"
                 )
             dims = (h, w)
         elif marker == 0xC2:
@@ -1767,6 +1772,54 @@ def decode_jpeg_dc(b: bytes) -> np.ndarray:
         y = y_plane[:h, :w]
         cb = np.repeat(cb_p, 2, axis=1)[:h, :w] - 128
         cr = np.repeat(cr_p, 2, axis=1)[:h, :w] - 128
+        r = y + ((91881 * cr + 32768) >> 16)
+        g = y + ((-22554 * cb - 46802 * cr + 32768) >> 16)
+        bl = y + ((116130 * cb + 32768) >> 16)
+        return np.dstack([r, g, bl]).clip(0, 255).astype(np.uint8)
+
+    if ncomp == 3 and comps[0][2:] == (4, 1):
+        # 4:1:1 — the DV-camcorder layout: each interleaved MCU covers
+        # a 32x8 luma strip as 4 Y blocks side by side + 1 Cb + 1 Cr;
+        # chroma is upsampled by 4x HORIZONTAL replication only
+        mw, mh = -(-w // 32), -(-h // 8)
+        y_plane = np.empty((mh * 8, mw * 32), dtype=np.int64)
+        cb_p = np.empty((mh * 8, mw * 8), dtype=np.int64)
+        cr_p = np.empty((mh * 8, mw * 8), dtype=np.int64)
+        for my in range(mh):
+            for mx in range(mw):
+                maybe_restart()
+                for blk in range(4):
+                    ox = mx * 32 + blk * 8
+                    y_plane[my * 8 : my * 8 + 8, ox : ox + 8] = read_block(0)
+                cb_p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = read_block(1)
+                cr_p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = read_block(2)
+        y = y_plane[:h, :w]
+        cb = np.repeat(cb_p, 4, axis=1)[:h, :w] - 128
+        cr = np.repeat(cr_p, 4, axis=1)[:h, :w] - 128
+        r = y + ((91881 * cr + 32768) >> 16)
+        g = y + ((-22554 * cb - 46802 * cr + 32768) >> 16)
+        bl = y + ((116130 * cb + 32768) >> 16)
+        return np.dstack([r, g, bl]).clip(0, 255).astype(np.uint8)
+
+    if ncomp == 3 and comps[0][2:] == (1, 2):
+        # 4:4:0 — the transposed-4:2:2 layout: each interleaved MCU
+        # covers an 8x16 luma column as 2 Y blocks stacked + 1 Cb +
+        # 1 Cr; chroma is upsampled by 2x VERTICAL replication only
+        mw, mh = -(-w // 8), -(-h // 16)
+        y_plane = np.empty((mh * 16, mw * 8), dtype=np.int64)
+        cb_p = np.empty((mh * 8, mw * 8), dtype=np.int64)
+        cr_p = np.empty((mh * 8, mw * 8), dtype=np.int64)
+        for my in range(mh):
+            for mx in range(mw):
+                maybe_restart()
+                for blk in range(2):
+                    oy = my * 16 + blk * 8
+                    y_plane[oy : oy + 8, mx * 8 : mx * 8 + 8] = read_block(0)
+                cb_p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = read_block(1)
+                cr_p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = read_block(2)
+        y = y_plane[:h, :w]
+        cb = np.repeat(cb_p, 2, axis=0)[:h, :w] - 128
+        cr = np.repeat(cr_p, 2, axis=0)[:h, :w] - 128
         r = y + ((91881 * cr + 32768) >> 16)
         g = y + ((-22554 * cb - 46802 * cr + 32768) >> 16)
         bl = y + ((116130 * cb + 32768) >> 16)
@@ -3419,14 +3472,28 @@ class _FlacSubframeWriter:
         qlp: list,
         shift: int,
         precision: int,
-        k: int,
-        bps: int,
+        k: int | None = None,
+        bps: int = 16,
+        k_per_part: list | None = None,
+        part_order: int = 0,
     ) -> None:
         """LPC subframe with the given quantized coefficients: warmup,
-        precision/shift/coefs, single-partition Rice residuals of the
-        exact integer prediction."""
+        precision/shift/coefs, then partitioned-Rice residuals of the
+        exact integer prediction. ``k_per_part`` holds one entry per
+        partition (2^part_order total): an int is that partition's
+        Rice parameter; a ``('esc', nb)`` tuple writes the spec's
+        ESCAPED partition (code 0b1111 + 5-bit width, residuals as
+        nb-bit signed verbatim — the pressure valve for
+        incompressible audio). Plain ``k`` is single-partition
+        shorthand."""
         bw = self.bw
         order = len(qlp)
+        blocksize = len(samp)
+        if k_per_part is None:
+            k_per_part = [k]
+        n_parts = 1 << part_order
+        assert len(k_per_part) == n_parts
+        assert blocksize % n_parts == 0
         bw.put(0, 1)
         bw.put(0x20 | (order - 1), 6)
         bw.put(0, 1)
@@ -3437,13 +3504,30 @@ class _FlacSubframeWriter:
         for c in qlp:
             bw.put(c & ((1 << precision) - 1), precision)
         bw.put(0, 2)
-        bw.put(0, 4)
-        bw.put(k, 4)
-        for t in range(order, len(samp)):
-            pred = (
+        bw.put(part_order, 4)
+
+        def predict(t: int) -> int:
+            return (
                 sum(c * samp[t - 1 - j] for j, c in enumerate(qlp)) >> shift
             )
-            _put_rice(bw, samp[t] - pred, k)
+
+        t = order
+        for part, kp in enumerate(k_per_part):
+            n_res = (blocksize >> part_order) - (order if part == 0 else 0)
+            if isinstance(kp, tuple):  # ('esc', nb)
+                nb = kp[1]
+                bw.put(0b1111, 4)
+                bw.put(nb, 5)
+                for _ in range(n_res):
+                    res = samp[t] - predict(t)
+                    assert -(1 << (nb - 1)) <= res < (1 << (nb - 1))
+                    bw.put(res & ((1 << nb) - 1), nb)
+                    t += 1
+            else:
+                bw.put(kp, 4)
+                for _ in range(n_res):
+                    _put_rice(bw, samp[t] - predict(t), kp)
+                    t += 1
 
 
 def encode_flac_mono_subframe(kind: str, samp: list, **kw) -> bytes:
@@ -3459,6 +3543,68 @@ def encode_flac_mono_subframe(kind: str, samp: list, **kw) -> bytes:
             wr.lpc(samp, bps=16, **kw)
 
     return _flac_stream(1, 256, [_flac_frame(0, 0b0000, body)])
+
+
+def encode_flac_lpc_multipart(
+    frames: list[list[int]],
+    qlp: list,
+    shift: int,
+    precision: int,
+    k_per_part: list,
+    part_order: int,
+) -> bytes:
+    """Mono 16-bit FLAC whose frames are LPC subframes with
+    MULTI-PARTITION Rice residuals (mixed Rice parameters and escaped
+    verbatim-width partitions) — the last FLAC entropy tier beyond
+    the single-partition LPC fixture. 256-sample frames, real
+    CRCs."""
+    for f in frames:
+        if len(f) != 256:
+            raise ValueError("fixture frames are 256 samples")
+    built = [
+        _flac_frame(
+            fno,
+            0b0000,
+            lambda wr, samp=samp: wr.lpc(
+                samp,
+                qlp=qlp,
+                shift=shift,
+                precision=precision,
+                bps=16,
+                k_per_part=k_per_part,
+                part_order=part_order,
+            ),
+        )
+        for fno, samp in enumerate(frames)
+    ]
+    return _flac_stream(1, 256 * len(frames), built)
+
+
+def melody_flac_lpc_audio(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic LPC melody with MULTI-PARTITION Rice:
+    (1 + id%2) frames of 256 samples, s(t) = (id%800) + 2t +
+    ((7t + id) % 9) - 4 (t global across frames). The order-2
+    predictor qlp = [2, -1] (shift 0) absorbs the linear trend, so
+    residuals are the periodic term's second difference (|res| <=
+    16); the four Rice partitions per frame use parameters
+    [4, ESCAPE(6), 3, 5], covering mixed-k decoding AND the escaped
+    verbatim-width partition in one gated fixture."""
+    n_frames = 1 + doc_id % 2
+    samples = [
+        (doc_id % 800) + 2 * t + ((7 * t + doc_id) % 9) - 4
+        for t in range(256 * n_frames)
+    ]
+    frames = [
+        samples[f * 256 : (f + 1) * 256] for f in range(n_frames)
+    ]
+    return "audio/flac", encode_flac_lpc_multipart(
+        frames,
+        qlp=[2, -1],
+        shift=0,
+        precision=4,
+        k_per_part=[4, ("esc", 6), 3, 5],
+        part_order=2,
+    )
 
 
 def encode_flac_stereo(
@@ -3612,6 +3758,186 @@ def attach_real_jpeg_422_payload(
     return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
         process, gen_schema
     )
+
+
+def encode_jpeg_dc_411(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, q00: int = 8
+) -> bytes:
+    """Block-constant planes -> baseline JFIF with a 4:1:1 interleaved
+    scan (the DV-camcorder layout): y is (h, w) with h a multiple of 8
+    and w a multiple of 32, constant 8x8 blocks; cb/cr are (h, w/4)
+    with constant 8x8 blocks (one chroma block per 32x8 luma strip).
+    MCU order: 4 Y blocks side by side, then Cb, then Cr."""
+    h, w = y.shape
+    if h % 8 or w % 32:
+        raise ValueError("4:1:1 fixture needs h%8==0 and w%32==0 dims")
+    dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+
+    def put_block(ci: int, v: int) -> None:
+        _jpeg_put_flat_block(bw, dc_map, ac_map, preds, ci, v, q00)
+
+    for my in range(h // 8):
+        for mx in range(w // 32):
+            for blk in range(4):
+                put_block(0, int(y[my * 8, mx * 32 + blk * 8]))
+            put_block(1, int(cb[my * 8, mx * 8]))
+            put_block(2, int(cr[my * 8, mx * 8]))
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([q00] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x41, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def encode_jpeg_dc_440(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, q00: int = 8
+) -> bytes:
+    """Block-constant planes -> baseline JFIF with a 4:4:0 interleaved
+    scan (transposed 4:2:2): y is (h, w) with h a multiple of 16 and w
+    a multiple of 8, constant 8x8 blocks; cb/cr are (h/2, w) with
+    constant 8x8 blocks (one chroma block per 8x16 luma column). MCU
+    order: 2 Y blocks stacked, then Cb, then Cr."""
+    h, w = y.shape
+    if h % 16 or w % 8:
+        raise ValueError("4:4:0 fixture needs h%16==0 and w%8==0 dims")
+    dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+
+    def put_block(ci: int, v: int) -> None:
+        _jpeg_put_flat_block(bw, dc_map, ac_map, preds, ci, v, q00)
+
+    for my in range(h // 16):
+        for mx in range(w // 8):
+            for blk in range(2):
+                put_block(0, int(y[my * 16 + blk * 8, mx * 8]))
+            put_block(1, int(cb[my * 8, mx * 8]))
+            put_block(2, int(cr[my * 8, mx * 8]))
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([q00] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x12, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def gradient_jpeg_411_image(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic block-constant 4:1:1 JPEG: w = 32*(1+id%2),
+    h = 8*(1+(id//2)%3); Y block (bx, by) (8px grid) =
+    (id + 7bx + 19by) % 256; chroma blocks (cx = bx//4, cy = by):
+    Cb = (3id + 13cx + 5cy) % 256, Cr = (5id + 11cx + 3cy) % 256."""
+    w = 32 * (1 + doc_id % 2)
+    h = 8 * (1 + (doc_id // 2) % 3)
+
+    def plane(hh, ww, f):
+        out = np.empty((hh, ww), dtype=np.uint8)
+        for by in range(hh // 8):
+            for bx in range(ww // 8):
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = f(bx, by) % 256
+        return out
+
+    y = plane(h, w, lambda bx, by: doc_id + 7 * bx + 19 * by)
+    cb = plane(h, w // 4, lambda cx, cy: 3 * doc_id + 13 * cx + 5 * cy)
+    cr = plane(h, w // 4, lambda cx, cy: 5 * doc_id + 11 * cx + 3 * cy)
+    return "image/jpeg", encode_jpeg_dc_411(y, cb, cr)
+
+
+def gradient_jpeg_440_image(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic block-constant 4:4:0 JPEG: w = 8*(1+id%3),
+    h = 16*(1+(id//3)%2); Y block (bx, by) (8px grid) =
+    (id + 23bx + 9by) % 256; chroma blocks (cx = bx, cy = by//2):
+    Cb = (3id + 7cx + 17cy) % 256, Cr = (5id + 13cx + 27cy) % 256."""
+    w = 8 * (1 + doc_id % 3)
+    h = 16 * (1 + (doc_id // 3) % 2)
+
+    def plane(hh, ww, f):
+        out = np.empty((hh, ww), dtype=np.uint8)
+        for by in range(hh // 8):
+            for bx in range(ww // 8):
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = f(bx, by) % 256
+        return out
+
+    y = plane(h, w, lambda bx, by: doc_id + 23 * bx + 9 * by)
+    cb = plane(h // 2, w, lambda cx, cy: 3 * doc_id + 7 * cx + 17 * cy)
+    cr = plane(h // 2, w, lambda cx, cy: 5 * doc_id + 13 * cx + 27 * cy)
+    return "image/jpeg", encode_jpeg_dc_440(y, cb, cr)
+
+
+def _attach_payload_fn(gen):
+    """Shared mapInPandas payload manufacturer for a (doc_id) ->
+    (modality, bytes) fixture generator."""
+    gen_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def attach(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        def process(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                mods, payloads = [], []
+                for doc_id in pdf["doc_id"]:
+                    m, p = gen(int(doc_id))
+                    mods.append(m)
+                    payloads.append(p)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "modality": mods,
+                        "payload": payloads,
+                    }
+                )
+
+        return docs.select(
+            F.col(id_col).cast("long").alias("doc_id")
+        ).mapInPandas(process, gen_schema)
+
+    return attach
+
+
+attach_real_jpeg_411_payload = _attach_payload_fn(gradient_jpeg_411_image)
+attach_real_jpeg_440_payload = _attach_payload_fn(gradient_jpeg_440_image)
 
 
 def encode_exif_jpeg(

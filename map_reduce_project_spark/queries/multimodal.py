@@ -1168,6 +1168,133 @@ QUERIES.append(
 )
 
 
+def mm_jpeg_411_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:1:1 SUBSAMPLED baseline-JPEG decode under the exact gate —
+    the DV-camcorder layout: each interleaved MCU carries 4 Y blocks
+    side by side + Cb + Cr, chroma is upsampled by 4x HORIZONTAL
+    replication only, then the fixed-point YCbCr->RGB. The oracle
+    replays the composed block formulas; a wrong MCU strip order,
+    predictor chain, or upsample axis is a hash mismatch."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_jpeg_411_payload,
+        pixel_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pixel_stats(attach_real_jpeg_411_payload(docs))
+
+
+MM_JPEG_411_SQL = """
+WITH g AS (
+  SELECT x.g AS bx, y.g AS by
+  FROM generate_series(0, 7) x(g), generate_series(0, 2) y(g)
+),
+blocks AS (
+  SELECT d.doc_id, g.bx, g.by,
+    (d.doc_id + 7 * g.bx + 19 * g.by) % 256 AS yv,
+    (3 * d.doc_id + 13 * (g.bx // 4) + 5 * g.by) % 256 - 128 AS cbv,
+    (5 * d.doc_id + 11 * (g.bx // 4) + 3 * g.by) % 256 - 128 AS crv
+  FROM documents d CROSS JOIN g
+  WHERE g.bx < 4 * (1 + d.doc_id % 2)
+    AND g.by < 1 + (d.doc_id // 2) % 3
+),
+px AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0,
+      yv + CAST(FLOOR((91881 * crv + 32768) / 65536.0) AS BIGINT))) AS r,
+    LEAST(255, GREATEST(0,
+      yv + CAST(FLOOR((-22554 * cbv - 46802 * crv + 32768) / 65536.0)
+                AS BIGINT))) AS gg,
+    LEAST(255, GREATEST(0,
+      yv + CAST(FLOOR((116130 * cbv + 32768) / 65536.0) AS BIGINT))) AS b
+  FROM blocks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  'image/jpeg' AS modality,
+  CAST(8 * (1 + (doc_id // 2) % 3) AS BIGINT) AS height,
+  CAST(32 * (1 + doc_id % 2) AS BIGINT) AS width,
+  CAST(256 * (1 + doc_id % 2) * (1 + (doc_id // 2) % 3) AS BIGINT)
+    AS n_pixels,
+  CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+  CAST(64 * SUM(gg) AS BIGINT) AS sum_g,
+  CAST(64 * SUM(b) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "mm_jpeg_411_stats",
+        mm_jpeg_411_stats_q,
+        MM_JPEG_411_SQL,
+        "4:1:1 subsampled JPEG: 4-wide MCU strips + horizontal-only upsample",
+    )
+)
+
+
+def mm_jpeg_440_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:4:0 SUBSAMPLED baseline-JPEG decode under the exact gate —
+    the transposed-4:2:2 layout: each interleaved MCU carries 2 Y
+    blocks STACKED + Cb + Cr, chroma is upsampled by 2x VERTICAL
+    replication only. Decoders that hardcode horizontal subsampling
+    fail exactly here; the oracle replays the composed formulas."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_jpeg_440_payload,
+        pixel_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pixel_stats(attach_real_jpeg_440_payload(docs))
+
+
+MM_JPEG_440_SQL = """
+WITH g AS (
+  SELECT x.g AS bx, y.g AS by
+  FROM generate_series(0, 2) x(g), generate_series(0, 3) y(g)
+),
+blocks AS (
+  SELECT d.doc_id, g.bx, g.by,
+    (d.doc_id + 23 * g.bx + 9 * g.by) % 256 AS yv,
+    (3 * d.doc_id + 7 * g.bx + 17 * (g.by // 2)) % 256 - 128 AS cbv,
+    (5 * d.doc_id + 13 * g.bx + 27 * (g.by // 2)) % 256 - 128 AS crv
+  FROM documents d CROSS JOIN g
+  WHERE g.bx < 1 + d.doc_id % 3
+    AND g.by < 2 * (1 + (d.doc_id // 3) % 2)
+),
+px AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0,
+      yv + CAST(FLOOR((91881 * crv + 32768) / 65536.0) AS BIGINT))) AS r,
+    LEAST(255, GREATEST(0,
+      yv + CAST(FLOOR((-22554 * cbv - 46802 * crv + 32768) / 65536.0)
+                AS BIGINT))) AS gg,
+    LEAST(255, GREATEST(0,
+      yv + CAST(FLOOR((116130 * cbv + 32768) / 65536.0) AS BIGINT))) AS b
+  FROM blocks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  'image/jpeg' AS modality,
+  CAST(16 * (1 + (doc_id // 3) % 2) AS BIGINT) AS height,
+  CAST(8 * (1 + doc_id % 3) AS BIGINT) AS width,
+  CAST(128 * (1 + doc_id % 3) * (1 + (doc_id // 3) % 2) AS BIGINT)
+    AS n_pixels,
+  CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+  CAST(64 * SUM(gg) AS BIGINT) AS sum_g,
+  CAST(64 * SUM(b) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "mm_jpeg_440_stats",
+        mm_jpeg_440_stats_q,
+        MM_JPEG_440_SQL,
+        "4:4:0 subsampled JPEG: stacked MCU columns + vertical-only upsample",
+    )
+)
+
+
 def mm_jpeg_progressive_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PROGRESSIVE (SOF2) JPEG decode under the exact gate: the
     fixtures carry the SAME quantized coefficients as the baseline AC
@@ -1205,8 +1332,8 @@ def mm_flac_fixed_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the constant-subframe tier. Melody fixtures (linear trend the
     predictor absorbs + a small periodic residual the Rice coder
     carries) make the reconstructed stream stats SQL-predictable;
-    adaptive-model tiers (LPC, multi-partition Rice) raise
-    honestly."""
+    the LPC + multi-partition-Rice tier has its own gate
+    (mm_flac_lpc_stats)."""
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -1275,6 +1402,83 @@ QUERIES.append(
         mm_flac_fixed_stats_q,
         MM_FLAC_FIXED_SQL,
         "FIXED-predictor FLAC with real Rice entropy decode -> exact stats",
+    )
+)
+
+
+def mm_flac_lpc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPC FLAC with MULTI-PARTITION Rice under the exact gate: each
+    frame's order-2 quantized-coefficient prediction feeds FOUR Rice
+    partitions with mixed parameters [4, ESCAPE(6), 3, 5] — mixed-k
+    decoding, partition-boundary residual accounting (the first
+    partition is short by the predictor order), and the escaped
+    verbatim-width partition are all hash-gated. The melody's linear
+    trend is absorbed by the predictor; the reconstructed stream is
+    SQL-predictable because FLAC is lossless."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_flac_constant,
+        melody_flac_lpc_audio,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").selectExpr(
+        "CAST(doc_id AS LONG) AS doc_id"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("sum_samples", LongType()),
+            StructField("min_sample", LongType()),
+            StructField("max_sample", LongType()),
+        ]
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                _, payload = melody_flac_lpc_audio(int(doc_id))
+                sarr = decode_flac_constant(payload)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": len(sarr),
+                        "sum_samples": int(sarr.sum()),
+                        "min_sample": int(sarr.min()),
+                        "max_sample": int(sarr.max()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(stats, schema)
+
+
+MM_FLAC_LPC_SQL = """
+WITH ts AS (SELECT g AS t FROM generate_series(0, 511) t(g)),
+vals AS (
+  SELECT d.doc_id,
+    (d.doc_id % 800) + 2 * ts.t + ((7 * ts.t + d.doc_id) % 9) - 4 AS v
+  FROM documents d
+  JOIN ts ON ts.t < 256 * (1 + d.doc_id % 2)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_samples,
+  CAST(SUM(v) AS BIGINT) AS sum_samples,
+  CAST(MIN(v) AS BIGINT) AS min_sample,
+  CAST(MAX(v) AS BIGINT) AS max_sample
+FROM vals
+GROUP BY doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "mm_flac_lpc_stats",
+        mm_flac_lpc_stats_q,
+        MM_FLAC_LPC_SQL,
+        "LPC FLAC with multi-partition Rice incl. escaped partitions -> exact stats",
     )
 )
 

@@ -447,14 +447,14 @@ def test_resize_images_shape_and_determinism(spark, docs):
     assert _decode_ppm_pixels(resized).shape == (8, 8, 3)
     import struct as _st
 
-    # 1x1, 4:2:0 and 4:2:2 sampled color are decodable now; the
-    # remaining exotic samplings (e.g. 4:1:1) still need libjpeg and
-    # must raise
+    # 1x1, 4:2:0, 4:2:2, 4:1:1 and 4:4:0 sampled color are decodable
+    # now; the remaining exotic samplings (3x1 here) still need
+    # libjpeg and must raise
     color_sof = (
         b"\xff\xd8"
         + b"\xff\xc0" + _st.pack(">H", 17)
         + _st.pack(">BHHB", 8, 8, 8, 3)
-        + bytes([1, 0x41, 0, 2, 0x11, 0, 3, 0x11, 0])  # 4:1:1 stays gated
+        + bytes([1, 0x31, 0, 2, 0x11, 0, 3, 0x11, 0])  # 3x1 stays gated
     )
     with _pytest.raises(NotImplementedError):
         from map_reduce_project_spark.operators.multimodal import (
@@ -1389,8 +1389,8 @@ def test_jpeg_color_dc_fixed_point_conversion():
                 int(cr[by * 8, bx * 8]),
             )
             assert got == want
-    # 4:2:0 and 4:2:2 decode now; the remaining exotic layouts
-    # (4:1:1 here) stay honestly gated
+    # 4:2:0/4:2:2/4:1:1/4:4:0 decode now; the remaining exotic
+    # layouts (3x1 here) stay honestly gated
     import pytest as _pytest
     import struct as _st
 
@@ -1399,7 +1399,7 @@ def test_jpeg_color_dc_fixed_point_conversion():
         + b"\xff\xc0"
         + _st.pack(">H", 17)
         + _st.pack(">BHHB", 8, 16, 16, 3)
-        + bytes([1, 0x41, 0, 2, 0x11, 0, 3, 0x11, 0])
+        + bytes([1, 0x31, 0, 2, 0x11, 0, 3, 0x11, 0])
     )
     with _pytest.raises(NotImplementedError):
         decode_jpeg_dc(sub)
@@ -1846,3 +1846,94 @@ def test_jpeg_progressive_honest_gates():
     )
     with _pytest.raises(NotImplementedError, match="restart"):
         decode_jpeg_dc(dri_sof2)
+
+
+def test_jpeg_411_440_decode_exact():
+    # the two remaining subsampling layouts: 4:1:1 (4-wide MCU strip,
+    # horizontal-only chroma replication) and 4:4:0 (stacked MCU
+    # column, vertical-only replication) — decoded pixels must match
+    # the fixtures' closed-form block math exactly
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_jpeg_dc,
+        gradient_jpeg_411_image,
+        gradient_jpeg_440_image,
+    )
+
+    def fd(x):
+        return x >> 16
+
+    for doc_id in (0, 1, 2, 5, 6, 11, 37):
+        for gen, dims, yf, cf in (
+            (
+                gradient_jpeg_411_image,
+                lambda i: (8 * (1 + (i // 2) % 3), 32 * (1 + i % 2)),
+                lambda i, bx, by: (i + 7 * bx + 19 * by) % 256,
+                lambda i, bx, by: (bx // 4, by),
+            ),
+            (
+                gradient_jpeg_440_image,
+                lambda i: (16 * (1 + (i // 3) % 2), 8 * (1 + i % 3)),
+                lambda i, bx, by: (i + 23 * bx + 9 * by) % 256,
+                lambda i, bx, by: (bx, by // 2),
+            ),
+        ):
+            _, payload = gen(doc_id)
+            px = decode_jpeg_dc(payload)
+            h, w = dims(doc_id)
+            assert px.shape == (h, w, 3)
+            is_411 = gen is gradient_jpeg_411_image
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    yv = yf(doc_id, bx, by)
+                    cx, cy = cf(doc_id, bx, by)
+                    if is_411:
+                        cb = (3 * doc_id + 13 * cx + 5 * cy) % 256 - 128
+                        cr = (5 * doc_id + 11 * cx + 3 * cy) % 256 - 128
+                    else:
+                        cb = (3 * doc_id + 7 * cx + 17 * cy) % 256 - 128
+                        cr = (5 * doc_id + 13 * cx + 27 * cy) % 256 - 128
+                    want = [
+                        min(255, max(0, yv + fd(91881 * cr + 32768))),
+                        min(255, max(0, yv + fd(-22554 * cb - 46802 * cr + 32768))),
+                        min(255, max(0, yv + fd(116130 * cb + 32768))),
+                    ]
+                    block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    assert (block == np.array(want)).all(), (doc_id, bx, by)
+
+
+def test_flac_lpc_multipartition_roundtrip():
+    # LPC subframes with four Rice partitions of mixed parameters
+    # including an ESCAPED verbatim-width partition: FLAC is lossless,
+    # so decode must reproduce the melody formula bit-for-bit
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_flac_constant,
+        encode_flac_lpc_multipart,
+        melody_flac_lpc_audio,
+    )
+
+    for doc_id in (0, 1, 7, 12, 99, 255):
+        _, payload = melody_flac_lpc_audio(doc_id)
+        got = decode_flac_constant(payload)
+        n = 256 * (1 + doc_id % 2)
+        want = np.array(
+            [
+                (doc_id % 800) + 2 * t + ((7 * t + doc_id) % 9) - 4
+                for t in range(n)
+            ]
+        )
+        assert np.array_equal(got, want), doc_id
+
+    # adversarial residuals at the escape-width boundary (+-31 with
+    # nb=6) and across partition edges
+    samp = [0] * 256
+    for t in range(256):
+        samp[t] = (t % 2) * 31 - 15  # residual swings the full nb=6 range
+    b = encode_flac_lpc_multipart(
+        [samp], qlp=[1], shift=0, precision=2,
+        k_per_part=[("esc", 7), 5, ("esc", 7), 5], part_order=2,
+    )
+    assert np.array_equal(decode_flac_constant(b), np.array(samp))
