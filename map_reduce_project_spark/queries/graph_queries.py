@@ -1113,7 +1113,11 @@ def cc_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as the batch flagship: CC is confluent (edge arrival order
     cannot change the fixed point), which is exactly what makes
     incremental streaming maintenance sound. This is the production
-    pattern for a graph that grows by event feed."""
+    pattern for a graph that grows by event feed. The mapping here is
+    driver-held (single gate run); the crash-restartable variant that
+    persists each generation and survives a driver loss is
+    ``streaming.sinks.durable_incremental_cc_fold``, pinned by the
+    crash-mid-batch restart test."""
     import shutil
     import tempfile
     import uuid

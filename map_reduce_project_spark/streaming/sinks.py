@@ -54,6 +54,82 @@ def foreach_batch_parquet(path: str):
     return write_batch
 
 
+def durable_incremental_cc_fold(spark: SparkSession, mapping_dir: str):
+    """Returns a foreachBatch function maintaining a LIVING
+    (node, component) mapping that SURVIVES driver crashes: each
+    batch folds its edges into the mapping with
+    ``connected_components_incremental`` and persists the result to
+    ``mapping_dir/v_{batch_id}`` (parquet — the ``_SUCCESS`` marker
+    is the commit record); a restarted query reloads the newest
+    committed generation before folding its first replayed batch.
+
+    Exactly-once RESULT from at-least-once execution: Structured
+    Streaming replays any batch whose epoch wasn't committed to the
+    stream checkpoint, so a crash between our parquet commit and the
+    stream commit re-folds that batch onto a mapping that already
+    contains it — and CC is confluent/idempotent (re-unioning edges
+    cannot change the fixed point), so the replay is a no-op. This is
+    the same write-ahead-generation discipline a production graph
+    service uses; superseded generations older than the previous one
+    are deleted to keep the directory two generations wide (current +
+    crash-recovery fallback).
+
+    Reference parity note: the reference engine has no streaming
+    surface at all (SURVEY.md §2.3); this is the Spark-native
+    maintenance pattern for its CC fixed point
+    (ccf_connected_components.py:178 run_to_convergence) fed by an
+    event stream."""
+    import re
+    import shutil
+
+    from map_reduce_project_spark.graph.ccf import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    state: dict = {"mapping": None}
+
+    def committed_generations() -> list[tuple[int, str]]:
+        import os
+
+        if not os.path.isdir(mapping_dir):
+            return []
+        gens = []
+        for name in os.listdir(mapping_dir):
+            m = re.fullmatch(r"v_(\d+)", name)
+            full = os.path.join(mapping_dir, name)
+            if m and os.path.exists(os.path.join(full, "_SUCCESS")):
+                gens.append((int(m.group(1)), full))
+        return sorted(gens)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        if state["mapping"] is None:
+            gens = committed_generations()
+            if gens:  # restart: resume from the newest committed gen
+                state["mapping"] = spark.read.parquet(gens[-1][1])
+        if state["mapping"] is None:
+            res = connected_components(batch_df)
+        else:
+            res = connected_components_incremental(
+                state["mapping"], batch_df
+            )
+        out = os.path.join(mapping_dir, f"v_{batch_id:08d}")
+        res.mapping.write.mode("overwrite").parquet(out)
+        # read back the committed files: the live mapping is now
+        # file-backed (no lineage into this batch's source), so the
+        # next microbatch — or a restarted driver — folds on top of
+        # durable state
+        state["mapping"] = spark.read.parquet(out)
+        for _, old in committed_generations()[:-2]:
+            shutil.rmtree(old, ignore_errors=True)
+
+    return fold
+
+
 def purchase_attribution(
     purchases: DataFrame,
     clicks: DataFrame,

@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import os
+
+import pytest
 import tempfile
 import uuid
 
@@ -376,3 +378,87 @@ def test_stateful_sessionizer_gap_boundary_inclusive(spark, tmp_path):
     assert (1, 2) in sessions, sessions  # exact-gap pair merged
     assert (2, 1) in sessions, sessions  # past-gap pair split
     assert (2, 2) not in sessions, sessions
+
+
+@pytest.mark.parametrize("crash_point", ["before_commit", "after_commit"])
+def test_incremental_cc_survives_crash_mid_batch(
+    spark, sf0001, tmp_path, crash_point
+):
+    """Crash-mid-batch restart for the incremental-CC fold: run 1
+    dies during the 3rd microbatch — either BEFORE the mapping
+    generation commits (restart replays the batch against the prior
+    generation) or AFTER it commits but before the stream's epoch
+    commit (restart RE-FOLDS an already-folded batch — the
+    idempotence case the exactly-once claim rests on). A fresh fold
+    (driver restart) against the same checkpoint must finish the
+    stream, and the final committed mapping must equal the batch CC
+    over all edges."""
+    import os
+    import re
+    import uuid
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from map_reduce_project_spark.graph import connected_components
+    from map_reduce_project_spark.sources import read_table
+    from map_reduce_project_spark.streaming.sinks import (
+        durable_incremental_cc_fold,
+    )
+
+    orders = read_table(spark, sf0001, "orders")
+    edges = orders.select(
+        F.concat(F.lit("c:"), "o_custkey").alias("src"),
+        F.concat(F.lit("o:"), "o_orderkey").alias("dst"),
+    )
+    src_dir = str(tmp_path / "edges")
+    edges.repartition(4).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    mapping_dir = str(tmp_path / "mapping")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(fold_fn):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(fold_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"ccrestart_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+
+    inner = durable_incremental_cc_fold(spark, mapping_dir)
+    calls = {"n": 0}
+
+    def crashing(batch_df, batch_id):
+        calls["n"] += 1
+        if calls["n"] == 3 and crash_point == "before_commit":
+            raise RuntimeError("injected crash before generation commit")
+        inner(batch_df, batch_id)
+        if calls["n"] == 3 and crash_point == "after_commit":
+            raise RuntimeError(
+                "injected crash between generation commit and epoch commit"
+            )
+
+    q = start(crashing)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    assert calls["n"] == 3  # died mid-stream, not at the end
+
+    # driver "restart": brand-new fold state, same checkpoint + dirs
+    q2 = start(durable_incremental_cc_fold(spark, mapping_dir))
+    q2.awaitTermination()
+
+    gens = sorted(
+        d for d in os.listdir(mapping_dir)
+        if re.fullmatch(r"v_\d+", d)
+        and os.path.exists(os.path.join(mapping_dir, d, "_SUCCESS"))
+    )
+    assert gens, "no committed mapping generation survived"
+    assert len(gens) <= 2, gens  # superseded generations were pruned
+    final = spark.read.parquet(os.path.join(mapping_dir, gens[-1]))
+    want = connected_components(edges).mapping
+    got_set = {(r.node, r.component) for r in final.collect()}
+    want_set = {(r.node, r.component) for r in want.collect()}
+    assert got_set == want_set
