@@ -108,11 +108,40 @@ def tokens_col(text_col: str = "text"):
 def shingles_expr(k: int = 3, text_col: str = "text"):
     """Word k-gram shingle array, built lazily with higher-order
     functions (no explode): transform over a 1..n-k+1 index sequence
-    slicing the token array."""
+    slicing the token array.
+
+    The token array is LET-BOUND via a single-element transform
+    (``transform(array(split(..)), toks -> ..)[0]``) so single
+    evaluation per row is GUARANTEED rather than dependent on
+    codegen's common-subexpression elimination. CSE does rescue the
+    naive one-level form here (measured equal at 1000-token docs),
+    but it failed on winnow_fingerprints' deeper nesting — a 53x
+    blowup the round-5 sf0.1 sweep caught — so hot-path HOF
+    expressions bind their arrays explicitly as policy."""
     return F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k})))"
+        f"transform(array(split({text_col}, ' ')), toks ->"
+        f" transform(sequence(1, greatest(size(toks) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(toks, i, {k}))))[0]"
     )
+
+
+def exploded_shingles(
+    docs: DataFrame, k: int, id_col: str, text_col: str, alias: str = "shingle"
+):
+    """(id, shingle) rows via explode_OUTER + an explicit null guard.
+
+    Plain explode lets InferFiltersFromGenerate derive ``size(arr) >
+    0``, and predicate pushdown re-inlines the ENTIRE shingle
+    expression as a filter at the narrow pre-fan_out scan stage —
+    the whole compute runs twice, once serialized onto the one or
+    two scan partitions (the round-5 sf0.1 sweep caught winnowing
+    wedged there for 30+ minutes). Outer explode is inference-exempt
+    (it must keep empty-array rows), and the null guard above the
+    Generate restores exact explode semantics for null texts without
+    being pushable below it."""
+    return docs.select(
+        F.col(id_col), F.explode_outer(shingles_expr(k, text_col)).alias(alias)
+    ).where(F.col(alias).isNotNull())
 
 
 def shingle_document_frequency(
@@ -192,9 +221,7 @@ def minhash_signatures(
     documents are pruned before hashing (``prune_hot_shingles``) —
     the boilerplate-resistance knob for web-scale corpora.
     """
-    shingled = docs.select(
-        F.col(id_col), F.explode(shingles_expr(k, text_col)).alias("shingle")
-    )
+    shingled = exploded_shingles(docs, k, id_col, text_col)
     if max_df is not None:
         shingled = prune_hot_shingles(shingled, max_df, id_col)
     return shingled.groupBy(id_col).agg(*minhash_min_exprs(num_hashes))
@@ -278,10 +305,7 @@ def jaccard_verify(
     # per (doc, shingle) — the per-pair intersection is a local
     # array_intersect, bounded by document length, never corpus size
     shingle_sets = (
-        cand_docs.select(
-            F.col(id_col),
-            F.explode(shingles_expr(k, text_col)).alias("shingle"),
-        )
+        exploded_shingles(cand_docs, k, id_col, text_col)
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("sset"))
     )
@@ -351,9 +375,7 @@ def minhash_dedup_fused(
     Output matches ``jaccard_verify``: (id_a, id_b, jaccard) with
     jaccard >= threshold and at least one shared shingle.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles_expr(k, text_col)).alias("shingle")
-    )
+    sh = exploded_shingles(docs, k, id_col, text_col)
     aggs = minhash_min_exprs(num_hashes)
     aggs.append(F.collect_set("shingle").alias("sset"))
     # materialize the per-doc table ONCE (lazy localCheckpoint): its
@@ -448,9 +470,7 @@ def _per_doc_signature_table(
     k: int,
 ) -> DataFrame:
     """(id, h0..hN minhashes, sset shingle set) — one shingle pass."""
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles_expr(k, text_col)).alias("shingle")
-    )
+    sh = exploded_shingles(docs, k, id_col, text_col)
     aggs = minhash_min_exprs(num_hashes)
     aggs.append(F.collect_set("shingle").alias("sset"))
     return sh.groupBy(id_col).agg(*aggs)
@@ -610,11 +630,14 @@ def ngram_contamination(
     n-gram hash — same plan shape as the LSH band join.
     """
     eval_grams = (
-        eval_docs.select(F.explode(shingles_expr(n, text_col)).alias("gram"))
+        eval_docs.select(
+            F.explode_outer(shingles_expr(n, text_col)).alias("gram")
+        )
+        .where(F.col("gram").isNotNull())  # see exploded_shingles
         .dropDuplicates()
     )
-    train_grams = train_docs.select(
-        F.col(id_col), F.explode(shingles_expr(n, text_col)).alias("gram")
+    train_grams = exploded_shingles(
+        train_docs, n, id_col, text_col, alias="gram"
     ).dropDuplicates([id_col, "gram"])
     totals = train_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     hits = (

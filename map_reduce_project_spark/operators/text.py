@@ -233,15 +233,18 @@ def chunk_documents(
 
     Output: (id, chunk_idx, chunk, n_tokens).
     """
-    w = f"split({text_col}, ' ')"
-    n_chunks = f"greatest((size({w}) - {size} + {stride - 1}) div {stride}, 0)"
+    # let-bind the token array (single-element transform) so single
+    # evaluation per row is guaranteed rather than CSE-dependent —
+    # see shingles_expr for the nested-lambda re-evaluation trap
     chunks = F.expr(
-        f"transform(sequence(0, {n_chunks}),"
-        f" i -> concat_ws(' ', slice({w}, i * {stride} + 1, {size})))"
+        f"transform(array(split({text_col}, ' ')), w ->"
+        f" transform(sequence(0, greatest((size(w) - {size}"
+        f" + {stride - 1}) div {stride}, 0)),"
+        f" i -> concat_ws(' ', slice(w, i * {stride} + 1, {size}))))[0]"
     )
     return docs.select(
-        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
-    ).select(
+        F.col(id_col), F.posexplode_outer(chunks).alias("chunk_idx", "chunk")
+    ).where(F.col("chunk").isNotNull()).select(
         id_col,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         "chunk",
@@ -396,9 +399,15 @@ def winnow_fingerprints(
     LOCALIZATION; candidate pairing only needs the selected VALUES,
     so the per-window plain min (deterministic under ties) suffices.
 
-    Everything is lazy higher-order functions over the token array —
-    codes, k-gram hashes, window minima, distinct — zero explodes,
-    zero shuffles: a narrow projection inside the scan stage.
+    Each layer — codes, k-gram hashes, window minima — is a SEPARATE
+    projection, not one nested expression: Spark inlines a nested
+    higher-order function into every consumer lambda and re-evaluates
+    it per element, so the one-expression formulation recomputed the
+    md5 code array inside every window of every hash — measured 53x
+    slower at sf0.01 (27.9 s vs 0.53 s) and the wall the round-5
+    sf0.1 sweep hit. Layered projections evaluate each array once per
+    row and still fuse into the single scan stage (zero explodes,
+    zero shuffles).
     Output: (id, fps array<bigint>).
     """
     codes = (
@@ -406,19 +415,23 @@ def winnow_fingerprints(
         f"t -> cast(conv(substring(md5(t), 1, 6), 16, 10) as bigint))"
     )
     fold = (
-        f"aggregate({{arr}}, cast(0 as bigint), "
+        f"aggregate(slice(_codes, i, {k}), cast(0 as bigint), "
         f"(acc, c) -> (acc * {ROLL_B} + c) % {ROLL_M})"
     )
     hashes = (
-        f"transform(sequence(1, greatest(size({codes}) - {k - 1}, 1)), "
-        f"i -> {fold.format(arr=f'slice({codes}, i, {k})')})"
+        f"transform(sequence(1, greatest(size(_codes) - {k - 1}, 1)), "
+        f"i -> {fold})"
     )
     winnowed = (
         f"array_distinct(transform("
-        f"sequence(1, greatest(size({hashes}) - {w - 1}, 1)), "
-        f"j -> array_min(slice({hashes}, j, {w}))))"
+        f"sequence(1, greatest(size(_hashes) - {w - 1}, 1)), "
+        f"j -> array_min(slice(_hashes, j, {w}))))"
     )
-    return docs.select(F.col(id_col), F.expr(winnowed).alias("fps"))
+    return (
+        docs.select(F.col(id_col), F.expr(codes).alias("_codes"))
+        .select(F.col(id_col), F.expr(hashes).alias("_hashes"))
+        .select(F.col(id_col), F.expr(winnowed).alias("fps"))
+    )
 
 
 def substring_overlap_pairs(
@@ -439,8 +452,14 @@ def substring_overlap_pairs(
     hot-bucket control, same as the hot-shingle prune.
     Output: (id_a, id_b, n_shared) with id_a < id_b.
     """
-    fps = winnow_fingerprints(docs, id_col, text_col, k, w).select(
-        F.col(id_col), F.explode("fps").alias("fp")
+    # explode_OUTER + null guard: plain explode lets the optimizer
+    # infer size(fps) > 0 and push the fully-inlined winnow pipeline
+    # into a filter at the narrow scan stage (see
+    # operators.dedup.exploded_shingles for the full story)
+    fps = (
+        winnow_fingerprints(docs, id_col, text_col, k, w)
+        .select(F.col(id_col), F.explode_outer("fps").alias("fp"))
+        .where(F.col("fp").isNotNull())
     )
     if max_df is not None:
         hot = (

@@ -759,7 +759,7 @@ def dedup_prefix_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real near-duplication, not shared vocabulary
     tok = corpus.select(
         "doc_id",
-        F.explode(F.array_distinct(shingles_expr(3, "text"))).alias("t"),
+        F.explode_outer(F.array_distinct(shingles_expr(3, "text"))).alias("t"),
     )
     freq = tok.groupBy("t").agg(F.count("*").alias("f"))
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))

@@ -486,7 +486,7 @@ def text_bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     big = docs.select(
-        "doc_id", F.explode(shingles_expr(2, "text")).alias("bg")
+        "doc_id", F.explode_outer(shingles_expr(2, "text")).alias("bg")
     ).withColumn("w1", F.split("bg", " ")[0])
     c2 = big.groupBy("bg").agg(F.count("*").alias("c2"))
     c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))

@@ -450,3 +450,26 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
         joined.count()
         == orders.where("o_orderpriority = '1-URGENT'").count()
     )
+
+
+def test_expensive_explodes_carry_no_inferred_scan_filter(spark, registry):
+    # InferFiltersFromGenerate + pushdown can re-inline an expensive
+    # array expression (shingles, winnow fingerprints, chunks) as a
+    # size(...) > 0 filter at the NARROW pre-fan_out scan stage —
+    # the whole per-doc compute then runs serialized on one or two
+    # scan partitions AND twice overall (round 5: winnowing at sf0.1
+    # wedged 30+ minutes; 7 s once the explodes went outer). Pin
+    # that no Filter in these plans evaluates a higher-order
+    # function: the compute must appear exactly once, in a Project
+    # above the fan-out Exchange.
+    from map_reduce_project_spark.plans.inspect import formatted_plan
+
+    for name in ("dedup_winnow_pairs", "dedup_minhash_candidates",
+                 "text_chunks", "decontaminate_train"):
+        plan = formatted_plan(registry[name].fn(spark, SF))
+        for block in plan.split("\n\n"):
+            if block.lstrip().startswith(("(", "==")) and "Filter" in block.split("\n")[0]:
+                assert "lambdafunction" not in block, (
+                    f"{name}: inferred filter re-inlines HOF compute:\n"
+                    + block[:400]
+                )
