@@ -1694,7 +1694,15 @@ def _part_sequence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     within URGENT orders, thinned to the %3 part family so the SCC
     fixtures keep real structure (one giant SCC + a 2-cycle +
     singleton periphery at the gate SFs) without a dense transitive
-    closure on the oracle side. Shared by the scc_* queries."""
+    closure on the oracle side. Shared by the scc_* queries.
+
+    The synthetic lineitem does NOT have unique (l_orderkey,
+    l_linenumber) pairs (118k dups at sf0.1), so the window MUST
+    order by (l_linenumber, l_partkey): rows tied on the full key
+    carry the same l_partkey, making the partkey sequence — and thus
+    the LEAD edge multiset — identical under any tiebreak. Ordering
+    by l_linenumber alone let Spark and DuckDB pick different next
+    rows (caught by the sf0.1 full-registry sweep)."""
     from pyspark.sql.window import Window
 
     li = read_table(spark, sf_dir, "lineitem")
@@ -1704,7 +1712,9 @@ def _part_sequence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = li.join(
         orders, li["l_orderkey"] == orders["o_orderkey"]
     ).select("l_orderkey", "l_linenumber", "l_partkey")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey"
+    )
     pairs = seq.select(
         "l_partkey", F.lead("l_partkey").over(w).alias("next_part")
     )
@@ -1743,7 +1753,7 @@ SCC_BASE_SQL = """
 WITH RECURSIVE seq AS (
   SELECT l_orderkey, l_linenumber, l_partkey,
          LEAD(l_partkey) OVER (
-           PARTITION BY l_orderkey ORDER BY l_linenumber
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
          ) AS next_part
   FROM lineitem JOIN orders ON o_orderkey = l_orderkey
   WHERE o_orderpriority = '1-URGENT'
