@@ -30,8 +30,11 @@ def _both(spark, con, pdf: pd.DataFrame, spark_sql: str, duck_sql: str):
     d = con.execute(duck_sql).df()
 
     def canon(x: pd.DataFrame):
-        x = x[sorted(x.columns)]
-        rows = [tuple(str(v) for v in r) for r in x.itertuples(index=False)]
+        # .astype(str) like the driver gate (NOT per-cell str():
+        # astype formats midnight datetime64 as a bare date, which is
+        # how date-typed results actually compare in the gate)
+        x = x[sorted(x.columns)].astype(str)
+        rows = [tuple(r) for r in x.itertuples(index=False, name=None)]
         return sorted(rows)
 
     return canon(s), canon(d)
@@ -239,3 +242,172 @@ def test_collation_unicode_pins(spark):
     assert got == [want for _, _, want in rows], list(
         zip([f"{a!r}={b!r}" for a, b, _ in rows], got)
     )
+
+
+def test_round_half_tie_parity_and_bround_seam(spark, duck):
+    # ROUND at exact .5 ties: both engines round DECIMAL inputs
+    # HALF_UP (away from zero) at every scale — fuzzed with
+    # multiplication-built decimals (scale-3 thousandths) so ties
+    # land on every rounding digit. DIVISION is excluded on purpose:
+    # DuckDB's `/` on DECIMAL yields DOUBLE (typeof(dec/int) =
+    # DOUBLE), so ROUND-after-divide rounds a binary approximation
+    # there while Spark stays decimal-exact — 9.165 rounds to 9.17
+    # on Spark and 9.16 on DuckDB. That divergence and Spark-only
+    # bround (HALF_EVEN) are pinned below so no gated oracle ever
+    # uses either pattern.
+    for seed in (7, 29):
+        rng = random.Random(seed)
+        mills = [rng.randrange(-4000, 4000) * 5 for _ in range(200)]
+        pdf = pd.DataFrame({"id": range(len(mills)), "c": mills})
+        # c * 0.001 in pure decimal arithmetic: DECIMAL * DECIMAL
+        # stays DECIMAL in both engines (only division defects to
+        # DOUBLE in DuckDB)
+        sql = """
+SELECT id,
+  ROUND(CAST(c AS DECIMAL(14,0)) * CAST(0.001 AS DECIMAL(4,3)), 2) AS r2,
+  ROUND(CAST(c AS DECIMAL(14,0)) * CAST(0.001 AS DECIMAL(4,3)), 1) AS r1,
+  ROUND(CAST(c AS DECIMAL(14,0)) * CAST(0.001 AS DECIMAL(4,3)), 0) AS r0
+FROM t
+"""
+        # decimal scales differ across engines ('1.3' vs '1.30'):
+        # compare as doubles, the convention every gated oracle uses
+        wrap = lambda q: (
+            "SELECT id, CAST(r1 AS DOUBLE) AS r1, CAST(r0 AS DOUBLE) AS r0,"
+            f" CAST(r2 AS DOUBLE) AS r2 FROM ({q})"
+        )
+        s, d = _both(spark, duck, pdf, wrap(sql), wrap(sql))
+        assert s == d, f"seed={seed}"
+
+    # the division seam itself: same SQL text, different engines'
+    # type systems. Spark: DECIMAL/INT stays DECIMAL, exact 9.165,
+    # HALF_UP -> 9.17. DuckDB: DECIMAL/INT is DOUBLE, binary value
+    # 9.16499..., rounds -> 9.16.
+    div_sql = "SELECT ROUND(CAST(9165 AS DECIMAL(14,2)) / 1000, 2) AS r"
+    assert str(spark.sql(div_sql).collect()[0].r) == "9.17"
+    assert str(duck.execute(div_sql).fetchone()[0]) == "9.16"
+
+    # double ROUND near a representational tie: Spark rounds the
+    # SHORTEST DECIMAL REPR of the double (BigDecimal.valueOf ->
+    # "9.165" -> HALF_UP -> 9.17); DuckDB rounds the true binary
+    # value (9.1649999... -> 9.16). ROUND(double) in a gated oracle
+    # is therefore only safe away from .xx5 ties.
+    dbl_sql = "SELECT ROUND(CAST(9.165 AS DOUBLE), 2) AS r"
+    assert float(spark.sql(dbl_sql).collect()[0].r) == 9.17
+    assert float(duck.execute(dbl_sql).fetchone()[0]) == 9.16
+
+    # the bround seam: HALF_EVEN on the tie, Spark-only
+    row = spark.sql(
+        "SELECT bround(CAST(1.25 AS DECIMAL(12,2)), 1) AS be,"
+        " round(CAST(1.25 AS DECIMAL(12,2)), 1) AS hu"
+    ).collect()[0]
+    assert str(row.be) == "1.2" and str(row.hu) == "1.3"
+
+
+def test_try_cast_numeric_string_seam(spark, duck):
+    # TRY_CAST(string AS INT) diverges on anything non-integral:
+    # DuckDB parses via double then ROUNDS ('12.5'->13, '1e2'->100,
+    # '0x1A'->26); Spark returns NULL for all three. Gated oracles
+    # must therefore only TRY_CAST strings that are either clean
+    # integers or clearly non-numeric — pinned here so the trap is
+    # executable documentation, with the agreeing classes fuzzed.
+    cases = ["12.5", "1e2", "0x1A", "2.0"]
+    pdf = pd.DataFrame({"s": cases})
+    s, d = _both(
+        spark, duck, pdf,
+        "SELECT s, TRY_CAST(s AS INT) AS v FROM t",
+        "SELECT s, TRY_CAST(s AS INT) AS v FROM t",
+    )
+    # all-NULL int column round-trips through pandas as float NaN
+    assert [r[1] for r in s] == ["nan"] * 4, s
+    # canon sorts rows by the string column: 0x1A, 12.5, 1e2, 2.0
+    assert [r[1] for r in d] == ["26", "13", "100", "2"], d
+
+    # agreeing classes: optionally-signed clean integers (with
+    # surrounding whitespace) and non-numeric garbage
+    for seed in (13, 41):
+        rng = random.Random(seed)
+        pool = [
+            str(rng.randrange(-10**9, 10**9)),
+            f"  {rng.randrange(0, 999)} ",
+            f"+{rng.randrange(0, 999)}",
+            "order-" + str(rng.randrange(99)),
+            "URGENT",
+            "",
+        ]
+        vals = [rng.choice(pool) for _ in range(120)]
+        pdf = pd.DataFrame({"id": range(len(vals)), "s": vals})
+        sql = "SELECT id, TRY_CAST(s AS BIGINT) AS v FROM t"
+        s, d = _both(spark, duck, pdf, sql, sql)
+        assert s == d, f"seed={seed}"
+
+
+def test_mod_div_negative_parity(spark, duck):
+    # % and integer division on negative operands: both engines
+    # truncate toward zero and give % the dividend's sign — fuzzed
+    # across sign combinations and magnitudes, because one silent
+    # floor-division engine would shift every negative-key bucketing
+    # and hash-partitioning oracle in the repo.
+    for seed in (19, 53):
+        rng = random.Random(seed)
+        rows = [
+            (
+                rng.randrange(-10**12, 10**12),
+                rng.choice([1, -1]) * rng.randrange(1, 10**6),
+            )
+            for _ in range(300)
+        ]
+        pdf = pd.DataFrame(rows, columns=["a", "b"])
+        s, d = _both(
+            spark, duck, pdf,
+            "SELECT a, b, a % b AS m, a DIV b AS q FROM t",
+            "SELECT a, b, a % b AS m, CAST(a // b AS BIGINT) AS q FROM t",
+        )
+        assert s == d, f"seed={seed}"
+
+
+def test_date_arithmetic_parity(spark, duck):
+    # add_months/interval month-end clamping (Jan 31 + 1m = Feb 29),
+    # ISO Monday week truncation across year boundaries, quarter
+    # truncation, datediff, last_day — fuzzed over dates concentrated
+    # on month ends and the first days of January.
+    import datetime as _dt
+
+    for seed in (3, 37):
+        rng = random.Random(seed)
+        iso = []
+        for _ in range(150):
+            y = rng.randrange(1995, 2031)
+            m = rng.randrange(1, 13)
+            d = rng.choice([1, 2, 27, 28, 29, 30, 31, rng.randrange(1, 29)])
+            try:
+                iso.append(str(_dt.date(y, m, d)))
+            except ValueError:
+                pass  # Feb 30 etc. — the month-end bias stays
+        pdf = pd.DataFrame({"s": iso, "n": [
+            rng.randrange(-30, 31) for _ in iso
+        ]})
+        # Spark date_trunc returns TIMESTAMP and DuckDB DATE+INTERVAL
+        # returns TIMESTAMP — CAST every derived column to DATE so
+        # the comparison is on civil dates, the thing under test
+        spark_sql = """
+SELECT s, n,
+  add_months(CAST(s AS DATE), n) AS am,
+  CAST(CAST(s AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus1m,
+  CAST(date_trunc('week', CAST(s AS DATE)) AS DATE) AS wk,
+  CAST(date_trunc('quarter', CAST(s AS DATE)) AS DATE) AS qt,
+  last_day(CAST(s AS DATE)) AS ld,
+  datediff(CAST(s AS DATE), DATE '2020-01-01') AS dd
+FROM t
+"""
+        duck_sql = """
+SELECT s, n,
+  CAST(CAST(s AS DATE) + n * INTERVAL 1 MONTH AS DATE) AS am,
+  CAST(CAST(s AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus1m,
+  CAST(date_trunc('week', CAST(s AS DATE)) AS DATE) AS wk,
+  CAST(date_trunc('quarter', CAST(s AS DATE)) AS DATE) AS qt,
+  last_day(CAST(s AS DATE)) AS ld,
+  datediff('day', DATE '2020-01-01', CAST(s AS DATE)) AS dd
+FROM t
+"""
+        s, d = _both(spark, duck, pdf, spark_sql, duck_sql)
+        assert s == d, f"seed={seed}"
