@@ -2398,12 +2398,19 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
 def decode_avi_frames(b: bytes) -> list[np.ndarray]:
     """REAL AVI decode: RIFF walk -> avih dims/frame count ->
-    BITMAPINFOHEADER (BI_RGB 24-bit only; compressed codecs raise) ->
-    bottom-up stride-padded BGR '00db' chunks -> RGB frames; the idx1
-    offsets AND sizes are verified against the frames actually found
-    (a desynced index raises)."""
+    BITMAPINFOHEADER -> RGB frames; the idx1 offsets AND sizes are
+    verified against the frames actually found (a desynced index
+    raises). Two codec tiers decode for real: BI_RGB (bottom-up
+    stride-padded BGR '00db' chunks) and MJPG ('00dc' chunks each
+    holding a complete baseline JFIF, decoded through this module's
+    exact-integer T.81 decoder — Motion JPEG is intra-only, so a
+    real JPEG decoder IS a real MJPEG decoder). Inter-frame codecs
+    (H.264 etc.) are the honest boundary and raise."""
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     dims = None
@@ -2436,23 +2443,28 @@ def decode_avi_frames(b: bytes) -> list[np.ndarray]:
                 (_bisize, _w2, _h2, _planes, bitcount, compression) = (
                     struct.unpack("<IiiHHI", b[data0 : data0 + 20])
                 )
-            elif tag == b"00db":
-                frame_meta.append((i, size))
+            elif tag in (b"00db", b"00dc"):
+                frame_meta.append((i, size, tag))
             elif tag == b"idx1":
                 for p in range(data0, data0 + size, 16):
                     ck, _flags, off, sz = struct.unpack(
                         "<4sIII", b[p : p + 16]
                     )
-                    if ck == b"00db":
-                        idx_entries.append((off, sz))
+                    if ck in (b"00db", b"00dc"):
+                        idx_entries.append((off, sz, ck))
             i = data0 + size + (size & 1)
 
     walk(12, len(b))
     if dims is None or bitcount is None:
         raise ValueError("incomplete AVI header")
-    if compression != 0 or bitcount != 24:
+    if compression == 0 and bitcount == 24:
+        chunk_tag = b"00db"
+    elif compression == _MJPG_FOURCC:
+        chunk_tag = b"00dc"
+    else:
         raise NotImplementedError(
-            "compressed AVI codecs need a real video decoder (BI_RGB only)"
+            "inter-frame AVI codecs need a real video decoder "
+            "(BI_RGB and MJPG tiers decode)"
         )
     w, h, n_frames = dims
     stride = _avi_row_stride(w)
@@ -2460,10 +2472,18 @@ def decode_avi_frames(b: bytes) -> list[np.ndarray]:
         raise ValueError("no movi list in AVI")
     if len(idx_entries) != len(frame_meta):
         raise ValueError("idx1 entry count != frames present")
-    for (fpos, fsize), (off, sz) in zip(frame_meta, idx_entries):
+    for (fpos, fsize, ftag), (off, sz, itag) in zip(frame_meta, idx_entries):
+        if ftag != chunk_tag or itag != chunk_tag:
+            raise ValueError("frame chunk tag inconsistent with codec")
         if fsize != sz or (movi_pos + off) != fpos:
             raise ValueError("idx1 offset/size desynced from movi chunks")
         raw = b[fpos + 8 : fpos + 8 + fsize]
+        if chunk_tag == b"00dc":
+            px = decode_jpeg_dc(raw)
+            if px.shape[0] != h or px.shape[1] != w:
+                raise ValueError("MJPG frame dims != avih dims")
+            frames.append(px)
+            continue
         if fsize != stride * h:
             raise ValueError("frame size != stride * height")
         arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
@@ -2492,6 +2512,82 @@ def gradient_avi_video(doc_id: int) -> tuple[str, bytes]:
         ).astype(np.uint8)
         frames.append(px)
     return "video/avi", encode_avi(frames)
+
+
+def encode_avi_mjpeg(
+    jpegs: list[bytes], w: int, h: int, fps: int = 10
+) -> bytes:
+    """List of complete baseline-JFIF byte strings (all w x h) ->
+    spec-valid Motion-JPEG AVI: same RIFF/hdrl/movi/idx1 layout as
+    encode_avi, but the stream header and BITMAPINFOHEADER declare
+    the MJPG fourcc and each frame is a compressed '00dc' chunk
+    holding one whole JPEG (MJPEG is intra-only by definition)."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(tag: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", tag + data)
+
+    avih = struct.pack(
+        "<14I",
+        1000000 // fps,
+        0, 0, 0x10,
+        len(jpegs), 0, 1, 0,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(jpegs), 0, 0, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, _MJPG_FOURCC,
+        max(len(j) for j in jpegs), 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = []
+    offsets = []
+    pos = 4
+    for j in jpegs:
+        offsets.append(pos)
+        c = chunk(b"00dc", j)
+        movi_chunks.append(c)
+        pos += len(c)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, len(j))
+        for off, j in zip(offsets, jpegs)
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def gradient_mjpeg_video(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic Motion-JPEG AVI: 2 + id%3 frames, each a
+    block-constant grayscale baseline JPEG of w = 8*(2 + id%4) by
+    h = 8*(1 + (id//4)%3); block (bx, by) of frame f holds
+    (id + 11bx + 17by + 7f) % 256. Frame pixel sums are therefore
+    64 * sum of the block formula — SQL-replayable, while the decode
+    path runs the REAL RIFF walk + idx1 verification + T.81 entropy
+    layer per frame."""
+    w = 8 * (2 + doc_id % 4)
+    h = 8 * (1 + (doc_id // 4) % 3)
+    n_frames = 2 + doc_id % 3
+    jpegs = []
+    for f in range(n_frames):
+        gray = np.empty((h, w), dtype=np.uint8)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                gray[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    doc_id + 11 * bx + 17 * by + 7 * f
+                ) % 256
+        jpegs.append(encode_jpeg_dc(gray))
+    return "video/x-mjpeg", encode_avi_mjpeg(jpegs, w, h)
 
 
 def encode_jpeg_dc_420(

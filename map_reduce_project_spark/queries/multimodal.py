@@ -850,9 +850,10 @@ def mm_avi_frame_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the frames actually present — a desynced index raises,
     pinned by test) built distributively; odd widths exercise the
     4-byte row padding. Per-frame channel sums are replayed by the
-    oracle from the gradient formulas. Compressed codecs
-    (MJPEG/H.264) are the honest boundary — BI_RGB is where
-    container work ends and codec DSP begins."""
+    oracle from the gradient formulas. MJPEG decodes for real too
+    (mm_mjpeg_frame_stats); inter-frame codecs (H.264...) are the
+    honest boundary where codec DSP this module cannot define
+    deterministically begins."""
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -1663,5 +1664,89 @@ QUERIES.append(
         mm_exif_metadata_q,
         MM_EXIF_SQL,
         "real Exif/TIFF IFD decode, both endiannesses, offset-addressed values, exact",
+    )
+)
+
+
+def mm_mjpeg_frame_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Motion-JPEG decode under the exact gate: spec-valid MJPG
+    AVIs (RIFF walk, MJPG fourcc in strh AND BITMAPINFOHEADER, one
+    complete baseline JFIF per '00dc' chunk, idx1 verified) whose
+    every frame runs through the module's exact-integer T.81 decoder
+    — MJPEG is intra-only, so this is a real compressed-video tier,
+    not a container stunt. Per-frame pixel sums replay in SQL from
+    the block-gradient formula. Inter-frame codecs (H.264...) remain
+    the honest NotImplementedError boundary."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_avi_frames,
+        gradient_mjpeg_video,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").selectExpr(
+        "CAST(doc_id AS LONG) AS doc_id"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("sum_px", LongType()),
+        ]
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                _, payload = gradient_mjpeg_video(int(doc_id))
+                for f, px in enumerate(decode_avi_frames(payload)):
+                    h, w, _ = px.shape
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_id": f,
+                            "width": w,
+                            "height": h,
+                            "sum_px": int(px[:, :, 0].astype("int64").sum()),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(stats, schema)
+
+
+# w = 8*(2+id%4) -> up to 5 blocks wide; h = 8*(1+(id//4)%3) -> up to
+# 3 blocks high; frames f < 2 + id%3; block (bx, by) of frame f holds
+# (id + 11bx + 17by + 7f) % 256, so the frame sum is 64 * sum(blocks)
+MM_MJPEG_SQL = """
+WITH g AS (
+  SELECT x.g AS bx, y.g AS by
+  FROM generate_series(0, 4) x(g), generate_series(0, 2) y(g)
+),
+f AS (SELECT g AS f FROM generate_series(0, 4) t(g))
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  CAST(f.f AS BIGINT) AS frame_id,
+  CAST(8 * (2 + d.doc_id % 4) AS BIGINT) AS width,
+  CAST(8 * (1 + (d.doc_id // 4) % 3) AS BIGINT) AS height,
+  CAST(64 * SUM(CASE WHEN g.bx < 2 + d.doc_id % 4
+                      AND g.by < 1 + (d.doc_id // 4) % 3
+                THEN (d.doc_id + 11 * g.bx + 17 * g.by + 7 * f.f) % 256 END)
+       AS BIGINT) AS sum_px
+FROM documents d
+JOIN f ON f.f < 2 + d.doc_id % 3
+CROSS JOIN g
+GROUP BY d.doc_id, f.f
+"""
+
+QUERIES.append(
+    Query(
+        "mm_mjpeg_frame_stats",
+        mm_mjpeg_frame_stats_q,
+        MM_MJPEG_SQL,
+        "real Motion-JPEG decode: MJPG AVI walk -> per-frame T.81 entropy layer",
     )
 )

@@ -1479,6 +1479,54 @@ def test_avi_container_roundtrip_and_index_integrity():
         decode_avi_frames(bytes(bad))
 
 
+def test_mjpeg_avi_roundtrip_and_codec_boundaries():
+    import numpy as np
+    import pytest as _pytest
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        encode_jpeg_dc,
+        gradient_mjpeg_video,
+    )
+
+    # exact per-frame recovery through the real T.81 entropy layer
+    for did in (0, 5, 77):
+        _, payload = gradient_mjpeg_video(did)
+        frames = decode_avi_frames(payload)
+        w, h = 8 * (2 + did % 4), 8 * (1 + (did // 4) % 3)
+        assert len(frames) == 2 + did % 3
+        for f, px in enumerate(frames):
+            assert px.shape == (h, w, 3)
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    want = (did + 11 * bx + 17 * by + 7 * f) % 256
+                    assert (px[by * 8 : by * 8 + 8,
+                               bx * 8 : bx * 8 + 8, :] == want).all()
+
+    # an unknown compression fourcc must stay the honest boundary
+    _, payload = gradient_mjpeg_video(2)
+    bad = bytearray(payload)
+    i = payload.find(b"strf")
+    bad[i + 8 + 16 : i + 8 + 20] = b"H264"
+    with _pytest.raises(NotImplementedError, match="inter-frame"):
+        decode_avi_frames(bytes(bad))
+
+    # an MJPG stream whose embedded JPEG dims disagree with avih
+    # must raise, not return mis-sized frames
+    j = encode_jpeg_dc(np.full((8, 8), 42, dtype=np.uint8))
+    with _pytest.raises(ValueError, match="dims"):
+        decode_avi_frames(encode_avi_mjpeg([j], 16, 8))
+
+    # a desynced idx1 still raises on the 00dc path
+    _, payload = gradient_mjpeg_video(3)
+    bad = bytearray(payload)
+    i = payload.rfind(b"idx1")
+    bad[i + 8 + 12] ^= 0x01
+    with _pytest.raises(ValueError, match="idx1"):
+        decode_avi_frames(bytes(bad))
+
+
 def test_jpeg_420_upsample_alignment():
     import numpy as np
 
