@@ -1743,8 +1743,12 @@ def scc_part_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         strongly_connected_components_directed,
     )
 
+    # ~10k simple edges at sf0.1: the gate/bench scale rides the
+    # property-pinned local Tarjan (the distributed peel is pure
+    # stage-scheduling overhead down here, the CCF local_threshold
+    # economics); a corpus-scale edge set takes the distributed path
     return strongly_connected_components_directed(
-        _part_sequence_edges(spark, sf_dir)
+        _part_sequence_edges(spark, sf_dir), local_threshold=100_000
     )
 
 
@@ -1808,7 +1812,9 @@ def scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = _part_sequence_edges(spark, sf_dir)
-    mapping = strongly_connected_components_directed(edges)
+    mapping = strongly_connected_components_directed(
+        edges, local_threshold=100_000
+    )
     e = _directed_simple_edges(edges)
     return (
         e.join(
@@ -1868,7 +1874,9 @@ def scc_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = _part_sequence_edges(spark, sf_dir)
-    mapping = strongly_connected_components_directed(edges)
+    mapping = strongly_connected_components_directed(
+        edges, local_threshold=100_000
+    )
     e = _directed_simple_edges(edges)
     cond_edges = (
         e.join(

@@ -502,6 +502,60 @@ def test_scc_matches_python_oracle_random(spark):
         assert got == _py_scc(edge_list), f"seed={seed}"
 
 
+def test_scc_local_threshold_matches_distributed(spark):
+    """The driver-local Tarjan fast path is semantics-identical to the
+    distributed peel: same mapping against the python oracle on random
+    directed graphs, self-loop/duplicate intake included, and an
+    over-threshold graph falls through to the distributed loop."""
+    import random
+
+    from map_reduce_project_spark.graph.analytics import (
+        scc_fixed_point_local,
+        strongly_connected_components_directed,
+    )
+
+    for seed in (5, 23, 61):
+        rng = random.Random(seed)
+        n = 25
+        edge_list = list(
+            {
+                (str(rng.randrange(n)), str(rng.randrange(n)))
+                for _ in range(60)
+            }
+        )
+        want = _py_scc(edge_list)
+        # the raw local oracle (simple edges only — drop self-loops)
+        simple = [(s, d) for s, d in set(edge_list) if s != d]
+        assert scc_fixed_point_local(simple) == want, f"seed={seed}"
+        # the DataFrame wrapper through the threshold branch
+        edges = spark.createDataFrame(edge_list, "src string, dst string")
+        got = {
+            r["node"]: r["scc"]
+            for r in strongly_connected_components_directed(
+                edges, local_threshold=100_000
+            ).collect()
+        }
+        assert got == want, f"seed={seed}"
+        # a threshold below the edge count must take the distributed
+        # path and still agree
+        got_dist = {
+            r["node"]: r["scc"]
+            for r in strongly_connected_components_directed(
+                edges, local_threshold=1
+            ).collect()
+        }
+        assert got_dist == want, f"seed={seed}"
+
+    # self-loop-only graph: no simple edges -> typed empty mapping
+    only_loop = spark.createDataFrame(
+        [("x", "x")], "src string, dst string"
+    )
+    out = strongly_connected_components_directed(
+        only_loop, local_threshold=10
+    )
+    assert out.count() == 0 and out.columns == ["node", "scc"]
+
+
 def test_scc_condensation_is_dag(spark):
     # condensing SCCs must leave an acyclic graph: rerunning SCC on the
     # condensation yields only singletons
