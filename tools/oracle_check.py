@@ -4,10 +4,12 @@ Runs every registry query on Spark AND its oracle SQL on DuckDB over
 the same parquet tables, then compares row count, sorted column names,
 and an order-insensitive value hash. Usage:
 
-    python tools/oracle_check.py [--vanilla] [sf_dir] [query ...]
+    python tools/oracle_check.py [--vanilla] [--time] [sf_dir] [query ...]
 
 ``--vanilla`` builds a bare SparkSession (no get_spark configs) to
-reproduce the round driver's session seam.
+reproduce the round driver's session seam. ``--time`` appends the
+Spark-side wall seconds per query (plan + execute + toPandas) so a
+full-registry run doubles as a perf census.
 
 Canonicalization is PANDAS-BASED, byte-matching the driver's: the
 Spark result goes through ``toPandas()``, the DuckDB result through
@@ -64,6 +66,9 @@ def main() -> int:
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")
+    timing = "--time" in args
+    if timing:
+        args.remove("--time")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -96,7 +101,11 @@ def main() -> int:
             print(f"{name:35s} ROWS-ONLY  rows={n}")
             continue
         try:
+            import time as _time
+
+            _t0 = _time.monotonic()
             spdf = q.fn(spark, sf_dir).toPandas()
+            spark_sec = _time.monotonic() - _t0
             sc, sl = canon_pdf(spdf)
         except Exception as e:
             print(f"{name:35s} SPARK-ERROR {str(e).splitlines()[0][:160]}")
@@ -118,6 +127,7 @@ def main() -> int:
             f"{name:35s} {status:8s} rows={len(sl)}/{len(dl)} "
             f"cols={'=' if ok_cols else f'{sc} vs {dc}'} "
             f"hash={'=' if ok_hash else '!'}"
+            + (f" spark={spark_sec:7.2f}s" if timing else "")
         )
         if status != "OK":
             failures.append(name)
