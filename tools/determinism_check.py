@@ -57,13 +57,18 @@ PASS_CONFIGS = {
 }
 
 
-def run_pass(tag: str, sf_dir: str, only: set[str]) -> dict:
+def run_pass(
+    tag: str, sf_dir: str, only: set[str], registry: dict | None = None
+) -> dict:
     """One full registry evaluation under PASS_CONFIGS[tag].
 
     Builds a fresh SparkSession (stopping any active one so the config
     actually applies — getOrCreate reuses a live session's JVM config
     otherwise), runs every query, and returns {name: (cols, hash,
-    nrows)} with error strings for queries that raise.
+    nrows)} with error strings for queries that raise. ``registry``
+    overrides the package registry ({name: fn(spark, sf_dir) -> DF});
+    the tool's own tests plant deliberately partition-dependent
+    queries through it to prove the audit actually catches the class.
     """
     from pyspark.sql import SparkSession
 
@@ -80,14 +85,17 @@ def run_pass(tag: str, sf_dir: str, only: set[str]) -> dict:
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    from map_reduce_project_spark.queries import all_queries
+    if registry is None:
+        from map_reduce_project_spark.queries import all_queries
+
+        registry = {n: q.fn for n, q in all_queries().items()}
 
     out = {}
-    for name, q in sorted(all_queries().items()):
+    for name, fn in sorted(registry.items()):
         if only and name not in only:
             continue
         try:
-            pdf = q.fn(spark, sf_dir).toPandas()
+            pdf = fn(spark, sf_dir).toPandas()
             cols, lines = canon_pdf(pdf)
             out[name] = (tuple(cols), value_hash(lines), len(lines))
         except Exception as e:  # noqa: BLE001 - audit must not abort
