@@ -513,6 +513,17 @@ def arrow_brute_force_topk(
                 cand = np.nonzero(mask)[0]
                 if len(cand) == 0:
                     continue
+                if len(cand) > 4 * k:
+                    # O(n) argpartition prune before the O(m log m)
+                    # lexsort — at real batch sizes the full-batch
+                    # sort per query dominates the matmul. Tie-safe:
+                    # every row at or above the k-th cosine survives
+                    # into the exact (cosine desc, id asc) sort, so
+                    # boundary ties resolve identically to the
+                    # unpruned path.
+                    cc = cj[cand]
+                    kth = cc[np.argpartition(-cc, k - 1)[:k]].min()
+                    cand = cand[cc >= kth]
                 # batch-local top-k under (cosine desc, target_id asc):
                 # lexsort's last key is primary
                 order = cand[np.lexsort((ids[cand], -cj[cand]))][:k]
