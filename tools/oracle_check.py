@@ -92,9 +92,23 @@ def main() -> int:
         spark = get_spark("oracle-check")
     registry = all_queries()
     failures = []
+    n_run = 0
     for name, q in sorted(registry.items()):
         if only and name not in only:
             continue
+        # Iterative queries return caller-owned localCheckpoint blocks;
+        # in a one-session full-registry sweep those accumulate until
+        # Spark's ContextCleaner runs, and its periodicGC default is
+        # 30 MINUTES — a 1g vanilla driver heap OOMs at sf0.1 long
+        # before that. Collect python-side so the py4j proxies die,
+        # then ask the JVM to GC every few queries so the cleaner can
+        # actually free the orphaned blocks.
+        n_run += 1
+        if n_run % 5 == 0:
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
         if q.oracle is None:
             df = q.fn(spark, sf_dir)
             n = df.count()
