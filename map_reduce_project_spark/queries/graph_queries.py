@@ -608,7 +608,16 @@ def cc_link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    e = _part_supplier_edges(spark, sf_dir)
+    # the supplier self-join emits Σ deg(s)² pair rows (~350M at
+    # sf0.1) — every byte and hash of the key matters, so the ENTIRE
+    # hot path runs on raw int64 part/supplier keys; the 'p:' display
+    # prefix is applied to the five final rows per part only. Pair
+    # orientation and the top-5 tiebreak are NUMERIC part order
+    # (matching oracle), not lexicographic over the prefixed strings.
+    li = read_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).dropDuplicates()
     # promiscuous-hub cap: suppliers above the degree cap are dropped
     # BEFORE the self-join (their pairs are the deg² blowup and carry
     # no signal — every part co-occurs with everything through them).
@@ -616,13 +625,13 @@ def cc_link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncapped one; the oracle applies the same filter.
     hub_cap = 10_000
     ok = (
-        e.groupBy("dst").agg(F.count("*").alias("_d"))
+        e.groupBy("s").agg(F.count("*").alias("_d"))
         .where(F.col("_d") <= hub_cap)
-        .select("dst")
+        .select("s")
     )
-    e = e.join(ok, "dst", "left_semi")
-    a = e.selectExpr("dst as s", "src as p1")
-    b = e.selectExpr("dst as s", "src as p2")
+    e = e.join(ok, "s", "left_semi")
+    a = e.selectExpr("s", "p as p1")
+    b = e.selectExpr("s", "p as p2")
     cn = (
         a.join(b, "s")
         .where(F.col("p1") < F.col("p2"))
@@ -630,9 +639,9 @@ def cc_link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cn"))
         .where(F.col("cn") >= 2)
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    d1 = deg.selectExpr("src as p1", "deg as deg1")
-    d2 = deg.selectExpr("src as p2", "deg as deg2")
+    deg = e.groupBy("p").agg(F.count("*").alias("deg"))
+    d1 = deg.selectExpr("p as p1", "deg as deg1")
+    d2 = deg.selectExpr("p as p2", "deg as deg2")
     w = Window.partitionBy("p1").orderBy(F.col("cn").desc(), "p2")
     return (
         cn.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -640,8 +649,8 @@ def cc_link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d1, "p1")
         .join(d2, "p2")
         .select(
-            "p1",
-            "p2",
+            F.concat(F.lit("p:"), F.col("p1")).alias("p1"),
+            F.concat(F.lit("p:"), F.col("p2")).alias("p2"),
             "rank",
             F.col("cn").cast("long").alias("cn"),
             F.col("deg1").cast("long").alias("deg1"),
@@ -656,7 +665,7 @@ def cc_link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LINKPRED_SQL = """
 WITH e0 AS (
-  SELECT DISTINCT 'p:' || l_partkey AS p, 's:' || l_suppkey AS s
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
   FROM lineitem
 ),
 ok AS (SELECT s FROM e0 GROUP BY s HAVING COUNT(*) <= 10000),
@@ -674,7 +683,7 @@ topk AS (
   FROM cn
 ),
 deg AS (SELECT p, COUNT(*) AS deg FROM e GROUP BY p)
-SELECT p1, p2, rank, CAST(cn AS BIGINT) AS cn,
+SELECT 'p:' || p1 AS p1, 'p:' || p2 AS p2, rank, CAST(cn AS BIGINT) AS cn,
        CAST(d1.deg AS BIGINT) AS deg1, CAST(d2.deg AS BIGINT) AS deg2,
        CAST(cn AS DOUBLE) / CAST(d1.deg + d2.deg - cn AS DOUBLE) AS jaccard
 FROM topk
