@@ -411,3 +411,90 @@ FROM t
 """
         s, d = _both(spark, duck, pdf, spark_sql, duck_sql)
         assert s == d, f"seed={seed}"
+
+
+def test_regexp_engine_parity_and_divergence_pins(spark, duck):
+    # Spark compiles java.util.regex; DuckDB compiles RE2. The safe
+    # shared subset — literals, \d/\w/\s classes, bracket classes,
+    # greedy/lazy quantifiers, alternation, anchors, \b — agrees
+    # (fuzzed below, including empty-match counting which both
+    # engines advance identically). Outside it: lookahead and
+    # backreferences FAIL LOUDLY on DuckDB (parse error), but POSIX
+    # bracket names ([[:digit:]]) diverge SILENTLY (Java reads the
+    # chars literally -> 0 matches where RE2 matches digits), so no
+    # gated oracle may use any of the three.
+    import duckdb as _duckdb
+
+    assert spark.sql(
+        "select regexp_count('foobar', 'foo(?=bar)')"
+    ).collect()[0][0] == 1
+    assert spark.sql(
+        "select regexp_count('aa', '(a)\\\\1')"
+    ).collect()[0][0] == 1
+    for bad in (r"foo(?=bar)", r"(a)\1"):
+        with pytest.raises(_duckdb.Error):
+            duck.execute(
+                f"select regexp_extract_all('x', '{bad}')"
+            ).fetchall()
+    # the silent ones: POSIX bracket names, and \b combined with an
+    # EMPTY-MATCHABLE pattern (both engines allow zero-width matches
+    # at word boundaries but enumerate them differently — found by
+    # this test's own fuzz before the generator excluded the combo)
+    assert spark.sql(
+        "select regexp_count('a1', '[[:digit:]]')"
+    ).collect()[0][0] == 0
+    assert duck.execute(
+        "select LEN(regexp_extract_all('a1', '[[:digit:]]'))"
+    ).fetchone()[0] == 1
+    assert spark.sql(
+        r"select regexp_count('xcaa.2 aab', '\\b1*')"
+    ).collect()[0][0] == 6
+    assert duck.execute(
+        r"select LEN(regexp_extract_all('xcaa.2 aab', '\b1*'))"
+    ).fetchone()[0] == 8
+
+    # fuzz the shared subset: random patterns over random subject
+    # strings; parity on count, first-group extract, and match flag
+    atoms = ["a", "b", "c", "1", r"\d", r"\w", r"\s", "[ab]", "[a-c1]", "."]
+    quants = ["", "", "?", "*", "+", "{1,2}", "*?", "+?"]
+    for seed in (11, 59, 83):
+        rng = random.Random(seed)
+        pats = []
+        while len(pats) < 25:
+            n = rng.randrange(1, 4)
+            parts = [
+                (rng.choice(atoms), rng.choice(quants)) for _ in range(n)
+            ]
+            pat = "".join(a + q for a, q in parts)
+            if rng.random() < 0.3:
+                pat = pat + "|" + rng.choice(atoms)
+            # \b only guards a non-empty-matchable head: zero-width
+            # matches AT boundaries enumerate differently (pinned
+            # divergent above)
+            if rng.random() < 0.2 and parts[0][1] in ("", "+", "{1,2}", "+?"):
+                pat = r"\b" + pat
+            pats.append(pat)
+        subjects = [
+            "".join(rng.choice("abc1 23.x") for _ in range(rng.randrange(0, 14)))
+            for _ in range(40)
+        ]
+        pdf = pd.DataFrame(
+            [(i, s, p) for i, s in enumerate(subjects) for p in pats],
+            columns=["id", "s", "p"],
+        )
+        # one (subject, pattern) row per comparison; patterns ride a
+        # column so one SQL text covers the whole grid
+        sql = r"""
+SELECT id, p,
+  CAST(regexp_count(s, p) AS BIGINT) AS n,
+  regexp_extract(s, '(' || p || ')', 1) AS g1
+FROM t
+"""
+        duck_sql = r"""
+SELECT id, p,
+  CAST(LEN(regexp_extract_all(s, p)) AS BIGINT) AS n,
+  COALESCE(regexp_extract(s, '(' || p || ')', 1), '') AS g1
+FROM t
+"""
+        s_rows, d_rows = _both(spark, duck, pdf, sql, duck_sql)
+        assert s_rows == d_rows, f"seed={seed}"
