@@ -1985,3 +1985,47 @@ def test_flac_lpc_multipartition_roundtrip():
         k_per_part=[("esc", 7), 5, ("esc", 7), 5], part_order=2,
     )
     assert np.array_equal(decode_flac_constant(b), np.array(samp))
+
+
+def test_mjpeg_random_roundtrip_property():
+    """Randomized MJPEG AVI roundtrip: arbitrary block-constant gray
+    values (the full 0..255 DC range — every Huffman DC size category
+    0..8 and both EXTEND sign branches), random dims and frame counts.
+    The fixed-id fixture tests can only reach the DC diffs the
+    gradient formula produces; this drives the whole diff range,
+    including the maximum-magnitude first-block diff (value-128)."""
+    import random
+
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        encode_jpeg_dc,
+    )
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        bw = rng.randrange(1, 6)  # blocks wide
+        bh = rng.randrange(1, 4)  # blocks high
+        n_frames = rng.randrange(1, 5)
+        w, h = 8 * bw, 8 * bh
+        vals = [
+            [[rng.randrange(256) for _ in range(bw)] for _ in range(bh)]
+            for _ in range(n_frames)
+        ]
+        jpegs = []
+        for fv in vals:
+            gray = np.empty((h, w), dtype=np.uint8)
+            for by in range(bh):
+                for bx in range(bw):
+                    gray[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = fv[by][bx]
+            jpegs.append(encode_jpeg_dc(gray))
+        frames = decode_avi_frames(encode_avi_mjpeg(jpegs, w, h))
+        assert len(frames) == n_frames
+        for fv, px in zip(vals, frames):
+            assert px.shape == (h, w, 3)
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :]
+                    assert (blk == fv[by][bx]).all(), (seed, by, bx)
