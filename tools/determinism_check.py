@@ -40,8 +40,12 @@ from tools.oracle_check import canon_pdf, value_hash  # noqa: E402
 
 
 PASS_CONFIGS = {
+    # driver memory is NOT a determinism axis — both passes get the
+    # same adequate heap (the 1g default OOMs on the heavier queries
+    # at sf0.1); everything that shapes the physical plan differs.
     "A": {
         "master": "local[8]",
+        "spark.driver.memory": "6g",
         "spark.sql.shuffle.partitions": "8",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.files.maxPartitionBytes": "134217728",
@@ -49,6 +53,7 @@ PASS_CONFIGS = {
     },
     "B": {
         "master": "local[3]",
+        "spark.driver.memory": "6g",
         "spark.sql.shuffle.partitions": "7",
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.files.maxPartitionBytes": "1048576",
