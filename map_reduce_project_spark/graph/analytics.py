@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .ccf import _undirected
 
@@ -1164,8 +1165,19 @@ def strongly_connected_components_directed(
         if len(rows) <= local_threshold:
             mapping = scc_fixed_point_local(rows)
             if not mapping:
+                # empty-result schema derives from the edge key type
+                # (like the distributed peel's), not a hardcoded
+                # string — an int-keyed graph of pure self-loops must
+                # not flip column types between the two paths
+                key_t = simple.schema["src"].dataType
                 return spark.createDataFrame(
-                    [], "node string, scc string"
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField("node", key_t),
+                            T.StructField("scc", key_t),
+                        ]
+                    ),
                 )
             import pandas as pd
 
@@ -1266,7 +1278,17 @@ def strongly_connected_components_directed(
                 "case is a long chain of SCCs)"
             )
     if not pieces:
-        return spark.createDataFrame([], "node string, scc string")
+        # key-typed empty schema, matching the local fast path
+        key_t = cur.schema["src"].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("node", key_t),
+                    T.StructField("scc", key_t),
+                ]
+            ),
+        )
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionAll(p)

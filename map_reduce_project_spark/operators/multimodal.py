@@ -2370,9 +2370,15 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
         len(frames), 0, 1, 0,
         w, h, 0, 0, 0, 0,
     )
+    # canonical 56-byte AVISTREAMHEADER: fccType fccHandler dwFlags
+    # wPriority wLanguage dwInitialFrames dwScale dwRate dwStart
+    # dwLength dwSuggestedBufferSize dwQuality dwSampleSize rcFrame
+    # (RECT of four WORDs: left top right bottom)
     strh = (
-        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
-                                        0, len(frames), 0, 0, 0, 0)
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps,
+            0, len(frames), 0, 0, 0, 0, 0, w, h,
+        )
     )
     strf = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
@@ -2537,9 +2543,13 @@ def encode_avi_mjpeg(
         len(jpegs), 0, 1, 0,
         w, h, 0, 0, 0, 0,
     )
+    # canonical 56-byte AVISTREAMHEADER incl. the trailing rcFrame
+    # RECT (four WORDs) — see encode_avi
     strh = (
-        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
-                                        0, len(jpegs), 0, 0, 0, 0)
+        b"vids" + b"MJPG" + struct.pack(
+            "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps,
+            0, len(jpegs), 0, 0, 0, 0, 0, w, h,
+        )
     )
     strf = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, _MJPG_FOURCC,

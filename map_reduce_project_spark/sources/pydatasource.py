@@ -110,13 +110,42 @@ class _TelemetryStreamReader(DataSourceStreamReader):
     ``n_rows``), and each batch's range is split into
     ``n_partitions`` task-side reads — the partition-planned
     streaming contract (not the Simple API, which reads on the
-    driver; partition-planned is the one that scales)."""
+    driver; partition-planned is the one that scales).
+
+    OFFSET RECOVERY. Spark's Python stream-reader protocol
+    (``python_streaming_source_runner.py``: func ids 884-887) never
+    hands the checkpointed offset back to a re-instantiated reader
+    before the first ``latestOffset()`` call — only ``partitions()``
+    and ``commit()`` ever see it, and only ``initialOffset()`` runs
+    when there is NO checkpoint. After a CLEAN stop (every batch
+    committed) a restarted reader therefore cannot know the committed
+    floor in time, and a naive counter would emit a regressed offset
+    that Spark records, re-delivering rows on the next restart. Two
+    supported modes:
+
+    - ``progress_path`` option set: ``commit()`` atomically persists
+      the committed floor to that file and ``__init__`` re-reads it,
+      so ``latestOffset()`` is monotone across restarts (the same
+      pattern real connectors use — track delivery state in the
+      external system, not the Spark checkpoint). This is the mode to
+      use when a query may be stopped and resumed on one checkpoint.
+    - unset: offsets are monotone within one reader lifetime (floors
+      adopted from ``partitions()``/``commit()``), and a restart
+      after a clean stop REQUIRES a fresh checkpoint directory —
+      documented contract, enforced by nothing Spark exposes."""
 
     def __init__(self, options: dict) -> None:
         self.n_rows = int(options.get("n_rows", 1000))
         self.rows_per_batch = int(options.get("rows_per_batch", 250))
         self.n_partitions = int(options.get("n_partitions", 4))
+        self.progress_path = options.get("progress_path")
         self.pos = 0
+        if self.progress_path:
+            try:
+                with open(self.progress_path) as f:
+                    self.pos = max(self.pos, int(f.read().strip() or 0))
+            except FileNotFoundError:
+                pass
 
     def initialOffset(self) -> dict:
         return {"pos": 0}
@@ -149,6 +178,15 @@ class _TelemetryStreamReader(DataSourceStreamReader):
         # same adoption on the commit path: a committed offset is a
         # floor for every future latestOffset
         self.pos = max(self.pos, int(end["pos"]))
+        if self.progress_path:
+            # write-then-rename so a crash mid-write never truncates
+            # the floor; the floor only ever rises
+            import os
+
+            tmp = self.progress_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(self.pos))
+            os.replace(tmp, self.progress_path)
 
 
 class _JsonlCommitMessage(WriterCommitMessage):

@@ -723,3 +723,24 @@ def test_msf_matches_kruskal_random(spark):
             for _ in range(60)
         ]
         assert _run_msf(spark, edge_list) == _py_kruskal(edge_list), seed
+
+
+def test_scc_empty_result_schema_matches_key_type(spark):
+    # an int-keyed graph with only self-loops yields an EMPTY mapping;
+    # both the local-Tarjan fast path and the distributed peel must
+    # type the empty (node, scc) columns as the edge key type, not
+    # hardcoded strings (advice r5: schema divergence forced casts in
+    # scc_condensation/scc_topo_levels downstream joins)
+    from map_reduce_project_spark.graph.analytics import (
+        strongly_connected_components_directed,
+    )
+
+    edges = spark.createDataFrame([(7, 7), (9, 9)], "src long, dst long")
+    local = strongly_connected_components_directed(
+        edges, local_threshold=100
+    )
+    dist = strongly_connected_components_directed(edges)
+    for df in (local, dist):
+        assert df.count() == 0
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        assert types == {"node": "bigint", "scc": "bigint"}, types

@@ -131,3 +131,60 @@ def test_writer_respects_dataframe_column_order_and_overwrite(spark, tmp_path):
         "overwrite"
     ).save()
     assert spark.read.schema(SCHEMA_DDL).json(f"{out}/*.jsonl").count() == 20
+
+
+def test_stream_reader_progress_path_survives_clean_restart(tmp_path):
+    # A re-instantiated reader (clean stop: every batch committed, so
+    # Spark replays nothing) must not emit a latestOffset behind the
+    # committed floor. With progress_path set, commit() persists the
+    # floor and __init__ re-reads it; without it, the documented
+    # contract is fresh-checkpoint-on-restart.
+    from map_reduce_project_spark.sources.pydatasource import (
+        _TelemetryStreamReader,
+    )
+
+    prog = str(tmp_path / "floor.txt")
+    opts = {
+        "n_rows": "1000",
+        "rows_per_batch": "250",
+        "progress_path": prog,
+    }
+    r1 = _TelemetryStreamReader(opts)
+    assert r1.initialOffset() == {"pos": 0}
+    # run three committed batches: 0->250->500->750
+    for _ in range(3):
+        end = r1.latestOffset()
+        r1.commit(end)
+    assert end == {"pos": 750}
+
+    # clean restart: fresh instance, first call is latestOffset()
+    r2 = _TelemetryStreamReader(opts)
+    nxt = r2.latestOffset()
+    assert nxt["pos"] == 1000  # floor 750 adopted, advanced by batch
+    parts = r2.partitions({"pos": 750}, nxt)
+    rows = [row for p in parts for row in r2.read(p)]
+    assert [row[0] for row in rows] == list(range(750, 1000))
+
+    # without progress_path the fresh instance regresses (documented);
+    # the floor logic still keeps offsets monotone WITHIN a lifetime
+    r3 = _TelemetryStreamReader({"n_rows": "1000", "rows_per_batch": "250"})
+    assert r3.latestOffset()["pos"] == 250
+    r3.partitions({"pos": 750}, {"pos": 750})  # checkpoint adoption
+    assert r3.latestOffset()["pos"] == 1000
+
+
+def test_stream_reader_progress_write_is_atomic_and_monotone(tmp_path):
+    from map_reduce_project_spark.sources.pydatasource import (
+        _TelemetryStreamReader,
+    )
+
+    prog = str(tmp_path / "floor.txt")
+    opts = {"n_rows": "100", "rows_per_batch": "40", "progress_path": prog}
+    r = _TelemetryStreamReader(opts)
+    r.commit({"pos": 80})
+    r.commit({"pos": 40})  # stale/duplicate commit: floor only rises
+    with open(prog) as f:
+        assert int(f.read()) == 80
+    import os
+
+    assert not os.path.exists(prog + ".tmp")
