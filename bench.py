@@ -23,8 +23,20 @@ Three query families:
   count grows with log diameter). SINGLE draw, not min-of-2: at
   60-140 s a draw, GC/JIT phase noise is proportionally small and a
   second draw would double bench wall time for <5% precision.
+- ``dedup_minhash_df_{500k,5m}`` depth probes: the LLM-pipeline
+  flagship (MinHash -> LSH banding -> exact-Jaccard verify) over a
+  DISTRIBUTIVELY synthesized corpus (spark.range + xxhash64 token
+  expressions, no driver-side rows) with a planted 10% near-duplicate
+  rate (1 of 10 shingles perturbed -> true jaccard 9/11, banding
+  recall 1-(1-(9/11)^4)^8 ~ 99.2%). Each run asserts recall >= 0.985
+  AND that every verified pair is a planted one (zero false
+  positives) — candidate volume stays O(corpus), never O(corpus^2).
+  The 500k/5m pair is the linear-scaling evidence for dedup, same
+  lens as the CC depth probes. 5m is a single draw (see above).
 - engine headliners at $SPARK_GRAFT_SF_DIR (default sf0.1): scan-heavy
   agg, multi-join, window, CCF flagship, dedup/ANN/text/session ops.
+  Headliners run BEFORE the 5M depth probes so their min-of-2 is not
+  measured in the probes' GC shadow (round-5 drift lesson).
 
 METHODOLOGY (uniform for every line): each timed line is the MIN of 2
 consecutive runs. On a shared 32-thread JVM a single draw swings with
@@ -165,6 +177,12 @@ def main() -> None:
 
     timings["ccf_skew_df_500k"] = min_of_runs(run_skew)
 
+    # headliners FIRST: min-of-2 steady-state numbers must not be
+    # taken in the GC shadow of the ~200 s of depth probes below
+    for name in HEADLINERS:
+        fn = registry[name].fn
+        timings[name] = min_of_runs(lambda fn=fn: fn(spark, SF_DIR).count())
+
     # depth probes: 5M edges through reliable checkpointing (see
     # module doc). Disk must stay one generation wide — the invariant
     # that keeps a multi-hour 100 TB run from filling the checkpoint
@@ -209,9 +227,64 @@ def main() -> None:
     )
     timings["ccf_skew_df_5m_reliable"] = round(time.perf_counter() - t, 3)
 
-    for name in HEADLINERS:
-        fn = registry[name].fn
-        timings[name] = min_of_runs(lambda fn=fn: fn(spark, SF_DIR).count())
+    # LLM-pipeline depth probes: MinHash -> LSH -> verify at 500k and
+    # 5M docs (see module doc for corpus construction + invariants)
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    def synth_dedup_corpus(n_docs: int):
+        """12-token docs from pure column expressions; every
+        id % 10 == 9 doc is a near-dup of id-1 (last token perturbed
+        -> 1 of 10 token-3-gram shingles differs, jaccard = 9/11)."""
+        ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+        is_var = (F.col("doc_id") % 10) == 9
+        gid = F.when(is_var, F.col("doc_id") - 1).otherwise(
+            F.col("doc_id")
+        )
+        toks = [
+            F.conv(F.hex(F.abs(F.xxhash64(F.lit(j), gid))), 16, 36)
+            for j in range(11)
+        ]
+        last = F.conv(
+            F.hex(F.abs(F.xxhash64(F.lit(11), gid, is_var.cast("int")))),
+            16,
+            36,
+        )
+        return ids.select(
+            "doc_id", F.concat_ws(" ", *toks, last).alias("text")
+        )
+
+    def run_dedup(n_docs: int) -> None:
+        docs = synth_dedup_corpus(n_docs)
+        sigs = minhash_signatures(docs, num_hashes=32)
+        cands = lsh_candidate_pairs(
+            lsh_buckets(sigs, num_hashes=32, bands=8)
+        )
+        ver = jaccard_verify(docs, cands, threshold=0.5)
+        row = ver.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("id_b") == F.col("id_a") + 1).cast("long")
+            ).alias("adj"),
+        ).collect()[0]
+        planted = n_docs // 10
+        # banding recall floor (theory 99.2%) and ZERO false positives:
+        # every verified pair is a planted adjacent pair
+        assert row["n"] >= 0.985 * planted, (row["n"], planted)
+        assert row["adj"] == row["n"], (row["adj"], row["n"])
+
+    timings["dedup_minhash_df_500k"] = min_of_runs(
+        lambda: run_dedup(500_000)
+    )
+    t = time.perf_counter()
+    run_dedup(5_000_000)
+    timings["dedup_minhash_df_5m"] = round(time.perf_counter() - t, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -219,11 +292,13 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    "end-to-end wall seconds (each line min-of-2): 3 "
-                    "reference CCF benchmark configs + distributed "
-                    "500k-edge CC (uniform + hub-skewed) + 5M-edge "
-                    "reliable-checkpoint depth probes + 13 engine "
-                    "headline queries"
+                    "end-to-end wall seconds (each line min-of-2; 5M "
+                    "depth probes single-draw): 3 reference CCF "
+                    "benchmark configs + distributed 500k-edge CC "
+                    "(uniform + hub-skewed) + 13 engine headline "
+                    "queries + 5M-edge reliable-checkpoint CC depth "
+                    "probes + 500k/5M-doc MinHash-LSH-verify dedup "
+                    "depth probes"
                 ),
                 "value": total,
                 "unit": "sec",

@@ -542,13 +542,125 @@ def per_seed_bfs(
 ) -> DataFrame:
     """Per-seed BFS: exact hop distance from EACH seed separately —
     (seed, node, hop) for every (seed, node) pair reached. The
-    simultaneous formulation runs ALL seeds in one frontier loop (the
-    frontier is keyed on (seed, node)), so k sources cost one pass
-    over the edges per hop level, not k sequential traversals — the
-    multi-source pattern behind closeness/harmonic centrality probes
-    at cluster scale. Same O9 checkpoint discipline as every loop
-    here.
+    simultaneous formulation runs ALL seeds in one frontier loop, so
+    k sources cost one pass over the edges per hop level, not k
+    sequential traversals — the multi-source pattern behind
+    closeness/harmonic centrality probes at cluster scale. Same O9
+    checkpoint discipline as every loop here.
+
+    SEED BATCHING: for k <= 62 seeds (the common probe-set case) the
+    frontier is ONE row per node carrying an int64 bitmask of the
+    seeds that first reached it, so each level's adjacency join and
+    shuffle move |frontier nodes| rows instead of |frontier (seed,
+    node) pairs| — on a 40-seed probe that is ~40x less join volume
+    per level. Per level: one edges-join + bit_or gather, one
+    bitwise-mask anti-visit, one visited bit_or merge. The (seed,
+    node, hop) rows are reconstructed ONCE at the end by exploding
+    set bits (output-sized work) and mapping bit index back to the
+    seed value through a broadcast of the tiny seed table — output is
+    row-identical to the per-pair formulation (property-pinned).
+    Above 62 seeds the per-pair path (``_per_seed_bfs_rows``) takes
+    over unchanged.
     """
+    seed_rows = seeds.select(F.col("node").alias("seed")).distinct()
+    k = seed_rows.count()
+    # the batch pays one extra shuffle per level (the visited-mask
+    # bit_or merge) to divide join volume by k — below ~3 seeds that
+    # trade loses (measured: single-seed diameter probes regressed
+    # 27 -> 32 s at sf0.1 on the batch), above it wins by ~k
+    if k < 3 or k > 62:
+        return _per_seed_bfs_rows(edges, seeds, max_hops)
+
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
+    und = canonical_undirected(edges).withColumnRenamed("src", "node")
+    seed_idx = _seed_bit_index(seed_rows)
+    cycler = CheckpointCycler(edges.sparkSession)
+    levels = _bfs_mask_levels(und, seed_idx, max_hops, cycler)
+    reached = levels[0].withColumn("hop", F.lit(0))
+    for h, lv in enumerate(levels[1:], start=1):
+        reached = reached.unionAll(lv.withColumn("hop", F.lit(h)))
+    set_bits = F.expr(
+        f"filter(sequence(0, {k - 1}), "
+        "i -> (shiftright(mask, i) & 1) = 1)"
+    )
+    return (
+        reached.select("node", "hop", F.explode(set_bits).alias("idx"))
+        .join(F.broadcast(seed_idx), "idx")
+        .select("seed", "node", "hop")
+    )
+
+
+def _seed_bit_index(seed_rows: DataFrame) -> DataFrame:
+    """(seed, idx): deterministic bit assignment — seeds in sort
+    order get bits 0..k-1. Eagerly checkpointed (tiny; joined back
+    to every batched result)."""
+    from pyspark.sql.window import Window
+
+    return seed_rows.select(
+        "seed",
+        (F.row_number().over(Window.orderBy("seed")) - 1).alias("idx"),
+    ).localCheckpoint(eager=True)
+
+
+def _bfs_mask_levels(
+    und: DataFrame,
+    seed_idx: DataFrame,
+    max_hops: int,
+    cycler,
+) -> list[DataFrame]:
+    """Bitmask-batched BFS core: returns one (node, mask) DataFrame
+    per hop level (list index = hop; every one eagerly checkpointed
+    and RESULT-owned — the cycler only ever claims the merged
+    visited-mask scratch). ``mask`` bit i set means seed ``idx = i``
+    FIRST reached ``node`` at exactly that level."""
+    frontier = seed_idx.select(
+        F.col("seed").alias("node"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), idx)").alias("mask"),
+    ).localCheckpoint(eager=True)
+    visited = frontier.withColumnRenamed("mask", "vmask")
+    levels = [frontier]
+    for _h in range(1, max_hops + 1):
+        cand = (
+            und.join(frontier, "node")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.bit_or("mask").alias("cmask"))
+        )
+        frontier = (
+            cand.join(visited, "node", "left")
+            .select(
+                "node",
+                F.col("cmask")
+                .bitwiseAND(
+                    F.bitwise_not(
+                        F.coalesce(F.col("vmask"), F.lit(0).cast("long"))
+                    )
+                )
+                .alias("mask"),
+            )
+            .where(F.col("mask") != 0)
+        ).localCheckpoint(eager=True)
+        if not frontier.take(1):
+            break
+        levels.append(frontier)
+        visited = (
+            visited.unionAll(frontier.withColumnRenamed("mask", "vmask"))
+            .groupBy("node")
+            .agg(F.bit_or("vmask").alias("vmask"))
+        ).localCheckpoint(eager=True)
+        # every level's mask DataFrame is part of the RESULT — only
+        # the merged visited mask is loop-scratch the cycler may free
+        cycler.cycle(visited)
+    return levels
+
+
+def _per_seed_bfs_rows(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 10
+) -> DataFrame:
+    """(seed, node)-keyed simultaneous BFS — the general-k path (and
+    the property-pin oracle for the bitmask batch above)."""
     from map_reduce_project_spark.graph.checkpointing import (
         CheckpointCycler,
     )
@@ -866,8 +978,101 @@ def shortest_path_counts(
     callers pick max_hops so the product stays far inside int64 (the
     gate fixture's worst count is ~1e6 at 4 hops).
 
+    SEED BATCHING: for 3 <= k <= 62 seeds the whole DP runs with ONE
+    row per node per level carrying an int64 ARRAY of the k per-seed
+    path counts — each level is one adjacency join on |frontier
+    nodes| rows (not |(seed, node)| pairs), k partial-aggregating
+    element sums, and a bitmask filter against the BFS level masks
+    (``_bfs_mask_levels``): count element i survives at node v, level
+    t iff seed i FIRST reached v at t — exactly the strictly-forward
+    flow constraint of the per-pair formulation (property-pinned row
+    equality in tests). (seed, node, hop, n_paths) rows are
+    reconstructed once at the end by posexploding the arrays
+    (output-sized). Outside that k range the per-pair path
+    (``_shortest_path_counts_rows``) runs unchanged.
+
     Returns (seed, node, hop, n_paths) for reached nodes, seed rows
     included (hop 0, 1 path)."""
+    seed_rows = seeds.select(F.col("node").alias("seed")).distinct()
+    k = seed_rows.count()
+    if k < 3 or k > 62:
+        return _shortest_path_counts_rows(edges, seeds, max_hops)
+
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
+    und = (
+        canonical_undirected(edges)
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+    seed_idx = _seed_bit_index(seed_rows)
+    mask_cycler = CheckpointCycler(edges.sparkSession)
+    masks = _bfs_mask_levels(und, seed_idx, max_hops, mask_cycler)
+
+    # counts_0: the seed's own element is 1 (one zero-length path)
+    cnt = seed_idx.select(
+        F.col("seed").alias("node"),
+        F.expr(
+            f"transform(sequence(0, {k - 1}), "
+            "i -> CAST(IF(i = idx, 1, 0) AS BIGINT))"
+        ).alias("cnt"),
+    ).localCheckpoint(eager=True)
+    per_level = [cnt]
+    cycler = CheckpointCycler(edges.sparkSession)
+    for t in range(1, len(masks)):
+        gathered = (
+            und.join(cnt, "node")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                *[
+                    F.sum(F.element_at("cnt", i + 1)).alias(f"c{i}")
+                    for i in range(k)
+                ]
+            )
+            .select(
+                "node",
+                F.array(*[f"c{i}" for i in range(k)]).alias("cnt"),
+            )
+        )
+        cnt = (
+            gathered.join(masks[t], "node")
+            .select(
+                "node",
+                F.expr(
+                    f"transform(sequence(0, {k - 1}), "
+                    "i -> IF((shiftright(mask, i) & 1) = 1, "
+                    "element_at(cnt, i + 1), CAST(0 AS BIGINT)))"
+                ).alias("cnt"),
+            )
+        ).localCheckpoint(eager=True)
+        if not cnt.take(1):
+            break
+        per_level.append(cnt)
+        # per-level count tables are RESULT pieces; nothing to cycle
+        # (the masks are owned by mask_cycler and stay live)
+    out = None
+    for t, lvl in enumerate(per_level):
+        rows = (
+            lvl.select(
+                "node", F.posexplode("cnt").alias("idx", "n_paths")
+            )
+            .where(F.col("n_paths") > 0)
+            .withColumn("hop", F.lit(t).cast("long"))
+        )
+        out = rows if out is None else out.unionAll(rows)
+    return (
+        out.join(F.broadcast(seed_idx), "idx")
+        .select("seed", "node", "hop", F.col("n_paths").cast("long").alias("n_paths"))
+    )
+
+
+def _shortest_path_counts_rows(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """(seed, node)-keyed sigma DP — the general-k path (and the
+    property-pin oracle for the array batch above)."""
     from map_reduce_project_spark.graph.checkpointing import (
         CheckpointCycler,
     )

@@ -624,17 +624,40 @@ def cc_link_prediction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10k never triggers at gate scale, so the gated result is the
     # uncapped one; the oracle applies the same filter.
     hub_cap = 10_000
-    ok = (
-        e.groupBy("s").agg(F.count("*").alias("_d"))
-        .where(F.col("_d") <= hub_cap)
-        .select("s")
-    )
+    degs = e.groupBy("s").agg(F.count("*").alias("_d"))
+    ok = degs.where(F.col("_d") <= hub_cap).select("s")
     e = e.join(ok, "s", "left_semi")
+    # volume-adaptive shuffle sizing: the self-join emits exactly
+    # Σ C(deg_s, 2) ordered pair rows — measure it with one tiny agg
+    # and size BOTH the join and the pair-count exchanges to ~2M rows
+    # per partition. At sf0.1 that is ~350M pairs -> ~176 partitions;
+    # at the default 8-partition vanilla session each partition would
+    # hold 44M pair rows and the pair-count hash agg OOMs a 1 GB
+    # local heap. Explicit repartition(n, keys) is AQE-stable (AQE
+    # never coalesces a user-numbered exchange), so the same plan is
+    # what a 1000-executor run wants: partitions bounded by ROWS, not
+    # by executor count.
+    pair_vol = (
+        degs.where(F.col("_d") <= hub_cap)
+        .agg(
+            F.sum(
+                (F.col("_d") * (F.col("_d") - 1) / 2).cast("long")
+            ).alias("v")
+        )
+        .collect()[0]["v"]
+        or 0
+    )
+    n_shuf = max(
+        spark.sparkContext.defaultParallelism,
+        min(4096, int(pair_vol // 2_000_000) + 1),
+    )
+    e = e.repartition(n_shuf, "s")
     a = e.selectExpr("s", "p as p1")
     b = e.selectExpr("s", "p as p2")
     cn = (
         a.join(b, "s")
         .where(F.col("p1") < F.col("p2"))
+        .repartition(n_shuf, "p1", "p2")
         .groupBy("p1", "p2")
         .agg(F.count("*").alias("cn"))
         .where(F.col("cn") >= 2)

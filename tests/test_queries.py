@@ -191,3 +191,98 @@ def test_dynamic_session_gap_matches_interval_merge(spark):
                     n += 1
             want.add((u, cur_s, cur_e, n))
         assert got == want, f"seed={seed}"
+
+
+def test_per_seed_bfs_bitmask_matches_rows_path(spark):
+    # the k<=62 bitmask batch must be ROW-IDENTICAL to the
+    # (seed, node)-keyed formulation on random graphs, string and
+    # int keys, including isolated seeds and unreached components
+    import random
+
+    from map_reduce_project_spark.graph.analytics import (
+        _per_seed_bfs_rows,
+        per_seed_bfs,
+    )
+
+    for seed, keyfmt in ((3, str), (17, int)):
+        rng = random.Random(seed)
+        n = 60
+        edge_list = list(
+            {
+                (keyfmt(rng.randrange(n)), keyfmt(rng.randrange(n)))
+                for _ in range(90)
+            }
+        )
+        schema = (
+            "src string, dst string" if keyfmt is str
+            else "src long, dst long"
+        )
+        edges = spark.createDataFrame(edge_list, schema)
+        seed_vals = [keyfmt(v) for v in (0, 7, 23, 59, n - 1)]
+        seeds = spark.createDataFrame(
+            [(v,) for v in set(seed_vals)],
+            "node string" if keyfmt is str else "node long",
+        )
+        got = {
+            (r.seed, r.node, r.hop)
+            for r in per_seed_bfs(edges, seeds, max_hops=6).collect()
+        }
+        want = {
+            (r.seed, r.node, r.hop)
+            for r in _per_seed_bfs_rows(edges, seeds, max_hops=6).collect()
+        }
+        assert got == want
+
+
+def test_per_seed_bfs_above_62_seeds_falls_back(spark):
+    from map_reduce_project_spark.graph.analytics import per_seed_bfs
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(70)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(i,) for i in range(65)], "node long"
+    )
+    from pyspark.sql import functions as F
+
+    out = per_seed_bfs(edges, seeds, max_hops=2)
+    # 65 seeds each reach themselves + up to 2 hops each side
+    assert out.where(F.col("hop") == 0).count() == 65
+    assert out.where(F.col("seed") == 0).count() == 3  # 0,1,2
+
+
+def test_shortest_path_counts_batch_matches_rows_path(spark):
+    # the 3<=k<=62 array-batched sigma DP must be ROW-IDENTICAL to
+    # the (seed, node)-keyed formulation (counts included) on random
+    # graphs with branchy shortest-path structure
+    import random
+
+    from map_reduce_project_spark.graph.analytics import (
+        _shortest_path_counts_rows,
+        shortest_path_counts,
+    )
+
+    for seed in (5, 29):
+        rng = random.Random(seed)
+        n = 40
+        edge_list = list(
+            {
+                (str(rng.randrange(n)), str(rng.randrange(n)))
+                for _ in range(120)
+            }
+        )
+        edges = spark.createDataFrame(edge_list, "src string, dst string")
+        seeds = spark.createDataFrame(
+            [(str(v),) for v in (0, 3, 11, 25, 39)], "node string"
+        )
+        got = {
+            (r.seed, r.node, r.hop, r.n_paths)
+            for r in shortest_path_counts(edges, seeds, max_hops=4).collect()
+        }
+        want = {
+            (r.seed, r.node, r.hop, r.n_paths)
+            for r in _shortest_path_counts_rows(
+                edges, seeds, max_hops=4
+            ).collect()
+        }
+        assert got == want, f"seed={seed}"

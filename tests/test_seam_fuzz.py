@@ -498,3 +498,185 @@ FROM t
 """
         s_rows, d_rows = _both(spark, duck, pdf, sql, duck_sql)
         assert s_rows == d_rows, f"seed={seed}"
+
+
+def test_canon_float_repr_boundaries(spark, duck):
+    # The gate canonicalizes BOTH engines through pandas str(), so
+    # the float-repr boundary itself is a seam: -0.0 stringifies as
+    # '-0.0', 2^53+1 is not representable as double (an uncast
+    # HUGEINT->float64 oracle result silently rounds), and 1e16
+    # crosses pandas' int64-vs-float64 repr ('10000000000000000' vs
+    # '1e+16'). This fuzz drives values ONTO those boundaries through
+    # gate-style expressions (CAST AS BIGINT on every integer agg,
+    # deterministic single-row float arithmetic) and requires exact
+    # canon parity — proving the discipline the oracles follow
+    # actually survives the boundary, not just typical values.
+    big = 9007199254740993  # 2^53 + 1
+    pdf = pd.DataFrame(
+        {
+            "k": [0, 0, 1, 1, 2, 3],
+            "i": pd.array(
+                [big, 1, 10**16 - 1, 1, -big, 0], dtype="int64"
+            ),
+            "f": [0.1, 0.2, -0.0, 0.0, 1e16, 2.0**53],
+        }
+    )
+    sql = """
+SELECT k,
+  CAST(SUM(i) AS BIGINT) AS si,          -- > 2^53: dies if floated
+  CAST(MIN(i) AS BIGINT) AS mi,
+  SUM(f) AS sf                            -- deterministic per-group:
+                                          -- <=2 addends per group
+FROM t GROUP BY k
+"""
+    s, d = _both(spark, duck, pdf, sql, sql)
+    assert s == d
+    # the guarded sums really sit past the double cliff
+    assert any("9007199254740994" in "".join(r) for r in s)
+
+
+def test_canon_negative_zero_seam(spark, duck):
+    # -0.0-producing expressions: both engines must agree VALUE-wise
+    # (str(-0.0) = '-0.0' != '0.0' under the gate canon). IEEE says
+    # (-0.0) + 0.0 = 0.0 but (-0.0) + (-0.0) = -0.0, and a negative
+    # product/quotient that rounds to zero is -0.0; any engine that
+    # "helpfully" normalizes signed zeros diverges here.
+    pdf = pd.DataFrame({"x": [-0.0, -0.0, 0.0, -1e-300, 5.0]})
+    sql = """
+SELECT
+  SUM(x) FILTER (WHERE x <= 0) AS s_nonpos,
+  MIN(x) AS mn,
+  SUM(CASE WHEN x < 0 THEN x * 0.5 ELSE 0.0 END) AS s_prod
+FROM t
+"""
+    s, d = _both(spark, duck, pdf, sql, sql)
+    assert s == d
+    # and the seam is REAL: a signed zero actually flowed through
+    flat = "".join("".join(r) for r in s)
+    assert "-0.0" in flat or "-5e-301" in flat
+
+
+def test_timestamp_offset_parsing_parity(spark, duck):
+    # All committed testdata is UTC-naive; this fuzz exercises the
+    # path it never touches — timestamp STRINGS carrying explicit
+    # UTC offsets (+05:30, -08:00, Z) — and requires both engines to
+    # normalize them to the same UTC-naive instant under the gate
+    # canon. Spark parses via to_timestamp pattern XXX in the
+    # session TZ (UTC on the gate box); DuckDB via TIMESTAMPTZ cast,
+    # then CAST to naive TIMESTAMP. tz-AWARE results are themselves a
+    # canon seam (pandas str() appends '+00:00'), so the contract
+    # pinned here is: oracles always CAST tz-aware back to TIMESTAMP.
+    rows = [
+        "2021-03-14 01:30:00-05:00",  # 30 min before US DST gap
+        "2021-03-14 03:30:00-04:00",  # 30 min after (EDT)
+        "2021-11-07 01:30:00-04:00",  # first 01:30 (fold, EDT)
+        "2021-11-07 01:30:00-05:00",  # second 01:30 (fold, EST)
+        "2024-02-29 23:59:59+14:00",  # leap day at max legal offset
+        "1969-12-31 18:30:00-05:30",  # pre-epoch, -05:30
+        "2021-06-01 00:00:00+00:00",
+    ]
+    pdf = pd.DataFrame({"s": rows})
+    spark_sql = """
+SELECT s,
+  CAST(to_timestamp(s, 'yyyy-MM-dd HH:mm:ssXXX') AS TIMESTAMP_NTZ)
+    AS utc_ts,
+  unix_timestamp(to_timestamp(s, 'yyyy-MM-dd HH:mm:ssXXX')) AS epoch
+FROM t
+"""
+    duck_sql = """
+SELECT s,
+  CAST(CAST(s AS TIMESTAMPTZ) AS TIMESTAMP) AS utc_ts,
+  CAST(epoch(CAST(s AS TIMESTAMPTZ)) AS BIGINT) AS epoch
+FROM t
+"""
+    s, d = _both(spark, duck, pdf, spark_sql, duck_sql)
+    assert s == d
+    # the two DST-fold wall clocks really map to DIFFERENT instants
+    epochs = {r[-1] for r in s if "2021-11-07" in r[1]}
+    assert len(epochs) == 2
+
+
+def test_dst_transition_pins_sparkside(spark):
+    # Java-tzdb pins across the US 2021 spring-forward gap: the UTC
+    # instants 06:59 and 07:00 straddle the jump (01:59 EST ->
+    # 03:00 EDT; 02:xx does not exist). DuckDB needs the ICU
+    # extension for named zones (absent offline), so like the
+    # collation pins this is a Spark-side contract pin, not a parity
+    # fuzz: an engine/tzdb upgrade that moves the boundary fails here
+    # before it can reach any future tz-aware gate query.
+    rows = spark.sql(
+        """
+SELECT
+  CAST(from_utc_timestamp(TIMESTAMP'2021-03-14 06:59:00',
+       'America/New_York') AS STRING) AS before_gap,
+  CAST(from_utc_timestamp(TIMESTAMP'2021-03-14 07:00:00',
+       'America/New_York') AS STRING) AS after_gap,
+  CAST(from_utc_timestamp(TIMESTAMP'2021-11-07 05:30:00',
+       'America/New_York') AS STRING) AS fold_first,
+  CAST(from_utc_timestamp(TIMESTAMP'2021-11-07 06:30:00',
+       'America/New_York') AS STRING) AS fold_second
+"""
+    ).collect()[0]
+    assert rows.before_gap == "2021-03-14 01:59:00"
+    assert rows.after_gap == "2021-03-14 03:00:00"  # 02:00 skipped
+    # the fold hour repeats: both UTC instants show 01:30 local
+    assert rows.fold_first == rows.fold_second == "2021-11-07 01:30:00"
+
+
+def test_unicode_normalizer_parity_fuzz(spark, duck):
+    # the dedup_normalized normalizer (lower + [^a-z0-9]+ -> ' ' +
+    # trim) run over NON-ASCII: NFC/NFD pairs, sharp s, final sigma,
+    # full-width letters, combining marks. Committed testdata is
+    # ASCII, so this pins the BOUNDARY: both engines normalize
+    # identical bytes identically on this domain, and NFC vs NFD
+    # variants (both) survive as distinct pre-normalization inputs —
+    # neither engine applies Unicode normalization implicitly.
+    # U+0130 is EXCLUDED here: it is a REAL lower() divergence this
+    # fuzz found, pinned separately below.
+    import unicodedata
+
+    base = "Café SONDERANGEBOT Istanbul Σοφός ＡＢ straße"
+    variants = [
+        base,
+        unicodedata.normalize("NFD", base),
+        unicodedata.normalize("NFC", base),
+        "plain ascii 42",
+        "PLAIN ASCII 42!!",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(variants)), "text": variants})
+    sql_spark = """
+SELECT doc_id,
+  TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ')) AS norm
+FROM t
+"""
+    sql_duck = """
+SELECT doc_id,
+  TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+FROM t
+"""
+    s, d = _both(spark, duck, pdf, sql_spark, sql_duck)
+    assert s == d
+    # NFC and NFD collapse to the SAME normalized key here only
+    # because the combining marks are non-[a-z0-9] and get spaced
+    # away; the engines must agree on that too
+    norms = {r[1] for r in s}
+    assert "plain ascii 42" in norms
+
+
+def test_lower_dotted_capital_i_divergence_pin(spark, duck):
+    # FOUND BY THIS FUZZ (round 6): lower('İ') DIVERGES — Spark
+    # (Java/ICU) applies the Unicode mapping U+0130 -> 'i' + U+0307
+    # (combining dot above, two codepoints), DuckDB returns bare 'i'
+    # (one codepoint). Through the dedup normalizer the combining
+    # dot becomes a space on the Spark side only ('i stanbul' vs
+    # 'istanbul'), so any oracle-gated query that lower()s text
+    # containing U+0130 would hash-diverge. CONTRACT pinned here:
+    # committed testdata text is ASCII, and no gate oracle may rely
+    # on lower() agreement for U+0130 — if a future table carries
+    # Turkish text, normalize it with an explicit translate/ICU pass
+    # first. This pin fails loudly if either engine changes behavior.
+    srow = spark.sql("SELECT lower('İstanbul') AS x").collect()[0].x
+    drow = duck.execute("SELECT lower('İstanbul')").fetchone()[0]
+    assert srow == "i̇stanbul"  # Spark: i + combining dot above
+    assert drow == "istanbul"  # DuckDB: bare i
+    assert srow != drow
