@@ -473,3 +473,19 @@ def test_expensive_explodes_carry_no_inferred_scan_filter(spark, registry):
                     f"{name}: inferred filter re-inlines HOF compute:\n"
                     + block[:400]
                 )
+
+
+def test_link_prediction_exchanges_are_volume_sized(spark, registry):
+    # cc_link_prediction's self-join emits sum(C(deg_s, 2)) pair rows;
+    # the plan must carry USER-NUMBERED repartitions (AQE never
+    # coalesces REPARTITION_BY_NUM) on both the join key s and the
+    # pair-count key (p1, p2), so partition sizes track measured pair
+    # volume instead of the session default — the fix that took the
+    # sf0.1 vanilla-session run from OOM to 88s (round 6)
+    df = registry["cc_link_prediction"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = [ln for ln in plan.splitlines() if "REPARTITION_BY_NUM" in ln]
+    assert any(
+        "hashpartitioning(p1" in ln and ", p2" in ln for ln in lines
+    ), lines
+    assert any("hashpartitioning(s#" in ln for ln in lines), lines
