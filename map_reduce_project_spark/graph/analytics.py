@@ -548,8 +548,8 @@ def per_seed_bfs(
     closeness/harmonic centrality probes at cluster scale. Same O9
     checkpoint discipline as every loop here.
 
-    SEED BATCHING: for k <= 62 seeds (the common probe-set case) the
-    frontier is ONE row per node carrying an int64 bitmask of the
+    SEED BATCHING: for 3 <= k <= 62 seeds (the common probe-set
+    case) the frontier is ONE row per node carrying an int64 bitmask of the
     seeds that first reached it, so each level's adjacency join and
     shuffle move |frontier nodes| rows instead of |frontier (seed,
     node) pairs| — on a 40-seed probe that is ~40x less join volume
@@ -559,8 +559,9 @@ def per_seed_bfs(
     set bits (output-sized work) and mapping bit index back to the
     seed value through a broadcast of the tiny seed table — output is
     row-identical to the per-pair formulation (property-pinned).
-    Above 62 seeds the per-pair path (``_per_seed_bfs_rows``) takes
-    over unchanged.
+    Outside 3..62 seeds the per-pair path (``_per_seed_bfs_rows``)
+    takes over unchanged (below 3 the batch's extra per-level bit_or
+    merge shuffle costs more than it saves).
     """
     seed_rows = seeds.select(F.col("node").alias("seed")).distinct()
     k = seed_rows.count()

@@ -143,9 +143,19 @@ class _TelemetryStreamReader(DataSourceStreamReader):
         if self.progress_path:
             try:
                 with open(self.progress_path) as f:
-                    self.pos = max(self.pos, int(f.read().strip() or 0))
+                    raw = f.read().strip()
             except FileNotFoundError:
-                pass
+                raw = ""
+            if raw:
+                try:
+                    self.pos = max(self.pos, int(raw))
+                except ValueError as e:
+                    raise ValueError(
+                        f"progress_path file {self.progress_path!r} is "
+                        f"corrupt (expected an integer offset, got "
+                        f"{raw[:40]!r}); delete it to restart from 0 or "
+                        "restore the last committed offset"
+                    ) from e
 
     def initialOffset(self) -> dict:
         return {"pos": 0}

@@ -188,3 +188,18 @@ def test_stream_reader_progress_write_is_atomic_and_monotone(tmp_path):
     import os
 
     assert not os.path.exists(prog + ".tmp")
+
+
+def test_stream_reader_corrupt_progress_file_raises_actionably(tmp_path):
+    import pytest
+
+    from map_reduce_project_spark.sources.pydatasource import (
+        _TelemetryStreamReader,
+    )
+
+    prog = tmp_path / "floor.txt"
+    prog.write_text("not-a-number")
+    with pytest.raises(ValueError, match="corrupt.*delete it"):
+        _TelemetryStreamReader(
+            {"n_rows": "10", "progress_path": str(prog)}
+        )
