@@ -265,18 +265,54 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     the closure semi-join, and the edge/node counts); the lazy
     checkpoint materializes the canon/degree/orient subtree once —
     without it Catalyst re-derives it per consumer (measured: 122
-    exchanges in the plan vs 7 after)."""
+    exchanges in the plan vs 7 after).
+
+    VOLUME-ADAPTIVE SHUFFLE SIZING (same recipe as
+    cc_link_prediction): the wedge join emits exactly
+    sum_v in(v)*out(v) rows under the orientation — measured with one
+    tiny agg over the pinned oriented edges, then the wedge-join and
+    closure-semi-join exchanges are repartitioned to ~2M rows per
+    partition (explicit numbers are AQE-stable). Partitions bounded
+    by ROWS, not session defaults: the 8-partition vanilla session
+    OOM'd its 1 GB heap inside this join at sf0.1 (~200M wedges)
+    before this sizing."""
+    spark = edges.sparkSession
     oriented = degree_oriented_edges(edges).localCheckpoint(eager=False)
+
+    wedge_vol = (
+        oriented.select(F.col("dst").alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("i"))
+        .join(
+            oriented.select(F.col("src").alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").alias("o")),
+            "v",
+        )
+        .agg(F.sum(F.col("i") * F.col("o")).alias("w"))
+        .collect()[0]["w"]
+        or 0
+    )
+    n_shuf = max(
+        spark.sparkContext.defaultParallelism,
+        min(4096, int(wedge_vol // 2_000_000) + 1),
+    )
 
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    wedges = e1.join(e2, "v").select("u", "v", "w")
+    wedges = (
+        e1.repartition(n_shuf, "v")
+        .join(e2.repartition(n_shuf, "v"), "v")
+        .select("u", "v", "w")
+    )
     # the orientation is a total order, so a wedge u->v->w can only be
     # closed by the oriented edge (u, w) — one semi-join, no union
     closing = oriented.select(
         F.col("src").alias("u"), F.col("dst").alias("w")
     )
-    tri = wedges.join(closing, ["u", "w"], "left_semi")
+    tri = wedges.repartition(n_shuf, "u", "w").join(
+        closing, ["u", "w"], "left_semi"
+    )
 
     und = _undirected(oriented)
     return (
