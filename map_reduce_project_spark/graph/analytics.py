@@ -630,6 +630,214 @@ def per_seed_bfs(
     )
 
 
+def sssp_int(
+    weighted_edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Weighted single-source shortest paths from EVERY probe seed —
+    Bellman-Ford relaxation over an undirected graph with positive
+    int64 edge weights, exact integer distances (hash-gateable
+    cross-engine; no float accumulates). Input: (src, dst, w) in the
+    first three columns; parallel edges keep their MINIMUM weight;
+    self-loops dropped. Returns (seed, node, dist) for every (seed,
+    node) pair reached, seed self-rows included (dist 0).
+
+    Level-synchronous relaxation: round t improves dist(v) to
+    min(dist(v), min over edges (dist(u) + w)); positive weights
+    guarantee convergence within (longest shortest path's edge
+    count) rounds. Raises — not returns a stale table — if
+    ``max_rounds`` relaxations don't reach the fixed point.
+
+    SEED BATCHING (same design as ``shortest_path_counts``): for
+    3 <= k <= 62 seeds the state is ONE row per reached node carrying
+    an int64 ARRAY of per-seed distances (absent seeds ride an
+    infinity sentinel of 2^62 — positive weights keep sentinel
+    arithmetic far inside int64), so each relaxation round is one
+    adjacency join on |reached nodes| rows + k partial-aggregating
+    element mins + one full-outer element-wise min merge. Rows are
+    reconstructed once at the end (posexplode, output-sized).
+    Outside that range the (seed, node)-keyed twin (``_sssp_rows``)
+    runs unchanged; row equality is property-pinned.
+    """
+    seed_rows = seeds.select(
+        F.col(seeds.columns[0]).alias("seed")
+    ).distinct()
+    k = seed_rows.count()
+    if k < 3 or k > 62:
+        return _sssp_rows(weighted_edges, seeds, max_rounds)
+
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
+    und = _weighted_undirected(weighted_edges).localCheckpoint(eager=True)
+    seed_idx = _seed_bit_index(seed_rows)
+    inf = 1 << 62
+    dist = seed_idx.select(
+        F.col("seed").alias("node"),
+        F.expr(
+            f"transform(sequence(0, {k - 1}), "
+            f"i -> CAST(IF(i = idx, 0, {inf}) AS BIGINT))"
+        ).alias("d"),
+    ).localCheckpoint(eager=True)
+    cycler = CheckpointCycler(weighted_edges.sparkSession)
+    converged = False
+    for _r in range(max_rounds):
+        cand = (
+            und.join(dist, "node")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                *[
+                    F.min(F.element_at("d", i + 1) + F.col("w")).alias(
+                        f"c{i}"
+                    )
+                    for i in range(k)
+                ]
+            )
+            .select(
+                "node", F.array(*[f"c{i}" for i in range(k)]).alias("cd")
+            )
+        )
+        fill = F.expr(f"array_repeat(CAST({inf} AS BIGINT), {k})")
+        # two separate single-level HOF selects (zip_with then
+        # exists) — nesting them re-evaluates the outer lambda per
+        # element (the round-5 plan-pin lesson)
+        merged = (
+            dist.join(cand, "node", "full_outer")
+            .select(
+                "node",
+                F.coalesce("d", fill).alias("od"),
+                F.coalesce("cd", fill).alias("cnd"),
+            )
+            .select(
+                "node",
+                "od",
+                F.expr(
+                    f"zip_with(od, cnd, (x, y) -> "
+                    f"IF(least(x, y) >= {inf}, {inf}, least(x, y)))"
+                ).alias("nd"),
+            )
+        )
+        nxt = merged.select(
+            "node",
+            F.col("nd").alias("d"),
+            F.expr("exists(zip_with(od, nd, (x, y) -> y < x), b -> b)")
+            .alias("chg"),
+        ).localCheckpoint(eager=True)
+        n_changed = nxt.where(F.col("chg")).count()
+        dist = nxt.select("node", "d")
+        cycler.cycle(nxt)
+        if n_changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise ValueError(
+            f"sssp_int did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds (bound is the longest shortest path's "
+            "edge count)"
+        )
+    out = (
+        dist.select("node", F.posexplode("d").alias("idx", "dist"))
+        .where(F.col("dist") < inf)
+        .join(F.broadcast(seed_idx), "idx")
+        .select("seed", "node", F.col("dist").cast("long").alias("dist"))
+    )
+    return out
+
+
+def _weighted_undirected(weighted_edges: DataFrame) -> DataFrame:
+    """(node, dst, w): both orientations, parallel edges keep min w,
+    self-loops dropped, nulls dropped."""
+    a, b, wc = weighted_edges.columns[:3]
+    e = weighted_edges.select(
+        F.col(a).alias("src"),
+        F.col(b).alias("dst"),
+        F.col(wc).cast("long").alias("w"),
+    ).where(
+        F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+        & (F.col("src") != F.col("dst"))
+    )
+    return (
+        e.unionAll(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .withColumnRenamed("src", "node")
+    )
+
+
+def _sssp_rows(
+    weighted_edges: DataFrame, seeds: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """(seed, node)-keyed Bellman-Ford — the general-k path (and the
+    property-pin oracle for the array batch above)."""
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
+    und = _weighted_undirected(weighted_edges).localCheckpoint(eager=True)
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("seed"))
+        .distinct()
+        .select(
+            "seed",
+            F.col("seed").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    ).localCheckpoint(eager=True)
+    cycler = CheckpointCycler(weighted_edges.sparkSession)
+    converged = False
+    for _r in range(max_rounds):
+        cand = (
+            und.join(dist, "node")
+            .select(
+                "seed",
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.withColumnRenamed("dist", "od")
+            .join(cand, ["seed", "node"], "full_outer")
+            .select(
+                "seed",
+                "node",
+                # Spark's least skips NULLs (returns NULL only when
+                # every operand is NULL), so a one-sided outer row
+                # keeps its present distance
+                F.least("od", "dist").alias("dist"),
+                (
+                    F.col("od").isNull()
+                    | (
+                        F.col("dist").isNotNull()
+                        & (F.col("dist") < F.col("od"))
+                    )
+                ).alias("chg"),
+            )
+        )
+        nxt = merged.localCheckpoint(eager=True)
+        n_changed = nxt.where(F.col("chg")).count()
+        dist = nxt.select("seed", "node", "dist")
+        cycler.cycle(nxt)
+        if n_changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise ValueError(
+            f"sssp_int did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds (bound is the longest shortest path's "
+            "edge count)"
+        )
+    return dist
+
+
 def _seed_bit_index(seed_rows: DataFrame) -> DataFrame:
     """(seed, idx): deterministic bit assignment — seeds in sort
     order get bits 0..k-1. Eagerly checkpointed (tiny; joined back

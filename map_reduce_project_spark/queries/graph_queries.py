@@ -2032,3 +2032,94 @@ QUERIES.append(
         "Boruvka MSF on an analytically-known fixture: the spanning chain wins, shortcuts rejected",
     )
 )
+
+
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (exact int64 Bellman-
+    Ford, graph/analytics.py:sssp_int) from the supplier probe seeds
+    over the part-supplier bipartite graph, with a deterministic
+    per-edge weight derived from the raw keys (w = 1 +
+    (7*partkey + 13*suppkey) % 97) so both engines price every edge
+    identically. Runs the SEED-BATCHED array path (40 seeds -> one
+    int64 distance array per reached node per round); the oracle
+    unrolls the same relaxation to the fixed point. Positive weights
+    guarantee convergence; the engine raises rather than emit a
+    stale table if max_rounds is too low."""
+    from map_reduce_project_spark.graph.analytics import sssp_int
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select("l_partkey", "l_suppkey")
+        .dropDuplicates()
+        .select(
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+            (
+                1
+                + (7 * F.col("l_partkey") + 13 * F.col("l_suppkey")) % 97
+            ).cast("long").alias("w"),
+        )
+    )
+    seeds = (
+        read_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 25 == 0)
+        .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node"))
+    )
+    return sssp_int(edges, seeds, max_rounds=14)
+
+
+def _sssp_unrolled_sql(rounds: int) -> str:
+    """Bellman-Ford unrolled to ``rounds`` relaxations — matches the
+    engine's fixed point as long as ``rounds`` >= the engine's
+    convergence round (the engine ASSERTS convergence within its own
+    max_rounds, and relaxation is monotone, so extra rounds are
+    no-ops)."""
+    head = """
+WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+w AS (
+  SELECT 'p:' || p AS src, 's:' || s AS dst,
+         CAST(1 + (7 * p + 13 * s) % 97 AS BIGINT) AS w
+  FROM e0
+),
+und AS MATERIALIZED (
+  SELECT src, dst, MIN(w) AS w FROM (
+    SELECT src, dst, w FROM w
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM w
+  ) GROUP BY src, dst
+),
+d0 AS (
+  SELECT DISTINCT 's:' || s_suppkey AS seed, 's:' || s_suppkey AS node,
+         CAST(0 AS BIGINT) AS dist
+  FROM supplier WHERE s_suppkey % 25 = 0
+)"""
+    levels = []
+    for t in range(1, rounds + 1):
+        levels.append(
+            f""",
+d{t} AS MATERIALIZED (
+  SELECT seed, node, MIN(dist) AS dist FROM (
+    SELECT seed, node, dist FROM d{t - 1}
+    UNION ALL
+    SELECT d.seed, u.dst AS node, d.dist + u.w AS dist
+    FROM d{t - 1} d JOIN und u ON u.src = d.node
+  ) GROUP BY seed, node
+)"""
+        )
+    return (
+        head
+        + "".join(levels)
+        + f"\nSELECT seed, node, dist FROM d{rounds}"
+    )
+
+
+SSSP_SQL = _sssp_unrolled_sql(rounds=14)
+
+QUERIES.append(
+    Query(
+        "graph_sssp_weighted",
+        graph_sssp_weighted,
+        SSSP_SQL,
+        "weighted shortest paths: exact int64 Bellman-Ford, seed-batched distance arrays",
+    )
+)

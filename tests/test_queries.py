@@ -286,3 +286,82 @@ def test_shortest_path_counts_batch_matches_rows_path(spark):
             ).collect()
         }
         assert got == want, f"seed={seed}"
+
+
+def test_sssp_batch_matches_rows_path_and_hand_graph(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.graph.analytics import (
+        _sssp_rows,
+        sssp_int,
+    )
+
+    # hand graph: relaxation must take the 2-edge cheap route over
+    # the 1-edge expensive one, keep isolated seeds, drop unreached
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 5), ("a", "c", 20), ("x", "y", 7)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame(
+        [("a",), ("c",), ("x",), ("q",)], "node string"
+    )
+    got = {
+        (r.seed, r.node): r.dist for r in sssp_int(edges, seeds).collect()
+    }
+    assert got[("a", "c")] == 10 and got[("c", "a")] == 10
+    assert got[("q", "q")] == 0 and ("q", "a") not in got
+    assert got[("x", "y")] == 7
+
+    # random weighted graphs: batched == rows-keyed, exactly
+    for seed in (7, 31):
+        rng = random.Random(seed)
+        n = 30
+        edge_list = list(
+            {
+                (
+                    rng.randrange(n),
+                    rng.randrange(n),
+                    rng.randrange(1, 20),
+                )
+                for _ in range(80)
+            }
+        )
+        e = spark.createDataFrame(edge_list, "src long, dst long, w long")
+        s = spark.createDataFrame(
+            [(v,) for v in (0, 5, 13, 29)], "node long"
+        )
+        a = {
+            (r.seed, r.node, r.dist)
+            for r in sssp_int(e, s, max_rounds=30).collect()
+        }
+        b = {
+            (r.seed, r.node, r.dist)
+            for r in _sssp_rows(e, s, max_rounds=30).collect()
+        }
+        assert a == b, f"seed={seed}"
+
+    # parallel edges keep the MIN weight; self-loops ignored
+    pe = spark.createDataFrame(
+        [("u", "v", 9), ("u", "v", 3), ("v", "u", 8), ("u", "u", 1)],
+        "src string, dst string, w long",
+    )
+    ps = spark.createDataFrame([("u",)], "node string")
+    rows = {
+        (r.seed, r.node): r.dist for r in sssp_int(pe, ps).collect()
+    }
+    assert rows == {("u", "u"): 0, ("u", "v"): 3}
+
+
+def test_sssp_nonconvergence_raises(spark):
+    import pytest
+
+    from map_reduce_project_spark.graph.analytics import sssp_int
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 2) for i in range(6)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(0,), (3,), (5,)], "node long")
+    with pytest.raises(ValueError, match="did not converge"):
+        sssp_int(edges, seeds, max_rounds=2)
