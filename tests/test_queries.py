@@ -365,3 +365,56 @@ def test_sssp_nonconvergence_raises(spark):
     seeds = spark.createDataFrame([(0,), (3,), (5,)], "node long")
     with pytest.raises(ValueError, match="did not converge"):
         sssp_int(edges, seeds, max_rounds=2)
+
+
+def test_sssp_matches_python_dijkstra_oracle(spark):
+    # independent-algorithm oracle: the distributed Bellman-Ford must
+    # equal a pure-python heap Dijkstra on random weighted graphs —
+    # catches relaxation bugs both Spark formulations could share
+    import heapq
+    import random
+
+    from map_reduce_project_spark.graph.analytics import sssp_int
+
+    def dijkstra(adj, s):
+        dist = {s: 0}
+        pq = [(0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, 1 << 62):
+                continue
+            for v, w in adj.get(u, ()):
+                nd = d + w
+                if nd < dist.get(v, 1 << 62):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        return dist
+
+    for seed in (11, 47, 83):
+        rng = random.Random(seed)
+        n = 35
+        edge_list = list(
+            {
+                (rng.randrange(n), rng.randrange(n), rng.randrange(1, 30))
+                for _ in range(100)
+            }
+        )
+        adj: dict = {}
+        for u, v, w in edge_list:
+            if u == v:
+                continue
+            adj.setdefault(u, []).append((v, w))
+            adj.setdefault(v, []).append((u, w))
+        seed_vals = [0, 9, 17, 34]
+        e = spark.createDataFrame(edge_list, "src long, dst long, w long")
+        s = spark.createDataFrame([(v,) for v in seed_vals], "node long")
+        got = {
+            (r.seed, r.node): r.dist
+            for r in sssp_int(e, s, max_rounds=40).collect()
+        }
+        want = {
+            (sv, node): d
+            for sv in seed_vals
+            for node, d in dijkstra(adj, sv).items()
+        }
+        assert got == want, f"seed={seed}"
