@@ -2123,3 +2123,50 @@ QUERIES.append(
         "weighted shortest paths: exact int64 Bellman-Ford, seed-batched distance arrays",
     )
 )
+
+
+def closeness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted closeness centrality of each probe seed: exact int64
+    Bellman-Ford distances (sssp_int), then n_reached, total int64
+    distance, and closeness = (n_reached - 1) / total_dist — one IEEE
+    division of exact integer operands per row (hash-stable), the
+    weighted twin of closeness_part_supplier's hop-count version."""
+    d = graph_sssp_weighted(spark, sf_dir)
+    return (
+        d.groupBy("seed")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum("dist").cast("long").alias("total_dist"),
+        )
+        .where(F.col("total_dist") > 0)
+        .select(
+            "seed",
+            "n_reached",
+            "total_dist",
+            (
+                (F.col("n_reached") - 1).cast("double")
+                / F.col("total_dist").cast("double")
+            ).alias("closeness"),
+        )
+    )
+
+
+CLOSENESS_WEIGHTED_SQL = f"""
+WITH sssp AS MATERIALIZED ({_sssp_unrolled_sql(rounds=14)})
+SELECT seed,
+  CAST(COUNT(*) AS BIGINT) AS n_reached,
+  CAST(SUM(dist) AS BIGINT) AS total_dist,
+  CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(dist) AS DOUBLE) AS closeness
+FROM sssp
+GROUP BY seed
+HAVING SUM(dist) > 0
+"""
+
+QUERIES.append(
+    Query(
+        "closeness_weighted",
+        closeness_weighted,
+        CLOSENESS_WEIGHTED_SQL,
+        "weighted closeness: exact int64 SSSP distance sums, one IEEE division per row",
+    )
+)
