@@ -33,6 +33,14 @@ Three query families:
   positives) — candidate volume stays O(corpus), never O(corpus^2).
   The 500k/5m pair is the linear-scaling evidence for dedup, same
   lens as the CC depth probes. 5m is a single draw (see above).
+- ``ann_ivf_df_1m_{build,search}`` + ``ann_brute_df_1m`` depth
+  probes: a 1M-vector, 16-dim clustered corpus (ids 0..31 ARE the
+  cluster centers, so write_ivf_index's pinned quantizer is the true
+  one) built into an on-disk inverted file, searched at n_probe=2/32
+  cells, and graded against the exact Arrow brute force over the
+  same 100 queries. Asserts recall@10 >= 0.95 and exactly 32 cell
+  partitions on disk (bounded index state). The 100 TB evidence for
+  the ANN ladder: search cost ~ probed cells, never the corpus.
 - engine headliners at $SPARK_GRAFT_SF_DIR (default sf0.1): scan-heavy
   agg, multi-join, window, CCF flagship, dedup/ANN/text/session ops.
   Headliners run BEFORE the 5M depth probes so their min-of-2 is not
@@ -286,6 +294,82 @@ def main() -> None:
     run_dedup(5_000_000)
     timings["dedup_minhash_df_5m"] = round(time.perf_counter() - t, 3)
 
+    # ANN depth probe: 1M-vector IVF inverted file (pinned quantizer:
+    # ids 0..31 ARE the synthetic cluster centers), searched with
+    # n_probe=2 of 32 cells and graded against the exact Arrow brute
+    # force — recall@10 must be >= 0.95 and the on-disk index must
+    # hold exactly 32 cell partitions (bounded state). Single draw
+    # each phase (build ~20 s, search ~9 s, brute ~6 s warm).
+    from map_reduce_project_spark.operators.similarity import (
+        arrow_brute_force_topk,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    ANN_DIM, ANN_NC = 16, 32
+
+    def synth_ann_corpus(n: int):
+        ids = spark.range(n).select(F.col("id").alias("vec_id"))
+        cid = F.when(F.col("vec_id") < ANN_NC, F.col("vec_id")).otherwise(
+            F.col("vec_id") % ANN_NC
+        )
+        center = [
+            (F.xxhash64(F.lit("c"), cid, F.lit(j)) % 2001) / F.lit(1000.0)
+            for j in range(ANN_DIM)
+        ]
+        noise = [
+            F.when(F.col("vec_id") < ANN_NC, F.lit(0.0)).otherwise(
+                (F.xxhash64(F.lit("n"), F.col("vec_id"), F.lit(j)) % 201)
+                / F.lit(1000.0)
+            )
+            for j in range(ANN_DIM)
+        ]
+        return ids.select(
+            "vec_id",
+            F.array(
+                *[(c + nz).cast("double") for c, nz in zip(center, noise)]
+            ).alias("embedding"),
+        )
+
+    ann_n = 1_000_000
+    corpus = synth_ann_corpus(ann_n)
+    ann_queries = corpus.where(
+        (F.col("vec_id") % (ann_n // 100)) == 77
+    )
+    idx_dir = tempfile.mkdtemp(prefix="bench_ivf1m_")
+    try:
+        t = time.perf_counter()
+        write_ivf_index(corpus, idx_dir, n_centroids=ANN_NC)
+        timings["ann_ivf_df_1m_build"] = round(time.perf_counter() - t, 3)
+        cells = [
+            d
+            for d in os.listdir(os.path.join(idx_dir, "cells"))
+            if d.startswith("cell=")
+        ]
+        assert len(cells) == ANN_NC, len(cells)
+
+        t = time.perf_counter()
+        ivf_pairs = {
+            (r.query_id, r.target_id)
+            for r in ivf_index_topk(
+                spark, idx_dir, ann_queries, k=10, n_probe=2
+            ).collect()
+        }
+        timings["ann_ivf_df_1m_search"] = round(time.perf_counter() - t, 3)
+
+        t = time.perf_counter()
+        brute_pairs = {
+            (r.query_id, r.target_id)
+            for r in arrow_brute_force_topk(
+                ann_queries, corpus, k=10
+            ).collect()
+        }
+        timings["ann_brute_df_1m"] = round(time.perf_counter() - t, 3)
+        recall = len(ivf_pairs & brute_pairs) / len(brute_pairs)
+        assert recall >= 0.95, recall
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -298,7 +382,8 @@ def main() -> None:
                     "(uniform + hub-skewed) + 13 engine headline "
                     "queries + 5M-edge reliable-checkpoint CC depth "
                     "probes + 500k/5M-doc MinHash-LSH-verify dedup "
-                    "depth probes"
+                    "depth probes + 1M-vector IVF build/search/brute "
+                    "recall-graded ANN depth probes"
                 ),
                 "value": total,
                 "unit": "sec",
