@@ -1456,3 +1456,61 @@ QUERIES.append(
         "pairwise label-centroid cosine from exact fixed-point dim sums",
     )
 )
+
+
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact int64 Gram matrix of the embedding corpus — the
+    covariance/PCA/whitening prep stage of an embedding pipeline:
+    G[i][j] = sum over vectors of q_i * q_j with q = floor(val*2^24)
+    (the module's fixed-point discipline, so the 64x64 statistic is
+    summation-order-free and hash-exact cross-engine). Upper triangle
+    only (G is symmetric). ONE distributed pass: posexplode the
+    vector elements once, self-join per vec_id on the tiny 64-element
+    side (both sides are the same exploded scan), partial+final sum
+    on (i, j) — shuffle volume is bounded by 64*65/2 rows per
+    partition regardless of corpus size, which is the whole point:
+    the driver-side eigensolve a consumer runs on the 2080-row result
+    is O(dims^3), never O(corpus)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("val").cast("double") * F.lit(16777216)).alias("q"),
+    )
+    a = el.selectExpr("vec_id", "pos as i", "q as qi")
+    b = el.selectExpr("vec_id", "pos as j", "q as qj")
+    return (
+        a.join(b, "vec_id")
+        .where(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qi") * F.col("qj")).cast("long").alias("gram"))
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "gram",
+        )
+    )
+
+
+EMB_GRAM_SQL = """
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 16777216) AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT CAST(a.pos AS BIGINT) AS i, CAST(b.pos AS BIGINT) AS j,
+       CAST(SUM(a.q * b.q) AS BIGINT) AS gram
+FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY 1, 2
+"""
+
+QUERIES.append(
+    Query(
+        "emb_gram_matrix",
+        emb_gram_matrix,
+        EMB_GRAM_SQL,
+        "exact int64 Gram matrix (PCA/whitening prep): one pass, dims^2-bounded shuffle",
+    )
+)

@@ -1320,3 +1320,59 @@ QUERIES.append(
         "term burstiness (VMR with zeros) from exact integer moments",
     )
 )
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build — the IR/RAG retrieval prep stage: term ->
+    document frequency + the full postings list, with postings
+    rendered as a comma-joined string of NUMERICALLY sorted doc_ids
+    (array cells can't cross the gate canon; the string is exact and
+    order-pinned). One explode + two aggregates: distinct (term,
+    doc) pairs via a partial+final dedup agg, then per-term
+    collect + sort_array (numeric sort BEFORE stringification — a
+    lexicographic sort would scramble doc 10 before doc 2). At 100 TB
+    the per-term postings string is the scale limit — a production
+    index shards postings by (term, bucket); df and the grouped
+    shuffle shape are unchanged by that split."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " +")).alias("term"),
+    ).where(F.col("term") != "")
+    per_doc = terms.dropDuplicates(["term", "doc_id"])
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+
+
+TEXT_INVERTED_INDEX_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT t.term, d.doc_id
+  FROM documents d, UNNEST(string_split_regex(d.text, ' +')) AS t(term)
+  WHERE t.term <> ''
+)
+SELECT term,
+  CAST(COUNT(*) AS BIGINT) AS df,
+  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs
+GROUP BY term
+"""
+
+QUERIES.append(
+    Query(
+        "text_inverted_index",
+        text_inverted_index,
+        TEXT_INVERTED_INDEX_SQL,
+        "inverted index: term -> df + numerically-sorted postings string",
+    )
+)
