@@ -1376,3 +1376,108 @@ QUERIES.append(
         "inverted index: term -> df + numerically-sorted postings string",
     )
 )
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword extraction: the top-5 BM25-scored terms per
+    document (k1=1.2, b=0.75) — the classic retrieval ranking
+    function, and the keyword-extraction prep stage of a RAG corpus.
+    Every BM25 input (tf, df, dl, N, sum_dl) is an exact int64; the
+    score is ONE fixed float expression over them (two divisions +
+    ln), rounded to 4 decimals like every log-based score in this
+    module so the engines' 1-ulp ln latitude cannot reach the hash.
+    Plan: one explode + three partial+final aggs (tf, dl, df) + a
+    broadcast of the two corpus scalars + one per-doc top-k window —
+    at 100 TB the only big shuffles key on (doc, term) and term."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " +")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    corpus = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(df_t, "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "bm25",
+            F.round(
+                F.log(
+                    1.0
+                    + (
+                        F.col("n_docs") - F.col("df") + F.lit(0.5)
+                    ).cast("double")
+                    / (F.col("df") + F.lit(0.5)).cast("double")
+                )
+                * (F.col("tf") * F.lit(2.2)).cast("double")
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75)
+                        * (F.col("dl") * F.col("n_docs")).cast("double")
+                        / F.col("sum_dl").cast("double")
+                    )
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "rank", "term", "tf", "df", "dl", "bm25")
+    )
+
+
+TEXT_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents d, UNNEST(string_split_regex(d.text, ' +')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+       FROM toks GROUP BY doc_id),
+df_t AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df_t.df, dl.dl,
+    ROUND(
+      LN(1.0 + CAST(n_docs - df + 0.5 AS DOUBLE) / CAST(df + 0.5 AS DOUBLE))
+      * CAST(tf.tf * 2.2 AS DOUBLE)
+      / (CAST(tf.tf AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * CAST(dl.dl * n_docs AS DOUBLE)
+                                / CAST(sum_dl AS DOUBLE))),
+      4) AS bm25
+  FROM tf JOIN dl USING (doc_id) JOIN df_t USING (term) CROSS JOIN corpus
+)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY bm25 DESC, term) AS BIGINT) AS rank,
+  term, tf, df, dl, bm25
+FROM scored
+QUALIFY rank <= 5
+"""
+
+QUERIES.append(
+    Query(
+        "text_bm25_topk",
+        text_bm25_topk,
+        TEXT_BM25_SQL,
+        "BM25 top-5 keywords per doc: exact int inputs, one rounded float expression",
+    )
+)
