@@ -1470,19 +1470,25 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (i, j) — shuffle volume is bounded by 64*65/2 rows per
     partition regardless of corpus size, which is the whole point:
     the driver-side eigensolve a consumer runs on the 2080-row result
-    is O(dims^3), never O(corpus)."""
+    is O(dims^3), never O(corpus).
+
+    Plan note: the pair expansion is a DOUBLE posexplode of the same
+    row (no self-join!), so the corpus never shuffles at all — the
+    ONLY exchange in the plan moves the <= 2080 (i, j) partials per
+    map partition (plan-pinned). The quantized array is materialized
+    once per row by a single-level transform before the explodes
+    (nesting the lambda would re-evaluate it per pair — the round-5
+    HOF lesson)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    el = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val")
-    ).select(
-        "vec_id",
-        "pos",
-        F.floor(F.col("val").cast("double") * F.lit(16777216)).alias("q"),
+    q = emb.select(
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 16777216) AS BIGINT))"
+        ).alias("qarr")
     )
-    a = el.selectExpr("vec_id", "pos as i", "q as qi")
-    b = el.selectExpr("vec_id", "pos as j", "q as qj")
+    a = q.select(F.posexplode("qarr").alias("i", "qi"), "qarr")
     return (
-        a.join(b, "vec_id")
+        a.select("i", "qi", F.posexplode("qarr").alias("j", "qj"))
         .where(F.col("i") <= F.col("j"))
         .groupBy("i", "j")
         .agg(F.sum(F.col("qi") * F.col("qj")).cast("long").alias("gram"))

@@ -489,3 +489,15 @@ def test_link_prediction_exchanges_are_volume_sized(spark, registry):
         "hashpartitioning(p1" in ln and ", p2" in ln for ln in lines
     ), lines
     assert any("hashpartitioning(s#" in ln for ln in lines), lines
+
+
+def test_gram_matrix_single_partials_exchange(spark, registry):
+    # emb_gram_matrix expands pairs by DOUBLE posexplode of the same
+    # row (never a self-join), so the corpus must not shuffle: the
+    # plan's ONLY exchange carries the dims^2-bounded (i, j) partials
+    df = registry["emb_gram_matrix"].fn(spark, SF)
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bExchange\b", plan)) == 1, plan[:500]
+    assert "Join" not in plan
