@@ -893,24 +893,27 @@ def cc_diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a deterministic pivot (lexicographic min node), take the
     farthest node (tie -> min), BFS again from it — the second
     sweep's eccentricity is a tight diameter lower bound (exact on
-    trees). Both sweeps run the simultaneous-BFS loop; no collect —
-    the second sweep's seed is a 1-row DataFrame computed from the
-    first. Oracle: the same two walks as recursive CTEs."""
+    trees). Each sweep is a SINGLE-seed BFS, so it runs the
+    single-frontier ``bfs_hops`` loop (node-keyed state — for k=1 the
+    per-seed machinery buys nothing and costs a wider key per level);
+    no collect — the second sweep's seed is a 1-row DataFrame
+    computed from the first. Oracle: the same two walks as recursive
+    CTEs."""
     from map_reduce_project_spark.graph.analytics import (
+        bfs_hops,
         canonical_undirected,
-        per_seed_bfs,
     )
 
     edges = _part_supplier_edges(spark, sf_dir)
     und = canonical_undirected(edges)
     pivot = und.agg(F.min("src").alias("node"))
-    d1 = per_seed_bfs(edges, pivot, max_hops=12)
+    d1 = bfs_hops(edges, pivot, max_hops=12)
     far = (
         d1.orderBy(F.col("hop").desc(), "node")
         .limit(1)
         .select("node")
     )
-    d2 = per_seed_bfs(edges, far, max_hops=12)
+    d2 = bfs_hops(edges, far, max_hops=12)
     ecc = d2.agg(F.max("hop").cast("long").alias("diameter_lb"))
     return (
         pivot.select(F.col("node").alias("pivot_node"))
