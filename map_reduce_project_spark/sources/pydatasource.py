@@ -156,12 +156,35 @@ class _TelemetryStreamReader(DataSourceStreamReader):
                         f"{raw[:40]!r}); delete it to restart from 0 or "
                         "restore the last committed offset"
                     ) from e
+        # snapshot for initialOffset(): the microbatch executor may
+        # call latestOffset() BEFORE initialOffset() on a fresh
+        # checkpoint, so answering the LIVE counter there would skip
+        # the first batch — answer the floor as recovered at
+        # construction instead
+        self._initial_pos = self.pos
 
     def initialOffset(self) -> dict:
-        return {"pos": 0}
+        # a floor recovered from progress_path must seed FRESH
+        # checkpoints too: initialOffset only runs when there is no
+        # checkpoint, and answering 0 there would plan the first
+        # batch from 0 while latestOffset jumps past the floor —
+        # re-delivering every already-committed row in one oversized
+        # batch (round-6 ADVICE item 1). The construction-time
+        # snapshot (NOT the live counter — latestOffset may run
+        # first and would make a live answer skip batch 0) is 0
+        # without a progress file: the ordinary fresh start.
+        return {"pos": self._initial_pos}
 
     def latestOffset(self) -> dict:
-        self.pos = min(self.pos + self.rows_per_batch, self.n_rows)
+        # clamp against the committed floor: if a restart recovers a
+        # floor beyond the CURRENT n_rows option (n_rows reduced
+        # between runs), min(pos + batch, n_rows) would REGRESS the
+        # offset below committed state (round-6 ADVICE item 2). The
+        # floor wins; the stream then plans empty batches rather
+        # than re-delivering.
+        self.pos = max(
+            self.pos, min(self.pos + self.rows_per_batch, self.n_rows)
+        )
         return {"pos": self.pos}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:

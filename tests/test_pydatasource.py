@@ -173,6 +173,64 @@ def test_stream_reader_progress_path_survives_clean_restart(tmp_path):
     assert r3.latestOffset()["pos"] == 1000
 
 
+def test_stream_reader_recovered_floor_seeds_fresh_checkpoint(tmp_path):
+    # FRESH checkpoint + EXISTING progress file: initialOffset() must
+    # answer the recovered floor, not 0 — otherwise Spark plans the
+    # first batch [0, floor+batch) and re-delivers every committed
+    # row in one oversized batch (round-6 ADVICE item 1).
+    from map_reduce_project_spark.sources.pydatasource import (
+        _TelemetryStreamReader,
+    )
+
+    prog = str(tmp_path / "floor.txt")
+    opts = {
+        "n_rows": "1000",
+        "rows_per_batch": "250",
+        "progress_path": prog,
+    }
+    r1 = _TelemetryStreamReader(opts)
+    r1.commit(r1.latestOffset())  # floor = 250
+
+    r2 = _TelemetryStreamReader(opts)  # fresh checkpoint path
+    start = r2.initialOffset()  # Spark calls this BEFORE latestOffset
+    assert start == {"pos": 250}
+    end = r2.latestOffset()
+    assert end == {"pos": 500}
+    rows = [
+        row for p in r2.partitions(start, end) for row in r2.read(p)
+    ]
+    assert [row[0] for row in rows] == list(range(250, 500))
+
+
+def test_stream_reader_floor_beyond_shrunk_n_rows_never_regresses(
+    tmp_path,
+):
+    # n_rows reduced between runs below the committed floor: the
+    # emitted offset must hold at the floor (planning empty batches),
+    # never regress below committed state (round-6 ADVICE item 2).
+    from map_reduce_project_spark.sources.pydatasource import (
+        _TelemetryStreamReader,
+    )
+
+    prog = str(tmp_path / "floor.txt")
+    r1 = _TelemetryStreamReader(
+        {"n_rows": "1000", "rows_per_batch": "400", "progress_path": prog}
+    )
+    r1.commit(r1.latestOffset())
+    r1.commit(r1.latestOffset())  # floor = 800
+
+    r2 = _TelemetryStreamReader(
+        {"n_rows": "500", "rows_per_batch": "400", "progress_path": prog}
+    )
+    assert r2.initialOffset() == {"pos": 800}
+    assert r2.latestOffset() == {"pos": 800}  # held, not 500
+    assert r2.partitions({"pos": 800}, {"pos": 800}) and not [
+        row
+        for p in r2.partitions({"pos": 800}, {"pos": 800})
+        for row in r2.read(p)
+    ]
+
+
 def test_stream_reader_progress_write_is_atomic_and_monotone(tmp_path):
     from map_reduce_project_spark.sources.pydatasource import (
         _TelemetryStreamReader,
