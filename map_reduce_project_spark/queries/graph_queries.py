@@ -2037,6 +2037,22 @@ QUERIES.append(
 )
 
 
+# Round budget shared by the sssp_int engine call AND the unrolled
+# DuckDB oracle below — one constant so the two sides can never
+# drift: raising it extends BOTH the engine cap and the oracle's
+# relaxation depth (extra unrolled rounds past the fixed point are
+# no-ops, so oracle over-provisioning is safe; UNDER-provisioning
+# the engine raises loudly at gate time rather than emitting a
+# stale table). Measured convergence round of this part-supplier
+# graph: 6 at sf0.01, 8 at sf0.1 (tools bisect, round 7), so 14 is
+# ~2x headroom. Ceiling note (round-6 ADVICE): at sf>=1 the seed
+# filter (s_suppkey % 25 = 0) exceeds 62 seeds and sssp_int
+# switches to the row-keyed path with the same cap; density also
+# grows with sf, so the convergence round moves slowly — if a
+# future sf bump ever trips the ValueError, raise THIS constant.
+_SSSP_ROUNDS = 14
+
+
 def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted single-source shortest paths (exact int64 Bellman-
     Ford, graph/analytics.py:sssp_int) from the supplier probe seeds
@@ -2047,7 +2063,8 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 distance array per reached node per round); the oracle
     unrolls the same relaxation to the fixed point. Positive weights
     guarantee convergence; the engine raises rather than emit a
-    stale table if max_rounds is too low."""
+    stale table if the round budget is too low — see _SSSP_ROUNDS
+    for the measured convergence bound and drift contract."""
     from map_reduce_project_spark.graph.analytics import sssp_int
 
     li = read_table(spark, sf_dir, "lineitem")
@@ -2068,7 +2085,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s_suppkey") % 25 == 0)
         .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node"))
     )
-    return sssp_int(edges, seeds, max_rounds=14)
+    return sssp_int(edges, seeds, max_rounds=_SSSP_ROUNDS)
 
 
 def _sssp_unrolled_sql(rounds: int) -> str:
@@ -2116,7 +2133,7 @@ d{t} AS MATERIALIZED (
     )
 
 
-SSSP_SQL = _sssp_unrolled_sql(rounds=14)
+SSSP_SQL = _sssp_unrolled_sql(rounds=_SSSP_ROUNDS)
 
 QUERIES.append(
     Query(
@@ -2155,7 +2172,7 @@ def closeness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CLOSENESS_WEIGHTED_SQL = f"""
-WITH sssp AS MATERIALIZED ({_sssp_unrolled_sql(rounds=14)})
+WITH sssp AS MATERIALIZED ({_sssp_unrolled_sql(rounds=_SSSP_ROUNDS)})
 SELECT seed,
   CAST(COUNT(*) AS BIGINT) AS n_reached,
   CAST(SUM(dist) AS BIGINT) AS total_dist,
