@@ -306,12 +306,17 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .select("u", "v", "w")
     )
     # the orientation is a total order, so a wedge u->v->w can only be
-    # closed by the oriented edge (u, w) — one semi-join, no union
+    # closed by the oriented edge (u, w) — one semi-join, no union.
+    # BOTH sides carry the user-numbered repartition: with only one
+    # side numbered, EnsureRequirements discards it and re-shuffles
+    # both sides through ENSURE_REQUIREMENTS exchanges sized by the
+    # session default — precisely the volume-blind partitioning this
+    # sizing exists to avoid (plan-pinned in test_plans.py)
     closing = oriented.select(
         F.col("src").alias("u"), F.col("dst").alias("w")
     )
     tri = wedges.repartition(n_shuf, "u", "w").join(
-        closing, ["u", "w"], "left_semi"
+        closing.repartition(n_shuf, "u", "w"), ["u", "w"], "left_semi"
     )
 
     und = _undirected(oriented)

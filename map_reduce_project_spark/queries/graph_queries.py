@@ -152,7 +152,11 @@ def cc_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     same order). The engine counts with DEGREE ordering (hub-safe at
     scale, graph/analytics.py); the oracle counts with plain id
     ordering — the count is orientation-invariant, so they must agree
-    exactly."""
+    exactly. The hot path stays on RAW INT64 part keys (the
+    link-prediction lesson: the wedge join emits ~49M rows at sf0.1,
+    and 3-string wedge rows are ~3x the bytes of 3-int ones — part of
+    what stood between the vanilla 1 GB heap and sf0.1); the output
+    is counts only, so no display cast exists at all."""
     li = read_table(spark, sf_dir, "lineitem")
     edges = (
         li.select("l_orderkey", "l_partkey")
@@ -164,8 +168,8 @@ def cc_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
         .select(
-            F.col("x.l_partkey").cast("string").alias("src"),
-            F.col("y.l_partkey").cast("string").alias("dst"),
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
         )
     )
     return triangle_count(edges)

@@ -501,3 +501,24 @@ def test_gram_matrix_single_partials_exchange(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"\bExchange\b", plan)) == 1, plan[:500]
     assert "Join" not in plan
+
+
+def test_triangles_hot_path_int64_and_volume_sized(spark, registry):
+    # cc_triangles' wedge join emits sum(in(v)*out(v)) rows (~49M at
+    # sf0.1). Two pins that together took the vanilla 1 GB session at
+    # sf0.1 from OOM to ~24 s (round 7): (a) the wedge-join and
+    # closure exchanges are USER-NUMBERED repartitions on v and
+    # (u, w), sized by the measured wedge volume (AQE never coalesces
+    # REPARTITION_BY_NUM), and (b) the hot path carries RAW INT64
+    # part keys end-to-end — a display cast to string would triple
+    # the bytes of every wedge row.
+    df = registry["cc_triangles"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = [ln for ln in plan.splitlines() if "REPARTITION_BY_NUM" in ln]
+    assert any("hashpartitioning(v#" in ln for ln in lines), lines
+    assert any(
+        "hashpartitioning(u#" in ln and ", w#" in ln for ln in lines
+    ), lines
+    assert "as string" not in plan.lower(), (
+        "string cast leaked into the triangle hot path"
+    )
