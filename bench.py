@@ -36,23 +36,36 @@ Three query families:
 - ``ann_ivf_df_1m_{build,search}`` + ``ann_brute_df_1m`` depth
   probes: a 1M-vector, 16-dim clustered corpus (ids 0..31 ARE the
   cluster centers, so write_ivf_index's pinned quantizer is the true
-  one) built into an on-disk inverted file, searched at n_probe=2/32
-  cells, and graded against the exact Arrow brute force over the
-  same 100 queries. Asserts recall@10 >= 0.95 and exactly 32 cell
-  partitions on disk (bounded index state). The 100 TB evidence for
-  the ANN ladder: search cost ~ probed cells, never the corpus.
+  one) written ONCE to parquet; the IVF build and the exact Arrow
+  brute force both read that SAME on-disk corpus (symmetric storage
+  — the search-vs-brute ratio is a real IVF verdict; the one-time
+  write is its own line). Searched at n_probe=2/32 cells, graded
+  against the brute top-10 over the same 100 queries. Asserts
+  recall@10 >= 0.95 and exactly 32 cell partitions on disk (bounded
+  index state). The 100 TB evidence for the ANN ladder: search cost
+  ~ probed cells, never the corpus.
+- ``text_bm25_df_{500k,5m}`` depth probes: the text flagship's BM25
+  top-5-keyword plan shape over a distributively synthesized corpus
+  with a BOUNDED 5k-term vocabulary — term-keyed state stays O(vocab)
+  at any corpus size, (doc, term) shuffles stay linear in tokens;
+  the 500k/5M pair is the text tier's linear-wall evidence.
 - engine headliners at $SPARK_GRAFT_SF_DIR (default sf0.1): scan-heavy
   agg, multi-join, window, CCF flagship, dedup/ANN/text/session ops.
   Headliners run BEFORE the 5M depth probes so their min-of-2 is not
   measured in the probes' GC shadow (round-5 drift lesson).
 
-METHODOLOGY (uniform for every line): each timed line is the MIN of 2
-consecutive runs. On a shared 32-thread JVM a single draw swings with
-GC/JIT phase (measured +-2 s on the 500k probe for identical
-deterministic work); the min is the steady-state capability number.
-The first draw of each line also absorbs that line's one-time codegen
-/ JIT cost, so warm-up stays where it belongs — inside the measured
-pair — instead of being pre-run untimed and booked to startup.
+METHODOLOGY: the HEADLINE pass (3 reference configs + 13 engine
+headliners) runs FIRST — in the freshly started JVM, before any
+probe has touched it — and each line is the MIN of 3 consecutive
+runs: two rounds of ±20-40% drift on sub-second lines showed
+min-of-2-in-a-shared-JVM has real GC/JIT phase noise, and min-of-3
+up front is the cheapest stabilizer (round-6 verdict item 4). Scale
+probes (500k CC) stay min-of-2; the 5M/1M depth probes stay
+single-draw (at 30-140 s a draw, phase noise is proportionally small
+and a second draw would double bench wall time for <5% precision).
+The first draw of each line absorbs that line's one-time codegen /
+JIT cost, so warm-up stays inside the measured set instead of being
+pre-run untimed and booked to startup.
 
 ``startup_sec`` is session fixed cost only: SparkSession build + one
 tiny spark.range probe + ONE small representative query at sf0.001
@@ -113,14 +126,11 @@ HEADLINERS = [
     "q92_hll_union",
 ]
 
-N_RUNS = 2
-
-
-def min_of_runs(fn) -> float:
-    """min over N_RUNS consecutive executions — the uniform rule for
-    every timed line (see module doc)."""
+def min_of_runs(fn, n: int = 2) -> float:
+    """min over n consecutive executions (see module doc: 3 for the
+    headline pass, 2 for scale probes)."""
     runs = []
-    for _ in range(N_RUNS):
+    for _ in range(n):
         t = time.perf_counter()
         fn()
         runs.append(round(time.perf_counter() - t, 3))
@@ -155,7 +165,15 @@ def main() -> None:
             n_comp = component_count(res.mapping)
             assert res.converged and n_comp >= 1
 
-        timings[name] = min_of_runs(run_ref)
+        timings[name] = min_of_runs(run_ref, n=3)
+
+    # headliners in the SAME fresh-JVM headline pass, min-of-3,
+    # before any probe work touches the JVM (round-6 verdict item 4)
+    for name in HEADLINERS:
+        fn = registry[name].fn
+        timings[name] = min_of_runs(
+            lambda fn=fn: fn(spark, SF_DIR).count(), n=3
+        )
 
     # scale probe 1: fully distributed uniform graph (spark.range
     # generator, no driver-side edge list) — AQE/partition-sizing path
@@ -184,12 +202,6 @@ def main() -> None:
         assert res.iterate_path == "join", res.iterate_path
 
     timings["ccf_skew_df_500k"] = min_of_runs(run_skew)
-
-    # headliners FIRST: min-of-2 steady-state numbers must not be
-    # taken in the GC shadow of the ~200 s of depth probes below
-    for name in HEADLINERS:
-        fn = registry[name].fn
-        timings[name] = min_of_runs(lambda fn=fn: fn(spark, SF_DIR).count())
 
     # depth probes: 5M edges through reliable checkpointing (see
     # module doc). Disk must stay one generation wide — the invariant
@@ -331,13 +343,27 @@ def main() -> None:
             ).alias("embedding"),
         )
 
+    # SYMMETRIC STORAGE (round-6 verdict item 2): the synthesized
+    # corpus is written to parquet ONCE and BOTH the IVF build and
+    # the exact brute force read that same on-disk corpus, so the
+    # search-vs-brute ratio is a real IVF verdict instead of
+    # comparing disk-backed search against an I/O-free in-memory
+    # expression scan (the round-6 asymmetry). The one-time write is
+    # reported as its own line, not folded into either side.
     ann_n = 1_000_000
-    corpus = synth_ann_corpus(ann_n)
-    ann_queries = corpus.where(
-        (F.col("vec_id") % (ann_n // 100)) == 77
-    )
     idx_dir = tempfile.mkdtemp(prefix="bench_ivf1m_")
+    corpus_dir = tempfile.mkdtemp(prefix="bench_anncorpus1m_")
     try:
+        t = time.perf_counter()
+        synth_ann_corpus(ann_n).write.mode("overwrite").parquet(corpus_dir)
+        timings["ann_corpus_df_1m_write"] = round(
+            time.perf_counter() - t, 3
+        )
+        corpus = spark.read.parquet(corpus_dir)
+        ann_queries = corpus.where(
+            (F.col("vec_id") % (ann_n // 100)) == 77
+        )
+
         t = time.perf_counter()
         write_ivf_index(corpus, idx_dir, n_centroids=ANN_NC)
         timings["ann_ivf_df_1m_build"] = round(time.perf_counter() - t, 3)
@@ -369,6 +395,102 @@ def main() -> None:
         assert recall >= 0.95, recall
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    # Text depth probe (round-6 verdict item 5): the BM25 top-k
+    # keyword pipeline — the text flagship's exact plan shape (one
+    # explode -> tf/dl/df partial+final aggs -> broadcast corpus
+    # scalars -> per-doc top-5 window) — over a DISTRIBUTIVELY
+    # synthesized corpus (spark.range + xxhash64 tokens, no driver
+    # rows) of 12-token docs drawn from a BOUNDED 5,000-term
+    # vocabulary. Bounded vocabulary = bounded term-keyed state: df
+    # and the broadcastable corpus scalars stay O(vocab) at any
+    # corpus size, the (doc, term) shuffles stay linear in tokens —
+    # the 500k/5M pair is the linear-wall evidence, same lens as the
+    # CC and dedup probes.
+    from pyspark.sql.window import Window
+
+    TEXT_VOCAB = 5_000
+
+    def synth_text_corpus(n_docs: int):
+        ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+        toks = [
+            F.concat(
+                F.lit("w"),
+                (
+                    F.abs(F.xxhash64(F.lit(j), F.col("doc_id")))
+                    % TEXT_VOCAB
+                ).cast("string"),
+            )
+            for j in range(12)
+        ]
+        return ids.select(
+            "doc_id", F.concat_ws(" ", *toks).alias("text")
+        )
+
+    def run_text_bm25(n_docs: int) -> None:
+        docs = synth_text_corpus(n_docs)
+        toks = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        tf = toks.groupBy("doc_id", "term").agg(
+            F.count("*").alias("tf")
+        )
+        dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+        corpus_stats = dl.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+        )
+        scored = (
+            tf.join(dl, "doc_id")
+            .join(F.broadcast(df_t), "term")
+            .crossJoin(F.broadcast(corpus_stats))
+            .withColumn(
+                "bm25",
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75)
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        / F.col("sum_dl")
+                    )
+                ),
+            )
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("bm25").desc(), "term"
+        )
+        n_out = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .count()
+        )
+        assert n_out == 5 * n_docs, (n_out, n_docs)
+
+    timings["text_bm25_df_500k"] = min_of_runs(
+        lambda: run_text_bm25(500_000)
+    )
+    # bounded-state assertion, once, untimed: the term-keyed state is
+    # capped by the vocabulary no matter the corpus size
+    n_terms = (
+        synth_text_corpus(500_000)
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+        .count()
+    )
+    assert n_terms <= TEXT_VOCAB, n_terms
+    t = time.perf_counter()
+    run_text_bm25(5_000_000)
+    timings["text_bm25_df_5m"] = round(time.perf_counter() - t, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -376,14 +498,18 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    "end-to-end wall seconds (each line min-of-2; 5M "
-                    "depth probes single-draw): 3 reference CCF "
-                    "benchmark configs + distributed 500k-edge CC "
-                    "(uniform + hub-skewed) + 13 engine headline "
-                    "queries + 5M-edge reliable-checkpoint CC depth "
-                    "probes + 500k/5M-doc MinHash-LSH-verify dedup "
-                    "depth probes + 1M-vector IVF build/search/brute "
-                    "recall-graded ANN depth probes"
+                    "end-to-end wall seconds (headline pass min-of-3 "
+                    "in the fresh JVM before any probe; 500k probes "
+                    "min-of-2; 5M/1M depth probes single-draw): 3 "
+                    "reference CCF benchmark configs + 13 engine "
+                    "headline queries + distributed 500k-edge CC "
+                    "(uniform + hub-skewed) + 5M-edge "
+                    "reliable-checkpoint CC depth probes + 500k/5M-doc "
+                    "MinHash-LSH-verify dedup depth probes + 1M-vector "
+                    "IVF build/search/brute ANN depth probes (build "
+                    "AND brute read the SAME on-disk parquet corpus; "
+                    "recall-graded) + 500k/5M-doc BM25 top-k text "
+                    "depth probes (bounded 5k-term vocabulary)"
                 ),
                 "value": total,
                 "unit": "sec",

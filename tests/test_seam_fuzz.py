@@ -680,3 +680,176 @@ def test_lower_dotted_capital_i_divergence_pin(spark, duck):
     assert srow == "i̇stanbul"  # Spark: i + combining dot above
     assert drow == "istanbul"  # DuckDB: bare i
     assert srow != drow
+
+
+def test_decimal_downcast_trunc_vs_halfup_divergence_pin(spark, duck):
+    # FOUND BY THIS FUZZ (round 7): a bare DECIMAL -> DECIMAL
+    # scale-REDUCING cast diverges systematically — Spark rounds
+    # HALF_UP at the dropped digit (Decimal.toPrecision), DuckDB
+    # TRUNCATES toward zero (1.115 -> 1.12 vs 1.11; 1.999 -> 2.00 vs
+    # 1.99; symmetric for negatives). Any gated oracle that
+    # scale-reduces a decimal with CAST alone would hash-diverge on
+    # almost every row. CONTRACT: gated SQL must ROUND to the target
+    # scale BEFORE casting (ROUND is HALF_UP in both engines — the
+    # round-5 pin), or avoid scale reduction entirely; the repo's
+    # committed oracles do the latter (audited round 7: every
+    # DECIMAL(p,s) cast is scale-preserving or from DOUBLE).
+    import decimal
+
+    for seed in (11, 43):
+        rng = random.Random(seed)
+        mills = [rng.randrange(-99999, 99999) for _ in range(300)]
+        pdf = pd.DataFrame({"id": range(len(mills)), "c": mills})
+        bare = """
+SELECT id, CAST(CAST(c AS DECIMAL(38,0)) / 1000 AS DECIMAL(38,3)) AS d3
+FROM t
+"""
+        # build the scale-3 decimal identically (int/1000 is exact
+        # decimal division in Spark; DuckDB decimal/int -> DOUBLE, so
+        # construct via multiplication instead for byte-identical
+        # inputs on both sides)
+        mk = (
+            "SELECT id, CAST(c AS DECIMAL(38,0)) *"
+            " CAST(0.001 AS DECIMAL(4,3)) AS d3 FROM t"
+        )
+        cast_sql = (
+            f"SELECT id, CAST(CAST(d3 AS DECIMAL(10,2)) AS DOUBLE)"
+            f" AS x FROM ({mk})"
+        )
+        s, d = _both(spark, duck, pdf, cast_sql, cast_sql)
+        # recompute both expectations host-side with decimal module
+        exp_half_up = {}
+        exp_trunc = {}
+        for i, c in zip(pdf["id"], pdf["c"]):
+            d3 = decimal.Decimal(c) / 1000
+            exp_half_up[str(i)] = float(
+                d3.quantize(
+                    decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            exp_trunc[str(i)] = float(
+                d3.quantize(
+                    decimal.Decimal("0.01"), rounding=decimal.ROUND_DOWN
+                )
+            )
+        assert {r[0]: float(r[1]) for r in s} == exp_half_up, "Spark side"
+        assert {r[0]: float(r[1]) for r in d} == exp_trunc, "DuckDB side"
+
+        # the SAFE pattern: ROUND to target scale, THEN cast — exact
+        # parity (both engines HALF_UP in ROUND over decimals)
+        safe = (
+            f"SELECT id, CAST(CAST(ROUND(d3, 2) AS DECIMAL(10,2))"
+            f" AS DOUBLE) AS x FROM ({mk})"
+        )
+        s2, d2 = _both(spark, duck, pdf, safe, safe)
+        assert s2 == d2, f"seed={seed}"
+
+    # DOUBLE -> DECIMAL is NOT the same seam: both engines round the
+    # double's shortest decimal repr HALF_UP ('1.005' -> 1.01 even
+    # though the binary value is 1.00499...), so q96's
+    # CAST(double AS DECIMAL(28,6)) pattern is parity-safe
+    for lit in ("1.005", "0.285", "2.675", "1.5", "2.5", "-1.115"):
+        sql = f"SELECT CAST(CAST('{lit}' AS DOUBLE) AS DECIMAL(10,2)) AS x"
+        srow = str(spark.sql(sql).collect()[0].x)
+        drow = str(duck.execute(sql).fetchone()[0])
+        assert float(srow) == float(drow), (lit, srow, drow)
+
+
+def test_unicode_casefold_expansion_divergence_pins(spark, duck):
+    # FOUND BY THIS FUZZ (round 7), beyond round 6's U+0130: the
+    # one-sided FULL case mappings. Java (Spark) applies Unicode
+    # full casefolding — expansions allowed; DuckDB applies simple
+    # per-codepoint mappings. CONTRACT (extends the U+0130 one): no
+    # gated oracle may rely on upper()/lower() agreement outside
+    # ASCII. These pins fail loudly if either engine changes.
+    cases = [
+        # (sql, spark_expect, duck_expect)
+        ("upper('straße')", "STRASSE", "STRAẞE"),  # ß -> SS vs U+1E9E
+        ("upper(lower('ẞ'))", "SS", "ẞ"),  # round-trip diverges
+        ("lower('ΣΟΦΟΣ')", "σοφος", "σοφοσ"),  # final-sigma ς Spark-only
+        ("upper('ﬁn')", "FIN", "ﬁN"),  # U+FB01 ligature expansion
+        ("lower('İI')", "i̇i", "ii"),  # the round-6 U+0130 pin, composed
+    ]
+    for sql, s_exp, d_exp in cases:
+        srow = spark.sql(f"SELECT {sql} AS x").collect()[0].x
+        drow = duck.execute(f"SELECT {sql}").fetchone()[0]
+        assert srow == s_exp, (sql, srow)
+        assert drow == d_exp, (sql, drow)
+
+    # PARITY on the simple one-to-one mappings: dotless i round trip
+    # agrees (upper('ı') = 'I' both, lower back = 'i' both), and
+    # random ASCII agrees everywhere — the domain the gate relies on
+    for sql in ("upper('ı')", "lower(upper('ı'))", "upper('ςσ')"):
+        srow = spark.sql(f"SELECT {sql} AS x").collect()[0].x
+        drow = duck.execute(f"SELECT {sql}").fetchone()[0]
+        assert srow == drow, (sql, srow, drow)
+    rng = random.Random(5)
+    ascii_strs = [
+        "".join(chr(rng.randrange(32, 127)) for _ in range(rng.randrange(12)))
+        .replace("'", "")
+        .replace("\\", "")
+        for _ in range(200)
+    ]
+    pdf = pd.DataFrame({"id": range(len(ascii_strs)), "s": ascii_strs})
+    sql = "SELECT id, upper(s) AS u, lower(s) AS l FROM t"
+    s, d = _both(spark, duck, pdf, sql, sql)
+    assert s == d
+
+
+def test_regexp_class_intersection_and_lookaround_divergence_pins(
+    spark, duck
+):
+    # FOUND BY THIS FUZZ (round 7), beyond the round-5 RE2 seam:
+    # with byte-identical patterns (shipped via a COLUMN — SQL
+    # string-literal escaping itself diverges and would mask the
+    # result), the two regex engines split on exactly the features
+    # java.util.regex has and RE2 lacks (or vice versa). CONTRACT:
+    # gated regex stays inside the common subset — no class
+    # intersection [a&&b], no lookaround, no POSIX [[:class:]], no
+    # \h, no script names — which scrub_pii/text_regexp_suite
+    # already observe (round-5 audit).
+    subject = "a-z]&b xyABab12 ABC_ 9"
+    cases = [
+        # (pattern, spark_match, duck_match)
+        ("[a&&b]", "", "a"),  # Java intersection (empty) vs literal a/&/b
+        ("[\\w&&[^_]]+", "a", "z]"),  # intersection vs literal-class
+        ("a(?=b)", "a", ""),  # lookahead: Java only
+        ("a(?!c)", "a", ""),
+        ("(?<=x)y", "y", ""),  # lookbehind: Java only
+        ("[[:digit:]]+", "", "12"),  # POSIX classes: RE2 only
+        ("\\h", " ", ""),  # horizontal-ws escape: Java only
+    ]
+    pats = [c[0] for c in cases]
+    pdf = pd.DataFrame({"i": range(len(pats)), "p": pats})
+    spark.createDataFrame(pdf).createOrReplaceTempView("pt")
+    duck.register("pt", pdf)
+    for i, (pat, s_exp, d_exp) in enumerate(cases):
+        srow = spark.sql(
+            f"SELECT regexp_extract('{subject}', p, 0) AS x"
+            f" FROM pt WHERE i = {i}"
+        ).collect()[0].x
+        drow = duck.execute(
+            "SELECT regexp_extract(?, p, 0) FROM pt WHERE i = ?",
+            [subject, i],
+        ).fetchone()[0]
+        assert srow == s_exp, (pat, srow)
+        assert drow == d_exp, (pat, drow)
+
+    # error-handling seam on DYNAMIC patterns: an invalid pattern in
+    # a column RAISES in Spark but silently matches nothing in DuckDB
+    # (bind-time compilation is impossible, and the row-level error
+    # is swallowed) — a gated oracle with data-driven patterns would
+    # not just diverge, it would diverge SILENTLY on one side
+    bad = pd.DataFrame({"i": [0], "p": ["[b-a]"]})
+    spark.createDataFrame(bad).createOrReplaceTempView("badp")
+    duck.register("badp", bad)
+    with pytest.raises(Exception, match="INVALID_PARAMETER_VALUE|PATTERN"):
+        spark.sql(
+            "SELECT regexp_extract('abc', p, 0) AS x FROM badp"
+        ).collect()
+    assert (
+        duck.execute(
+            "SELECT regexp_extract('abc', p, 0) FROM badp"
+        ).fetchone()[0]
+        == ""
+    )
