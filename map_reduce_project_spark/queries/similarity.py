@@ -1459,7 +1459,7 @@ QUERIES.append(
 
 
 def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact int64 Gram matrix of the embedding corpus — the
+    """Exact Gram matrix of the embedding corpus — the
     covariance/PCA/whitening prep stage of an embedding pipeline:
     G[i][j] = sum over vectors of q_i * q_j with q = floor(val*2^24)
     (the module's fixed-point discipline, so the 64x64 statistic is
@@ -1471,6 +1471,20 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition regardless of corpus size, which is the whole point:
     the driver-side eigensolve a consumer runs on the 2080-row result
     is O(dims^3), never O(corpus).
+
+    OVERFLOW ENVELOPE (round-7 self-audit): each PRODUCT q_i*q_j is
+    int64-safe iff |x| < 2^7 (then |q| < 2^31) — embeddings are
+    unit-scale, 10^5x inside that bound. The SUM is another story:
+    the true diagonal sum_N(q_i^2) crosses 2^63 near N ~ 10^5-10^6
+    unit-scale vectors (the sf0.1 corpus of 128k vectors is already
+    past the WORST-CASE envelope N * max|q|^2), so the accumulators
+    are DECIMAL(38,0) — exact to ~10^38, i.e. any conceivable
+    corpus — matching DuckDB, whose SUM(BIGINT) is a HUGEINT for the
+    same reason; int64 accumulation would raise under ANSI at sf~1
+    and silently wrap without it. The output column is the decimal
+    rendered as a STRING: pandas lowers DuckDB DECIMAL(38,0) to
+    float64 (the round-1 q17 HUGEINT escape), so only a digit
+    string crosses the gate canon exactly.
 
     Plan note: the pair expansion is a DOUBLE posexplode of the same
     row (no self-join!), so the corpus never shuffles at all — the
@@ -1491,11 +1505,15 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.select("i", "qi", F.posexplode("qarr").alias("j", "qj"))
         .where(F.col("i") <= F.col("j"))
         .groupBy("i", "j")
-        .agg(F.sum(F.col("qi") * F.col("qj")).cast("long").alias("gram"))
+        .agg(
+            F.sum(
+                (F.col("qi") * F.col("qj")).cast("decimal(38,0)")
+            ).alias("gram")
+        )
         .select(
             F.col("i").cast("long").alias("i"),
             F.col("j").cast("long").alias("j"),
-            "gram",
+            F.col("gram").cast("decimal(38,0)").cast("string").alias("gram"),
         )
     )
 
@@ -1507,7 +1525,7 @@ WITH el AS (
   FROM embeddings
 )
 SELECT CAST(a.pos AS BIGINT) AS i, CAST(b.pos AS BIGINT) AS j,
-       CAST(SUM(a.q * b.q) AS BIGINT) AS gram
+       CAST(CAST(SUM(a.q * b.q) AS DECIMAL(38,0)) AS VARCHAR) AS gram
 FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.pos <= b.pos
 GROUP BY 1, 2
 """
@@ -1517,6 +1535,6 @@ QUERIES.append(
         "emb_gram_matrix",
         emb_gram_matrix,
         EMB_GRAM_SQL,
-        "exact int64 Gram matrix (PCA/whitening prep): one pass, dims^2-bounded shuffle",
+        "exact DECIMAL(38) Gram matrix (PCA/whitening prep): one pass, dims^2-bounded shuffle",
     )
 )
