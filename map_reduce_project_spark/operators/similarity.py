@@ -560,6 +560,9 @@ def write_ivf_index(
       partitioned by ``cell``: a probe reads only its cells'
       directories (partition pruning on the filter the probe list
       produces).
+    - ``cell_vectors/`` — (target_id, qv int64 array, tn2) per
+      target, partitioned by ``cell``: the SEARCH layout (one
+      zip_with dot per row instead of a dims-fold element join).
     - ``norms/`` — (target_id, tn2) exact squared norms.
     - ``centroid_elements/`` / ``centroid_norms`` — the quantizer
       (n_centroids * dims rows; broadcast at query time).
@@ -606,11 +609,43 @@ def write_ivf_index(
         .partitionBy("cell")
         .parquet(f"{path}/cells")
     )
+    # the SEARCH layout: one row per target carrying the whole
+    # quantized int64 array + its norm, partitioned by cell. The
+    # element posting lists above are the append/analytics layout;
+    # searching through them costs a dims-fold row blowup in the
+    # (cell, pos) join (measured 16x at the 1M bench probe — element
+    # search 7.6 s vs 2.4 s on arrays), so the hot path reads this
+    # one and computes each exact int64 dot in a single zip_with
+    # aggregate per (query, target) row.
+    qv = vectors.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(FLOOR(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    (
+        assigned.join(qv, id_col)
+        .join(n2, id_col)
+        .selectExpr(f"{id_col} as target_id", "cell", "qv", "norm2 as tn2")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cell_vectors")
+    )
     n2.selectExpr(f"{id_col} as target_id", "norm2 as tn2").write.mode(
         "overwrite"
     ).parquet(f"{path}/norms")
     cel.write.mode("overwrite").parquet(f"{path}/centroid_elements")
     cn2.write.mode("overwrite").parquet(f"{path}/centroid_norms")
+    (
+        vectors.select(
+            F.size(vec_col).alias("dims"),
+            F.lit(n_centroids).alias("n_centroids"),
+        )
+        .limit(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/meta")
+    )
 
 
 def ivf_index_topk(
@@ -652,6 +687,131 @@ def ivf_index_topk(
         .where(F.col("_r") <= n_probe)
         .selectExpr(f"{id_col} as query_id", "cell")
     )
+    try:
+        tvec = spark.read.parquet(f"{path}/cell_vectors").selectExpr(
+            "target_id", "cell", "qv as tqv", "tn2"
+        )
+    except Exception:
+        tvec = None  # pre-round-7 index: element posting lists only
+    qn = qn2.selectExpr(f"{id_col} as query_id", "norm2 as qn2")
+    if tvec is not None:
+        # ARROW KERNEL path (round 7): the probe list and the query
+        # batch are collected once (the same bounded query-side pull
+        # arrow_brute_force_topk documents — queries are small by
+        # contract; probes are |queries| x n_probe rows), then:
+        #  - the scan is FILTERED to the probed cells, so partition
+        #    pruning actually skips unprobed cell directories (the
+        #    IVF contract in bytes, not just compute);
+        #  - each Arrow batch matmuls its targets against ONLY the
+        #    queries probing that batch's cells — int64 exact, the
+        #    same QSCALE argument as the brute kernel — and emits
+        #    batch-local top-k per query under the global
+        #    (cosine desc, target_id asc) order;
+        #  - the final window ranks k x n_batches candidates.
+        # Bit-identical to the element path (same stored quantized
+        # ints, same float64 cosine expression, same tiebreak);
+        # pinned by test_persisted_ivf_index_matches_in_plan. The
+        # JVM element path below remains the no-Python fallback for
+        # pre-round-7 index layouts.
+        import numpy as np
+        import pyarrow as pa
+
+        # probe selection runs in numpy over the collected centroid
+        # tables (n_centroids x dims — KBs) instead of a multi-stage
+        # JVM job: same exact int64 dist2 = qn2 - 2*q.c + cn2 and the
+        # same (dist2, cell) tiebreak as the in-plan quantizer, so
+        # the probed set is bit-identical (pinned by the parity
+        # test); at 100-1000 queries the saved probe job was the
+        # largest fixed cost of a search call.
+        qrows = queries.select(id_col, vec_col).collect()
+        qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+        qi = np.floor(
+            np.asarray([r[1] for r in qrows], dtype=np.float64) * QSCALE
+        ).astype(np.int64)
+        qn2_np = (qi * qi).sum(axis=1)
+        cel_pd = (
+            spark.read.parquet(f"{path}/centroid_elements")
+            .toPandas()
+            .sort_values(["cell", "pos"])
+        )
+        n_cells = cel_pd["cell"].nunique()
+        cmat = (
+            cel_pd["cval"]
+            .to_numpy()
+            .astype(np.int64)
+            .reshape(n_cells, -1)
+        )
+        cell_ids = cel_pd["cell"].unique()
+        cn2_np = (cmat * cmat).sum(axis=1)
+        dist2 = (
+            qn2_np[:, None] - 2 * (qi @ cmat.T) + cn2_np[None, :]
+        )
+        cell_to_qidx: dict[int, list[int]] = {}
+        for j in range(len(qids)):
+            order = np.lexsort((cell_ids, dist2[j]))[:n_probe]
+            for c in cell_ids[order]:
+                cell_to_qidx.setdefault(int(c), []).append(j)
+        probed_cells = sorted(cell_to_qidx)
+
+        out_schema = "query_id long, target_id long, cosine double"
+
+        def kernel(batches):
+            for batch in batches:
+                tids = batch.column(0).to_numpy()
+                col = batch.column(1)
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                lens = np.diff(col.offsets.to_numpy())
+                if len(lens) == 0:
+                    continue
+                dim = int(lens[0])
+                ti = flat.astype(np.int64).reshape(-1, dim)
+                tn2 = batch.column(2).to_numpy()
+                cells = batch.column(3).to_numpy()
+                out_q, out_t, out_c = [], [], []
+                for cell in np.unique(cells):
+                    qidx = cell_to_qidx.get(int(cell))
+                    if not qidx:
+                        continue
+                    sel = np.nonzero(cells == cell)[0]
+                    dots = ti[sel] @ qi[qidx].T
+                    cos = dots.astype(np.float64) / (
+                        np.sqrt(qn2_np[qidx].astype(np.float64))[None, :]
+                        * np.sqrt(tn2[sel].astype(np.float64))[:, None]
+                    )
+                    ids_c = tids[sel]
+                    for jj, j in enumerate(qidx):
+                        cj = cos[:, jj]
+                        mask = ids_c != qids[j]
+                        cand = np.nonzero(mask)[0]
+                        if len(cand) == 0:
+                            continue
+                        if len(cand) > 4 * k:
+                            cc = cj[cand]
+                            kth = cc[
+                                np.argpartition(-cc, k - 1)[:k]
+                            ].min()
+                            cand = cand[cc >= kth]
+                        order = cand[
+                            np.lexsort((ids_c[cand], -cj[cand]))
+                        ][:k]
+                        out_q.extend([qids[j]] * len(order))
+                        out_t.extend(ids_c[order].tolist())
+                        out_c.extend(cj[order].tolist())
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_q, type=pa.int64()),
+                        pa.array(out_t, type=pa.int64()),
+                        pa.array(out_c, type=pa.float64()),
+                    ],
+                    names=["query_id", "target_id", "cosine"],
+                )
+
+        candidates = (
+            tvec.where(F.col("cell").isin(probed_cells))
+            .select("target_id", "tqv", "tn2", "cell")
+            .mapInArrow(kernel, out_schema)
+        )
+        return topk(candidates, k)
     qel = probes.join(
         qel_raw.selectExpr(f"{id_col} as query_id", "pos", "val as qval"),
         "query_id",
@@ -665,7 +825,6 @@ def ivf_index_topk(
         .groupBy("query_id", "target_id")
         .agg(F.sum(F.col("qval") * F.col("tval")).alias("dot"))
     )
-    qn = qn2.selectExpr(f"{id_col} as query_id", "norm2 as qn2")
     tn = spark.read.parquet(f"{path}/norms").selectExpr(
         "target_id", "tn2"
     )

@@ -828,6 +828,19 @@ def test_persisted_ivf_index_matches_in_plan(spark, sf0001, tmp_path):
     assert got == want and got
     import os
     assert any(d.startswith("cell=") for d in os.listdir(f"{path}/cells"))
+    # round 7: the search layout exists and the ELEMENT fallback path
+    # (pre-round-7 index without cell_vectors/) returns bit-identical
+    # rows — both formulations sum the same quantized int64 products
+    assert any(
+        d.startswith("cell=") for d in os.listdir(f"{path}/cell_vectors")
+    )
+    import shutil
+    shutil.rmtree(f"{path}/cell_vectors")
+    fallback = {
+        (r.query_id, r.target_id, r.rank, float(r.cosine))
+        for r in ivf_index_topk(spark, path, emb, k=3, n_probe=3).collect()
+    }
+    assert fallback == want
 
 
 # ---------------------------------------------------------------------------
