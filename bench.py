@@ -42,8 +42,12 @@ Three query families:
   write is its own line). Searched at n_probe=2/32 cells, graded
   against the brute top-10 over the same 100 queries. Asserts
   recall@10 >= 0.95 and exactly 32 cell partitions on disk (bounded
-  index state). The 100 TB evidence for the ANN ladder: search cost
-  ~ probed cells, never the corpus.
+  index state). At THIS size (128 MB, page-cached) vectorized brute
+  and the per-cell Arrow kernel land within ~2x of each other —
+  scan-bound parity; the IVF contract that survives is BYTES (the
+  search scan partition-prunes to probed cells, plan-pinned), and
+  the clear win moves to scan-dominated corpora (SCALING.md, ANN
+  ratio discussion).
 - ``text_bm25_df_{500k,5m}`` depth probes: the text flagship's BM25
   top-5-keyword plan shape over a distributively synthesized corpus
   with a BOUNDED 5k-term vocabulary — term-keyed state stays O(vocab)

@@ -976,6 +976,8 @@ def _decode_png_pixels(b: bytes) -> np.ndarray:
     i = 8
     w = h = None
     bpp = None
+    depth = ctype = None
+    palette = None
     idat = bytearray()
     while i + 8 <= len(b):
         (size,) = struct.unpack(">I", b[i : i + 4])
@@ -985,16 +987,39 @@ def _decode_png_pixels(b: bytes) -> np.ndarray:
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or ctype not in (2, 6):
+            # real tiers: 8-bit truecolor (2), truecolor+alpha (6),
+            # grayscale (0), and palette (3) at ALL legal palette
+            # depths 1/2/4/8 (round 7); 16-bit channels and
+            # interlacing stay honestly out
+            if ctype in (2, 6):
+                if depth != 8:
+                    raise NotImplementedError(
+                        f"PNG bit depth {depth} for color type {ctype}"
+                        " (8-bit only)"
+                    )
+                bpp = 4 if ctype == 6 else 3
+            elif ctype == 0:
+                if depth != 8:
+                    raise NotImplementedError(
+                        f"PNG grayscale bit depth {depth} (8-bit only)"
+                    )
+                bpp = 1
+            elif ctype == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise NotImplementedError(
+                        f"PNG palette bit depth {depth}"
+                    )
+                bpp = 1  # filters operate on bytes; depth < 8 packs
+            else:
                 raise NotImplementedError(
-                    f"PNG bit depth {depth} / color type {ctype} "
-                    "(8-bit RGB/RGBA only)"
+                    f"PNG color type {ctype} (16-bit/gray-alpha out)"
                 )
             if comp != 0 or filt != 0 or interlace != 0:
                 raise NotImplementedError(
                     "nonzero compression/filter method or interlaced PNG"
                 )
-            bpp = 4 if ctype == 6 else 3
+        elif tag == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -1002,8 +1027,13 @@ def _decode_png_pixels(b: bytes) -> np.ndarray:
         i += 12 + size  # len + tag + data + crc
     if w is None or bpp is None:
         raise ValueError("no IHDR chunk")
+    if ctype == 3 and palette is None:
+        raise ValueError("palette PNG without PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = w * bpp
+    if ctype == 3:
+        stride = -(-(w * depth) // 8)  # packed bytes per scanline
+    else:
+        stride = w * bpp
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG scanline data")
     px = np.zeros((h, stride), dtype=np.int64)
@@ -1037,7 +1067,25 @@ def _decode_png_pixels(b: bytes) -> np.ndarray:
                 recon[x] = (line[x] + pred) % 256
         px[y] = recon
         prior = recon
+    if ctype == 3:
+        packed = px.astype(np.uint8)
+        if depth == 8:
+            idx = packed[:, :w]
+        else:
+            # MSB-first sub-byte unpacking (PNG spec 7.2), trimmed
+            # to width (trailing pad bits in the last byte ignored)
+            bits = np.unpackbits(packed, axis=1)
+            per = 8 // depth
+            idx = np.zeros((h, stride * per), dtype=np.uint8)
+            for k in range(depth):
+                idx = (idx << 1) | bits[:, k::depth][:, : stride * per]
+            idx = idx[:, :w]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        return palette[idx]
     out = px.reshape(h, w, bpp).astype(np.uint8)
+    if ctype == 0:
+        return np.repeat(out, 3, axis=2)
     return out[:, :, :3]
 
 
@@ -1062,6 +1110,117 @@ def gradient_png_image(doc_id: int) -> tuple[str, bytes]:
         ((doc_id + grid) % 256).astype(np.uint8) if doc_id % 2 == 1 else None
     )
     return "image/png", encode_png(px, alpha=alpha)
+
+
+def encode_palette_png(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    depth: int = 8,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """(h, w) palette indices (< 2^depth) + (n, 3) palette -> a
+    spec-valid color-type-3 PNG at depth 1/2/4/8: MSB-first bit
+    packing per scanline (spec 7.2), then the same five-filter byte
+    arithmetic as ``encode_png`` with bpp = 1 (filters always operate
+    on packed BYTES). Default filters cycle 0..4."""
+    import zlib
+
+    h, w = idx.shape
+    if depth == 8:
+        packed = idx.astype(np.uint8)
+    else:
+        per = 8 // depth
+        padw = -(-w // per) * per
+        wide = np.zeros((h, padw), dtype=np.uint8)
+        wide[:, :w] = idx.astype(np.uint8)
+        bits = np.zeros((h, padw * depth), dtype=np.uint8)
+        for k in range(depth):
+            bits[:, k::depth] = (wide >> (depth - 1 - k)) & 1
+        packed = np.packbits(bits, axis=1)
+    stride = packed.shape[1]
+    flat = packed.astype(np.int64)
+    if row_filters is None:
+        row_filters = [y % 5 for y in range(h)]
+    out = bytearray()
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        raw = flat[y]
+        ft = row_filters[y]
+        filt = np.empty(stride, dtype=np.int64)
+        for x in range(stride):
+            left = raw[x - 1] if x >= 1 else 0
+            up = prior[x]
+            ul = prior[x - 1] if x >= 1 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(int(left), int(up), int(ul))
+            filt[x] = (raw[x] - pred) % 256
+        out.append(ft)
+        out += bytes(filt.astype(np.uint8))
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def palette_png_image(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic palette PNG for the oracle gate: w = 2 + id % 7,
+    h = 2 + (id // 7) % 5; bit depth by id % 3 (0 -> 4-bit/16 colors,
+    1 -> 8-bit/256, 2 -> 2-bit/4 colors — every sub-byte packer and
+    the full-byte path under one gate); index(x, y) =
+    (id + 3x + 5y) % n_colors; palette entry i =
+    (i, 7i % 256, 13i % 256). Filters cycle 0..4 per scanline."""
+    w = 2 + doc_id % 7
+    h = 2 + (doc_id // 7) % 5
+    depth = {0: 4, 1: 8, 2: 2}[doc_id % 3]
+    n_colors = 1 << depth
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    idx = (doc_id + 3 * xs[None, :] + 5 * ys[:, None]) % n_colors
+    i = np.arange(n_colors, dtype=np.int64)
+    palette = np.stack([i % 256, (7 * i) % 256, (13 * i) % 256], axis=1)
+    return "image/png", encode_palette_png(idx, palette, depth=depth)
+
+
+def attach_real_palette_png_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL indexed-color PNG payloads manufactured distributively
+    from the id column (mapInPandas, never driver-side)."""
+    gen_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mods, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                m, p = palette_png_image(int(doc_id))
+                mods.append(m)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": mods, "payload": payloads}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        process, gen_schema
+    )
 
 
 def attach_real_png_payload(

@@ -583,6 +583,64 @@ QUERIES.append(
 )
 
 
+def mm_png_palette_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL indexed-color PNG decode under the exact gate (round 7):
+    payloads are spec-valid color-type-3 PNGs at bit depths 2, 4 AND
+    8 (id % 3 picks the depth, so the MSB-first sub-byte unpackers
+    and the full-byte path all sit under one hash), PLTE-driven,
+    filters cycling all five types over bpp=1 byte arithmetic
+    (operators/multimodal.py:encode_palette_png/_decode_png_pixels).
+    Index and palette formulas compose in SQL exactly like the GIF
+    oracle, so a wrong bit order, palette stride, or pad-bit leak is
+    a hash mismatch."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_palette_png_payload,
+        pixel_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pixel_stats(attach_real_palette_png_payload(docs))
+
+
+# w = 2 + id % 7, h = 2 + (id // 7) % 5; n_colors = 16/256/4 by id % 3;
+# idx = (id + 3x + 5y) % n_colors; palette i = (i, 7i % 256, 13i % 256)
+MM_PNG_PALETTE_STATS_SQL = """
+WITH g AS (
+  SELECT x.g AS x, y.g AS y
+  FROM generate_series(0, 8) x(g), generate_series(0, 6) y(g)
+),
+p AS (
+  SELECT d.doc_id, g.x, g.y,
+    CASE d.doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 256 ELSE 4 END AS nc,
+    2 + d.doc_id % 7 AS w, 2 + (d.doc_id // 7) % 5 AS h
+  FROM documents d CROSS JOIN g
+),
+px AS (
+  SELECT doc_id, w, h,
+    (doc_id + 3 * x + 5 * y) % nc AS idx
+  FROM p WHERE x < w AND y < h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  'image/png' AS modality,
+  CAST(h AS BIGINT) AS height,
+  CAST(w AS BIGINT) AS width,
+  CAST(w * h AS BIGINT) AS n_pixels,
+  CAST(SUM(idx % 256) AS BIGINT) AS sum_r,
+  CAST(SUM((7 * idx) % 256) AS BIGINT) AS sum_g,
+  CAST(SUM((13 * idx) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id, w, h
+"""
+QUERIES.append(
+    Query(
+        "mm_png_palette_stats",
+        mm_png_palette_stats_q,
+        MM_PNG_PALETTE_STATS_SQL,
+        "real indexed-color PNG decode (PLTE, depths 2/4/8, sub-byte unpack) -> exact channel sums",
+    )
+)
+
+
 def mm_gif_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode under the exact gate: payloads are spec-valid
     GIF89a files (real variable-width LZW — the decoder is pinned

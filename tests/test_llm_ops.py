@@ -2042,3 +2042,72 @@ def test_mjpeg_random_roundtrip_property():
                 for bx in range(bw):
                     blk = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :]
                     assert (blk == fv[by][bx]).all(), (seed, by, bx)
+
+
+def test_png_palette_and_grayscale_decode_round_trip():
+    # round 7: indexed-color (type 3) at every legal palette depth
+    # and 8-bit grayscale (type 0). The palette encoder is only the
+    # test harness — the DECODER is the product — so each depth is
+    # checked against the closed-form pixel formula, not just the
+    # encoder round trip, and the pad bits of sub-byte scanlines
+    # must never leak into the image.
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        _PNG_SIG,
+        _decode_png_pixels,
+        _png_chunk,
+        encode_palette_png,
+        palette_png_image,
+    )
+
+    for doc_id in range(45):  # covers depths 2/4/8 x filter cycles
+        _, b = palette_png_image(doc_id)
+        px = _decode_png_pixels(b)
+        w = 2 + doc_id % 7
+        h = 2 + (doc_id // 7) % 5
+        depth = {0: 4, 1: 8, 2: 2}[doc_id % 3]
+        nc = 1 << depth
+        xs = np.arange(w)
+        ys = np.arange(h)
+        idx = (doc_id + 3 * xs[None, :] + 5 * ys[:, None]) % nc
+        i = np.arange(nc)
+        pal = np.stack([i % 256, (7 * i) % 256, (13 * i) % 256], axis=1)
+        assert px.shape == (h, w, 3)
+        assert (px == pal[idx]).all(), doc_id
+
+    # depth 1 (not in the gate generator's rotation, still a legal
+    # tier): 1-bit checkerboard, width NOT a multiple of 8 so the
+    # last byte carries pad bits
+    idx = (np.add.outer(np.arange(3), np.arange(5)) % 2).astype(np.uint8)
+    pal = np.array([[0, 0, 0], [255, 10, 20]], dtype=np.uint8)
+    px = _decode_png_pixels(encode_palette_png(idx, pal, depth=1))
+    assert (px == pal[idx]).all()
+
+    # 8-bit grayscale replicates the gray channel into RGB
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(3))
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    px = _decode_png_pixels(png)
+    assert px.shape == (3, 4, 3) and all(
+        (px[:, :, c] == g).all() for c in range(3)
+    )
+
+    # fail-loud tiers unchanged: 16-bit and gray-alpha still raise
+    import pytest as _pytest
+
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 16, 0, 0, 0, 0))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        _decode_png_pixels(bad)
