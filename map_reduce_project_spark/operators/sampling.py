@@ -392,3 +392,41 @@ def cap_per_group_skew(
         .drop("_r")
     )
     return cold.unionByName(hot_kept)
+
+
+# cumulative Poisson(lambda=1) CDF in integer MILLIONTHS — the draw is
+# an exact integer comparison chain, so the resampling weights are
+# bit-reproducible across engines, partitionings, and retries (the
+# property rand()-based Poisson bootstrap loses on every retry). Tail
+# mass beyond k=5 (~0.06%) maps to k=6: bias ~1e-4 on the mean,
+# irrelevant to variance estimation, and a BOUNDED per-row fan-out cap
+# matters more at corpus scale than the infinite tail.
+_POISSON1_CDF_PPM = (367879, 735758, 919698, 981011, 996340, 999405)
+
+
+def poisson_bootstrap_weights(
+    df: DataFrame, id_col: str, salt: str = "poisson"
+) -> DataFrame:
+    """Poisson(1) bootstrap resampling weights — the distributed
+    bootstrap: instead of resampling n rows WITH replacement (a global
+    shuffle per replicate), each row draws an independent Poisson(1)
+    multiplicity, which converges to the same bootstrap distribution
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012) and is embarrassingly parallel. The draw
+    inverts the integer-millionth CDF table over the salted md5
+    uniform (pure codegen arithmetic, no rand(), no UDF). Output: the
+    input plus ``boot_weight`` in 0..6."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    k: Column = F.lit(len(_POISSON1_CDF_PPM))
+    for i in range(len(_POISSON1_CDF_PPM) - 1, -1, -1):
+        k = F.when(u < _POISSON1_CDF_PPM[i], i).otherwise(k)
+    return df.withColumn("boot_weight", k.cast("long"))

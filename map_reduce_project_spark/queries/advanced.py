@@ -2845,3 +2845,81 @@ QUERIES.append(
         "declarative data-quality expectations: null/domain/range/uniqueness/referential in one pass",
     )
 )
+
+
+def q103_listagg_mode_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set / ordered-string aggregates (round 7): LISTAGG
+    WITHIN GROUP (new SQL:2016 surface in Spark 4), MODE, and MEDIAN
+    per order priority. Determinism rules: listagg aggregates the
+    DISTINCT order statuses under an explicit ORDER BY (unordered
+    listagg is nondeterministic by definition); the mode is computed by an
+    explicit (count DESC, status ASC) rank — the engines' native
+    mode() tie rules differ, so the query pins its own; median over an int column is exact rational -> one double.
+    One partial+final agg pass; the listagg input is the tiny
+    distinct set, never the raw rows."""
+    return spark.sql(
+        f"""
+WITH o AS (SELECT * FROM parquet.`{sf_dir}/orders.parquet`),
+st AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+  FROM o GROUP BY 1, 2
+),
+md AS (
+  SELECT o_orderpriority, o_orderstatus AS mode_status
+  FROM (
+    SELECT o_orderpriority, o_orderstatus,
+      row_number() OVER (
+        PARTITION BY o_orderpriority ORDER BY n DESC, o_orderstatus
+      ) AS rk
+    FROM st
+  ) ranked WHERE rk = 1
+)
+SELECT s.o_orderpriority,
+  listagg(DISTINCT s.o_orderstatus, '|')
+    WITHIN GROUP (ORDER BY s.o_orderstatus) AS statuses,
+  md.mode_status,
+  CAST(median(k.o_orderkey % 100000 + k.o_custkey % 1000) AS DOUBLE)
+    AS median_key
+FROM st s
+JOIN md ON md.o_orderpriority = s.o_orderpriority
+JOIN o k ON k.o_orderpriority = s.o_orderpriority
+GROUP BY s.o_orderpriority, md.mode_status
+"""
+    )
+
+
+Q103_SQL = """
+WITH st AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+md AS (
+  SELECT o_orderpriority, o_orderstatus AS mode_status
+  FROM (
+    SELECT o_orderpriority, o_orderstatus,
+      row_number() OVER (
+        PARTITION BY o_orderpriority ORDER BY n DESC, o_orderstatus
+      ) AS rk
+    FROM st
+  ) ranked WHERE rk = 1
+)
+SELECT s.o_orderpriority,
+  listagg(DISTINCT s.o_orderstatus, '|' ORDER BY s.o_orderstatus)
+    AS statuses,
+  md.mode_status,
+  CAST(median(k.o_orderkey % 100000 + k.o_custkey % 1000) AS DOUBLE)
+    AS median_key
+FROM st s
+JOIN md ON md.o_orderpriority = s.o_orderpriority
+JOIN orders k ON k.o_orderpriority = s.o_orderpriority
+GROUP BY s.o_orderpriority, md.mode_status
+"""
+
+QUERIES.append(
+    Query(
+        "q103_listagg_mode_median",
+        q103_listagg_mode_median_q,
+        Q103_SQL,
+        "ordered-set aggregates: LISTAGG WITHIN GROUP + tie-pinned mode + exact median",
+    )
+)

@@ -897,3 +897,74 @@ QUERIES.append(
         "leakage-safe out-of-fold target encoding as exact (num, den) rationals",
     )
 )
+
+
+def sample_poisson_bootstrap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson(1) bootstrap resampling weights over the documents
+    corpus (round 7): each row draws an exact integer-CDF Poisson
+    multiplicity from its salted md5 uniform
+    (operators/sampling.py:poisson_bootstrap_weights) — the
+    distributed bootstrap (per-row independent draws instead of a
+    global n-with-replacement shuffle; Chamandy et al. 2012). The
+    gate aggregates the full weight distribution per source: row
+    count, total resampled weight (mean ~ 1), and the count at each
+    multiplicity 0..6 — any drift in the hash, the CDF table, or the
+    comparison chain moves some bucket count."""
+    from map_reduce_project_spark.operators.sampling import (
+        poisson_bootstrap_weights,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = poisson_bootstrap_weights(docs, "doc_id")
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("boot_weight").cast("long").alias("total_weight"),
+            *[
+                F.sum((F.col("boot_weight") == k).cast("long"))
+                .alias(f"n_k{k}")
+                for k in range(7)
+            ],
+        )
+    )
+
+
+SAMPLE_POISSON_SQL = """
+WITH w AS (
+  SELECT source,
+    CASE
+      WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+      WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+      WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+      ELSE 6
+    END AS boot_weight
+  FROM (
+    SELECT source,
+      ('0x' || substr(md5('poisson|' || doc_id), 1, 8))::BIGINT
+        % 1000000 AS u
+    FROM documents
+  )
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(boot_weight) AS BIGINT) AS total_weight,
+  CAST(SUM(CASE WHEN boot_weight = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_k0,
+  CAST(SUM(CASE WHEN boot_weight = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_k1,
+  CAST(SUM(CASE WHEN boot_weight = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_k2,
+  CAST(SUM(CASE WHEN boot_weight = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_k3,
+  CAST(SUM(CASE WHEN boot_weight = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_k4,
+  CAST(SUM(CASE WHEN boot_weight = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_k5,
+  CAST(SUM(CASE WHEN boot_weight = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_k6
+FROM w
+GROUP BY source
+"""
+
+QUERIES.append(
+    Query(
+        "sample_poisson_bootstrap",
+        sample_poisson_bootstrap_q,
+        SAMPLE_POISSON_SQL,
+        "Poisson(1) bootstrap weights: exact integer-CDF draws, per-source distribution gated",
+    )
+)
