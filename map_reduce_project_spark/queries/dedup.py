@@ -971,3 +971,138 @@ QUERIES.append(
         "Bloom decontamination probe vs exact membership (no false negatives)",
     )
 )
+
+
+def dedup_cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (round 7) — the FastCDC/rsync-family
+    primitive storage dedup systems run before fingerprinting:
+    chunk boundaries are declared wherever a rolling window's hash
+    hits a target pattern, so an insertion early in a document shifts
+    only the chunk it lands in, never every downstream fixed-size
+    block. Here the window is the last 3 tokens, the boundary rule is
+    md5-bucket(tok[i-2..i]) % 16 == 0 (expected chunk ~16 tokens),
+    and chunk membership is the running boundary count — the
+    gaps-and-islands shape over ONE explode + one per-doc window.
+    Output per (doc, chunk): token span, length, and the chunk's
+    md5 fingerprint over its joined tokens, plus n_docs_sharing —
+    how many documents contain a byte-identical chunk (the dedup
+    signal itself, from one extra partial+final agg). At 100 TB the
+    only shuffles key on doc_id (window) and chunk_fp (share
+    count); chunk state never exceeds the token stream."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " +")).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # rolling 3-token window hash; positions 0/1 (incomplete window)
+    # are never boundaries, so chunk 0 always exists
+    win = F.concat_ws(
+        " ", F.lag("tok", 2).over(w), F.lag("tok", 1).over(w), F.col("tok")
+    )
+    is_boundary = (
+        (F.row_number().over(w) >= 3)
+        & (
+            F.conv(F.substring(F.md5(win), 1, 8), 16, 10).cast("long")
+            % 16
+            == 0
+        )
+    ).cast("long")
+    chunked = toks.withColumn(
+        "chunk",
+        F.sum(is_boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).na.fill({"chunk": 0})
+    per_chunk = (
+        chunked.groupBy("doc_id", "chunk")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            F.max("pos").cast("long").alias("end_pos"),
+            F.count("*").cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_fp"),
+        )
+    )
+    shares = per_chunk.groupBy("chunk_fp").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs_sharing")
+    )
+    return per_chunk.join(shares, "chunk_fp").select(
+        "doc_id",
+        F.col("chunk").cast("long").alias("chunk"),
+        "start_pos",
+        "end_pos",
+        "n_tokens",
+        "chunk_fp",
+        "n_docs_sharing",
+    )
+
+
+DEDUP_CDC_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+    generate_subscripts(string_split_regex(text, ' +'), 1) - 1 AS pos,
+    unnest(string_split_regex(text, ' +')) AS tok
+  FROM documents
+),
+toks AS (SELECT * FROM raw WHERE tok <> ''),
+flagged AS (
+  SELECT doc_id, pos, tok,
+    CASE WHEN row_number() OVER (PARTITION BY doc_id ORDER BY pos) >= 3
+          AND ('0x' || substr(md5(
+                 lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' ||
+                 lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                 || ' ' || tok), 1, 8))::BIGINT % 16 = 0
+         THEN 1 ELSE 0 END AS is_boundary
+  FROM toks
+),
+chunked AS (
+  SELECT doc_id, pos, tok,
+    COALESCE(SUM(is_boundary) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS chunk
+  FROM flagged
+),
+per_chunk AS (
+  SELECT doc_id, chunk,
+    MIN(pos) AS start_pos, MAX(pos) AS end_pos,
+    COUNT(*) AS n_tokens,
+    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+  FROM chunked
+  GROUP BY doc_id, chunk
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+  CAST(p.chunk AS BIGINT) AS chunk,
+  CAST(p.start_pos AS BIGINT) AS start_pos,
+  CAST(p.end_pos AS BIGINT) AS end_pos,
+  CAST(p.n_tokens AS BIGINT) AS n_tokens,
+  p.chunk_fp,
+  CAST(s.n_docs_sharing AS BIGINT) AS n_docs_sharing
+FROM per_chunk p
+JOIN (
+  SELECT chunk_fp, COUNT(DISTINCT doc_id) AS n_docs_sharing
+  FROM per_chunk GROUP BY chunk_fp
+) s USING (chunk_fp)
+"""
+
+QUERIES.append(
+    Query(
+        "dedup_cdc_chunks",
+        dedup_cdc_chunks_q,
+        DEDUP_CDC_SQL,
+        "content-defined chunking (FastCDC-family): rolling-hash boundaries, chunk fingerprints, share counts",
+    )
+)
