@@ -2470,3 +2470,81 @@ QUERIES.append(
         "conversion funnel with per-stage attribution windows (48h/72h expiry)",
     )
 )
+
+
+def ev_ewma_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's event
+    values (round 7) — the per-entity trend feature an online scorer
+    keeps: the last 8 events (ordered by ts with the event_id
+    tiebreak, the module's determinism rule) weighted 2^(8-rank)
+    newest-heaviest. All arithmetic is exact int64 — values quantize
+    to cents, weights are powers of two, and the EWMA is ONE IEEE
+    division of exact integer numerator/denominator per user — so
+    the float crosses the hash gate bit-identically. One per-user
+    window + one partial+final agg; the window partition is a user's
+    OWN events (bounded), never the stream."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 8)
+        .select(
+            "user_id",
+            "rn",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            F.expr("CAST(shiftleft(1, 8 - rn) AS BIGINT)").alias("wgt"),
+        )
+    )
+    return (
+        recent.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_recent"),
+            F.sum(F.col("cents") * F.col("wgt")).alias("num"),
+            F.sum("wgt").alias("den"),
+        )
+        .select(
+            "user_id",
+            "n_recent",
+            F.col("num").cast("long").alias("num"),
+            F.col("den").cast("long").alias("den"),
+            (
+                F.col("num").cast("double") / F.col("den").cast("double")
+            ).alias("ewma_cents"),
+        )
+    )
+
+
+EV_EWMA_SQL = """
+WITH recent AS (
+  SELECT user_id,
+    row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS rn,
+    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+  QUALIFY rn <= 8
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_recent,
+  CAST(SUM(cents * (1 << (8 - rn))) AS BIGINT) AS num,
+  CAST(SUM(1 << (8 - rn)) AS BIGINT) AS den,
+  CAST(SUM(cents * (1 << (8 - rn))) AS DOUBLE)
+    / CAST(SUM(1 << (8 - rn)) AS DOUBLE) AS ewma_cents
+FROM recent
+GROUP BY user_id
+"""
+
+QUERIES.append(
+    Query(
+        "ev_ewma_value",
+        ev_ewma_value_q,
+        EV_EWMA_SQL,
+        "per-user EWMA of recent event values: exact int64 numerator/denominator, one IEEE division",
+    )
+)
