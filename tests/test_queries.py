@@ -418,3 +418,65 @@ def test_sssp_matches_python_dijkstra_oracle(spark):
             for node, d in dijkstra(adj, sv).items()
         }
         assert got == want, f"seed={seed}"
+
+
+def test_poisson_bootstrap_distribution_invariants(spark):
+    """No-oracle cross-check: the hash-CDF Poisson(1) draws must
+    LOOK Poisson — mean weight ~ 1 and per-k frequencies within a
+    loose CLT band of the pmf — and the weight distribution must
+    partition the corpus exactly."""
+    import math
+
+    from map_reduce_project_spark.queries import all_queries
+
+    rows = all_queries()["sample_poisson_bootstrap"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    n = sum(r.n_rows for r in rows)
+    total_w = sum(r.total_weight for r in rows)
+    ks = [sum(getattr(r, f"n_k{k}") for r in rows) for k in range(7)]
+    assert sum(ks) == n  # the multiplicities partition the corpus
+    assert abs(total_w / n - 1.0) < 0.02  # Poisson(1) mean
+    pmf = [math.exp(-1) / math.factorial(k) for k in range(6)]
+    for k in range(4):  # the buckets with real mass
+        p = ks[k] / n
+        assert abs(p - pmf[k]) < 5 / math.sqrt(n), (k, p, pmf[k])
+
+
+def test_cdc_chunks_partition_the_token_stream(spark):
+    """No-oracle cross-check: per document the chunks must tile the
+    token positions exactly — contiguous spans, n_tokens matching
+    the span, total tokens matching an independent count — and
+    chunk sizes must average near the 16-token boundary target."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.queries import all_queries
+    from map_reduce_project_spark.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    pdf = (
+        all_queries()["dedup_cdc_chunks"].fn(spark, sf).toPandas()
+    )
+    toks = (
+        read_table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split("text", " +"), lambda t: t != F.lit("")
+                )
+            ).alias("n"),
+        )
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    for doc_id, g in pdf.groupby("doc_id"):
+        g = g.sort_values("chunk")
+        assert list(g.chunk) == list(range(len(g)))
+        assert (g.n_tokens == g.end_pos - g.start_pos + 1).all()
+        spans = list(zip(g.start_pos, g.end_pos))
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 == e1 + 1  # contiguous tiling, no gaps/overlap
+        assert g.n_tokens.sum() == toks[doc_id]
+    mean_chunk = pdf.n_tokens.mean()
+    assert 8 <= mean_chunk <= 32, mean_chunk  # ~16-token target
