@@ -2923,3 +2923,72 @@ QUERIES.append(
         "ordered-set aggregates: LISTAGG WITHIN GROUP + tie-pinned mode + exact median",
     )
 )
+
+
+def _hilbert_unrolled_sql(bits: int) -> str:
+    """The xy2d recurrence unrolled as nested subselects — the oracle
+    twin of operators/layout.py:with_hilbert_code (same per-level
+    reflect-then-swap frame transform, same digit weights)."""
+    sql = (
+        "SELECT o_orderkey, o_custkey % {m} AS xb, o_orderkey % {m} AS yb,"
+        " o_custkey % {m} AS hx, o_orderkey % {m} AS hy,"
+        " CAST(0 AS BIGINT) AS hd FROM orders"
+    ).format(m=1 << bits)
+    for s in (1 << b for b in reversed(range(bits))):
+        sql = f"""
+SELECT o_orderkey, xb, yb,
+  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - hy ELSE hy END)
+       ELSE hx END AS hx,
+  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {s - 1} - hx ELSE hx END)
+       ELSE hy END AS hy,
+  hd + {s * s} * xor(3 * rx, ry) AS hd
+FROM (
+  SELECT o_orderkey, xb, yb, hx, hy, hd,
+    CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+    CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+  FROM ({sql})
+)"""
+    return (
+        f"SELECT o_orderkey, xb AS x_bucket, yb AS y_bucket,"
+        f" CAST(hd AS BIGINT) AS hcode FROM ({sql})"
+    )
+
+
+def q104_hilbert_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering code under the exact gate (round 7):
+    the continuous companion of q44's Z-order — consecutive codes are
+    always Manhattan-adjacent cells (pinned by the layout tests), so
+    equal code ranges cover tighter min/max boxes and files prune
+    better on BOTH clustered columns. The unrolled xy2d levels are
+    plain CASE/AND arithmetic in named projections (whole-stage
+    codegen, linear expression growth); the oracle replays the
+    identical recurrence from generated SQL."""
+    from map_reduce_project_spark.operators.layout import with_hilbert_code
+
+    orders = read_table(spark, sf_dir, "orders")
+    side = 1 << 8
+    base = orders.select(
+        "o_orderkey",
+        F.pmod(F.col("o_custkey"), F.lit(side)).alias("x_bucket"),
+        F.pmod(F.col("o_orderkey"), F.lit(side)).alias("y_bucket"),
+    )
+    return with_hilbert_code(
+        base, "x_bucket", "y_bucket", bits=8, out_col="hcode"
+    ).select(
+        "o_orderkey",
+        F.col("x_bucket").cast("long").alias("x_bucket"),
+        F.col("y_bucket").cast("long").alias("y_bucket"),
+        "hcode",
+    )
+
+
+Q104_SQL = _hilbert_unrolled_sql(bits=8)
+
+QUERIES.append(
+    Query(
+        "q104_hilbert_code",
+        q104_hilbert_code,
+        Q104_SQL,
+        "Hilbert-curve layout code (continuous space-filling index), oracle from the same unrolled recurrence",
+    )
+)
