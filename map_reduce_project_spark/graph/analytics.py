@@ -257,6 +257,55 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
     return labels
 
 
+def _wedge_shuffle_partitions(oriented: DataFrame) -> int:
+    """Volume-adaptive exchange sizing for a degree-oriented wedge
+    join: the join emits exactly sum_v in(v)*out(v) rows under the
+    orientation — measure it with ONE tiny aggregate over the pinned
+    oriented edges and size to ~2M rows per partition (explicit
+    numbers are AQE-stable; the vanilla-session recipe shared by
+    triangle_count, k_truss, and cc_link_prediction)."""
+    spark = oriented.sparkSession
+    wedge_vol = (
+        oriented.select(F.col("dst").alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("i"))
+        .join(
+            oriented.select(F.col("src").alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").alias("o")),
+            "v",
+        )
+        .agg(F.sum(F.col("i") * F.col("o")).alias("w"))
+        .collect()[0]["w"]
+        or 0
+    )
+    return max(
+        spark.sparkContext.defaultParallelism,
+        min(4096, int(wedge_vol // 2_000_000) + 1),
+    )
+
+
+def oriented_triangles(oriented: DataFrame, n_shuf: int) -> DataFrame:
+    """Each triangle exactly once as an oriented wedge u->v->w closed
+    by the oriented edge (u, w) — one wedge join + one semi-join,
+    every exchange user-numbered on both sides (EnsureRequirements
+    discards one-sided numbering; the round-7 triangle_count lesson).
+    Shared by ``triangle_count`` and every ``k_truss`` peel round;
+    the REPARTITION_BY_NUM shape is plan-pinned in test_plans.py."""
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    closing = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w")
+    )
+    return (
+        e1.repartition(n_shuf, "v")
+        .join(e2.repartition(n_shuf, "v"), "v")
+        .repartition(n_shuf, "u", "w")
+        .join(closing.repartition(n_shuf, "u", "w"), ["u", "w"], "left_semi")
+        .select("u", "v", "w")
+    )
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Single-row DataFrame (n_nodes, n_edges, n_triangles) for the
     undirected simple graph induced by ``edges``.
@@ -276,48 +325,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     by ROWS, not session defaults: the 8-partition vanilla session
     OOM'd its 1 GB heap inside this join at sf0.1 (~200M wedges)
     before this sizing."""
-    spark = edges.sparkSession
     oriented = degree_oriented_edges(edges).localCheckpoint(eager=False)
+    n_shuf = _wedge_shuffle_partitions(oriented)
 
-    wedge_vol = (
-        oriented.select(F.col("dst").alias("v"))
-        .groupBy("v")
-        .agg(F.count("*").alias("i"))
-        .join(
-            oriented.select(F.col("src").alias("v"))
-            .groupBy("v")
-            .agg(F.count("*").alias("o")),
-            "v",
-        )
-        .agg(F.sum(F.col("i") * F.col("o")).alias("w"))
-        .collect()[0]["w"]
-        or 0
-    )
-    n_shuf = max(
-        spark.sparkContext.defaultParallelism,
-        min(4096, int(wedge_vol // 2_000_000) + 1),
-    )
-
-    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    wedges = (
-        e1.repartition(n_shuf, "v")
-        .join(e2.repartition(n_shuf, "v"), "v")
-        .select("u", "v", "w")
-    )
-    # the orientation is a total order, so a wedge u->v->w can only be
-    # closed by the oriented edge (u, w) — one semi-join, no union.
-    # BOTH sides carry the user-numbered repartition: with only one
-    # side numbered, EnsureRequirements discards it and re-shuffles
-    # both sides through ENSURE_REQUIREMENTS exchanges sized by the
-    # session default — precisely the volume-blind partitioning this
-    # sizing exists to avoid (plan-pinned in test_plans.py)
-    closing = oriented.select(
-        F.col("src").alias("u"), F.col("dst").alias("w")
-    )
-    tri = wedges.repartition(n_shuf, "u", "w").join(
-        closing.repartition(n_shuf, "u", "w"), ["u", "w"], "left_semi"
-    )
+    tri = oriented_triangles(oriented, n_shuf)
 
     und = _undirected(oriented)
     return (
@@ -1156,16 +1167,17 @@ def k_truss(
     )
     for _ in range(max_rounds):
         oriented = degree_oriented_edges(cur).localCheckpoint(eager=False)
-        e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-        closing = oriented.select(
-            F.col("src").alias("u"), F.col("dst").alias("w")
-        )
-        tri = (
-            e1.join(e2, "v")
-            .join(closing, ["u", "w"], "left_semi")
-            .select("u", "v", "w")
-        )
+        # volume-size the round's wedge join and support agg: the
+        # first co-purchase round emits ~49M wedges at sf0.1, which
+        # OOMs a session-default 8-partition exchange on a 1 GB heap
+        # (found by the round-7 vanilla census once cc_triangles —
+        # alphabetically earlier — stopped aborting the sweep first);
+        # peeling shrinks later rounds, and the probe re-measures
+        # each one. Both wedge sides AND the credits agg carry the
+        # user number (one-sided numbering gets discarded by
+        # EnsureRequirements — the triangle_count lesson).
+        n_shuf = _wedge_shuffle_partitions(oriented)
+        tri = oriented_triangles(oriented, n_shuf)
         credits = (
             tri.select(F.col("u").alias("x"), F.col("v").alias("y"))
             .unionAll(tri.select(F.col("v").alias("x"), F.col("w").alias("y")))
@@ -1175,7 +1187,9 @@ def k_truss(
                 F.greatest(F.col("x"), F.col("y")).alias("dst"),
             )
         )
-        sup = credits.groupBy("src", "dst").agg(
+        sup = credits.repartition(n_shuf, "src", "dst").groupBy(
+            "src", "dst"
+        ).agg(
             F.count("*").cast("long").alias("support")
         )
         kept = (

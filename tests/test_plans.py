@@ -557,3 +557,32 @@ def test_ivf_index_search_prunes_to_probed_cells(spark, tmp_path):
         "PartitionFilters" in ln and "cell#" in ln and " IN " in ln
         for ln in scan_lines
     ), scan_lines
+
+
+def test_oriented_triangles_exchanges_are_volume_sized(spark):
+    # the SHARED triangle enumeration (triangle_count + every k_truss
+    # peel round — the round-7 vanilla census found the first
+    # co-purchase truss round's ~49M wedges OOMing the 1 GB heap
+    # through session-default exchanges once cc_triangles stopped
+    # aborting the sweep first): user-numbered repartitions on v and
+    # on (u, w), BOTH sides of each join. k_truss's returned frame is
+    # a checkpoint scan, so the helper is pinned directly.
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.graph.analytics import (
+        degree_oriented_edges,
+        oriented_triangles,
+    )
+
+    edges = spark.range(200).select(
+        (F.col("id") % 40).alias("src"), (F.col("id") % 17).alias("dst")
+    )
+    df = oriented_triangles(degree_oriented_edges(edges), 13)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = [ln for ln in plan.splitlines() if "REPARTITION_BY_NUM" in ln]
+    assert any(
+        "hashpartitioning(v#" in ln and " 13)" in ln for ln in lines
+    ), lines
+    assert any(
+        "hashpartitioning(u#" in ln and ", w#" in ln for ln in lines
+    ), lines
