@@ -219,11 +219,13 @@ def _decode_ppm_pixels(b: bytes) -> np.ndarray:
 
 
 def _decode_bmp_pixels(b: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 RGB array from an uncompressed 24/32-bit BMP.
+    """(h, w, 3) uint8 RGB array from an uncompressed 8-bit-indexed,
+    24-bit, or 32-bit BMP.
 
     Handles the format's real quirks: pixel rows padded to 4-byte
     boundaries, bottom-up row order (positive height) vs top-down
-    (negative), and BGR channel order.
+    (negative), BGR channel order, and for the indexed tier the
+    BGRX color table with biClrUsed=0 meaning a full 256 entries.
     """
     if len(b) < 34 or b[:2] != b"BM":
         raise ValueError("not a BMP")
@@ -231,12 +233,36 @@ def _decode_bmp_pixels(b: bytes) -> np.ndarray:
     w, h_signed = struct.unpack("<ii", b[18:26])
     (bpp,) = struct.unpack("<H", b[28:30])
     (compression,) = struct.unpack("<I", b[30:34])
-    if compression != 0 or bpp not in (24, 32):
+    if compression != 0 or bpp not in (8, 24, 32):
         raise NotImplementedError(
-            f"only uncompressed 24/32-bit BMP (got bpp={bpp}, "
-            f"compression={compression})"
+            f"only uncompressed 8-bit-indexed/24/32-bit BMP (got "
+            f"bpp={bpp}, compression={compression})"
         )
     h = abs(h_signed)
+    if bpp == 8:
+        # indexed-color tier (round 7, matching the PNG palette
+        # tier): BITMAPINFOHEADER's color table sits right after the
+        # 40-byte header, biClrUsed entries (0 = full 256), each a
+        # 4-byte BGRX quad; pixel bytes are palette indices
+        (hdr_size,) = struct.unpack("<I", b[14:18])
+        (clr_used,) = struct.unpack("<I", b[46:50])
+        n_colors = clr_used or 256
+        tbl_off = 14 + hdr_size
+        tbl = np.frombuffer(
+            b, dtype=np.uint8, count=4 * n_colors, offset=tbl_off
+        ).reshape(n_colors, 4)
+        palette = tbl[:, 2::-1]  # BGRX -> RGB
+        stride = (w + 3) & ~3
+        if len(b) < data_off + stride * h:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        px = palette[idx]
+        return px[::-1] if h_signed > 0 else px
     bytes_pp = bpp // 8
     stride = (w * bytes_pp + 3) & ~3  # rows pad to 4-byte boundary
     if len(b) < data_off + stride * h:

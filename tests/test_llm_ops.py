@@ -2111,3 +2111,56 @@ def test_png_palette_and_grayscale_decode_round_trip():
     )
     with _pytest.raises(NotImplementedError):
         _decode_png_pixels(bad)
+
+
+def test_bmp_8bit_indexed_decode():
+    # round 7: the BMP indexed tier (BGRX color table, biClrUsed=0
+    # meaning 256, 4-byte row padding, bottom-up order) — checked
+    # against the closed-form palette/index formulas, same discipline
+    # as the PNG palette pin
+    import struct
+
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        _decode_bmp_pixels,
+    )
+
+    w, h = 5, 3
+    idx = (np.add.outer(np.arange(h), np.arange(w)) % 7).astype(np.uint8)
+    pal = np.stack(
+        [
+            np.arange(256) % 256,
+            (np.arange(256) * 7) % 256,
+            (np.arange(256) * 13) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    tbl = b"".join(
+        bytes([pal[i, 2], pal[i, 1], pal[i, 0], 0]) for i in range(256)
+    )
+    stride = (w + 3) & ~3
+    rows = b"".join(
+        idx[y].tobytes() + b"\x00" * (stride - w)
+        for y in range(h - 1, -1, -1)
+    )
+    data_off = 14 + 40 + 1024
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + stride * h, 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 0, stride * h, 2835, 2835, 0, 0
+        )
+        + tbl
+        + rows
+    )
+    px = _decode_bmp_pixels(bmp)
+    assert px.shape == (h, w, 3) and (px == pal[idx]).all()
+
+    # 4-bit RLE etc. stay fail-loud
+    import pytest as _pytest
+
+    bad = bytearray(bmp)
+    struct.pack_into("<H", bad, 28, 4)
+    with _pytest.raises(NotImplementedError):
+        _decode_bmp_pixels(bytes(bad))
