@@ -1808,3 +1808,57 @@ QUERIES.append(
         "real Motion-JPEG decode: MJPG AVI walk -> per-frame T.81 entropy layer",
     )
 )
+
+
+def mm_audio_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resampling under the exact gate (round 7): real WAV
+    payloads decode, decimate by 2 — each output sample is
+    (s[2j] + s[2j+1]) >> 1, arithmetic-shift floor division so both
+    engines agree on negatives; the odd tail sample drops — then
+    RE-ENCODE as a genuine 4 kHz WAV and run the standard sample
+    stats over the NEW payload. The decode -> transform -> encode ->
+    decode round trip all happens inside the gate: a wrong shift
+    semantics, tail handling, or re-encode header shows up in the
+    hash. Two partition-local mapInPandas stages, zero shuffles."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_audio_payload,
+        audio_sample_stats,
+        decimate_audio,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return audio_sample_stats(
+        decimate_audio(attach_real_audio_payload(docs), factor=2)
+    )
+
+
+# source samples: n = 16 + id % 17, s(i) = ((id*31 + i*7) % 2048) - 1024;
+# decimated: n_out = n // 2, d(j) = (s(2j) + s(2j+1)) >> 1 (floor shift)
+MM_AUDIO_DECIMATE_SQL = """
+WITH g AS (SELECT doc_id, 16 + doc_id % 17 AS n FROM documents),
+j AS (
+  SELECT doc_id, n, unnest(range(0, n // 2)) AS jj FROM g
+),
+d AS (
+  SELECT doc_id, n,
+    ((((doc_id * 31 + (2 * jj) * 7) % 2048) - 1024)
+     + (((doc_id * 31 + (2 * jj + 1) * 7) % 2048) - 1024)) >> 1 AS val
+  FROM j
+)
+SELECT doc_id,
+  CAST(4000 AS BIGINT) AS sample_rate,
+  CAST(n // 2 AS BIGINT) AS n_samples,
+  CAST(SUM(val) AS BIGINT) AS sum_samples,
+  CAST(SUM(val * val) AS BIGINT) AS sum_sq,
+  CAST(MAX(ABS(val)) AS BIGINT) AS peak
+FROM d GROUP BY doc_id, n
+"""
+
+QUERIES.append(
+    Query(
+        "mm_audio_decimate",
+        mm_audio_decimate_q,
+        MM_AUDIO_DECIMATE_SQL,
+        "real WAV decode -> decimate-by-2 (floor-shift averaging) -> re-encode -> exact stats of the new payload",
+    )
+)
