@@ -853,3 +853,71 @@ def test_regexp_class_intersection_and_lookaround_divergence_pins(
         ).fetchone()[0]
         == ""
     )
+
+
+def test_month_arithmetic_end_of_month_parity(spark, duck):
+    # month/year interval arithmetic at month-end boundaries: both
+    # engines clamp to the last valid day (2024-01-31 + 1 month =
+    # 2024-02-29), both lose the day on the way BACK (non-injective),
+    # and both make chained +1+1 month DIFFER from +2 months
+    # (2024-03-29 vs 2024-03-31 — the clamp makes month addition
+    # non-associative, identically). The one divergence is TYPE:
+    # DuckDB's DATE + INTERVAL yields TIMESTAMP (midnight) while
+    # Spark stays DATE — so gated oracles must CAST interval results
+    # back to DATE, which this fuzz does on both sides.
+    import datetime
+
+    rng = random.Random(13)
+    dates = [
+        datetime.date(2024, 1, 31),
+        datetime.date(2024, 2, 29),
+        datetime.date(2023, 2, 28),
+        datetime.date(2024, 12, 31),
+    ] + [
+        datetime.date(
+            rng.randrange(2000, 2030), rng.randrange(1, 13), d
+        )
+        for d in (28, 29, 30, 31)
+        for _ in range(12)
+        if d <= 28
+    ]
+    pdf = pd.DataFrame(
+        {
+            "id": range(len(dates)),
+            "d": [x.isoformat() for x in dates],
+            "m": [rng.randrange(-25, 26) for _ in dates],
+        }
+    )
+    sql = """
+SELECT id,
+  CAST(CAST(d AS DATE) + m * INTERVAL 1 MONTH AS DATE) AS plus_m,
+  CAST(CAST(d AS DATE) + INTERVAL 1 MONTH + INTERVAL 1 MONTH AS DATE)
+    AS chain2,
+  CAST(CAST(d AS DATE) + INTERVAL 2 MONTH AS DATE) AS direct2,
+  last_day(CAST(d AS DATE)) AS eom
+FROM t
+"""
+    dsql = """
+SELECT id,
+  CAST(CAST(d AS DATE) + to_months(CAST(m AS INT)) AS DATE) AS plus_m,
+  CAST(CAST(d AS DATE) + INTERVAL 1 MONTH + INTERVAL 1 MONTH AS DATE)
+    AS chain2,
+  CAST(CAST(d AS DATE) + INTERVAL 2 MONTH AS DATE) AS direct2,
+  last_day(CAST(d AS DATE)) AS eom
+FROM t
+"""
+    s, d = _both(spark, duck, pdf, sql, dsql)
+    assert s == d
+    # the non-associativity itself, pinned on both engines equally
+    row = spark.sql(
+        "SELECT CAST(DATE '2024-01-31' + INTERVAL 1 MONTH"
+        " + INTERVAL 1 MONTH AS DATE) AS c,"
+        " CAST(DATE '2024-01-31' + INTERVAL 2 MONTH AS DATE) AS t"
+    ).collect()[0]
+    assert str(row.c) == "2024-03-29" and str(row.t) == "2024-03-31"
+    drow = duck.execute(
+        "SELECT CAST(DATE '2024-01-31' + INTERVAL 1 MONTH"
+        " + INTERVAL 1 MONTH AS DATE),"
+        " CAST(DATE '2024-01-31' + INTERVAL 2 MONTH AS DATE)"
+    ).fetchone()
+    assert str(drow[0]) == "2024-03-29" and str(drow[1]) == "2024-03-31"
