@@ -496,6 +496,87 @@ def main() -> None:
     run_text_bm25(5_000_000)
     timings["text_bm25_df_5m"] = round(time.perf_counter() - t, 3)
 
+    # STREAMING depth probe (round 7, the fifth family): 1M telemetry
+    # rows through the custom PARTITION-PLANNED Python stream source
+    # (sources/pydatasource.py) in 10 genuine microbatches of 100k, a
+    # stateful device-keyed aggregate (1,000 devices = bounded state)
+    # in complete mode, availableNow-terminated — and the streaming
+    # result must equal the one-shot batch read's aggregate EXACTLY
+    # (same LCG rows, same int64 sums), so the probe is exactness
+    # evidence and a throughput number at once.
+    import uuid as _uuid
+
+    from map_reduce_project_spark.sources.pydatasource import (
+        register as _reg_pysource,
+    )
+
+    _reg_pysource(spark)
+    STREAM_N = 1_000_000
+
+    def stream_opts(reader):
+        return (
+            reader.format("synthetic_telemetry")
+            .option("n_rows", STREAM_N)
+            .option("rows_per_batch", 100_000)
+            .option("n_partitions", 16)
+        )
+
+    batch_agg = {
+        (r.device,): (r.n, r.total)
+        for r in stream_opts(spark.read)
+        .load()
+        .groupBy("device")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("reading").alias("total"),
+        )
+        .collect()
+    }
+
+    def run_stream() -> None:
+        # the source advances ONE batch per planning cycle by design
+        # (offset monotonicity contract), so availableNow — which
+        # snapshots a single latestOffset call — would stop after the
+        # first batch; drive with a 0s processing trigger and stop at
+        # the drain point, the same shape the gated pysource_stream
+        # query uses
+        name = f"bench_stream_{_uuid.uuid4().hex[:8]}"
+        q = (
+            stream_opts(spark.readStream)
+            .load()
+            .groupBy("device")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("reading").alias("total"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 600
+        try:
+            while time.time() < deadline:
+                row = spark.table(name).agg(F.sum("n").alias("s")).collect()
+                if row and row[0]["s"] == STREAM_N:
+                    break
+                time.sleep(0.3)
+            got = {
+                (r.device,): (r.n, r.total)
+                for r in spark.table(name).collect()
+            }
+        finally:
+            q.stop()
+        assert got == batch_agg, (
+            len(got),
+            len(batch_agg),
+        )
+
+    t = time.perf_counter()
+    run_stream()
+    timings["stream_agg_df_1m"] = round(time.perf_counter() - t, 3)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
