@@ -586,3 +586,61 @@ def test_oriented_triangles_exchanges_are_volume_sized(spark):
     assert any(
         "hashpartitioning(u#" in ln and ", w#" in ln for ln in lines
     ), lines
+
+
+def test_plan_census_no_regressions(spark, registry):
+    # registry-wide plan-shape regression guard: every query's
+    # exchange/broadcast/scan/python-stage signature is snapshotted
+    # in tools/plans_baseline.json (tools/plan_census.py); this test
+    # re-derives a representative fast subset — the bench headliners
+    # plus the volume-sized/zero-shuffle showcase plans — and fails
+    # if any signature drifts from the committed baseline. A
+    # DELIBERATE plan change regenerates the baseline in the same
+    # commit; an accidental one fails here instead of at 100 TB.
+    import json
+    from pathlib import Path
+
+    from tools.plan_census import plan_signature
+
+    baseline = json.loads(
+        (
+            Path(__file__).resolve().parents[1]
+            / "tools"
+            / "plans_baseline.json"
+        ).read_text()
+    )
+    assert set(baseline) == set(registry), (
+        "baseline out of date: regenerate with tools/plan_census.py "
+        f"(missing={set(registry) - set(baseline)}, "
+        f"stale={set(baseline) - set(registry)})"
+    )
+    subset = [
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "q5_region_revenue",
+        "q8_topk_per_customer",
+        "q74_nation_volume",
+        "dedup_minhash_candidates",
+        "dedup_jaccard_verified",
+        "ann_brute_force_topk",
+        "text_quality",
+        "ev_sessions_30min",
+        "q92_hll_union",
+        "cc_link_prediction",
+        "cc_triangles",
+        "emb_gram_matrix",
+        "text_bm25_topk",
+        "q104_hilbert_code",
+        "dedup_cdc_chunks",
+        "ev_ewma_value",
+        "sample_poisson_bootstrap",
+        "mm_png_palette_stats",
+    ]
+    drift = {}
+    for name in subset:
+        got = plan_signature(
+            registry[name].fn(spark, "/root/testdata/sf0.001")
+        )
+        if got != baseline[name]:
+            drift[name] = {"baseline": baseline[name], "now": got}
+    assert not drift, drift
