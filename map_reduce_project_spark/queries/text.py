@@ -1481,3 +1481,192 @@ QUERIES.append(
         "BM25 top-5 keywords per doc: exact int inputs, one rounded float expression",
     )
 )
+
+
+def text_self_bleu_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU-2 between consecutive same-corpus documents (round
+    7) — the standard diversity probe for a training corpus: high
+    self-BLEU between neighbors means the corpus repeats itself.
+    Pair (hypothesis, reference) = (doc 2k, doc 2k+1); for n = 1, 2
+    the clipped n-gram precision p_n =
+    sum_g min(cnt_hyp(g), cnt_ref(g)) / n_hyp_grams, brevity penalty
+    exp(1 - len_r/len_h) when the hypothesis is shorter, and
+    BLEU = BP * sqrt(p1 * p2). All counts are exact int64; the score
+    is one float expression over them rounded to 4 decimals (the
+    module's log/exp-latitude discipline). Plan: one explode into
+    (doc, gram, n) counts — bigrams from one self-zip of the token
+    array, no joins to build them — then ONE join per order between
+    hyp and ref count tables keyed on (pair, n, gram), partial+final
+    aggs throughout."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split("text", " +"), lambda t: t != F.lit("")
+        ).alias("ts"),
+    )
+    # bigrams via an index sequence, NOT zip_with-against-slice:
+    # zip_with pads the shorter side with null and concat_ws skips
+    # nulls, so the padded tail would fabricate a unigram-shaped
+    # "bigram" of the last token (caught by the gate on first run)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.expr(
+                    "transform(ts, t -> "
+                    "named_struct('n', 1, 'g', t))"
+                ),
+                F.expr(
+                    "CASE WHEN size(ts) < 2 THEN "
+                    "CAST(array() AS ARRAY<STRUCT<n: INT, g: STRING>>) "
+                    "ELSE transform(sequence(1, size(ts) - 1), i -> "
+                    "named_struct('n', 2, 'g', concat_ws(' ', "
+                    "element_at(ts, i), element_at(ts, i + 1)))) END"
+                ),
+            )
+        ).alias("ng"),
+    ).select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    cnt = grams.groupBy("doc_id", "n", "g").agg(
+        F.count("*").alias("c")
+    )
+    hyp = cnt.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair"),
+        "n",
+        "g",
+        F.col("c").alias("ch"),
+    )
+    ref = cnt.where(F.col("doc_id") % 2 == 1).select(
+        ((F.col("doc_id") - 1) / 2).cast("long").alias("pair"),
+        "n",
+        "g",
+        F.col("c").alias("cr"),
+    )
+    clipped = (
+        hyp.join(ref, ["pair", "n", "g"])
+        .groupBy("pair", "n")
+        .agg(F.sum(F.least("ch", "cr")).alias("clip"))
+    )
+    totals = hyp.groupBy("pair", "n").agg(F.sum("ch").alias("tot"))
+    pn = (
+        totals.join(clipped, ["pair", "n"], "left")
+        .na.fill({"clip": 0})
+        .groupBy("pair")
+        .agg(
+            F.sum(F.when(F.col("n") == 1, F.col("clip"))).alias("c1"),
+            F.sum(F.when(F.col("n") == 1, F.col("tot"))).alias("t1"),
+            F.sum(F.when(F.col("n") == 2, F.col("clip"))).alias("c2"),
+            F.sum(F.when(F.col("n") == 2, F.col("tot"))).alias("t2"),
+        )
+    )
+    bp = F.when(
+        F.col("t1") >= F.col("rt1"), F.lit(1.0)
+    ).otherwise(
+        F.exp(
+            F.lit(1.0)
+            - F.col("rt1").cast("double") / F.col("t1").cast("double")
+        )
+    )
+    rtot = (
+        ref.groupBy("pair", "n")
+        .agg(F.sum("cr").alias("rtot"))
+        .where(F.col("n") == 1)
+        .select("pair", F.col("rtot").alias("rt1"))
+    )
+    return (
+        pn.join(rtot, "pair")
+        .select(
+            "pair",
+            F.col("t1").cast("long").alias("hyp_len"),
+            F.col("rt1").cast("long").alias("ref_len"),
+            F.col("c1").cast("long").alias("clip1"),
+            F.col("c2").cast("long").alias("clip2"),
+            F.round(
+                F.when(
+                    (F.col("c1") > 0) & (F.col("c2") > 0),
+                    bp
+                    * F.sqrt(
+                        (
+                            F.col("c1").cast("double")
+                            / F.col("t1").cast("double")
+                        )
+                        * (
+                            F.col("c2").cast("double")
+                            / F.col("t2").cast("double")
+                        )
+                    ),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("self_bleu2"),
+        )
+    )
+
+
+TEXT_SELF_BLEU_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, ' +'), t -> t <> '') AS ts
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, 1 AS n, unnest(ts) AS g FROM toks
+),
+bi AS (
+  SELECT doc_id, 2 AS n,
+    ts[i] || ' ' || ts[i + 1] AS g
+  FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+cnt AS (
+  SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3
+),
+hyp AS (
+  SELECT doc_id // 2 AS pair, n, g, c AS ch FROM cnt WHERE doc_id % 2 = 0
+),
+ref AS (
+  SELECT (doc_id - 1) // 2 AS pair, n, g, c AS cr FROM cnt
+  WHERE doc_id % 2 = 1
+),
+clipped AS (
+  SELECT h.pair, h.n, SUM(LEAST(h.ch, r.cr)) AS clip
+  FROM hyp h JOIN ref r ON h.pair = r.pair AND h.n = r.n AND h.g = r.g
+  GROUP BY 1, 2
+),
+totals AS (SELECT pair, n, SUM(ch) AS tot FROM hyp GROUP BY 1, 2),
+pn AS (
+  SELECT t.pair,
+    SUM(CASE WHEN t.n = 1 THEN COALESCE(c.clip, 0) END) AS c1,
+    SUM(CASE WHEN t.n = 1 THEN t.tot END) AS t1,
+    SUM(CASE WHEN t.n = 2 THEN COALESCE(c.clip, 0) END) AS c2,
+    SUM(CASE WHEN t.n = 2 THEN t.tot END) AS t2
+  FROM totals t LEFT JOIN clipped c ON c.pair = t.pair AND c.n = t.n
+  GROUP BY t.pair
+),
+rt AS (
+  SELECT pair, SUM(cr) AS rt1 FROM ref WHERE n = 1 GROUP BY pair
+)
+SELECT CAST(p.pair AS BIGINT) AS pair,
+  CAST(p.t1 AS BIGINT) AS hyp_len,
+  CAST(r.rt1 AS BIGINT) AS ref_len,
+  CAST(p.c1 AS BIGINT) AS clip1,
+  CAST(p.c2 AS BIGINT) AS clip2,
+  ROUND(CASE WHEN p.c1 > 0 AND p.c2 > 0 THEN
+    (CASE WHEN p.t1 >= r.rt1 THEN 1.0
+          ELSE EXP(1.0 - CAST(r.rt1 AS DOUBLE) / CAST(p.t1 AS DOUBLE))
+     END)
+    * SQRT((CAST(p.c1 AS DOUBLE) / CAST(p.t1 AS DOUBLE))
+           * (CAST(p.c2 AS DOUBLE) / CAST(p.t2 AS DOUBLE)))
+    ELSE 0.0 END, 4) AS self_bleu2
+FROM pn p JOIN rt r ON r.pair = p.pair
+"""
+
+QUERIES.append(
+    Query(
+        "text_self_bleu",
+        text_self_bleu_q,
+        TEXT_SELF_BLEU_SQL,
+        "self-BLEU-2 corpus-diversity probe: clipped n-gram precisions + brevity penalty, exact counts",
+    )
+)
