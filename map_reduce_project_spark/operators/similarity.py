@@ -727,6 +727,14 @@ def ivf_index_topk(
         # test); at 100-1000 queries the saved probe job was the
         # largest fixed cost of a search call.
         qrows = queries.select(id_col, vec_col).collect()
+        if not qrows:
+            # an empty query batch: the numpy probe below would die
+            # on a zero-row matmul (round-7 self-audit); the right
+            # answer is an empty, correctly-typed result
+            return spark.createDataFrame(
+                [],
+                "query_id long, target_id long, cosine double, rank long",
+            )
         qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
         qi = np.floor(
             np.asarray([r[1] for r in qrows], dtype=np.float64) * QSCALE

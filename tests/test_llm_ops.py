@@ -2164,3 +2164,33 @@ def test_bmp_8bit_indexed_decode():
     struct.pack_into("<H", bad, 28, 4)
     with _pytest.raises(NotImplementedError):
         _decode_bmp_pixels(bytes(bad))
+
+
+def test_ivf_index_search_edge_cases(spark, sf0001, tmp_path):
+    # round-7 self-audit pins: an EMPTY query batch returns an empty
+    # correctly-typed frame (the numpy probe would otherwise die on a
+    # zero-row matmul), and n_probe beyond the cell count degrades to
+    # probing every cell
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.operators.similarity import (
+        ivf_index_topk,
+        write_ivf_index,
+    )
+    from map_reduce_project_spark.sources.io import read_table
+
+    emb = read_table(spark, sf0001, "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, n_centroids=8)
+    empty = ivf_index_topk(
+        spark, path, emb.where(F.lit(False)), k=3, n_probe=3
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id",
+        "target_id",
+        "cosine",
+        "rank",
+    ]
+    wide = ivf_index_topk(spark, path, emb.limit(3), k=2, n_probe=99)
+    assert wide.count() == 6  # 3 queries x top-2, all cells probed
