@@ -2194,3 +2194,36 @@ def test_ivf_index_search_edge_cases(spark, sf0001, tmp_path):
     ]
     wide = ivf_index_topk(spark, path, emb.limit(3), k=2, n_probe=99)
     assert wide.count() == 6  # 3 queries x top-2, all cells probed
+
+
+def test_decimate_audio_factors_and_tail(spark):
+    # factor 2 (gated) and the non-power-of-2 branch (factor 3):
+    # floor-division semantics on negatives, tail samples dropped,
+    # re-encoded rate divided
+    import pandas as pd
+
+    from map_reduce_project_spark.operators.multimodal import (
+        _build_wav,
+        _decode_wav_samples,
+        decimate_audio,
+    )
+
+    samples = [100, -301, 5, 7, 9, -8, 3]
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "modality": ["audio/wav"],
+                "payload": [_build_wav(samples, rate=8000)],
+            }
+        )
+    )
+    out2 = decimate_audio(src, factor=2).collect()[0]
+    r2, s2 = _decode_wav_samples(bytes(out2.payload))
+    assert r2 == 4000
+    assert s2 == [(100 - 301) >> 1, (5 + 7) >> 1, (9 - 8) >> 1]
+    out3 = decimate_audio(src, factor=3).collect()[0]
+    r3, s3 = _decode_wav_samples(bytes(out3.payload))
+    assert r3 == 8000 // 3
+    # python // floors toward -inf, matching numpy: (-196)//3 = -66
+    assert s3 == [(100 - 301 + 5) // 3, (7 + 9 - 8) // 3] == [-66, 2]
