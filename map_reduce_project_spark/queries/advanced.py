@@ -2992,3 +2992,100 @@ QUERIES.append(
         "Hilbert-curve layout code (continuous space-filling index), oracle from the same unrolled recurrence",
     )
 )
+
+
+def q105_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink/source format-fidelity under the exact gate (round 7,
+    SURVEY §2 O12): the orders table round-trips through CSV, JSON,
+    and ORC sinks (sources/io.py write_*/read_* — CSV re-read with
+    the explicit schema, the format's real-world contract since CSV
+    carries no types), and a per-format aggregate over the re-read
+    copies must hash-match the oracle computed on the ORIGINAL
+    parquet — so a date that shifted in CSV serialization, a decimal
+    that lost scale in JSON, or a status string that picked up
+    quoting damage moves a sum. The interesting seams this pins:
+    date <-> ISO-8601 text round trips, DECIMAL(18,2) exactness
+    through text formats, and ORC's typed fidelity."""
+    import tempfile
+
+    from map_reduce_project_spark.sources.io import (
+        read_csv,
+        read_json,
+        read_orc,
+        write_csv,
+        write_json,
+        write_orc,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    base = tempfile.mkdtemp(prefix="q105_fmt_")
+    write_csv(orders, f"{base}/csv")
+    write_json(orders, f"{base}/json")
+    write_orc(orders, f"{base}/orc")
+    ddl = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice decimal(18,2), o_orderdate date, "
+        "o_orderpriority string"
+    )
+    rereads = {
+        "csv": read_csv(spark, f"{base}/csv", schema=ddl),
+        "json": read_json(spark, f"{base}/json", schema=ddl),
+        "orc": read_orc(spark, f"{base}/orc"),
+    }
+    parts = []
+    for fmt, df in rereads.items():
+        parts.append(
+            df.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count("*").cast("long").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+                F.cast(
+                    "double", F.sum("o_totalprice")
+                ).alias("sum_price"),
+                F.sum(F.datediff("o_orderdate", F.lit("1990-01-01")))
+                .cast("long")
+                .alias("sum_datediff"),
+                F.sum(F.length("o_orderstatus") + F.length("o_orderpriority"))
+                .cast("long")
+                .alias("sum_strlen"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+Q105_SQL = """
+WITH agg AS (
+  SELECT COUNT(*) AS n,
+    SUM(o_orderkey) AS sum_key,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+    SUM(date_diff('day', DATE '1990-01-01', o_orderdate)) AS sum_datediff,
+    SUM(length(o_orderstatus) + length(o_orderpriority)) AS sum_strlen
+  FROM orders
+)
+SELECT f.fmt,
+  CAST(n AS BIGINT) AS n,
+  CAST(sum_key AS BIGINT) AS sum_key,
+  sum_price,
+  CAST(sum_datediff AS BIGINT) AS sum_datediff,
+  CAST(sum_strlen AS BIGINT) AS sum_strlen
+FROM agg CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) f(fmt)
+"""
+
+QUERIES.append(
+    Query(
+        "q105_format_roundtrip",
+        q105_format_roundtrip,
+        Q105_SQL,
+        "CSV/JSON/ORC sink->source round trip: per-format aggregates hash-match the parquet original",
+    )
+)
