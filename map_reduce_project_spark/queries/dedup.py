@@ -989,9 +989,19 @@ def dedup_cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal itself, from one extra partial+final agg). At 100 TB the
     only shuffles key on doc_id (window) and chunk_fp (share
     count); chunk state never exceeds the token stream."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc_chunk_documents(docs)
+
+
+def cdc_chunk_documents(docs: DataFrame) -> DataFrame:
+    """Content-defined chunking over a (doc_id, text) frame — the
+    operator behind ``dedup_cdc_chunks`` (see its docstring for the
+    design); extracted so property tests can drive crafted corpora
+    (the EDIT-LOCALITY property — a one-token edit only disturbs
+    chunks within the rolling window's reach — is pinned in
+    tests/test_llm_ops.py)."""
     from pyspark.sql.window import Window
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split("text", " +")).alias("pos", "tok"),

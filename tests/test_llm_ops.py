@@ -2227,3 +2227,58 @@ def test_decimate_audio_factors_and_tail(spark):
     assert r3 == 8000 // 3
     # python // floors toward -inf, matching numpy: (-196)//3 = -66
     assert s3 == [(100 - 301 + 5) // 3, (7 + 9 - 8) // 3] == [-66, 2]
+
+
+def test_cdc_chunking_edit_locality(spark):
+    # THE content-defined property — the reason CDC beats fixed-size
+    # blocking for dedup: a one-token edit disturbs only the chunks
+    # whose rolling window can see it, and every chunk fingerprint
+    # outside that reach is IDENTICAL before and after the edit (so
+    # a near-duplicate document still shares almost all its chunks
+    # with the original). Fixed-size blocking provably fails this:
+    # an insertion shifts every downstream block.
+    import pandas as pd
+
+    from map_reduce_project_spark.queries.dedup import (
+        cdc_chunk_documents,
+    )
+
+    # unique tokens -> aperiodic content, so every chunk fingerprint
+    # is distinct and the set comparison can't hide the edited chunk
+    # behind a periodic twin
+    toks = [f"t{i}" for i in range(400)]
+    edited = list(toks)
+    edited[200] = "EDITED"
+    inserted = toks[:200] + ["INSERTED"] + toks[200:]
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    " ".join(toks),
+                    " ".join(edited),
+                    " ".join(inserted),
+                ],
+            }
+        )
+    )
+    pdf = cdc_chunk_documents(docs).toPandas()
+    base = set(pdf[pdf.doc_id == 0].chunk_fp)
+    for other, kind in ((1, "substitution"), (2, "insertion")):
+        got = set(pdf[pdf.doc_id == other].chunk_fp)
+        shared = len(base & got)
+        # every chunk not overlapping the edit window must survive;
+        # at ~16-token expected chunks over 400 tokens, the edit can
+        # disturb at most a couple of chunks on each side
+        assert shared >= len(base) - 4, (
+            kind,
+            shared,
+            len(base),
+        )
+        assert shared < len(base)  # the edited chunk itself changed
+    # and the edit-locality survives the share-count join: the
+    # untouched chunks report n_docs_sharing >= 2
+    sharing = pdf[pdf.doc_id == 0].set_index("chunk_fp")[
+        "n_docs_sharing"
+    ]
+    assert (sharing >= 2).sum() >= len(base) - 4
