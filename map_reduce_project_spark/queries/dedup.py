@@ -1116,3 +1116,136 @@ QUERIES.append(
         "content-defined chunking (FastCDC-family): rolling-hash boundaries, chunk fingerprints, share counts",
     )
 )
+
+
+def dedup_url_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (round 7) — the FIRST dedup stage a
+    crawl pipeline runs, before any content hashing: the same page
+    arrives as Example.COM:443/p/7/?utm_source=x&b=2&a=1#top and
+    example.com/p/7?a=1&b=2, and canonicalization must collapse the
+    variants. Rules (the regex-subset ones both engines share —
+    no parse_url, which DuckDB lacks): lowercase scheme+host, strip
+    default :80/:443 ports, strip the fragment, strip ONE trailing
+    path slash, drop utm_*/fbclid/gclid tracking params, sort the
+    surviving query params. URL variants are synthesized from doc_id
+    (five orthogonal variant axes), so the oracle predicts both the
+    canonical forms and the collapse counts exactly. Everything is
+    codegen string expressions; the only shuffle keys on the
+    canonical URL."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 7 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(d % 2 == 0, F.concat(F.lit("Example"), (d % 50).cast("string"), F.lit(".COM")))
+        .otherwise(F.concat(F.lit("example"), (d % 50).cast("string"), F.lit(".com"))),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), (d % 100).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?utm_source=x&b=2&a=1")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+        F.when(d % 5 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    u = docs.withColumn("url", url)
+    no_frag = F.regexp_replace("url", "#.*$", "")
+    scheme_host = F.lower(
+        F.regexp_extract(no_frag, "^([A-Za-z]+://[^/?#]+)", 1)
+    )
+    host_noport = F.regexp_replace(scheme_host, ":(443|80)$", "")
+    path = F.regexp_extract(no_frag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    path_norm = F.regexp_replace(path, "/$", "")
+    qs = F.regexp_extract(no_frag, "\\?([^#]*)", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qs, "&"),
+                lambda p: ~p.rlike("^(utm_[^=]*|fbclid|gclid)=")
+                & (p != F.lit("")),
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        host_noport,
+        path_norm,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        u.withColumn("canonical_url", canon)
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+        )
+    )
+
+
+DEDUP_URL_SQL = """
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 2 = 0
+        THEN 'Example' || CAST(doc_id % 50 AS VARCHAR) || '.COM'
+        ELSE 'example' || CAST(doc_id % 50 AS VARCHAR) || '.com' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+    || '/p/' || CAST(doc_id % 100 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+        ELSE '?a=1&b=2' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    regexp_replace(url, '#.*$', '') AS no_frag
+  FROM u
+),
+parts AS (
+  SELECT doc_id,
+    regexp_replace(
+      lower(regexp_extract(no_frag, '^([A-Za-z]+://[^/?#]+)', 1)),
+      ':(443|80)$', '') AS host_noport,
+    regexp_replace(
+      regexp_extract(no_frag, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+      '/$', '') AS path_norm,
+    regexp_extract(no_frag, '\\?([^#]*)', 1) AS qs
+  FROM c
+),
+canon AS (
+  SELECT doc_id,
+    host_noport || path_norm ||
+    (CASE WHEN list_aggregate(
+        list_sort(list_filter(string_split(qs, '&'),
+          p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')
+               AND p <> '')),
+        'string_agg', '&') IS NOT NULL
+      AND list_aggregate(
+        list_sort(list_filter(string_split(qs, '&'),
+          p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')
+               AND p <> '')),
+        'string_agg', '&') <> ''
+     THEN '?' || list_aggregate(
+        list_sort(list_filter(string_split(qs, '&'),
+          p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')
+               AND p <> '')),
+        'string_agg', '&')
+     ELSE '' END) AS canonical_url
+  FROM parts
+)
+SELECT canonical_url,
+  CAST(COUNT(*) AS BIGINT) AS n_variants,
+  CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+FROM canon
+GROUP BY canonical_url
+"""
+
+QUERIES.append(
+    Query(
+        "dedup_url_canonical",
+        dedup_url_canonical_q,
+        DEDUP_URL_SQL,
+        "URL canonicalization dedup: case/port/fragment/tracking-param/slash variants collapse exactly",
+    )
+)
