@@ -244,7 +244,15 @@ def _decode_bmp_pixels(b: bytes) -> np.ndarray:
         # tier): BITMAPINFOHEADER's color table sits right after the
         # 40-byte header, biClrUsed entries (0 = full 256), each a
         # 4-byte BGRX quad; pixel bytes are palette indices
+        if len(b) < 50:
+            raise ValueError("truncated BMP header (8-bit needs biClrUsed)")
         (hdr_size,) = struct.unpack("<I", b[14:18])
+        if hdr_size < 40:
+            # BITMAPCOREHEADER uses 3-byte RGB palette triples; decoding
+            # it with the BGRX layout below would silently mis-color.
+            raise NotImplementedError(
+                f"8-bit BMP requires BITMAPINFOHEADER (hdr_size={hdr_size})"
+            )
         (clr_used,) = struct.unpack("<I", b[46:50])
         n_colors = clr_used or 256
         tbl_off = 14 + hdr_size

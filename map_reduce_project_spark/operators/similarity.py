@@ -690,11 +690,17 @@ def ivf_index_topk(
         .where(F.col("_r") <= n_probe)
         .selectExpr(f"{id_col} as query_id", "cell")
     )
-    try:
-        tvec = spark.read.parquet(f"{path}/cell_vectors").selectExpr(
+    # Only a MISSING cell_vectors layout (pre-round-7 index) selects the
+    # slow element path; genuine read failures (corruption, permissions,
+    # schema drift) must propagate rather than silently degrade.
+    cv_path = f"{path}/cell_vectors"
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(cv_path)  # type: ignore[union-attr]
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
+    if fs.exists(jvm_path):
+        tvec = spark.read.parquet(cv_path).selectExpr(
             "target_id", "cell", "qv as tqv", "tn2"
         )
-    except Exception:
+    else:
         tvec = None  # pre-round-7 index: element posting lists only
     qn = qn2.selectExpr(f"{id_col} as query_id", "norm2 as qn2")
     if tvec is not None:

@@ -59,6 +59,8 @@ def evidence_counts() -> dict[str, int]:
                 rows = json.loads(f.read_text())
             except (OSError, ValueError):
                 continue
+            if not isinstance(rows, dict):
+                continue  # malformed driver file -> zero evidence, not a crash
             for name, row in rows.items():
                 if isinstance(row, dict) and _row_is_green(row):
                     counts[name] = counts.get(name, 0) + 1

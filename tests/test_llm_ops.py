@@ -2165,6 +2165,17 @@ def test_bmp_8bit_indexed_decode():
     with _pytest.raises(NotImplementedError):
         _decode_bmp_pixels(bytes(bad))
 
+    # round-8 ADVICE pins: a header truncated between 34 and 50 bytes
+    # raises the decoder's ValueError contract (not struct.error), and
+    # a BITMAPCOREHEADER (hdr_size=12, 3-byte RGB palette) fails loudly
+    # instead of silently mis-decoding its palette
+    with _pytest.raises(ValueError):
+        _decode_bmp_pixels(bytes(bmp[:40]))
+    core = bytearray(bmp)
+    struct.pack_into("<I", core, 14, 12)
+    with _pytest.raises(NotImplementedError):
+        _decode_bmp_pixels(bytes(core))
+
 
 def test_ivf_index_search_edge_cases(spark, sf0001, tmp_path):
     # round-7 self-audit pins: an EMPTY query batch returns an empty

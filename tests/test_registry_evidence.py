@@ -169,3 +169,16 @@ def test_green_row_predicate():
     assert not _row_is_green(
         {"rows_match": True, "hash_match": True, "err": "boom"}
     )
+
+
+def test_malformed_correctness_file_degrades_to_zero_evidence():
+    # round-8 ADVICE pin: a CORRECTNESS_r*.json whose top level is not
+    # a dict (e.g. a list) must degrade to zero evidence for that file
+    # instead of crashing the whole registry at import-adjacent time.
+    bogus = ROOT / "CORRECTNESS_r98.json"
+    baseline = evidence_counts()
+    try:
+        bogus.write_text(json.dumps(["not", "a", "dict"]))
+        assert evidence_counts() == baseline
+    finally:
+        bogus.unlink(missing_ok=True)
