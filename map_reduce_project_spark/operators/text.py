@@ -1078,3 +1078,125 @@ def bpe_apply(
         F.count("*").cast("long").alias("n_tokens_after")
     )
     return before.join(after, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# HTML / markup extraction (round 8) — crawl-pipeline stage zero.
+
+# Closing tags that end a text block; splitting on them yields the
+# block segmentation boilerplate pruning scores (non-capturing group:
+# Java's split drops captures, DuckDB's string_split_regex would not).
+_HTML_BLOCK_SPLIT = "(?i)</(?:p|div|li|h[1-6]|td|tr|section|article)>"
+_HTML_ANCHOR_RE = "(?is)<a[^>]*>(.*?)</a>"
+
+
+def _html_norm_expr(inner: str) -> str:
+    """SQL-expr template: strip tags, single-pass entity decode
+    (named entities first, ``&amp;`` LAST so ``&amp;lt;`` decodes to
+    the literal text ``&lt;`` exactly like a real HTML parser), then
+    whitespace normalization. Shared by block text and anchor text so
+    link-density compares like with like."""
+    stripped = f"regexp_replace({inner}, '<[^>]*>', ' ')"
+    decoded = (
+        f"replace(replace(replace(replace(replace(replace("
+        f"{stripped}, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+        f"'&#39;', '\\''), '&nbsp;', ' '), '&amp;', '&')"
+    )
+    return f"trim(regexp_replace({decoded}, '\\\\s+', ' '))"
+
+
+def html_extract(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_block_chars: int = 10,
+    max_link_density_pct: int = 50,
+) -> DataFrame:
+    """Main-content extraction from raw HTML — the stage-zero operator
+    of every crawl-to-training-data pipeline (trafilatura/jusText
+    family, re-expressed as codegen expressions):
+
+    1. remove ``<script>``/``<style>`` elements and HTML comments;
+    2. segment into text blocks at closing block-level tags;
+    3. per block, strip tags, decode entities, normalize whitespace,
+       and measure LINK DENSITY (total normalized anchor text length
+       over block text length — the jusText boilerplate signal);
+    4. drop empty blocks silently, short blocks
+       (< ``min_block_chars``), and link-dense blocks
+       (anchor_len * 100 > text_len * ``max_link_density_pct`` —
+       integer cross-multiplication, no float thresholds);
+    5. reassemble surviving blocks in document order.
+
+    The whole pipeline is per-document array expressions (transform/
+    filter over the block list) — ZERO shuffles and zero explodes; at
+    100 TB it runs entirely inside whole-stage codegen on the scan,
+    reading only (id, html). Layered projections keep each array
+    evaluated once per row (the nested-HOF re-evaluation trap
+    winnow_fingerprints documents).
+
+    Output: (id, extracted_text, n_kept, n_drop_short, n_drop_link,
+    text_len, n_words).
+    """
+    cleaned = (
+        f"regexp_replace(regexp_replace(regexp_replace({html_col}, "
+        f"'(?is)<script[^>]*>.*?</script>', ' '), "
+        f"'(?is)<style[^>]*>.*?</style>', ' '), "
+        f"'(?s)<!--.*?-->', ' ')"
+    )
+    blocks = f"split({cleaned}, '{_HTML_BLOCK_SPLIT}')"
+    btexts = f"transform(_blocks, b -> {_html_norm_expr('b')})"
+    anchor_norm = _html_norm_expr("a")
+    alens = (
+        f"transform(_blocks, b -> aggregate("
+        f"regexp_extract_all(b, '{_HTML_ANCHOR_RE}', 1), "
+        f"cast(0 as bigint), "
+        f"(acc, a) -> acc + length({anchor_norm})))"
+    )
+    keep = (
+        f"filter(sequence(1, size(_btexts)), i -> "
+        f"length(_btexts[i - 1]) >= {min_block_chars} AND "
+        f"_alens[i - 1] * 100 <= length(_btexts[i - 1]) * "
+        f"{max_link_density_pct})"
+    )
+    short = (
+        f"size(filter(_btexts, t -> "
+        f"length(t) > 0 AND length(t) < {min_block_chars}))"
+    )
+    link = (
+        f"size(filter(sequence(1, size(_btexts)), i -> "
+        f"length(_btexts[i - 1]) >= {min_block_chars} AND "
+        f"_alens[i - 1] * 100 > length(_btexts[i - 1]) * "
+        f"{max_link_density_pct}))"
+    )
+    joined = (
+        f"array_join(transform(_keep, i -> _btexts[i - 1]), ' ')"
+    )
+    return (
+        docs.select(F.col(id_col), F.expr(blocks).alias("_blocks"))
+        .select(
+            F.col(id_col),
+            F.expr(btexts).alias("_btexts"),
+            F.expr(alens).alias("_alens"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_btexts"),
+            F.expr(keep).alias("_keep"),
+            F.expr(short).cast("long").alias("n_drop_short"),
+            F.expr(link).cast("long").alias("n_drop_link"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(joined).alias("extracted_text"),
+            F.size("_keep").cast("long").alias("n_kept"),
+            "n_drop_short",
+            "n_drop_link",
+        )
+        .withColumn(
+            "text_len", F.length("extracted_text").cast("long")
+        )
+        .withColumn(
+            "n_words",
+            F.size(F.split("extracted_text", " ")).cast("long"),
+        )
+    )

@@ -1670,3 +1670,143 @@ QUERIES.append(
         "self-BLEU-2 corpus-diversity probe: clipped n-gram precisions + brevity penalty, exact counts",
     )
 )
+
+
+def text_html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/boilerplate extraction (round 8) — crawl-pipeline stage
+    zero, the trafilatura/jusText family re-expressed as pure codegen
+    expressions (operators.text.html_extract): script/style/comment
+    removal, block segmentation at closing block tags, per-block
+    entity decode + whitespace normalization, link-density
+    boilerplate pruning (integer cross-multiplication), short-block
+    pruning, in-order reassembly. The HTML is synthesized from doc_id
+    across five orthogonal axes (nav bar, content paragraph,
+    every-third-doc second passage vs a too-short stub, a mixed
+    "Read more" block right at the density seam, an entity-heavy list
+    item), so the oracle predicts the extracted text and per-rule
+    drop counts exactly. Zero shuffles, zero explodes — the whole
+    plan is one codegen projection over the scan."""
+    from map_reduce_project_spark.operators.text import html_extract
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit(
+            '<html><head><style>p {color: red}</style>'
+            '<script type="text/javascript">var x = 1; '
+            'alert("noise");</script></head><body>'
+        ),
+        F.lit("<!-- hidden boilerplate "),
+        (d % 1000).cast("string"),
+        F.lit(" --><h1>Document number "),
+        (d % 1000).cast("string"),
+        F.lit(
+            '</h1><div class="nav"><a href="/home">Home page</a> '
+            '<a href="/about">About us</a></div>'
+            "<p>Alpha beta gamma delta content <b>sentence</b> "
+        ),
+        (d % 1000).cast("string"),
+        F.lit(" &amp; more.</p>"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("<p>Second passage epsilon zeta eta theta "),
+                (d % 7).cast("string"),
+                F.lit(".</p>"),
+            ),
+        ).otherwise(
+            F.concat(F.lit("<p>ok "), (d % 7).cast("string"), F.lit("</p>"))
+        ),
+        F.lit('<div>Read more: <a href="/p/'),
+        (d % 100).cast("string"),
+        F.lit(
+            '">continue reading the full article</a></div>'
+            "<li>&lt;tagged&gt; text with &quot;quotes&quot; and "
+            "&#39;marks&#39; plus "
+        ),
+        (d % 5).cast("string"),
+        F.lit("</li></body></html>"),
+    )
+    return html_extract(docs.withColumn("html", html))
+
+
+_HTML_NORM_DUCK = """trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace({0}, '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      '\\s+', ' ', 'g'))"""
+
+TEXT_HTML_EXTRACT_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><style>p {{color: red}}</style>'
+    || '<script type="text/javascript">var x = 1; alert("noise");</script></head><body>'
+    || '<!-- hidden boilerplate ' || CAST(doc_id % 1000 AS VARCHAR)
+    || ' --><h1>Document number ' || CAST(doc_id % 1000 AS VARCHAR)
+    || '</h1><div class="nav"><a href="/home">Home page</a> <a href="/about">About us</a></div>'
+    || '<p>Alpha beta gamma delta content <b>sentence</b> '
+    || CAST(doc_id % 1000 AS VARCHAR) || ' &amp; more.</p>'
+    || (CASE WHEN doc_id % 3 = 0
+        THEN '<p>Second passage epsilon zeta eta theta '
+             || CAST(doc_id % 7 AS VARCHAR) || '.</p>'
+        ELSE '<p>ok ' || CAST(doc_id % 7 AS VARCHAR) || '</p>' END)
+    || '<div>Read more: <a href="/p/' || CAST(doc_id % 100 AS VARCHAR)
+    || '">continue reading the full article</a></div>'
+    || '<li>&lt;tagged&gt; text with &quot;quotes&quot; and &#39;marks&#39; plus '
+    || CAST(doc_id % 5 AS VARCHAR) || '</li></body></html>' AS html
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+     '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+     '(?s)<!--.*?-->', ' ', 'g') AS c
+  FROM h
+),
+norms AS (
+  SELECT doc_id,
+    list_transform(
+      string_split_regex(c, '(?i)</(?:p|div|li|h[1-6]|td|tr|section|article)>'),
+      b -> {_HTML_NORM_DUCK.format('b')}) AS btexts,
+    list_transform(
+      string_split_regex(c, '(?i)</(?:p|div|li|h[1-6]|td|tr|section|article)>'),
+      b -> coalesce(list_sum(list_transform(
+        regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+        a -> length({_HTML_NORM_DUCK.format('a')}))), 0)) AS alens
+  FROM cleaned
+),
+kept AS (
+  SELECT doc_id, btexts, alens,
+    list_filter(generate_series(1, len(btexts)), i ->
+      length(btexts[i]) >= 10
+      AND alens[i] * 100 <= length(btexts[i]) * 50) AS keep_idx
+  FROM norms
+)
+SELECT doc_id,
+  array_to_string(list_transform(keep_idx, i -> btexts[i]), ' ')
+    AS extracted_text,
+  CAST(len(keep_idx) AS BIGINT) AS n_kept,
+  CAST(len(list_filter(btexts,
+    t -> length(t) > 0 AND length(t) < 10)) AS BIGINT) AS n_drop_short,
+  CAST(len(list_filter(generate_series(1, len(btexts)), i ->
+    length(btexts[i]) >= 10
+    AND alens[i] * 100 > length(btexts[i]) * 50)) AS BIGINT)
+    AS n_drop_link,
+  CAST(length(array_to_string(
+    list_transform(keep_idx, i -> btexts[i]), ' ')) AS BIGINT)
+    AS text_len,
+  CAST(len(string_split(array_to_string(
+    list_transform(keep_idx, i -> btexts[i]), ' '), ' ')) AS BIGINT)
+    AS n_words
+FROM kept
+"""
+
+QUERIES.append(
+    Query(
+        "text_html_extract",
+        text_html_extract_q,
+        TEXT_HTML_EXTRACT_SQL,
+        "HTML main-content extraction: script/style/comment removal, entity decode, link-density boilerplate pruning",
+    )
+)

@@ -2293,3 +2293,64 @@ def test_cdc_chunking_edit_locality(spark):
         "n_docs_sharing"
     ]
     assert (sharing >= 2).sum() >= len(base) - 4
+
+
+def test_html_extract_semantics(spark):
+    # round 8: crawl-pipeline stage zero — the hand fixture pins every
+    # rule: script/style/comment removal, block segmentation, entity
+    # decode AFTER tag strip (so &lt;tagged&gt; survives as literal
+    # text), link-density pruning at the exact integer seam, short
+    # pruning, in-order reassembly
+    from map_reduce_project_spark.operators.text import html_extract
+
+    html = (
+        '<html><head><style>p {color: red}</style>'
+        '<script type="text/javascript">var x = 1; alert("noise");'
+        "</script></head><body>"
+        "<!-- hidden boilerplate 42 -->"
+        "<h1>Document number 42</h1>"
+        '<div class="nav"><a href="/home">Home page</a> '
+        '<a href="/about">About us</a></div>'
+        "<p>Alpha beta gamma delta content <b>sentence</b> 42 "
+        "&amp; more.</p>"
+        "<p>ok 3</p>"
+        '<div>Read more: <a href="/p/42">continue reading the full '
+        "article</a></div>"
+        "<li>&lt;tagged&gt; text with &quot;quotes&quot; and "
+        "&#39;marks&#39; plus 3</li>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    row = html_extract(df).collect()[0]
+    assert row.extracted_text == (
+        "Document number 42 Alpha beta gamma delta content sentence "
+        '42 & more. <tagged> text with "quotes" and \'marks\' plus 3'
+    )
+    assert (row.n_kept, row.n_drop_short, row.n_drop_link) == (3, 1, 2)
+    assert row.text_len == len(row.extracted_text)
+    assert row.n_words == len(row.extracted_text.split(" "))
+
+    # density seam is an EXACT integer comparison: anchor*100 == len*50
+    # (density exactly 0.5) keeps the block; one char over drops it
+    # tag strip replaces each tag with a space, so "aaaaaaaaa<a>..."
+    # normalizes to "aaaaaaaaa bbbbbbbbbb" — 9+1+10 = 20 chars
+    at_seam = "<p>aaaaaaaaa<a>bbbbbbbbbb</a></p>"  # 10 anchor / 20 text
+    over = "<p>aaaaaaaa<a>bbbbbbbbbb</a></p>"  # 10 anchor / 19 text
+    df2 = spark.createDataFrame(
+        [(1, at_seam), (2, over)], "doc_id long, html string"
+    )
+    rows = {r.doc_id: r for r in html_extract(df2).collect()}
+    assert rows[1].n_kept == 1 and rows[1].n_drop_link == 0
+    assert rows[2].n_kept == 0 and rows[2].n_drop_link == 1
+
+    # a doc whose every block is dropped yields the empty string
+    # (and the split-of-empty 1-token artifact both engines share)
+    r = html_extract(
+        spark.createDataFrame(
+            [(1, "<p>ok</p><div><a>Nav nav nav</a></div>")],
+            "doc_id long, html string",
+        )
+    ).collect()[0]
+    assert r.extracted_text == "" and r.n_kept == 0
+    assert (r.n_drop_short, r.n_drop_link) == (1, 1)
+    assert r.n_words == 1  # split('', ' ') == [''] in Spark AND DuckDB

@@ -49,6 +49,9 @@ def plan_signature(df) -> dict:
 
 def main() -> int:
     args = sys.argv[1:]
+    merge = "--merge" in args
+    if merge:
+        args.remove("--merge")
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 
@@ -69,7 +72,20 @@ def main() -> int:
             continue
         print(f"{name:35s} {out[name]}")
     if only:
-        print(f"\n(partial run: baseline NOT rewritten; {len(out)} shown)")
+        if merge and out:
+            # --merge: fold the partial signatures into the committed
+            # baseline (for NEW queries; changed queries still warrant
+            # a full re-census in the commit that changed them)
+            base = json.loads(BASELINE.read_text())
+            base.update(out)
+            BASELINE.write_text(
+                json.dumps(base, indent=1, sort_keys=True) + "\n"
+            )
+            print(f"\n(merged {len(out)} signatures into {BASELINE})")
+        else:
+            print(
+                f"\n(partial run: baseline NOT rewritten; {len(out)} shown)"
+            )
         return 1 if failures else 0
     BASELINE.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
     print(f"\n{BASELINE}: {len(out)} signatures, {len(failures)} errors")
