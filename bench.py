@@ -500,6 +500,58 @@ def main() -> None:
     run_text_bm25(5_000_000)
     timings["text_bm25_df_5m"] = round(time.perf_counter() - t, 3)
 
+    # EXACT-SUBSTRING dedup depth probe (round 8, Lee et al. 2022
+    # class): 30-token docs, every id % 10 == 9 doc shares an
+    # identical 12-token span (positions 11..22) with doc id-1; all
+    # other tokens are xxhash64-unique, so with k=8 the expected
+    # result is EXACTLY one span per planted pair — (doc_id%10==9,
+    # 11..22, 5 grams) — excised from the higher doc_id (the keeper
+    # election), and ANY other row is a false positive. Recall AND
+    # zero-FP are both asserted by exact aggregate equality.
+    from map_reduce_project_spark.operators.dedup import duplicate_spans
+
+    def synth_span_corpus(n_docs: int):
+        ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+        gid = F.col("doc_id") - (F.col("doc_id") % 10 == 9).cast("long")
+        uniq = lambda j: F.conv(  # noqa: E731
+            F.hex(F.abs(F.xxhash64(F.lit(j), F.col("doc_id"), F.lit("u")))),
+            16,
+            36,
+        )
+        shared = lambda j: F.conv(  # noqa: E731
+            F.hex(F.abs(F.xxhash64(F.lit(j), gid, F.lit("s")))), 16, 36
+        )
+        toks = (
+            [uniq(j) for j in range(10)]
+            + [shared(j) for j in range(12)]
+            + [uniq(j + 100) for j in range(8)]
+        )
+        return ids.select("doc_id", F.concat_ws(" ", *toks).alias("text"))
+
+    def run_dup_spans(n_docs: int) -> None:
+        spans = duplicate_spans(synth_span_corpus(n_docs), k=8)
+        row = spans.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (
+                    (F.col("doc_id") % 10 == 9)
+                    & (F.col("span_start") == 11)
+                    & (F.col("span_end") == 22)
+                    & (F.col("n_grams") == 5)
+                ).cast("long")
+            ).alias("exact"),
+        ).collect()[0]
+        planted = n_docs // 10
+        assert row["n"] == planted, (row["n"], planted)  # recall 1.0
+        assert row["exact"] == planted, (row["exact"], planted)  # 0 FP
+
+    timings["dedup_spans_df_500k"] = min_of_runs(
+        lambda: run_dup_spans(500_000)
+    )
+    t = time.perf_counter()
+    run_dup_spans(5_000_000)
+    timings["dedup_spans_df_5m"] = round(time.perf_counter() - t, 3)
+
     # STREAMING depth probe (round 7, the fifth family): 1M telemetry
     # rows through the custom PARTITION-PLANNED Python stream source
     # (sources/pydatasource.py) in 10 genuine microbatches of 100k, a

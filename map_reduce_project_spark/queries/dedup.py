@@ -1249,3 +1249,69 @@ QUERIES.append(
         "URL canonicalization dedup: case/port/fragment/tracking-param/slash variants collapse exactly",
     )
 )
+
+
+def dedup_exact_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact-substring dedup (round 8, Lee et al. 2022 class):
+    maximal duplicated token spans >= k tokens across the whole
+    corpus, exactly verified on gram text with a deterministic
+    (doc, pos)-minimum keeper, merged per document via
+    gaps-and-islands (operators.dedup.duplicate_spans). k=4 on the
+    31-word-vocab driver corpus gives the same duplicate density a
+    50-token threshold has on real crawl text. The oracle recomputes
+    spans from first principles with window functions."""
+    from map_reduce_project_spark.operators.dedup import duplicate_spans
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_spans(docs, k=4)
+
+
+DEDUP_EXACT_SUBSTR_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+3], ' ') AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 4
+),
+occ AS (
+  SELECT doc_id, pos,
+    COUNT(*) OVER (PARTITION BY gram) AS n_occ,
+    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM g
+),
+excise AS (
+  SELECT doc_id, pos FROM occ WHERE n_occ >= 2 AND rn > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - COALESCE(
+        LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+        -1000000000) > 4 THEN 1 ELSE 0 END AS new_isl
+  FROM excise
+),
+isl2 AS (
+  SELECT doc_id, pos,
+    SUM(new_isl) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+)
+SELECT doc_id,
+  CAST(MIN(pos) AS BIGINT) AS span_start,
+  CAST(MAX(pos) + 3 AS BIGINT) AS span_end,
+  CAST(MAX(pos) + 3 - MIN(pos) + 1 AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl2
+GROUP BY doc_id, island
+"""
+
+QUERIES.append(
+    Query(
+        "dedup_exact_substring",
+        dedup_exact_substring_q,
+        DEDUP_EXACT_SUBSTR_SQL,
+        "global exact-substring dedup: duplicated >=k-token spans, hash-bucketed candidates, exact-text verify, keeper election",
+    )
+)

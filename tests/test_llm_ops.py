@@ -2354,3 +2354,68 @@ def test_html_extract_semantics(spark):
     assert r.extracted_text == "" and r.n_kept == 0
     assert (r.n_drop_short, r.n_drop_link) == (1, 1)
     assert r.n_words == 1  # split('', ' ') == [''] in Spark AND DuckDB
+
+
+def test_duplicate_spans_semantics(spark):
+    # round 8: global exact-substring dedup (Lee et al. 2022 class) —
+    # hand corpus pins keeper election, span merging, and the max_df
+    # hot-gram prune
+    from map_reduce_project_spark.operators.dedup import duplicate_spans
+
+    # docs 1 and 2 share tokens "c d e f g" at positions 3..7 (doc 1)
+    # and 1..5 (doc 2); with k=3, duplicated 3-grams are cde/def/efg.
+    # Keeper = global (doc, pos) minimum -> doc 1 keeps, doc 2 excises
+    # one merged span covering positions 1..5.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "c d e f g x y"),
+            (3, "p q r s t u v"),  # unique -> no spans
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicate_spans(docs, k=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_id, r.span_start, r.span_end, r.n_tokens, r.n_grams) == (
+        2, 1, 5, 5, 3,
+    )
+
+    # two DISJOINT shared regions in one doc merge into separate
+    # spans (gap > k between excision positions)
+    docs2 = spark.createDataFrame(
+        [
+            (1, "a b c m m m m m m m m m m a b c"),
+            (2, "a b c z z z z z z z z z z a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    got2 = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicate_spans(docs2, k=3).collect()
+    }
+    # "a b c" occurrences (1,1),(1,14),(2,1),(2,14): keeper (1,1).
+    # Intra-doc "m m m"/"z z z" runs excise positions 5..11 (keeper
+    # pos 4). In doc 1, excisions {5..11, 14} merge into ONE span
+    # (14 - 11 = k -> windows touch); in doc 2 position 1 stands
+    # alone (5 - 1 > k) and {5..11, 14} merge as in doc 1.
+    assert got2 == {
+        (1, 5, 16, 8),
+        (2, 1, 3, 1),
+        (2, 5, 16, 8),
+    }
+
+    # max_df prunes hot grams: "a b c" appears 4 times; max_df=3
+    # drops it from candidates entirely — the doc-2 leading span and
+    # both trailing a-b-c excisions disappear, the intra-doc m/z runs
+    # (2 occurrences... each distinct m-m-m gram has 8) also exceed
+    # max_df=3 and vanish, leaving nothing
+    assert duplicate_spans(docs2, k=3, max_df=3).count() == 0
+    # ...while max_df=7 prunes the 8-occurrence m/z runs but keeps
+    # the 4-occurrence a-b-c gram: only its three non-keeper
+    # occurrences are excised
+    got3 = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicate_spans(docs2, k=3, max_df=7).collect()
+    }
+    assert got3 == {(1, 14, 16, 1), (2, 1, 3, 1), (2, 14, 16, 1)}
