@@ -996,27 +996,16 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(
-    px: np.ndarray,
-    alpha: np.ndarray | None = None,
-    row_filters: list[int] | None = None,
+def _png_filter_block(
+    flat: np.ndarray, bpp: int, row_filters: list[int] | None = None
 ) -> bytes:
-    """(h, w, 3) uint8 (+ optional (h, w) alpha -> color type 6) to a
-    spec-valid PNG. ``row_filters`` picks the filter type per scanline
-    (default: cycle 0..4 so every filter is exercised); filtering is
-    the spec's byte arithmetic mod 256, so any PNG reader round-trips
-    the exact pixels."""
-    import zlib
-
-    h, w, _ = px.shape
-    if alpha is not None:
-        img = np.dstack([px, alpha]).astype(np.uint8)
-        ctype, bpp = 6, 4
-    else:
-        img = px.astype(np.uint8)
-        ctype, bpp = 2, 3
-    stride = w * bpp
-    flat = img.reshape(h, stride).astype(np.int64)
+    """Filter one scanline block ((h, stride) int64 raw bytes) into
+    the PNG wire form: per-row filter-type byte + filtered bytes, the
+    spec's mod-256 byte arithmetic. ``row_filters`` defaults to
+    cycling 0..4 so every filter is exercised. Shared by the plain,
+    16-bit, and per-Adam7-pass encoders (each interlace pass filters
+    independently with its own prior row, spec 8.2)."""
+    h, stride = flat.shape
     if row_filters is None:
         row_filters = [y % 5 for y in range(h)]
     out = bytearray()
@@ -1043,7 +1032,68 @@ def encode_png(
         out.append(ft)
         out += bytes(filt.astype(np.uint8))
         prior = raw
+    return bytes(out)
+
+
+def encode_png(
+    px: np.ndarray,
+    alpha: np.ndarray | None = None,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """(h, w, 3) uint8 (+ optional (h, w) alpha -> color type 6) to a
+    spec-valid PNG. ``row_filters`` picks the filter type per scanline
+    (default: cycle 0..4 so every filter is exercised); filtering is
+    the spec's byte arithmetic mod 256, so any PNG reader round-trips
+    the exact pixels."""
+    import zlib
+
+    h, w, _ = px.shape
+    if alpha is not None:
+        img = np.dstack([px, alpha]).astype(np.uint8)
+        ctype, bpp = 6, 4
+    else:
+        img = px.astype(np.uint8)
+        ctype, bpp = 2, 3
+    flat = img.reshape(h, w * bpp).astype(np.int64)
+    out = _png_filter_block(flat, bpp, row_filters)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(out))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# Adam7 pass grid (PNG spec 8.2): (x_start, y_start, x_step, y_step).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def encode_png_adam7(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 to a spec-valid Adam7-INTERLACED truecolor PNG
+    (round 8): seven sub-images in pass order, each filtered
+    independently (filters cycle 0..4 within the pass), empty passes
+    contributing zero bytes (spec 8.2)."""
+    import zlib
+
+    h, w, _ = px.shape
+    img = px.astype(np.int64)
+    out = bytearray()
+    for x0, y0, xs, ys in _ADAM7:
+        sub = img[y0::ys, x0::xs]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if ph == 0 or pw == 0:
+            continue
+        out += _png_filter_block(sub.reshape(ph, pw * 3), 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -1052,82 +1102,44 @@ def encode_png(
     )
 
 
-def _decode_png_pixels(b: bytes) -> np.ndarray:
-    """(h, w, 3) uint8 from a real PNG: chunk walk, zlib inflate of the
-    concatenated IDAT stream, and per-scanline unfiltering (the spec's
-    five filters). 8-bit color types 2 (RGB) and 6 (RGBA, alpha
-    dropped — same convention as the BMP decoder), non-interlaced."""
+def encode_png16(
+    px16: np.ndarray, row_filters: list[int] | None = None
+) -> bytes:
+    """(h, w, 3) uint16 to a spec-valid 16-bit-channel truecolor PNG
+    (round 8): big-endian samples, filters over BYTES with bpp=6
+    (spec 7.2: filtering is byte-wise regardless of bit depth)."""
     import zlib
 
-    if b[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    i = 8
-    w = h = None
-    bpp = None
-    depth = ctype = None
-    palette = None
-    idat = bytearray()
-    while i + 8 <= len(b):
-        (size,) = struct.unpack(">I", b[i : i + 4])
-        tag = b[i + 4 : i + 8]
-        data = b[i + 8 : i + 8 + size]
-        if tag == b"IHDR":
-            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            # real tiers: 8-bit truecolor (2), truecolor+alpha (6),
-            # grayscale (0), and palette (3) at ALL legal palette
-            # depths 1/2/4/8 (round 7); 16-bit channels and
-            # interlacing stay honestly out
-            if ctype in (2, 6):
-                if depth != 8:
-                    raise NotImplementedError(
-                        f"PNG bit depth {depth} for color type {ctype}"
-                        " (8-bit only)"
-                    )
-                bpp = 4 if ctype == 6 else 3
-            elif ctype == 0:
-                if depth != 8:
-                    raise NotImplementedError(
-                        f"PNG grayscale bit depth {depth} (8-bit only)"
-                    )
-                bpp = 1
-            elif ctype == 3:
-                if depth not in (1, 2, 4, 8):
-                    raise NotImplementedError(
-                        f"PNG palette bit depth {depth}"
-                    )
-                bpp = 1  # filters operate on bytes; depth < 8 packs
-            else:
-                raise NotImplementedError(
-                    f"PNG color type {ctype} (16-bit/gray-alpha out)"
-                )
-            if comp != 0 or filt != 0 or interlace != 0:
-                raise NotImplementedError(
-                    "nonzero compression/filter method or interlaced PNG"
-                )
-        elif tag == b"PLTE":
-            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat += data
-        elif tag == b"IEND":
-            break
-        i += 12 + size  # len + tag + data + crc
-    if w is None or bpp is None:
-        raise ValueError("no IHDR chunk")
-    if ctype == 3 and palette is None:
-        raise ValueError("palette PNG without PLTE chunk")
-    raw = zlib.decompress(bytes(idat))
-    if ctype == 3:
-        stride = -(-(w * depth) // 8)  # packed bytes per scanline
-    else:
-        stride = w * bpp
-    if len(raw) < h * (stride + 1):
+    h, w, _ = px16.shape
+    be = px16.astype(">u2").tobytes()
+    flat = (
+        np.frombuffer(be, dtype=np.uint8)
+        .reshape(h, w * 6)
+        .astype(np.int64)
+    )
+    out = _png_filter_block(flat, 6, row_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(out))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter_block(
+    raw: bytes, pos: int, ph: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter ``ph`` scanlines of ``stride`` bytes starting at
+    ``pos`` in the inflated stream; returns ((ph, stride) int64 bytes,
+    next position). Shared by the sequential whole-image path and the
+    per-Adam7-pass path (each pass unfilters independently with its
+    own zeroed prior row, spec 8.2)."""
+    if len(raw) < pos + ph * (stride + 1):
         raise ValueError("truncated PNG scanline data")
-    px = np.zeros((h, stride), dtype=np.int64)
+    px = np.zeros((ph, stride), dtype=np.int64)
     prior = np.zeros(stride, dtype=np.int64)
-    pos = 0
-    for y in range(h):
+    for y in range(ph):
         ft = raw[pos]
         pos += 1
         line = np.frombuffer(
@@ -1155,26 +1167,134 @@ def _decode_png_pixels(b: bytes) -> np.ndarray:
                 recon[x] = (line[x] + pred) % 256
         px[y] = recon
         prior = recon
+    return px, pos
+
+
+def _png_block_to_rgb(
+    px: np.ndarray,
+    pw: int,
+    ctype: int,
+    depth: int,
+    palette: np.ndarray | None,
+) -> np.ndarray:
+    """Unfiltered scanline bytes ((ph, stride) int64) of a ``pw``-wide
+    (sub-)image to (ph, pw, 3) uint8. 16-bit samples are reduced to
+    their HIGH byte (the libpng 16->8 strip convention; big-endian, so
+    the high byte is the first of each pair)."""
+    ph = px.shape[0]
     if ctype == 3:
         packed = px.astype(np.uint8)
+        stride = px.shape[1]
         if depth == 8:
-            idx = packed[:, :w]
+            idx = packed[:, :pw]
         else:
             # MSB-first sub-byte unpacking (PNG spec 7.2), trimmed
             # to width (trailing pad bits in the last byte ignored)
             bits = np.unpackbits(packed, axis=1)
             per = 8 // depth
-            idx = np.zeros((h, stride * per), dtype=np.uint8)
+            idx = np.zeros((ph, stride * per), dtype=np.uint8)
             for k in range(depth):
                 idx = (idx << 1) | bits[:, k::depth][:, : stride * per]
-            idx = idx[:, :w]
+            idx = idx[:, :pw]
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("palette index out of range")
         return palette[idx]
-    out = px.reshape(h, w, bpp).astype(np.uint8)
+    channels = 4 if ctype == 6 else (3 if ctype == 2 else 1)
+    if depth == 16:
+        px = px[:, 0::2]  # high byte of each big-endian sample pair
+    out = px.reshape(ph, pw, channels).astype(np.uint8)
     if ctype == 0:
         return np.repeat(out, 3, axis=2)
     return out[:, :, :3]
+
+
+def _decode_png_pixels(b: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 from a real PNG: chunk walk, zlib inflate of the
+    concatenated IDAT stream, and per-scanline unfiltering (the spec's
+    five filters). Color types 2 (RGB) and 6 (RGBA, alpha dropped —
+    same convention as the BMP decoder) and 0 (grayscale) at bit
+    depths 8 AND 16 (16-bit stripped to the high byte), palette (3)
+    at depths 1/2/4/8, sequential AND Adam7-interlaced (round 8)."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i = 8
+    w = h = None
+    bpp = None
+    depth = ctype = None
+    interlace = 0
+    palette = None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + size]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            # real tiers: truecolor (2), truecolor+alpha (6), and
+            # grayscale (0) at depths 8 and 16; palette (3) at ALL
+            # legal palette depths 1/2/4/8; sequential and Adam7
+            if ctype in (0, 2, 6):
+                if depth not in (8, 16):
+                    raise NotImplementedError(
+                        f"PNG bit depth {depth} for color type {ctype}"
+                        " (8/16-bit only)"
+                    )
+                channels = 4 if ctype == 6 else (3 if ctype == 2 else 1)
+                bpp = channels * (depth // 8)
+            elif ctype == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise NotImplementedError(
+                        f"PNG palette bit depth {depth}"
+                    )
+                bpp = 1  # filters operate on bytes; depth < 8 packs
+            else:
+                raise NotImplementedError(
+                    f"PNG color type {ctype} (gray-alpha out)"
+                )
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
+                raise NotImplementedError(
+                    "nonzero compression/filter method or unknown "
+                    "interlace method"
+                )
+        elif tag == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + size  # len + tag + data + crc
+    if w is None or bpp is None:
+        raise ValueError("no IHDR chunk")
+    if ctype == 3 and palette is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    raw = zlib.decompress(bytes(idat))
+
+    def stride_for(pw: int) -> int:
+        if ctype == 3:
+            return -(-(pw * depth) // 8)  # packed bytes per scanline
+        return pw * bpp
+
+    if interlace == 0:
+        px, _ = _png_unfilter_block(raw, 0, h, stride_for(w), bpp)
+        return _png_block_to_rgb(px, w, ctype, depth, palette)
+    # Adam7: seven independently-filtered sub-images in pass order;
+    # empty passes contribute zero bytes (spec 8.2)
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = len(range(x0, w, xs))
+        ph = len(range(y0, h, ys))
+        if pw == 0 or ph == 0:
+            continue
+        px, pos = _png_unfilter_block(raw, pos, ph, stride_for(pw), bpp)
+        out[y0::ys, x0::xs] = _png_block_to_rgb(
+            px, pw, ctype, depth, palette
+        )
+    return out
 
 
 _PIXEL_DECODERS["image/png"] = _decode_png_pixels
@@ -4444,6 +4564,60 @@ def extract_exif(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     }
                 )
             yield pd.DataFrame(rows)
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        process, gen_schema
+    )
+
+
+def gradient_interlace_png_image(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic PNG for the round-8 tiers: even ids are
+    Adam7-INTERLACED 8-bit truecolor (c(x, y) = (id * kc + 3x + 5y) %
+    256, kc in (1, 7, 13)); odd ids are 16-BIT-channel sequential
+    truecolor (v16(x, y) = (id * kc + 257x + 513y) % 65536, decoded
+    byte = v16 >> 8). Geometry w = 3 + id % 9, h = 3 + (id // 9) % 8
+    spans sub-8 AND super-8 dimensions so every Adam7 pass shape
+    (empty, partial, full) sits under one hash."""
+    w = 3 + doc_id % 9
+    h = 3 + (doc_id // 9) % 8
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    if doc_id % 2 == 0:
+        grid = 3 * xs[None, :] + 5 * ys[:, None]
+        px = np.dstack(
+            [(doc_id * k + grid) % 256 for k in (1, 7, 13)]
+        ).astype(np.uint8)
+        return "image/png", encode_png_adam7(px)
+    grid16 = 257 * xs[None, :] + 513 * ys[:, None]
+    px16 = np.dstack(
+        [(doc_id * k + grid16) % 65536 for k in (1, 7, 13)]
+    ).astype(np.uint16)
+    return "image/png", encode_png16(px16)
+
+
+def attach_interlace_png_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Adam7 / 16-bit PNG payloads manufactured distributively from
+    the id column (mapInPandas, never driver-side)."""
+    gen_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mods, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                m, p = gradient_interlace_png_image(int(doc_id))
+                mods.append(m)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": mods, "payload": payloads}
+            )
 
     return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
         process, gen_schema

@@ -1200,3 +1200,207 @@ def html_extract(
             F.size(F.split("extracted_text", " ")).cast("long"),
         )
     )
+
+
+def unigram_train(
+    docs: DataFrame,
+    n_rounds: int = 2,
+    max_piece_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-family, Kudo 2018) tokenizer training
+    as Viterbi hard-EM over an exact integer objective — the
+    counterpart of ``bpe_train`` (BPE and unigram are the two
+    production tokenizer-training families).
+
+    Seeding: every character substring of length 1..``max_piece_len``
+    of every distinct corpus word is a candidate piece; seed counts
+    are corpus occurrence totals (word frequency x multiplicity).
+    Each EM round then (E) segments every distinct word by Viterbi
+    and (M) re-estimates piece counts from the chosen segmentations
+    (pieces unused by any word drop to 0 — hard EM).
+
+    The Viterbi objective is EXACT-integer, not float log-likelihood:
+    minimize piece count, then maximize the SUM of piece counts, then
+    take the lexicographically smallest segmentation string. Sum of
+    bounded counts is the exactness-preserving surrogate for
+    sum-of-log-probs (a monotone frequency preference at fixed piece
+    count) — float ln() would hash-diverge between engines at ulp
+    boundaries, and exact rational products overflow 128-bit at
+    corpus scale. Every comparison is BIGINT/string, so a DuckDB
+    oracle replays training exactly.
+
+    Tie-break correctness note: two partial segmentations pruned at
+    the same (word, position, step) cover the same characters with
+    the same number of separators, hence EQUAL string lengths — so
+    the prefix anomaly of lexicographic comparison under later
+    concatenation cannot occur and per-position pruning preserves the
+    global minimum.
+
+    Scale shape: ONE corpus pass builds the distinct-word table
+    (vocab-bounded, like build_vocab); everything after — candidate
+    pieces, DP states (<= vocab x max word length rows), per-round
+    counts — is vocabulary-sized, never corpus-sized. The DP loop
+    runs max-word-length joins per round on that tiny state, with
+    per-generation checkpoint release (O9 discipline).
+
+    Output: one row per distinct word after the final round:
+    (word, wfreq, n_pieces, seg, score) with seg '|'-joined.
+    """
+    from pyspark.sql.window import Window
+
+    from map_reduce_project_spark.graph.checkpointing import (
+        CheckpointCycler,
+    )
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .where(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count("*").alias("wfreq"))
+        .withColumn("wlen", F.length("word").cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    max_len = words.agg(F.max("wlen")).collect()[0][0]
+    if max_len is None:
+        return spark.createDataFrame(
+            [],
+            "word string, wfreq long, n_pieces long, seg string, "
+            "score long",
+        )
+    subs = (
+        words.select(
+            "word",
+            "wfreq",
+            "wlen",
+            F.explode_outer(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(word)), i -> "
+                    f"transform(sequence(1, least({max_piece_len}, "
+                    f"length(word) - i + 1)), L -> "
+                    f"struct(i as start, substring(word, i, L) as piece, "
+                    f"L as plen))))"
+                )
+            ).alias("s"),
+        )
+        .where(F.col("s").isNotNull())
+        .select(
+            "word", "wfreq", "wlen", "s.start", "s.piece", "s.plen"
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        subs.groupBy("piece")
+        .agg(F.sum("wfreq").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    # TWO cyclers: DP steps claim (states, finished) only; round-level
+    # artifacts (best, counts) live across the NEXT round's whole DP
+    # (scored_subs references counts lazily every step), so they are
+    # claimed on a separate generation track released one round later.
+    step_cycler = CheckpointCycler(spark)
+    round_cycler = CheckpointCycler(spark)
+    best = None
+    for _ in range(n_rounds):
+        scored_subs = subs.join(counts, "piece", "left").select(
+            "word",
+            "wlen",
+            "start",
+            "piece",
+            "plen",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("pc"),
+        )
+        states = words.select(
+            "word",
+            "wlen",
+            F.lit(0).alias("pos"),
+            F.lit("").alias("seg"),
+            F.lit(0).cast("long").alias("score"),
+        )
+        finished = None
+        for step in range(1, max_len + 1):
+            nxt = (
+                states.join(
+                    scored_subs.withColumnRenamed("wlen", "_wl"),
+                    (states.word == scored_subs.word)
+                    & (scored_subs.start == states.pos + 1),
+                )
+                .select(
+                    states.word,
+                    states.wlen,
+                    (states.pos + F.col("plen")).alias("pos"),
+                    F.concat(
+                        states.seg,
+                        F.when(states.pos == 0, F.lit("")).otherwise(
+                            F.lit("|")
+                        ),
+                        F.col("piece"),
+                    ).alias("seg"),
+                    (states.score + F.col("pc")).alias("score"),
+                )
+            )
+            fin = nxt.where(F.col("pos") == F.col("wlen")).select(
+                "word",
+                F.lit(step).cast("long").alias("n_pieces"),
+                "seg",
+                "score",
+            )
+            finished = (
+                fin
+                if finished is None
+                else finished.unionAll(
+                    # minimal piece count: words that already finished
+                    # at an earlier step never accept later finishes
+                    fin.join(
+                        finished.select("word").distinct(),
+                        "word",
+                        "left_anti",
+                    )
+                )
+            ).localCheckpoint(eager=True)
+            w_pos = Window.partitionBy("word", "pos").orderBy(
+                F.col("score").desc(), "seg"
+            )
+            states = (
+                nxt.where(F.col("pos") < F.col("wlen"))
+                .join(
+                    finished.select("word").distinct(),
+                    "word",
+                    "left_anti",
+                )
+                .withColumn("_rn", F.row_number().over(w_pos))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            ).localCheckpoint(eager=True)
+            step_cycler.cycle(states, finished)
+            if states.isEmpty():
+                break
+        w_word = Window.partitionBy("word").orderBy(
+            F.col("score").desc(), "seg"
+        )
+        best = (
+            finished.withColumn("_rn", F.row_number().over(w_word))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        ).localCheckpoint(eager=True)
+        # M-step: piece counts from the chosen segmentations
+        counts = (
+            best.join(words.select("word", "wfreq"), "word")
+            .select(
+                F.explode(F.split("seg", "\\|")).alias("piece"), "wfreq"
+            )
+            .groupBy("piece")
+            .agg(F.sum("wfreq").cast("long").alias("c"))
+        ).localCheckpoint(eager=True)
+        round_cycler.cycle(best, counts)
+    return best.join(words.select("word", "wfreq"), "word").select(
+        "word",
+        F.col("wfreq").cast("long").alias("wfreq"),
+        "n_pieces",
+        "seg",
+        F.col("score").cast("long").alias("score"),
+    )

@@ -1862,3 +1862,69 @@ QUERIES.append(
         "real WAV decode -> decimate-by-2 (floor-shift averaging) -> re-encode -> exact stats of the new payload",
     )
 )
+
+
+def mm_png_interlace_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG closure tiers under the exact gate (round 8): even ids are
+    Adam7-INTERLACED truecolor PNGs (seven independently-filtered
+    passes, geometry 3..11 x 3..10 so empty/partial/full pass shapes
+    all occur); odd ids are 16-BIT-channel PNGs (big-endian samples,
+    byte-wise filters with bpp=6, decode strips to the high byte —
+    the libpng convention). The engine genuinely inflates, walks the
+    pass grid, unfilters per pass, and scatters sub-images
+    (operators/multimodal.py:_decode_png_pixels); channel sums are
+    closed-form in doc_id so the oracle predicts them exactly — a
+    wrong pass offset, per-pass prior-row leak, or low-byte strip
+    shows up as a hash mismatch."""
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_interlace_png_payload,
+        pixel_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pixel_stats(attach_interlace_png_payload(docs))
+
+
+# w = 3 + id % 9, h = 3 + (id // 9) % 8; even ids 8-bit Adam7 with
+# c(x,y) = (id*k + 3x + 5y) % 256; odd ids 16-bit with decoded byte
+# ((id*k + 257x + 513y) % 65536) // 256
+MM_PNG_INTERLACE_SQL = """
+WITH g AS (
+  SELECT x.g AS x, y.g AS y
+  FROM generate_series(0, 10) x(g), generate_series(0, 9) y(g)
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  'image/png' AS modality,
+  CAST(3 + (d.doc_id // 9) % 8 AS BIGINT) AS height,
+  CAST(3 + d.doc_id % 9 AS BIGINT) AS width,
+  CAST((3 + d.doc_id % 9) * (3 + (d.doc_id // 9) % 8) AS BIGINT)
+    AS n_pixels,
+  CAST(SUM(CASE WHEN g.x < 3 + d.doc_id % 9
+                 AND g.y < 3 + (d.doc_id // 9) % 8 THEN
+    CASE WHEN d.doc_id % 2 = 0
+         THEN (d.doc_id * 1 + 3 * g.x + 5 * g.y) % 256
+         ELSE ((d.doc_id * 1 + 257 * g.x + 513 * g.y) % 65536) // 256
+    END END) AS BIGINT) AS sum_r,
+  CAST(SUM(CASE WHEN g.x < 3 + d.doc_id % 9
+                 AND g.y < 3 + (d.doc_id // 9) % 8 THEN
+    CASE WHEN d.doc_id % 2 = 0
+         THEN (d.doc_id * 7 + 3 * g.x + 5 * g.y) % 256
+         ELSE ((d.doc_id * 7 + 257 * g.x + 513 * g.y) % 65536) // 256
+    END END) AS BIGINT) AS sum_g,
+  CAST(SUM(CASE WHEN g.x < 3 + d.doc_id % 9
+                 AND g.y < 3 + (d.doc_id // 9) % 8 THEN
+    CASE WHEN d.doc_id % 2 = 0
+         THEN (d.doc_id * 13 + 3 * g.x + 5 * g.y) % 256
+         ELSE ((d.doc_id * 13 + 257 * g.x + 513 * g.y) % 65536) // 256
+    END END) AS BIGINT) AS sum_b
+FROM documents d CROSS JOIN g
+GROUP BY d.doc_id
+"""
+QUERIES.append(
+    Query(
+        "mm_png_interlace_stats",
+        mm_png_interlace_stats_q,
+        MM_PNG_INTERLACE_SQL,
+        "Adam7-interlaced + 16-bit-channel PNG decode -> exact channel sums",
+    )
+)

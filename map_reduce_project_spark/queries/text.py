@@ -1810,3 +1810,112 @@ QUERIES.append(
         "HTML main-content extraction: script/style/comment removal, entity decode, link-density boilerplate pruning",
     )
 )
+
+
+def text_unigram_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-family) tokenizer training under the
+    exact gate (round 8, operators/text.unigram_train): 2 Viterbi
+    hard-EM rounds — segment every distinct word, re-estimate piece
+    counts from the chosen segmentations, re-segment — under the
+    exact-integer objective (fewest pieces, then max summed piece
+    count, then lexicographically smallest segmentation). The DuckDB
+    oracle enumerates ALL minimal segmentations with a recursive CTE
+    (words are short; the engine side prunes per-position instead)
+    and replays both rounds with window argmaxes."""
+    from map_reduce_project_spark.operators.text import unigram_train
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    return unigram_train(docs, n_rounds=2, max_piece_len=4)
+
+
+TEXT_UNIGRAM_SQL = """
+WITH RECURSIVE
+words AS (
+  SELECT t AS word, COUNT(*) AS wfreq
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE length(t) >= 1
+  GROUP BY t
+),
+subs AS (
+  SELECT word, wfreq, length(word) AS wlen, i AS start, L AS plen,
+         substr(word, i, L) AS piece
+  FROM words,
+       LATERAL unnest(generate_series(1, length(word))) AS a(i),
+       LATERAL unnest(generate_series(1, 4)) AS b(L)
+  WHERE i + L - 1 <= length(word)
+),
+c0 AS (SELECT piece, SUM(wfreq) AS c FROM subs GROUP BY piece),
+paths AS (
+  SELECT word, length(word) AS wlen, 0 AS pos,
+         CAST('' AS VARCHAR) AS seg, 0 AS n
+  FROM words
+  UNION ALL
+  SELECT p.word, p.wlen, p.pos + s.plen,
+         p.seg || (CASE WHEN p.pos = 0 THEN '' ELSE '|' END) || s.piece,
+         p.n + 1
+  FROM paths p
+  JOIN subs s ON s.word = p.word AND s.start = p.pos + 1
+  WHERE p.pos < p.wlen
+),
+full_segs AS (
+  SELECT word, wlen, seg, n FROM paths WHERE pos = wlen
+),
+min_m AS (SELECT word, MIN(n) AS m FROM full_segs GROUP BY word),
+cand AS (
+  SELECT f.word, f.seg, f.n
+  FROM full_segs f JOIN min_m USING (word)
+  WHERE f.n = min_m.m
+),
+cand_pieces AS (
+  SELECT word, seg, n, unnest(string_split(seg, '|')) AS piece
+  FROM cand
+),
+r1scored AS (
+  SELECT cp.word, cp.seg, cp.n, SUM(COALESCE(c0.c, 0)) AS score
+  FROM cand_pieces cp LEFT JOIN c0 USING (piece)
+  GROUP BY cp.word, cp.seg, cp.n
+),
+r1best AS (
+  SELECT word, seg FROM (
+    SELECT word, seg,
+      ROW_NUMBER() OVER (
+        PARTITION BY word ORDER BY score DESC, seg) AS rn
+    FROM r1scored
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT piece, SUM(wfreq) AS c FROM (
+    SELECT b.word, unnest(string_split(b.seg, '|')) AS piece
+    FROM r1best b
+  ) bp JOIN words USING (word)
+  GROUP BY piece
+),
+r2scored AS (
+  SELECT cp.word, cp.seg, cp.n, SUM(COALESCE(c1.c, 0)) AS score
+  FROM cand_pieces cp LEFT JOIN c1 USING (piece)
+  GROUP BY cp.word, cp.seg, cp.n
+),
+r2best AS (
+  SELECT word, seg, n, score FROM (
+    SELECT word, seg, n, score,
+      ROW_NUMBER() OVER (
+        PARTITION BY word ORDER BY score DESC, seg) AS rn
+    FROM r2scored
+  ) WHERE rn = 1
+)
+SELECT b.word,
+  CAST(w.wfreq AS BIGINT) AS wfreq,
+  CAST(b.n AS BIGINT) AS n_pieces,
+  b.seg,
+  CAST(b.score AS BIGINT) AS score
+FROM r2best b JOIN words w USING (word)
+"""
+
+QUERIES.append(
+    Query(
+        "text_unigram_train",
+        text_unigram_train_q,
+        TEXT_UNIGRAM_SQL,
+        "unigram-LM (SentencePiece-family) tokenizer training: 2 Viterbi hard-EM rounds, exact-integer objective",
+    )
+)

@@ -1223,7 +1223,8 @@ def test_png_decoder_rejects_unsupported():
         _png_chunk,
     )
 
-    # 16-bit depth is out of scope and must fail loudly, not garble
+    # 16-bit depth became a REAL tier in round 8: an all-zero 2x2
+    # 16-bit stream decodes to zeros (high-byte strip), no garbling
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     b = (
         _PNG_SIG
@@ -1231,8 +1232,17 @@ def test_png_decoder_rejects_unsupported():
         + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
         + _png_chunk(b"IEND", b"")
     )
+    assert (_decode_png_pixels(b) == 0).all()
+    # a 24-bit depth is spec-illegal and must still fail loudly
+    bad24 = (
+        _PNG_SIG
+        + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, 24, 2, 0, 0, 0)
+        )
+        + _png_chunk(b"IEND", b"")
+    )
     with pytest.raises(NotImplementedError, match="bit depth"):
-        _decode_png_pixels(b)
+        _decode_png_pixels(bad24)
     with pytest.raises(ValueError, match="not a PNG"):
         _decode_png_pixels(b"junk")
 
@@ -2101,16 +2111,33 @@ def test_png_palette_and_grayscale_decode_round_trip():
         (px[:, :, c] == g).all() for c in range(3)
     )
 
-    # fail-loud tiers unchanged: 16-bit and gray-alpha still raise
+    # fail-loud tiers: gray-alpha (color type 4) still raises;
+    # 16-bit grayscale became real in round 8 (high-byte strip)
     import pytest as _pytest
 
     bad = (
         _PNG_SIG
-        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 16, 0, 0, 0, 0))
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 4, 0, 0, 0))
         + _png_chunk(b"IEND", b"")
     )
     with _pytest.raises(NotImplementedError):
         _decode_png_pixels(bad)
+    g16 = (np.arange(12, dtype=np.uint16).reshape(3, 4) * 5000) % 65536
+    stream = bytearray()
+    for row in g16.astype(">u2"):
+        stream.append(0)
+        stream += row.tobytes()
+    png_g16 = (
+        _PNG_SIG
+        + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 4, 3, 16, 0, 0, 0, 0)
+        )
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+    gx = _decode_png_pixels(png_g16)
+    want = (g16 >> 8).astype(np.uint8)
+    assert all((gx[:, :, c] == want).all() for c in range(3))
 
 
 def test_bmp_8bit_indexed_decode():
@@ -2419,3 +2446,182 @@ def test_duplicate_spans_semantics(spark):
         for r in duplicate_spans(docs2, k=3, max_df=7).collect()
     }
     assert got3 == {(1, 14, 16, 1), (2, 1, 3, 1), (2, 14, 16, 1)}
+
+
+def _unigram_train_py(texts, n_rounds=2, max_piece_len=4):
+    # pure-Python reference for unigram_train: brute-force enumerate
+    # ALL segmentations per distinct word, apply the identical
+    # objective (fewest pieces, max summed count, lexicographically
+    # smallest seg), hard-EM recount between rounds
+    from collections import Counter
+    from functools import lru_cache
+
+    wfreq = Counter(w for t in texts for w in t.split(" ") if w)
+
+    def segs(word):
+        @lru_cache(maxsize=None)
+        def rec(i):
+            if i == len(word):
+                return [()]
+            out = []
+            for L in range(1, min(max_piece_len, len(word) - i) + 1):
+                for rest in rec(i + L):
+                    out.append((word[i : i + L],) + rest)
+            return out
+        return rec(0)
+
+    counts = Counter()
+    for w, f in wfreq.items():
+        for i in range(len(w)):
+            for L in range(1, min(max_piece_len, len(w) - i) + 1):
+                counts[w[i : i + L]] += f
+
+    best = {}
+    for _ in range(n_rounds):
+        best = {}
+        for w in wfreq:
+            cands = segs(w)
+            m = min(len(s) for s in cands)
+            cands = [s for s in cands if len(s) == m]
+            scored = [
+                (-sum(counts.get(p, 0) for p in s), "|".join(s), s)
+                for s in cands
+            ]
+            scored.sort()
+            best[w] = scored[0]
+        counts = Counter()
+        for w, (_, _, s) in best.items():
+            for p in s:
+                counts[p] += wfreq[w]
+    return {
+        w: (wfreq[w], len(s), seg, -negscore)
+        for w, (negscore, seg, s) in best.items()
+    }
+
+
+def test_unigram_train_matches_python_reference(spark):
+    # round 8: randomized corpora (fixed seeds — the draw is part of
+    # the pin) against the brute-force reference, exercising splits
+    # that shift between EM rounds
+    import random
+
+    from map_reduce_project_spark.operators.text import unigram_train
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        vocab = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+            for _ in range(12)
+        ]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 9)))
+            for _ in range(20)
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = {
+            r.word: (r.wfreq, r.n_pieces, r.seg, r.score)
+            for r in unigram_train(df, n_rounds=2, max_piece_len=4).collect()
+        }
+        want = _unigram_train_py(texts, n_rounds=2, max_piece_len=4)
+        assert got == want, (seed, got, want)
+
+
+def test_unigram_train_empty_and_long_words(spark):
+    from map_reduce_project_spark.operators.text import unigram_train
+
+    # empty corpus -> empty result with the contract schema
+    empty = spark.createDataFrame([], "text string")
+    out = unigram_train(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "word", "wfreq", "n_pieces", "seg", "score",
+    ]
+
+    # a word longer than 2*max_piece_len needs >= 3 pieces; EM must
+    # still terminate and pick the minimal count
+    df = spark.createDataFrame(
+        [("abcdefghij abcd efghij",)], "text string"
+    )
+    rows = {r.word: r for r in unigram_train(df, max_piece_len=4).collect()}
+    assert rows["abcdefghij"].n_pieces == 3
+    assert rows["abcd"].n_pieces == 1
+
+
+def test_png_adam7_and_16bit_decode():
+    # round 8: PNG closure tiers. Round trips exercise every pass
+    # shape; the HAND-BUILT streams (filter-0 rows laid out straight
+    # from spec 8.2) pin the decoder independently of the encoder, so
+    # a mutually-cancelling encode/decode bug cannot hide.
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from map_reduce_project_spark.operators.multimodal import (
+        _PNG_SIG,
+        _decode_png_pixels,
+        _png_chunk,
+        encode_png,
+        encode_png16,
+        encode_png_adam7,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (3, 5), (8, 8), (9, 13), (4, 4), (2, 10)]:
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert (_decode_png_pixels(encode_png_adam7(px)) == px).all()
+        px16 = rng.randint(0, 65536, (h, w, 3)).astype(np.uint16)
+        dec = _decode_png_pixels(encode_png16(px16))
+        assert (dec == (px16 >> 8).astype(np.uint8)).all()
+        assert (_decode_png_pixels(encode_png(px)) == px).all()
+
+    # encoder-independent Adam7 pin: 4x4, filter-0 rows in pass order
+    w = h = 4
+    img = (np.arange(48).reshape(4, 4, 3) * 5).astype(np.uint8)
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    stream = bytearray()
+    for x0, y0, xs, ys in passes:
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            stream.append(0)
+            stream += row.reshape(-1).tobytes()
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (_decode_png_pixels(png) == img).all()
+
+    # encoder-independent 16-bit pin: big-endian high-byte strip
+    img16 = np.array(
+        [[[65535, 0, 256], [1, 2, 3]], [[4096, 512, 65280], [7, 8, 9]]],
+        dtype=np.uint16,
+    )
+    stream = bytearray()
+    for row in img16.astype(">u2"):
+        stream.append(0)
+        stream += row.tobytes()
+    png16 = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (
+        _decode_png_pixels(png16) == (img16 >> 8).astype(np.uint8)
+    ).all()
+
+    # unknown interlace method stays fail-loud
+    bad = bytearray(png)
+    # IHDR data starts at offset 8 (sig) + 8 (len+tag); interlace is
+    # its 13th byte
+    bad[8 + 8 + 12] = 2
+    with _pytest.raises(NotImplementedError):
+        _decode_png_pixels(bytes(bad))
