@@ -875,3 +875,62 @@ def duplicate_spans(
             "n_grams",
         )
     )
+
+
+def excise_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply ``duplicate_spans`` output to the corpus: remove the
+    flagged token ranges from each document's text (the Lee et al.
+    2022 step after detection — one canonical occurrence of each
+    duplicated region survives, the rest are cut).
+
+    Spans are aggregated per document into an array of [start, end]
+    pairs (inclusive 1-based token positions), broadcast-joined LEFT
+    onto the corpus, and the cut is a single filter-HOF over the
+    token array — keep token i iff no span contains i — so the
+    operator adds ONE aggregate on the (small) span table and zero
+    extra passes over the corpus text. Documents without spans pass
+    through byte-identical.
+
+    Output: (id, clean_text, n_tokens_before, n_tokens_after,
+    n_tokens_cut).
+    """
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.array(F.col("span_start"), F.col("span_end"))
+        ).alias("_spans")
+    )
+    toked = docs.select(
+        F.col(id_col), F.expr(f"split({text_col}, ' ')").alias("_toks")
+    )
+    joined = toked.join(F.broadcast(span_arr), id_col, "left")
+    kept = (
+        "filter(transform(_toks, (t, i) -> struct(t as t, i + 1 as p)), "
+        "s -> _spans is null or not exists(_spans, "
+        "sp -> s.p >= sp[0] and s.p <= sp[1]))"
+    )
+    return (
+        joined.select(
+            F.col(id_col),
+            F.size("_toks").cast("long").alias("n_tokens_before"),
+            F.expr(kept).alias("_kept"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr("array_join(transform(_kept, s -> s.t), ' ')").alias(
+                "clean_text"
+            ),
+            "n_tokens_before",
+            F.size("_kept").cast("long").alias("n_tokens_after"),
+        )
+        .withColumn(
+            "n_tokens_cut",
+            (F.col("n_tokens_before") - F.col("n_tokens_after")).cast(
+                "long"
+            ),
+        )
+    )

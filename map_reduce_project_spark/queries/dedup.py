@@ -1315,3 +1315,70 @@ QUERIES.append(
         "global exact-substring dedup: duplicated >=k-token spans, hash-bucketed candidates, exact-text verify, keeper election",
     )
 )
+
+
+def dedup_excise_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Lee-et-al-2022 loop under the exact gate (round 8):
+    detect duplicated >=4-token spans corpus-wide (duplicate_spans,
+    same parameters as dedup_exact_substring) and EXCISE them from
+    every non-keeper occurrence (excise_spans — one broadcast of the
+    span table, one filter-HOF over the token array, documents
+    without spans pass through byte-identical). The oracle re-derives
+    the cut positions from first principles and string_aggs the
+    survivors in order."""
+    from map_reduce_project_spark.operators.dedup import (
+        duplicate_spans,
+        excise_spans,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return excise_spans(docs, duplicate_spans(docs, k=4))
+
+
+DEDUP_EXCISE_SQL = """
+WITH toks0 AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+3], ' ') AS gram
+  FROM toks0, LATERAL unnest(generate_series(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 4
+),
+occ AS (
+  SELECT doc_id, pos,
+    COUNT(*) OVER (PARTITION BY gram) AS n_occ,
+    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM g
+),
+excise AS (
+  SELECT doc_id, pos FROM occ WHERE n_occ >= 2 AND rn > 1
+),
+toks AS (
+  SELECT doc_id, i, t[i] AS tok, len(t) AS n
+  FROM toks0, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+),
+cut AS (
+  SELECT DISTINCT tk.doc_id, tk.i
+  FROM toks tk JOIN excise e
+    ON e.doc_id = tk.doc_id AND tk.i BETWEEN e.pos AND e.pos + 3
+)
+SELECT tk.doc_id,
+  COALESCE(
+    string_agg(CASE WHEN c.i IS NULL THEN tk.tok END, ' ' ORDER BY tk.i),
+    '') AS clean_text,
+  CAST(MAX(tk.n) AS BIGINT) AS n_tokens_before,
+  CAST(COUNT(*) FILTER (WHERE c.i IS NULL) AS BIGINT) AS n_tokens_after,
+  CAST(COUNT(*) FILTER (WHERE c.i IS NOT NULL) AS BIGINT) AS n_tokens_cut
+FROM toks tk
+LEFT JOIN cut c ON c.doc_id = tk.doc_id AND c.i = tk.i
+GROUP BY tk.doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "dedup_excise_spans",
+        dedup_excise_spans_q,
+        DEDUP_EXCISE_SQL,
+        "exact-substring dedup EXCISION: duplicated spans cut from non-keeper occurrences, keepers byte-identical",
+    )
+)

@@ -2625,3 +2625,43 @@ def test_png_adam7_and_16bit_decode():
     bad[8 + 8 + 12] = 2
     with _pytest.raises(NotImplementedError):
         _decode_png_pixels(bytes(bad))
+
+
+def test_excise_spans_semantics(spark):
+    # round 8: excision applies duplicate_spans output — keeper doc
+    # byte-identical, non-keeper loses exactly the flagged range;
+    # docs with no spans pass through even when the span table is
+    # empty for them
+    from map_reduce_project_spark.operators.dedup import (
+        duplicate_spans,
+        excise_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "c d e f g x y"),
+            (3, "p q r s t u v"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in excise_spans(docs, duplicate_spans(docs, k=3)).collect()
+    }
+    assert out[1].clean_text == "a b c d e f g" and out[1].n_tokens_cut == 0
+    assert out[2].clean_text == "x y"
+    assert (out[2].n_tokens_before, out[2].n_tokens_after) == (7, 2)
+    assert out[3].n_tokens_cut == 0
+
+    # an entirely-duplicated non-keeper doc empties out (clean_text
+    # '' — the downstream filter drops it); the keeper survives whole
+    docs2 = spark.createDataFrame(
+        [(1, "q w e r t"), (2, "q w e r t")], "doc_id long, text string"
+    )
+    out2 = {
+        r.doc_id: r
+        for r in excise_spans(docs2, duplicate_spans(docs2, k=3)).collect()
+    }
+    assert out2[1].clean_text == "q w e r t"
+    assert out2[2].clean_text == "" and out2[2].n_tokens_after == 0
