@@ -1404,3 +1404,44 @@ def unigram_train(
         "seg",
         F.col("score").cast("long").alias("score"),
     )
+
+
+def unigram_apply(
+    docs: DataFrame,
+    segs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus with a trained unigram tokenizer: ``segs`` is
+    ``unigram_train`` output ((word, n_pieces, seg, ...)); each
+    document's words map through the vocabulary-bounded segmentation
+    table (broadcast join — never a corpus-sized shuffle on the
+    lookup side) and re-assemble in order. Unseen words fall back to
+    a single whole-word piece.
+
+    Output: (id, n_words, n_pieces, encoded) with encoded the
+    space-joined per-word segmentations ('|' separates pieces within
+    a word).
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    )
+    lut = segs.select("word", "n_pieces", "seg")
+    joined = tok.join(F.broadcast(lut), "word", "left").select(
+        F.col(id_col),
+        "pos",
+        F.coalesce(F.col("n_pieces"), F.lit(1)).cast("long").alias("np"),
+        F.coalesce(F.col("seg"), F.col("word")).alias("s"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("np").cast("long").alias("n_pieces"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"],
+            ),
+            " ",
+        ).alias("encoded"),
+    )

@@ -1919,3 +1919,53 @@ QUERIES.append(
         "unigram-LM (SentencePiece-family) tokenizer training: 2 Viterbi hard-EM rounds, exact-integer objective",
     )
 )
+
+
+def text_unigram_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding with the trained unigram tokenizer (round 8):
+    train 2 hard-EM rounds (text_unigram_train), then map every
+    document's words through the segmentation table (broadcast,
+    vocabulary-bounded) and re-assemble in order — the production
+    tokenize step. The oracle replays training and joins the
+    per-word segmentations onto position-exploded documents."""
+    from map_reduce_project_spark.operators.text import (
+        unigram_apply,
+        unigram_train,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    segs = unigram_train(docs, n_rounds=2, max_piece_len=4)
+    return unigram_apply(docs, segs)
+
+
+_UNIGRAM_TRAIN_CTES = TEXT_UNIGRAM_SQL[
+    TEXT_UNIGRAM_SQL.index("WITH RECURSIVE") : TEXT_UNIGRAM_SQL.index(
+        "\nSELECT b.word"
+    )
+]
+
+TEXT_UNIGRAM_ENCODE_SQL = (
+    _UNIGRAM_TRAIN_CTES
+    + """,
+dtoks AS (
+  SELECT doc_id, i AS pos, t[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL unnest(generate_series(1, len(t))) AS u(i)
+)
+SELECT d.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(COALESCE(b.n, 1)) AS BIGINT) AS n_pieces,
+  string_agg(COALESCE(b.seg, d.word), ' ' ORDER BY d.pos) AS encoded
+FROM dtoks d LEFT JOIN r2best b USING (word)
+GROUP BY d.doc_id
+"""
+)
+
+QUERIES.append(
+    Query(
+        "text_unigram_encode",
+        text_unigram_encode_q,
+        TEXT_UNIGRAM_ENCODE_SQL,
+        "corpus encoding with the trained unigram tokenizer: broadcast segmentation lookup, in-order reassembly",
+    )
+)

@@ -2665,3 +2665,23 @@ def test_excise_spans_semantics(spark):
     }
     assert out2[1].clean_text == "q w e r t"
     assert out2[2].clean_text == "" and out2[2].n_tokens_after == 0
+
+
+def test_unigram_apply_fallback_and_order(spark):
+    # round 8: encoding joins the trained segmentation table onto the
+    # corpus; unseen words fall back to one whole-word piece and
+    # word order is preserved through the positional reassembly
+    from map_reduce_project_spark.operators.text import unigram_apply
+
+    segs = spark.createDataFrame(
+        [("abcd", 2, "ab|cd"), ("xy", 1, "xy")],
+        "word string, n_pieces long, seg string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "abcd xy abcd"), (2, "zz abcd")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_apply(docs, segs).collect()}
+    assert out[1].encoded == "ab|cd xy ab|cd"
+    assert (out[1].n_words, out[1].n_pieces) == (3, 5)
+    assert out[2].encoded == "zz ab|cd"  # zz unseen -> whole word
+    assert (out[2].n_words, out[2].n_pieces) == (2, 3)
