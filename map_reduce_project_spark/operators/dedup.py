@@ -889,12 +889,15 @@ def excise_spans(
     duplicated region survives, the rest are cut).
 
     Spans are aggregated per document into an array of [start, end]
-    pairs (inclusive 1-based token positions), broadcast-joined LEFT
-    onto the corpus, and the cut is a single filter-HOF over the
-    token array — keep token i iff no span contains i — so the
-    operator adds ONE aggregate on the (small) span table and zero
-    extra passes over the corpus text. Documents without spans pass
-    through byte-identical.
+    pairs (inclusive 1-based token positions), LEFT-joined onto the
+    corpus, and the cut is a single filter-HOF over the token array —
+    keep token i iff no span contains i — so the operator adds ONE
+    aggregate on the span table and zero extra passes over the corpus
+    text. Documents without spans pass through byte-identical. The
+    join strategy is deliberately left to AQE: the span table is
+    duplicate-volume-sized, usually broadcastable but NOT bounded
+    (a heavily-duplicated crawl can make it corpus-scale), so a
+    forced broadcast would be a driver-OOM scale trap.
 
     Output: (id, clean_text, n_tokens_before, n_tokens_after,
     n_tokens_cut).
@@ -907,7 +910,7 @@ def excise_spans(
     toked = docs.select(
         F.col(id_col), F.expr(f"split({text_col}, ' ')").alias("_toks")
     )
-    joined = toked.join(F.broadcast(span_arr), id_col, "left")
+    joined = toked.join(span_arr, id_col, "left")
     kept = (
         "filter(transform(_toks, (t, i) -> struct(t as t, i + 1 as p)), "
         "s -> _spans is null or not exists(_spans, "

@@ -1414,10 +1414,12 @@ def unigram_apply(
 ) -> DataFrame:
     """Encode the corpus with a trained unigram tokenizer: ``segs`` is
     ``unigram_train`` output ((word, n_pieces, seg, ...)); each
-    document's words map through the vocabulary-bounded segmentation
-    table (broadcast join — never a corpus-sized shuffle on the
-    lookup side) and re-assemble in order. Unseen words fall back to
-    a single whole-word piece.
+    document's words map through the distinct-word segmentation
+    table and re-assemble in order. Unseen words fall back to a
+    single whole-word piece. The lookup join's strategy is left to
+    AQE: the table is distinct-words-sized — usually broadcastable,
+    but on web-scale corpora the word set itself is large, so a
+    forced broadcast would be a driver-OOM trap.
 
     Output: (id, n_words, n_pieces, encoded) with encoded the
     space-joined per-word segmentations ('|' separates pieces within
@@ -1428,7 +1430,7 @@ def unigram_apply(
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
     )
     lut = segs.select("word", "n_pieces", "seg")
-    joined = tok.join(F.broadcast(lut), "word", "left").select(
+    joined = tok.join(lut, "word", "left").select(
         F.col(id_col),
         "pos",
         F.coalesce(F.col("n_pieces"), F.lit(1)).cast("long").alias("np"),

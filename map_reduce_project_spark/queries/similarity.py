@@ -1538,3 +1538,62 @@ QUERIES.append(
         "exact DECIMAL(38) Gram matrix (PCA/whitening prep): one pass, dims^2-bounded shuffle",
     )
 )
+
+
+def ann_filtered_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (round 8) — the production-ANN feature
+    every serving stack grew in 2023+: top-k under a metadata
+    predicate (here label parity opposite to the query's, so every
+    query has a nontrivial candidate subset). Spark-first this is
+    pre-filtering: the predicate pushes into the target-side scan
+    BEFORE the distance kernel (check PushedFilters in the plan), so
+    the exact kernel only touches qualifying vectors — at 100 TB the
+    filter prunes the scan, not the top-k. Same int64 fixed-point
+    cosine + unique tiebreak as the unfiltered brute gate."""
+    from map_reduce_project_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    targets = emb.where(F.col("label") % 2 == 1)
+    return brute_force_topk(queries, targets, k=5)
+
+
+ANN_FILTERED_SQL = (
+    "WITH "
+    + _EL.format(src="embeddings")
+    + """,
+lab AS (SELECT vec_id, label FROM embeddings),
+dots AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS target_id,
+         SUM(q.val * t.val) AS dot
+  FROM el q
+  JOIN el t ON q.pos = t.pos AND q.vec_id <> t.vec_id
+  JOIN lab tl ON tl.vec_id = t.vec_id
+  WHERE q.vec_id % 100 = 0 AND tl.label % 2 = 1
+  GROUP BY q.vec_id, t.vec_id
+),
+cos AS (
+  SELECT query_id, target_id,
+         CAST(dot AS DOUBLE) / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(tn.norm2 AS DOUBLE))) AS cosine
+  FROM dots
+  JOIN n2 qn ON qn.vec_id = query_id
+  JOIN n2 tn ON tn.vec_id = target_id
+)
+SELECT query_id, target_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, target_id) AS BIGINT) AS rank
+  FROM cos
+) WHERE rank <= 5
+"""
+)
+
+QUERIES.append(
+    Query(
+        "ann_filtered_topk",
+        ann_filtered_topk_q,
+        ANN_FILTERED_SQL,
+        "filtered vector search: metadata predicate pushed into the target scan before the exact cosine top-k",
+    )
+)
