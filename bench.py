@@ -143,7 +143,12 @@ def min_of_runs(fn, n: int = 2) -> float:
 
 def main() -> None:
     t0 = time.perf_counter()
-    spark = get_spark("bench")
+    # retainedStages raised so the status store keeps every stage of
+    # the run: the 20M-edge depth probe reads CUMULATIVE shuffle-write
+    # bytes before/after (evicted stages would silently undercount)
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.retainedStages": "20000"}
+    )
     # JVM/codegen priming only: one tiny range probe + one small
     # representative query (parquet scan + hash agg at sf0.001).
     # Per-query warm-up is NOT done here — each timed line's first
@@ -219,7 +224,7 @@ def main() -> None:
     import shutil
     import tempfile
 
-    def run_5m(graph_fn, expect_path: str, **cc_kwargs) -> None:
+    def run_5m(graph_fn, expect_path: str, **cc_kwargs) -> int:
         ckpt = tempfile.mkdtemp(prefix="bench_ccf5m_")
         try:
             res = connected_components(
@@ -234,6 +239,7 @@ def main() -> None:
                 if fs
             }
             assert live == {f"iter-{res.iterations:04d}"}, live
+            return res.iterations
         finally:
             spark.sparkContext.setCheckpointDir(
                 tempfile.mkdtemp(prefix="bench_ckpt_park_")
@@ -254,6 +260,45 @@ def main() -> None:
         skew_degree_threshold=100_000,
     )
     timings["ccf_skew_df_5m_reliable"] = round(time.perf_counter() - t, 3)
+
+    # round-8 depth notch: 20M edges / 10M nodes through the SAME
+    # reliable-checkpoint loop (single draw) — extends the 500k -> 5M
+    # linearity curve, and records the MEASURED shuffle volume per
+    # iteration from the status store (cumulative shuffle-write bytes
+    # before/after, divided by iterations) plus the one-generation
+    # checkpoint invariant the smaller probes assert.
+    def _shuffle_write_bytes() -> int:
+        jvm = spark._jvm
+        gw = spark.sparkContext._gateway
+        store = spark._jsparkSession.sparkContext().statusStore()
+        stages = store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            gw.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        tot = 0
+        it = stages.iterator()
+        while it.hasNext():
+            tot += it.next().shuffleWriteBytes()
+        return tot
+
+    sw0 = _shuffle_write_bytes()
+    t = time.perf_counter()
+    iters_20m = run_5m(
+        lambda: random_graph_df(spark, 10_000_000, 20_000_000, seed=42),
+        "window",
+    )
+    timings["ccf_random_df_20m_reliable"] = round(
+        time.perf_counter() - t, 3
+    )
+    probes = {
+        "ccf_20m_iterations": iters_20m,
+        "ccf_20m_shuffle_gb_per_iter": round(
+            (_shuffle_write_bytes() - sw0) / max(iters_20m, 1) / 2**30, 2
+        ),
+    }
 
     # LLM-pipeline depth probes: MinHash -> LSH -> verify at 500k and
     # 5M docs (see module doc for corpus construction + invariants)
@@ -644,9 +689,13 @@ def main() -> None:
                     "min-of-2; 5M/1M depth probes single-draw): 3 "
                     "reference CCF benchmark configs + 13 engine "
                     "headline queries + distributed 500k-edge CC "
-                    "(uniform + hub-skewed) + 5M-edge "
-                    "reliable-checkpoint CC depth probes + 500k/5M-doc "
-                    "MinHash-LSH-verify dedup depth probes + 1M-vector "
+                    "(uniform + hub-skewed) + 5M-edge AND 20M-edge "
+                    "reliable-checkpoint CC depth probes (20M records "
+                    "measured shuffle GB/iteration in 'probes') + "
+                    "500k/5M-doc "
+                    "MinHash-LSH-verify dedup depth probes + "
+                    "500k/5M-doc exact-substring duplicate-span probes "
+                    "(planted spans, exact recall + zero FP) + 1M-vector "
                     "IVF build/search/brute ANN depth probes (build "
                     "AND brute read the SAME on-disk parquet corpus; "
                     "recall-graded) + 500k/5M-doc BM25 top-k text "
@@ -657,6 +706,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "startup_sec": round(startup, 3),
+                "probes": probes,
             }
         )
     )
