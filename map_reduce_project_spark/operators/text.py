@@ -1447,3 +1447,55 @@ def unigram_apply(
             " ",
         ).alias("encoded"),
     )
+
+
+def html_extract_links(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    base_col: str | None = None,
+) -> DataFrame:
+    """Outlink extraction from raw HTML — the crawl-frontier /
+    link-graph counterpart of ``html_extract``: pull every anchor's
+    href (double-quoted form), resolve it against the document's base
+    URL (``base_col``: absolute hrefs pass through, root-relative
+    join host, other relative join base + '/'), and emit one row per
+    anchor in document order.
+
+    Codegen-only (regexp_extract_all + explode_outer with the null
+    guard — the InferFiltersFromGenerate discipline from
+    exploded_shingles); the only fan-out is the per-anchor explode,
+    and link-graph consumers (CC over the host graph, URL-canonical
+    dedup of the frontier) take the output as an edge list.
+
+    Output: (id, link_pos, href, resolved).
+    """
+    hrefs = f"regexp_extract_all({html_col}, '(?is)<a[^>]+href=\"([^\"]*)\"', 1)"
+    out = docs.select(
+        F.col(id_col),
+        *( [F.col(base_col)] if base_col else [] ),
+        F.posexplode_outer(F.expr(hrefs)).alias("link_pos0", "href"),
+    ).where(F.col("href").isNotNull())
+    if base_col is None:
+        return out.select(
+            F.col(id_col),
+            (F.col("link_pos0") + 1).cast("long").alias("link_pos"),
+            "href",
+            F.col("href").alias("resolved"),
+        )
+    resolved = (
+        F.when(F.col("href").rlike("^[A-Za-z]+://"), F.col("href"))
+        .when(
+            F.col("href").startswith("/"),
+            F.concat(F.col(base_col), F.col("href")),
+        )
+        .otherwise(
+            F.concat(F.col(base_col), F.lit("/"), F.col("href"))
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        (F.col("link_pos0") + 1).cast("long").alias("link_pos"),
+        "href",
+        resolved.alias("resolved"),
+    )

@@ -1969,3 +1969,68 @@ QUERIES.append(
         "corpus encoding with the trained unigram tokenizer: broadcast segmentation lookup, in-order reassembly",
     )
 )
+
+
+def text_html_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + resolution under the exact gate (round 8,
+    operators/text.html_extract_links): the same doc_id-synthesized
+    HTML fixture as text_html_extract (three hrefs per doc — /home,
+    /about, /p/{id%100}) plus a per-doc base URL
+    https://example{id%50}.com; every anchor resolves root-relative
+    against the base and emits in document order. The crawl-frontier
+    edge list a link-graph CC or frontier dedup consumes."""
+    from map_reduce_project_spark.operators.text import (
+        html_extract_links,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<div class="nav"><a href="/home">Home page</a> '),
+        F.lit('<a href="/about">About us</a></div>'),
+        F.lit('<div>Read more: <a href="/p/'),
+        (d % 100).cast("string"),
+        F.lit('">continue reading the full article</a></div>'),
+    )
+    base = F.concat(
+        F.lit("https://example"), (d % 50).cast("string"), F.lit(".com")
+    )
+    return html_extract_links(
+        docs.withColumn("html", html).withColumn("base", base),
+        base_col="base",
+    )
+
+
+TEXT_HTML_LINKS_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    '<div class="nav"><a href="/home">Home page</a> <a href="/about">About us</a></div>'
+    || '<div>Read more: <a href="/p/' || CAST(doc_id % 100 AS VARCHAR)
+    || '">continue reading the full article</a></div>' AS html,
+    'https://example' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS base
+  FROM documents
+),
+x AS (
+  SELECT doc_id, base,
+    unnest(regexp_extract_all(html, '(?is)<a[^>]+href="([^"]*)"', 1)) AS href,
+    unnest(generate_series(1,
+      len(regexp_extract_all(html, '(?is)<a[^>]+href="([^"]*)"', 1)))) AS link_pos
+  FROM h
+)
+SELECT doc_id,
+  CAST(link_pos AS BIGINT) AS link_pos,
+  href,
+  CASE WHEN regexp_matches(href, '^[A-Za-z]+://') THEN href
+       WHEN href LIKE '/%' THEN base || href
+       ELSE base || '/' || href END AS resolved
+FROM x
+"""
+
+QUERIES.append(
+    Query(
+        "text_html_links",
+        text_html_links_q,
+        TEXT_HTML_LINKS_SQL,
+        "HTML outlink extraction + base-URL resolution: the crawl-frontier edge list",
+    )
+)

@@ -2685,3 +2685,31 @@ def test_unigram_apply_fallback_and_order(spark):
     assert (out[1].n_words, out[1].n_pieces) == (3, 5)
     assert out[2].encoded == "zz ab|cd"  # zz unseen -> whole word
     assert (out[2].n_words, out[2].n_pieces) == (2, 3)
+
+
+def test_html_extract_links_resolution(spark):
+    # round 8: href extraction + base resolution — absolute passes
+    # through, root-relative joins host, other relative joins with
+    # '/'; anchors without double-quoted hrefs are skipped; docs
+    # without anchors contribute no rows
+    from map_reduce_project_spark.operators.text import (
+        html_extract_links,
+    )
+
+    html = (
+        '<a href="/x">a</a> <a href="http://other.com/y">b</a> '
+        '<a href="rel/z">c</a> <a name="no-href">d</a>'
+    )
+    df = spark.createDataFrame(
+        [(1, html, "https://h.com"), (2, "<p>no links</p>", "https://h.com")],
+        "doc_id long, html string, base string",
+    )
+    rows = sorted(
+        html_extract_links(df, base_col="base").collect(),
+        key=lambda r: (r.doc_id, r.link_pos),
+    )
+    assert [(r.doc_id, r.link_pos, r.resolved) for r in rows] == [
+        (1, 1, "https://h.com/x"),
+        (1, 2, "http://other.com/y"),
+        (1, 3, "https://h.com/rel/z"),
+    ]
