@@ -804,9 +804,14 @@ def duplicate_spans(
     prune.
 
     Output: (id, span_start, span_end, n_tokens, n_grams) — 1-based
-    inclusive token positions of each excisable span (every occurrence
-    of duplicated content EXCEPT the corpus-wide keeper occurrence of
-    each gram).
+    inclusive token positions of each excisable span. Semantics are
+    POSITION-SET based: a position is excisable iff some non-keeper
+    duplicated gram's window covers it. For non-overlapping duplicates
+    this leaves exactly the corpus-wide keeper occurrence intact; for
+    SELF-OVERLAPPING (periodic) duplicates — "m m m m m" with k=3 —
+    non-keeper windows overlap the keeper's tokens, so the surviving
+    prefix can be shorter than k (the same degeneracy a suffix-array
+    excision has on periodic strings).
     """
     toks = f"split({text_col}, ' ')"
     hashes = (
@@ -885,8 +890,11 @@ def excise_spans(
 ) -> DataFrame:
     """Apply ``duplicate_spans`` output to the corpus: remove the
     flagged token ranges from each document's text (the Lee et al.
-    2022 step after detection — one canonical occurrence of each
-    duplicated region survives, the rest are cut).
+    2022 step after detection). For non-overlapping duplicates one
+    canonical occurrence of each duplicated region survives intact;
+    for self-overlapping (periodic) runs the excision is position-set
+    based and the keeper window itself may lose tokens — see the
+    duplicate_spans output contract.
 
     Spans are aggregated per document into an array of [start, end]
     pairs (inclusive 1-based token positions), LEFT-joined onto the

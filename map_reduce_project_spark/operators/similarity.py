@@ -691,17 +691,23 @@ def ivf_index_topk(
         .selectExpr(f"{id_col} as query_id", "cell")
     )
     # Only a MISSING cell_vectors layout (pre-round-7 index) selects the
-    # slow element path; genuine read failures (corruption, permissions,
-    # schema drift) must propagate rather than silently degrade.
+    # slow element path; genuine read failures (corruption, permissions)
+    # must propagate rather than silently degrade. AnalysisException is
+    # the missing-path error class and the check works identically under
+    # Spark Connect (no _jvm bridge needed).
+    from pyspark.errors import AnalysisException
+
     cv_path = f"{path}/cell_vectors"
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(cv_path)  # type: ignore[union-attr]
-    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
-    if fs.exists(jvm_path):
-        tvec = spark.read.parquet(cv_path).selectExpr(
-            "target_id", "cell", "qv as tqv", "tn2"
-        )
-    else:
-        tvec = None  # pre-round-7 index: element posting lists only
+    try:
+        cv = spark.read.parquet(cv_path)
+    except AnalysisException:
+        cv = None  # pre-round-7 index: element posting lists only
+    # schema drift in an EXISTING layout raises outside the guard
+    tvec = (
+        cv.selectExpr("target_id", "cell", "qv as tqv", "tn2")
+        if cv is not None
+        else None
+    )
     qn = qn2.selectExpr(f"{id_col} as query_id", "norm2 as qn2")
     if tvec is not None:
         # ARROW KERNEL path (round 7): the probe list and the query

@@ -1456,11 +1456,14 @@ def html_extract_links(
     base_col: str | None = None,
 ) -> DataFrame:
     """Outlink extraction from raw HTML — the crawl-frontier /
-    link-graph counterpart of ``html_extract``: pull every anchor's
-    href (double-quoted form), resolve it against the document's base
-    URL (``base_col``: absolute hrefs pass through, root-relative
-    join host, other relative join base + '/'), and emit one row per
-    anchor in document order.
+    link-graph counterpart of ``html_extract``: pull every <a> tag's
+    href (double-quoted form; the tag name and attribute are anchored
+    — ``<a(?:\\s[^>]*?)?\\shref=`` — so <area>/<audio> and data-href do NOT
+    match), resolve it against the document's base URL (``base_col``):
+    scheme-qualified hrefs (http://, mailto:, javascript:) pass
+    through, protocol-relative ``//host/...`` take the base's scheme,
+    root-relative join the host, other relative join base + '/'.
+    One row per anchor in document order.
 
     Codegen-only (regexp_extract_all + explode_outer with the null
     guard — the InferFiltersFromGenerate discipline from
@@ -1470,7 +1473,10 @@ def html_extract_links(
 
     Output: (id, link_pos, href, resolved).
     """
-    hrefs = f"regexp_extract_all({html_col}, '(?is)<a[^>]+href=\"([^\"]*)\"', 1)"
+    hrefs = (
+        f"regexp_extract_all({html_col}, "
+        f"'(?is)<a(?:\\\\s[^>]*?)?\\\\shref=\"([^\"]*)\"', 1)"
+    )
     out = docs.select(
         F.col(id_col),
         *( [F.col(base_col)] if base_col else [] ),
@@ -1483,8 +1489,19 @@ def html_extract_links(
             "href",
             F.col("href").alias("resolved"),
         )
+    base_scheme = F.regexp_extract(F.col(base_col), "^([A-Za-z]+):", 1)
     resolved = (
-        F.when(F.col("href").rlike("^[A-Za-z]+://"), F.col("href"))
+        # any scheme-qualified href passes through: http://, https://,
+        # and also mailto:/tel:/javascript: (no // part)
+        F.when(
+            F.col("href").rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
+            F.col("href"),
+        )
+        # protocol-relative //host/path takes the BASE's scheme
+        .when(
+            F.col("href").startswith("//"),
+            F.concat(base_scheme, F.lit(":"), F.col("href")),
+        )
         .when(
             F.col("href").startswith("/"),
             F.concat(F.col(base_col), F.col("href")),

@@ -3025,54 +3025,58 @@ def q105_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderpriority",
     )
+    import glob
+    import os
     import shutil
 
+    # Temp-dir hygiene WITHOUT eagerly collecting: the returned plan
+    # must stay live (the caller collects it, and the plan-shape
+    # census pins its 3-scan signature), so THIS run's directory
+    # cannot be deleted here — instead each invocation sweeps the
+    # PREVIOUS runs' q105_fmt_* leftovers, bounding orphaned temp
+    # data at one generation across repeated gate/bench/census runs.
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), "q105_fmt_*")
+    ):
+        shutil.rmtree(stale, ignore_errors=True)
     base = tempfile.mkdtemp(prefix="q105_fmt_")
-    try:
-        write_csv(orders, f"{base}/csv")
-        write_json(orders, f"{base}/json")
-        write_orc(orders, f"{base}/orc")
-        ddl = (
-            "o_orderkey long, o_custkey long, o_orderstatus string, "
-            "o_totalprice decimal(18,2), o_orderdate date, "
-            "o_orderpriority string"
-        )
-        rereads = {
-            "csv": read_csv(spark, f"{base}/csv", schema=ddl),
-            "json": read_json(spark, f"{base}/json", schema=ddl),
-            "orc": read_orc(spark, f"{base}/orc"),
-        }
-        parts = []
-        for fmt, df in rereads.items():
-            parts.append(
-                df.agg(
-                    F.lit(fmt).alias("fmt"),
-                    F.count("*").cast("long").alias("n"),
-                    F.sum("o_orderkey").cast("long").alias("sum_key"),
-                    F.cast(
-                        "double", F.sum("o_totalprice")
-                    ).alias("sum_price"),
-                    F.sum(F.datediff("o_orderdate", F.lit("1990-01-01")))
-                    .cast("long")
-                    .alias("sum_datediff"),
-                    F.sum(
-                        F.length("o_orderstatus") + F.length("o_orderpriority")
-                    )
-                    .cast("long")
-                    .alias("sum_strlen"),
+    write_csv(orders, f"{base}/csv")
+    write_json(orders, f"{base}/json")
+    write_orc(orders, f"{base}/orc")
+    ddl = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice decimal(18,2), o_orderdate date, "
+        "o_orderpriority string"
+    )
+    rereads = {
+        "csv": read_csv(spark, f"{base}/csv", schema=ddl),
+        "json": read_json(spark, f"{base}/json", schema=ddl),
+        "orc": read_orc(spark, f"{base}/orc"),
+    }
+    parts = []
+    for fmt, df in rereads.items():
+        parts.append(
+            df.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count("*").cast("long").alias("n"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+                F.cast(
+                    "double", F.sum("o_totalprice")
+                ).alias("sum_price"),
+                F.sum(F.datediff("o_orderdate", F.lit("1990-01-01")))
+                .cast("long")
+                .alias("sum_datediff"),
+                F.sum(
+                    F.length("o_orderstatus") + F.length("o_orderpriority")
                 )
+                .cast("long")
+                .alias("sum_strlen"),
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
-        # Materialize the 3 one-row aggregates eagerly so the temp dir
-        # can be removed before returning (the caller may collect the
-        # returned plan at any later time); the result is rebuilt as a
-        # tiny local DataFrame with the same schema.
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 Q105_SQL = """

@@ -1321,7 +1321,7 @@ def dedup_excise_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Lee-et-al-2022 loop under the exact gate (round 8):
     detect duplicated >=4-token spans corpus-wide (duplicate_spans,
     same parameters as dedup_exact_substring) and EXCISE them from
-    every non-keeper occurrence (excise_spans — one broadcast of the
+    every non-keeper occurrence (excise_spans — one aggregate on the
     span table, one filter-HOF over the token array, documents
     without spans pass through byte-identical). The oracle re-derives
     the cut positions from first principles and string_aggs the

@@ -1924,8 +1924,8 @@ QUERIES.append(
 def text_unigram_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus encoding with the trained unigram tokenizer (round 8):
     train 2 hard-EM rounds (text_unigram_train), then map every
-    document's words through the segmentation table (broadcast,
-    vocabulary-bounded) and re-assemble in order — the production
+    document's words through the segmentation table (distinct-words-
+    sized; AQE picks the join strategy) and re-assemble in order — the production
     tokenize step. The oracle replays training and joins the
     per-word segmentations onto position-exploded documents."""
     from map_reduce_project_spark.operators.text import (
@@ -1966,7 +1966,7 @@ QUERIES.append(
         "text_unigram_encode",
         text_unigram_encode_q,
         TEXT_UNIGRAM_ENCODE_SQL,
-        "corpus encoding with the trained unigram tokenizer: broadcast segmentation lookup, in-order reassembly",
+        "corpus encoding with the trained unigram tokenizer: segmentation lookup join, in-order reassembly",
     )
 )
 
@@ -2012,15 +2012,17 @@ WITH h AS (
 ),
 x AS (
   SELECT doc_id, base,
-    unnest(regexp_extract_all(html, '(?is)<a[^>]+href="([^"]*)"', 1)) AS href,
+    unnest(regexp_extract_all(html, '(?is)<a(?:\\s[^>]*?)?\\shref="([^"]*)"', 1)) AS href,
     unnest(generate_series(1,
-      len(regexp_extract_all(html, '(?is)<a[^>]+href="([^"]*)"', 1)))) AS link_pos
+      len(regexp_extract_all(html, '(?is)<a(?:\\s[^>]*?)?\\shref="([^"]*)"', 1)))) AS link_pos
   FROM h
 )
 SELECT doc_id,
   CAST(link_pos AS BIGINT) AS link_pos,
   href,
-  CASE WHEN regexp_matches(href, '^[A-Za-z]+://') THEN href
+  CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN href
+       WHEN href LIKE '//%'
+         THEN regexp_extract(base, '^([A-Za-z]+):', 1) || ':' || href
        WHEN href LIKE '/%' THEN base || href
        ELSE base || '/' || href END AS resolved
 FROM x

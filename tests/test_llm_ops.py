@@ -2713,3 +2713,32 @@ def test_html_extract_links_resolution(spark):
         (1, 2, "http://other.com/y"),
         (1, 3, "https://h.com/rel/z"),
     ]
+
+
+def test_html_extract_links_review_pins(spark):
+    # round-8 review pins: protocol-relative hrefs take the base's
+    # scheme; scheme-only hrefs (mailto:) pass through; <area> tags
+    # and data-href attributes do NOT match
+    from map_reduce_project_spark.operators.text import (
+        html_extract_links,
+    )
+
+    html = (
+        '<a href="//cdn.example.com/lib.js">cdn</a> '
+        '<a href="mailto:a@b.com">mail</a> '
+        '<area href="/map">m</area> '
+        '<a data-href="/tracked">t</a> '
+        '<a class="x" href="/real">r</a>'
+    )
+    df = spark.createDataFrame(
+        [(1, html, "https://h.com")], "doc_id long, html string, base string"
+    )
+    rows = sorted(
+        html_extract_links(df, base_col="base").collect(),
+        key=lambda r: r.link_pos,
+    )
+    assert [(r.link_pos, r.resolved) for r in rows] == [
+        (1, "https://cdn.example.com/lib.js"),
+        (2, "mailto:a@b.com"),
+        (3, "https://h.com/real"),
+    ]
