@@ -2194,3 +2194,85 @@ QUERIES.append(
         "weighted closeness: exact int64 SSSP distance sums, one IEEE division per row",
     )
 )
+
+
+def cc_html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-graph integration (round 8): HTML outlink extraction
+    (operators/text.html_extract_links — the round-8 crawl stage-zero
+    operator) feeds the CCF loop directly. Each doc's page on host
+    example{id%50}.com carries one absolute cross-host anchor to
+    example{(id*7)%50}.com; the host-level edge list (src host,
+    resolved target host) runs through connected_components. The
+    multiplicative-7 functional graph on Z/50 yields nontrivial
+    cycle components (and two self-loop isolates, 0 and 25, that
+    both engines must exclude). Oracle: the same bounded
+    recursive-CTE min-label propagation as cc_part_supplier — 30
+    rounds is safely past the fixed point for cycles <= 50."""
+    from map_reduce_project_spark.operators.text import (
+        html_extract_links,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<p>content</p><a href="https://example'),
+        ((d * 7) % 50).cast("string"),
+        F.lit('.com/ref">related</a>'),
+    )
+    base = F.concat(
+        F.lit("https://example"), (d % 50).cast("string"), F.lit(".com")
+    )
+    links = html_extract_links(
+        docs.withColumn("html", html).withColumn("base", base),
+        base_col="base",
+    )
+    edges = (
+        links.join(
+            docs.withColumn("base", base).select("doc_id", "base"),
+            "doc_id",
+        )
+        .select(
+            F.regexp_extract("base", "^[a-z]+://(.+)$", 1).alias("src"),
+            F.regexp_extract(
+                "resolved", "^[a-z]+://([^/]+)", 1
+            ).alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    return connected_components(edges).mapping
+
+
+CC_HTML_LINK_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT
+    'example' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS src,
+    'example' || CAST((doc_id * 7) % 50 AS VARCHAR) || '.com' AS dst
+  FROM documents
+), noself AS (
+  SELECT src, dst FROM e WHERE src <> dst
+), und AS (
+  SELECT src, dst FROM noself UNION SELECT dst, src FROM noself
+), nodes AS (
+  SELECT DISTINCT src AS n FROM und
+), und2 AS (
+  SELECT src, dst FROM und UNION SELECT n, n FROM nodes
+), lab AS (
+  SELECT 0 AS it, n AS node, n AS lab FROM nodes
+  UNION ALL
+  SELECT lab.it + 1 AS it, und2.dst AS node, MIN(lab.lab) AS lab
+  FROM lab JOIN und2 ON und2.src = lab.node
+  WHERE lab.it < 30
+  GROUP BY lab.it, und2.dst
+)
+SELECT node, lab AS component FROM lab
+WHERE it = 30 AND node <> lab
+"""
+
+QUERIES.append(
+    Query(
+        "cc_html_link_graph",
+        cc_html_link_graph,
+        CC_HTML_LINK_SQL,
+        "crawl-to-graph integration: extracted outlink host edges through CCF connected components",
+    )
+)
