@@ -341,6 +341,7 @@ def connected_components(
     local_threshold: int | None = None,
     skew_degree_threshold: int = SKEW_DEGREE_THRESHOLD,
     reliable_checkpoint_dir: str | None = None,
+    n_edges_hint: int | None = None,
 ) -> CCFResult:
     """Fixed-point driver (reference O8, ccf_connected_components.py:190-230).
 
@@ -360,6 +361,12 @@ def connected_components(
     distributed loop (identical semantics; see its docstring for why).
     Callers with reference-harness-scale graphs (bench, experiment
     sweep) opt in; the default stays distributed.
+
+    ``n_edges_hint``: known edge cardinality; skips the one eager
+    sizing count (local-path decision, shuffle model, skew-probe
+    gate) when the caller already has it from table statistics or a
+    prior stage. A WRONG hint mis-sizes those heuristics but never
+    affects correctness — every path computes the same fixed point.
 
     ``reliable_checkpoint_dir``: when set, each iteration uses a
     RELIABLE checkpoint (``df.checkpoint`` into this directory —
@@ -397,7 +404,13 @@ def connected_components(
     )
 
     spark = edges.sparkSession
-    n_edges = pairs.count()
+    # Sizing inputs (local-path decision, shuffle-partition model,
+    # skew-probe gating) need the edge cardinality. The eager count is
+    # one cheap narrow scan job, worth it at 100 TB — but a caller who
+    # already knows the cardinality (table stats, a prior stage's
+    # count) can pass ``n_edges_hint`` and skip the extra job entirely
+    # (the round-7 per-invocation watch item).
+    n_edges = n_edges_hint if n_edges_hint is not None else pairs.count()
 
     if local_threshold is not None and n_edges <= local_threshold:
         import pandas as pd

@@ -744,3 +744,41 @@ def test_scc_empty_result_schema_matches_key_type(spark):
         assert df.count() == 0
         types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         assert types == {"node": "bigint", "scc": "bigint"}, types
+
+
+def test_n_edges_hint_skips_sizing_count(spark):
+    # round 8 (round-7 watch item): a correct hint produces the same
+    # mapping as the counted path; a WRONG hint still converges to the
+    # identical fixed point (the hint only steers sizing heuristics)
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.graph.ccf import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    base = {
+        (r.node, r.component)
+        for r in connected_components(edges).mapping.collect()
+    }
+    hinted = {
+        (r.node, r.component)
+        for r in connected_components(
+            edges, n_edges_hint=3
+        ).mapping.collect()
+    }
+    wrong = {
+        (r.node, r.component)
+        for r in connected_components(
+            edges, n_edges_hint=10_000_000
+        ).mapping.collect()
+    }
+    assert base == hinted == wrong
+
+    # hint + local fast path: the hint drives the threshold decision
+    local = connected_components(
+        edges, local_threshold=100, n_edges_hint=3
+    )
+    assert {
+        (r.node, r.component) for r in local.mapping.collect()
+    } == base
