@@ -1087,7 +1087,12 @@ def bpe_apply(
 # block segmentation boilerplate pruning scores (non-capturing group:
 # Java's split drops captures, DuckDB's string_split_regex would not).
 _HTML_BLOCK_SPLIT = "(?i)</(?:p|div|li|h[1-6]|td|tr|section|article)>"
-_HTML_ANCHOR_RE = "(?is)<a[^>]*>(.*?)</a>"
+# Tag name anchored (<a> or <a ...> only): the naive <a[^>]*> form
+# also matches <article>/<abbr>/<address>/<audio>, inflating anchor
+# length and over-dropping content blocks on real HTML. The SQL-text
+# form below carries \\s so Spark's string-literal unescaping yields
+# the regex \s.
+_HTML_ANCHOR_RE = "(?is)<a(?:\\\\s[^>]*)?>(.*?)</a>"
 
 
 def _html_norm_expr(inner: str) -> str:
@@ -1253,6 +1258,10 @@ def unigram_train(
         CheckpointCycler,
     )
 
+    if n_rounds < 1:
+        raise ValueError(
+            f"unigram_train: n_rounds must be >= 1, got {n_rounds}"
+        )
     spark = docs.sparkSession
     words = (
         docs.select(
@@ -1459,11 +1468,15 @@ def html_extract_links(
     link-graph counterpart of ``html_extract``: pull every <a> tag's
     href (double-quoted form; the tag name and attribute are anchored
     — ``<a(?:\\s[^>]*?)?\\shref=`` — so <area>/<audio> and data-href do NOT
-    match), resolve it against the document's base URL (``base_col``):
-    scheme-qualified hrefs (http://, mailto:, javascript:) pass
-    through, protocol-relative ``//host/...`` take the base's scheme,
-    root-relative join the host, other relative join base + '/'.
-    One row per anchor in document order.
+    match), resolve it against the document's base URL (``base_col``)
+    per RFC 3986 merge rules: scheme-qualified hrefs (http://,
+    mailto:, javascript:) pass through, protocol-relative
+    ``//host/...`` take the base's scheme, root-relative ``/x`` joins
+    the base's ORIGIN (scheme://authority — a base carrying a path,
+    e.g. the document's own URL, does not leak its path into
+    root-relative links), other relative joins the base DIRECTORY
+    (base with its last path segment removed). One row per anchor in
+    document order.
 
     Codegen-only (regexp_extract_all + explode_outer with the null
     guard — the InferFiltersFromGenerate discipline from
@@ -1490,6 +1503,25 @@ def html_extract_links(
             F.col("href").alias("resolved"),
         )
     base_scheme = F.regexp_extract(F.col(base_col), "^([A-Za-z]+):", 1)
+    # RFC 3986: root-relative hrefs resolve against the base's ORIGIN
+    # (scheme://authority), never a path carried by the base; plain
+    # relative hrefs resolve against the base DIRECTORY (last path
+    # segment dropped). Both fall back to the raw base when the base
+    # has no ://-authority (non-hierarchical base — degenerate input).
+    origin_ex = F.regexp_extract(
+        F.col(base_col), "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1
+    )
+    base_origin = F.when(origin_ex != "", origin_ex).otherwise(
+        F.col(base_col)
+    )
+    basedir_ex = F.regexp_extract(
+        F.col(base_col),
+        "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*(?:/[^/]*)*)/[^/]*$",
+        1,
+    )
+    base_dir = F.when(basedir_ex != "", basedir_ex).otherwise(
+        F.col(base_col)
+    )
     resolved = (
         # any scheme-qualified href passes through: http://, https://,
         # and also mailto:/tel:/javascript: (no // part)
@@ -1504,10 +1536,10 @@ def html_extract_links(
         )
         .when(
             F.col("href").startswith("/"),
-            F.concat(F.col(base_col), F.col("href")),
+            F.concat(base_origin, F.col("href")),
         )
         .otherwise(
-            F.concat(F.col(base_col), F.lit("/"), F.col("href"))
+            F.concat(base_dir, F.lit("/"), F.col("href"))
         )
     )
     return out.select(

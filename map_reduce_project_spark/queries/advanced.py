@@ -3032,13 +3032,24 @@ def q105_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Temp-dir hygiene WITHOUT eagerly collecting: the returned plan
     # must stay live (the caller collects it, and the plan-shape
     # census pins its 3-scan signature), so THIS run's directory
-    # cannot be deleted here — instead each invocation sweeps the
-    # PREVIOUS runs' q105_fmt_* leftovers, bounding orphaned temp
-    # data at one generation across repeated gate/bench/census runs.
+    # cannot be deleted here — instead each invocation sweeps STALE
+    # q105_fmt_* leftovers, bounding orphaned temp data across
+    # repeated gate/bench/census runs. Only dirs older than 2 hours
+    # are removed: a concurrent census/bench session (the documented
+    # multi-session workflow) may have a LIVE roundtrip directory
+    # between its write and collect, and sweeping it would fail that
+    # session's gate spuriously.
+    import time
+
+    cutoff = time.time() - 2 * 3600
     for stale in glob.glob(
         os.path.join(tempfile.gettempdir(), "q105_fmt_*")
     ):
-        shutil.rmtree(stale, ignore_errors=True)
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     base = tempfile.mkdtemp(prefix="q105_fmt_")
     write_csv(orders, f"{base}/csv")
     write_json(orders, f"{base}/json")

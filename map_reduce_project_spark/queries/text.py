@@ -1772,7 +1772,7 @@ norms AS (
     list_transform(
       string_split_regex(c, '(?i)</(?:p|div|li|h[1-6]|td|tr|section|article)>'),
       b -> coalesce(list_sum(list_transform(
-        regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+        regexp_extract_all(b, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1),
         a -> length({_HTML_NORM_DUCK.format('a')}))), 0)) AS alens
   FROM cleaned
 ),
@@ -2023,8 +2023,13 @@ SELECT doc_id,
   CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN href
        WHEN href LIKE '//%'
          THEN regexp_extract(base, '^([A-Za-z]+):', 1) || ':' || href
-       WHEN href LIKE '/%' THEN base || href
-       ELSE base || '/' || href END AS resolved
+       WHEN href LIKE '/%' THEN
+         coalesce(nullif(regexp_extract(base,
+           '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1), ''), base) || href
+       ELSE
+         coalesce(nullif(regexp_extract(base,
+           '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*(?:/[^/]*)*)/[^/]*$', 1), ''),
+           base) || '/' || href END AS resolved
 FROM x
 """
 

@@ -2742,3 +2742,72 @@ def test_html_extract_links_review_pins(spark):
         (2, "mailto:a@b.com"),
         (3, "https://h.com/real"),
     ]
+
+
+def test_html_extract_links_base_with_path(spark):
+    # round-9 ADVICE fix (RFC 3986): a base carrying a PATH (the
+    # document's own URL is the natural base) must not leak that path
+    # into root-relative hrefs — '/x' joins scheme://authority only;
+    # plain-relative hrefs join the base DIRECTORY (last segment
+    # dropped). Host-only bases behave exactly as before.
+    from map_reduce_project_spark.operators.text import (
+        html_extract_links,
+    )
+
+    html = '<a href="/x">a</a> <a href="rel">b</a>'
+    df = spark.createDataFrame(
+        [
+            (1, html, "https://h.com/dir/page.html"),
+            (2, html, "https://h.com"),
+            (3, html, "https://h.com/"),
+        ],
+        "doc_id long, html string, base string",
+    )
+    rows = sorted(
+        html_extract_links(df, base_col="base").collect(),
+        key=lambda r: (r.doc_id, r.link_pos),
+    )
+    assert [(r.doc_id, r.link_pos, r.resolved) for r in rows] == [
+        (1, 1, "https://h.com/x"),
+        (1, 2, "https://h.com/dir/rel"),
+        (2, 1, "https://h.com/x"),
+        (2, 2, "https://h.com/rel"),
+        (3, 1, "https://h.com/x"),
+        (3, 2, "https://h.com/rel"),
+    ]
+
+
+def test_html_extract_anchor_tagname_anchored(spark):
+    # round-9 ADVICE fix: the link-density anchor regex must anchor
+    # the tag NAME — '<a[^>]*>' also matched <abbr>/<article>/<audio>,
+    # swallowing everything up to the next </a> as anchor text and
+    # over-dropping content blocks on real HTML.
+    from map_reduce_project_spark.operators.text import html_extract
+
+    html = (
+        "<p><abbr>HTML</abbr> is a standard markup language for "
+        'documents, see <a href="/x">ref</a> for details</p>'
+    )
+    df = spark.createDataFrame(
+        [(1, html)], "doc_id long, html string"
+    )
+    row = html_extract(df).collect()[0]
+    # with the tag name anchored, anchor text is just "ref" (3 chars)
+    # against a ~70-char block: kept. The buggy regex counted ~60
+    # chars of anchor text and dropped the block as link-dense.
+    assert row.n_kept == 1 and row.n_drop_link == 0
+    assert "standard markup language" in row.extracted_text
+
+
+def test_unigram_train_rejects_nonpositive_rounds(spark):
+    # round-9 ADVICE fix: n_rounds < 1 used to crash with
+    # AttributeError (best=None) at the final join; now a clear
+    # ValueError at entry.
+    import pytest as _pytest
+
+    from map_reduce_project_spark.operators.text import unigram_train
+
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="n_rounds"):
+            unigram_train(df, n_rounds=bad)
