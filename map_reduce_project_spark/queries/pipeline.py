@@ -968,3 +968,117 @@ QUERIES.append(
         "Poisson(1) bootstrap weights: exact integer-CDF draws, per-source distribution gated",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# WARC/WET ingestion (round 9) — the crawl pipeline's stage minus-one.
+
+
+def warc_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive ingestion under the exact gate (sources/warc.py): a
+    deterministic WET fixture — one conversion record per documents
+    row plus a warcinfo record per archive, spread over 8 files with
+    the odd files per-record-gzip-member compressed (Common Crawl
+    layout) — is read back through the custom ``warc`` Python
+    DataSource (one partition per archive file, task-side streaming
+    parse). The oracle predicts every parsed field from the documents
+    table alone, INCLUDING content_length recomputed from the
+    predicted payload text — so writer and reader cannot hide
+    mutually-cancelling length bugs."""
+    from map_reduce_project_spark.sources.warc import (
+        ensure_synthetic_warc_dir,
+        read_warc,
+    )
+
+    path = ensure_synthetic_warc_dir(sf_dir)
+    return read_warc(spark, path).select(
+        "warc_file",
+        "record_pos",
+        "warc_version",
+        "warc_type",
+        "record_id",
+        F.coalesce("target_uri", F.lit("")).alias("target_uri"),
+        "warc_date",
+        "content_type",
+        "content_length",
+        F.col("payload").cast("string").alias("payload"),
+    )
+
+
+_WET_PAYLOAD_DUCK = (
+    "'Document ' || CAST(doc_id AS VARCHAR) || ' headline' || chr(10) || "
+    "'The quick brown fox jumps over the lazy dog ' || "
+    "CAST(doc_id % 7 AS VARCHAR) || ' times.' || chr(10) || "
+    "'- bullet item ' || CAST(doc_id % 5 AS VARCHAR) || "
+    "' in the summary list' || chr(10) || "
+    "'Trailing thought number ' || CAST(doc_id % 3 AS VARCHAR) || "
+    "'...' || chr(10) || "
+    "'Shared boilerplate footer line' || chr(10) || "
+    "repeat('repeated filler sentence for padding' || chr(10), "
+    "CAST(doc_id % 4 AS INT))"
+)
+
+_UUID_DUCK = (
+    "'<urn:uuid:' || substr({h}, 1, 8) || '-' || substr({h}, 9, 4) || "
+    "'-' || substr({h}, 13, 4) || '-' || substr({h}, 17, 4) || '-' || "
+    "substr({h}, 21, 12) || '>'"
+)
+
+WARC_RECORDS_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 8 AS fi,
+         {_WET_PAYLOAD_DUCK} AS payload
+  FROM documents
+),
+conv AS (
+  SELECT
+    printf('synth-%04d.warc', fi)
+      || CASE WHEN fi % 2 = 1 THEN '.gz' ELSE '' END AS warc_file,
+    CAST(1 + ROW_NUMBER() OVER (PARTITION BY fi ORDER BY doc_id)
+         AS BIGINT) AS record_pos,
+    'WARC/1.0' AS warc_version,
+    'conversion' AS warc_type,
+    {_UUID_DUCK.format(h="md5(CAST(doc_id AS VARCHAR))")} AS record_id,
+    'https://example' || CAST(doc_id % 50 AS VARCHAR)
+      || '.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+    '2026-08-15T00:00:00Z' AS warc_date,
+    'text/plain' AS content_type,
+    CAST(length(payload) AS BIGINT) AS content_length,
+    payload
+  FROM p
+),
+info AS (
+  SELECT DISTINCT fi,
+    'software: synth-wet 1.0' || chr(13) || chr(10)
+      || 'file-index: ' || CAST(fi AS VARCHAR) || chr(13) || chr(10)
+      AS payload
+  FROM p
+),
+infor AS (
+  SELECT
+    printf('synth-%04d.warc', fi)
+      || CASE WHEN fi % 2 = 1 THEN '.gz' ELSE '' END AS warc_file,
+    CAST(1 AS BIGINT) AS record_pos,
+    'WARC/1.0' AS warc_version,
+    'warcinfo' AS warc_type,
+    {_UUID_DUCK.format(h="md5('warcinfo:' || CAST(fi AS VARCHAR))")}
+      AS record_id,
+    '' AS target_uri,
+    '2026-08-15T00:00:00Z' AS warc_date,
+    'application/warc-fields' AS content_type,
+    CAST(length(payload) AS BIGINT) AS content_length,
+    payload
+  FROM info
+)
+SELECT * FROM conv UNION ALL SELECT * FROM infor
+"""
+
+QUERIES.append(
+    Query(
+        "warc_records",
+        warc_records_q,
+        WARC_RECORDS_SQL,
+        "WARC/WET archive ingestion via custom Python DataSource; every parsed field oracle-predicted",
+    )
+)
