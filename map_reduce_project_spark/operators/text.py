@@ -853,9 +853,10 @@ def gopher_rules(
     - >= 80% of words contain an alphabetic char (5*alpha_words >= 4n)
     - >= 2 distinct must-have stopwords present
 
-    Line-based rules (bullet/ellipsis line starts) are omitted: the
-    corpus is single-line by construction; they bolt on as two more
-    integer columns when documents carry newlines.
+    Line-based rules (bullet/ellipsis line starts, duplicate-line
+    fractions) live in ``gopher_line_rules`` below: this corpus is
+    single-line by construction, but WARC/WET ingestion
+    (``sources/warc.py``) delivers real multi-line documents.
     """
     tok = F.split(F.col(text_col), " ")
     n = F.size(tok).cast("long")
@@ -893,6 +894,87 @@ def gopher_rules(
         r_alpha.alias("pass_alpha_words"),
         r_stop.alias("pass_stopwords"),
         (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("gopher_pass"),
+    )
+
+
+def gopher_line_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The LINE-BASED Gopher repetition rules (Rae et al. 2021,
+    Appendix A1) — the half of the filter ladder ``gopher_rules``
+    omits for single-line corpora; WARC/WET ingestion
+    (``sources/warc.py``) introduces real multi-line documents. Every
+    threshold is an exact-integer cross-multiplication:
+
+    - lines starting with a bullet ("- ", "* ", or U+2022) <= 90%
+    - lines ending with an ellipsis ("...") <= 30%
+    - duplicate-line fraction <= 30%, where duplicates are counted as
+      SURPLUS copies (n_lines - n_distinct_lines — each repeated line
+      counts every occurrence beyond its first; the integer-exact
+      variant of the fraction the published filter thresholds)
+    - duplicate-line CHARACTER fraction <= 20% (surplus copies' chars
+      over all line chars)
+
+    Paragraph-level twins are the same expressions over a '\\n\\n'
+    split and are intentionally not duplicated here.
+
+    Lines are the non-empty segments of a '\\n' split. All per-row
+    array expressions (split/filter/array_distinct + short aggregate
+    folds over ~tens of lines) — zero shuffles, zero explodes; runs
+    inside codegen on the scan at any scale. The fold layers follow
+    the nested-HOF discipline (each array built once per row as its
+    own projection).
+    """
+    lines_e = (
+        f"filter(split({text_col}, '\\n'), l -> length(l) > 0)"
+    )
+    step1 = docs.select(
+        F.col(id_col), F.expr(lines_e).alias("_lines")
+    ).select(
+        F.col(id_col),
+        F.col("_lines"),
+        F.expr("array_distinct(_lines)").alias("_dlines"),
+    )
+    n_lines = F.size("_lines").cast("long")
+    n_distinct = F.size("_dlines").cast("long")
+    n_bullet = F.expr(
+        "size(filter(_lines, l -> "
+        "l like '- %' OR l like '* %' OR l like '•%'))"
+    ).cast("long")
+    n_ellipsis = F.expr(
+        "size(filter(_lines, l -> l like '%...'))"
+    ).cast("long")
+    chars = F.expr(
+        "aggregate(_lines, cast(0 as bigint), "
+        "(acc, l) -> acc + length(l))"
+    ).cast("long")
+    dchars = F.expr(
+        "aggregate(_dlines, cast(0 as bigint), "
+        "(acc, l) -> acc + length(l))"
+    ).cast("long")
+    step2 = step1.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
+        (n_lines - n_distinct).alias("n_dup_lines"),
+        chars.alias("line_chars"),
+        (chars - dchars).alias("dup_line_chars"),
+    )
+    nl = F.col("n_lines")
+    r_bullet = 10 * F.col("n_bullet_lines") <= 9 * nl
+    r_ellipsis = 10 * F.col("n_ellipsis_lines") <= 3 * nl
+    r_dup = 10 * F.col("n_dup_lines") <= 3 * nl
+    r_dupchar = 5 * F.col("dup_line_chars") <= F.col("line_chars")
+    return step2.select(
+        "*",
+        r_bullet.alias("pass_bullet_lines"),
+        r_ellipsis.alias("pass_ellipsis_lines"),
+        r_dup.alias("pass_dup_lines"),
+        r_dupchar.alias("pass_dup_line_chars"),
+        (r_bullet & r_ellipsis & r_dup & r_dupchar).alias(
+            "gopher_line_pass"
+        ),
     )
 
 

@@ -1082,3 +1082,84 @@ QUERIES.append(
         "WARC/WET archive ingestion via custom Python DataSource; every parsed field oracle-predicted",
     )
 )
+
+
+def warc_gopher_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-based Gopher repetition rules (Rae et al. 2021 A1) over
+    ACTUAL archive-reader output — WET conversion records parsed by
+    the warc DataSource, doc_id recovered from the target URI, then
+    operators/text.gopher_line_rules on the multi-line payload (the
+    rules gopher_rules omits for single-line corpora). The oracle
+    re-derives the payload from documents and evaluates the same
+    integer definitions in DuckDB list functions."""
+    from map_reduce_project_spark.operators.text import (
+        gopher_line_rules,
+    )
+    from map_reduce_project_spark.sources.warc import (
+        ensure_synthetic_warc_dir,
+        read_warc,
+    )
+
+    path = ensure_synthetic_warc_dir(sf_dir)
+    docs = (
+        read_warc(spark, path)
+        .where(F.col("warc_type") == "conversion")
+        .select(
+            F.regexp_extract("target_uri", "/doc/([0-9]+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("payload").cast("string").alias("text"),
+        )
+    )
+    return gopher_line_rules(docs)
+
+
+WARC_GOPHER_LINES_SQL = f"""
+WITH p AS (
+  SELECT doc_id, {_WET_PAYLOAD_DUCK} AS text FROM documents
+),
+l AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10)),
+                x -> length(x) > 0) AS lines
+  FROM p
+),
+d AS (
+  SELECT doc_id, lines, list_distinct(lines) AS dlines FROM l
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, x ->
+      x LIKE '- %' OR x LIKE '* %' OR x LIKE chr(8226) || '%'))
+      AS BIGINT) AS n_bullet_lines,
+    CAST(len(list_filter(lines, x -> x LIKE '%...'))
+      AS BIGINT) AS n_ellipsis_lines,
+    CAST(len(lines) - len(dlines) AS BIGINT) AS n_dup_lines,
+    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+      AS BIGINT) AS line_chars,
+    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+       - coalesce(list_sum(list_transform(dlines, x -> length(x))), 0)
+      AS BIGINT) AS dup_line_chars
+  FROM d
+)
+SELECT s.*,
+  10 * n_bullet_lines <= 9 * n_lines AS pass_bullet_lines,
+  10 * n_ellipsis_lines <= 3 * n_lines AS pass_ellipsis_lines,
+  10 * n_dup_lines <= 3 * n_lines AS pass_dup_lines,
+  5 * dup_line_chars <= line_chars AS pass_dup_line_chars,
+  (10 * n_bullet_lines <= 9 * n_lines
+   AND 10 * n_ellipsis_lines <= 3 * n_lines
+   AND 10 * n_dup_lines <= 3 * n_lines
+   AND 5 * dup_line_chars <= line_chars) AS gopher_line_pass
+FROM s
+"""
+
+QUERIES.append(
+    Query(
+        "warc_gopher_lines",
+        warc_gopher_lines_q,
+        WARC_GOPHER_LINES_SQL,
+        "line-based Gopher repetition rules over parsed WET records (bullet/ellipsis/duplicate-line fractions)",
+    )
+)

@@ -2811,3 +2811,55 @@ def test_unigram_train_rejects_nonpositive_rounds(spark):
     for bad in (0, -1):
         with _pytest.raises(ValueError, match="n_rounds"):
             unigram_train(df, n_rounds=bad)
+
+
+def test_gopher_line_rules_each_rule_fails_on_planted_doc(spark):
+    # round 9: one planted violator per line-based rule, plus a clean
+    # doc that passes all four
+    from map_reduce_project_spark.operators.text import (
+        gopher_line_rules,
+    )
+
+    bullets = "\n".join(["- item"] * 19 + ["prose line"])  # 95% bullet
+    ellipsis = "\n".join(["thought..."] * 4 + ["prose line"] * 6)
+    dups = "\n".join(["same line"] * 5 + ["u1", "u2", "u3", "u4", "u5"])
+    dupchar = "\n".join(
+        ["the very long repeated boilerplate sentence"] * 2 + ["ab"]
+    )
+    clean = "\n".join(["alpha", "beta", "gamma", "- one bullet"])
+    df = spark.createDataFrame(
+        [
+            (1, bullets),
+            (2, ellipsis),
+            (3, dups),
+            (4, dupchar),
+            (5, clean),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_line_rules(df).collect()}
+    assert not rows[1].pass_bullet_lines and rows[1].gopher_line_pass is False
+    assert not rows[2].pass_ellipsis_lines
+    # doc 3: 10 lines, 4 surplus copies -> 40% > 30%
+    assert rows[3].n_dup_lines == 4 and not rows[3].pass_dup_lines
+    # doc 4: surplus chars 43 of 88 -> 48% > 20%
+    assert rows[4].dup_line_chars == 43 and not rows[4].pass_dup_line_chars
+    r5 = rows[5]
+    assert r5.gopher_line_pass and r5.n_lines == 4
+    assert r5.n_bullet_lines == 1 and r5.n_dup_lines == 0
+
+
+def test_gopher_line_rules_bullet_variants_and_empty(spark):
+    from map_reduce_project_spark.operators.text import (
+        gopher_line_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "- a\n* b\n• c\n-no space\nplain"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_line_rules(df).collect()}
+    # '-no space' is NOT a bullet ('- ' needs the space); '•c' IS
+    # (the U+2022 form matches without requiring a space)
+    assert rows[1].n_bullet_lines == 3
+    assert rows[2].n_lines == 0 and rows[2].gopher_line_pass
