@@ -754,12 +754,30 @@ def simhash(
 # length >= k ACROSS the whole corpus, exactly (zero false positives).
 
 
+# Hot-gram autodetect for duplicate_spans (the CC hub-probe pattern,
+# graph/ccf.py SKEW_DEGREE_THRESHOLD): a window partition cannot be
+# AQE-skew-split, so when any single gram hash recurs this many times
+# (real crawl boilerplate does) the candidate stage switches from the
+# count-window to the groupBy+join formulation — map-side combine
+# collapses the hot hash to ONE row before the shuffle, and the
+# fan-out join back is AQE-splittable. The probe samples the
+# positioned-gram stream at a FIXED fraction floored so a
+# threshold-hot gram always expects >= 100 sampled hits (the CC
+# sizing argument: Binomial tail below the threshold/2 cut at 50
+# hits ~ 1e-8) — no corpus count needed, because hotness itself
+# guarantees sample hits. Decision: max_seen / fraction >= threshold/2.
+SPAN_SKEW_THRESHOLD = 100_000
+_SPAN_PROBE_MIN_EXPECTED_HITS = 100
+
+
 def duplicate_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 50,
     max_df: int | None = None,
+    skew_robust: bool | None = None,
+    skew_threshold: int = SPAN_SKEW_THRESHOLD,
 ) -> DataFrame:
     """Maximal duplicated token spans of length >= ``k`` across the
     corpus, with exact verification and a deterministic keeper.
@@ -801,7 +819,14 @@ def duplicate_spans(
     suffix array is materialized. For corpora where a single gram may
     recur millions of times (real crawl boilerplate), set ``max_df``
     — it is the documented scale path exactly like the LSH hot-shingle
-    prune.
+    prune. Without ``max_df``, a sampled hot-gram PROBE (the CC
+    hub-probe pattern) runs automatically: if any gram hash is
+    estimated to recur >= ``skew_threshold`` times, the candidate AND
+    verify stages switch to semantics-identical groupBy+join
+    formulations that no hot key can stall (windows cannot be
+    AQE-skew-split; map-side-combined aggregates collapse the hot key
+    to one row). ``skew_robust`` pins the path explicitly and skips
+    the probe (False = count-window, True = aggregate+join).
 
     Output: (id, span_start, span_end, n_tokens, n_grams) — 1-based
     inclusive token positions of each excisable span. Semantics are
@@ -826,7 +851,26 @@ def duplicate_spans(
         .select(F.col(id_col), F.posexplode("_hashes").alias("pos0", "h"))
         .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "h")
     )
-    if max_df is None:
+    if max_df is None and skew_robust is None:
+        fraction = min(
+            1.0, _SPAN_PROBE_MIN_EXPECTED_HITS / skew_threshold
+        )
+        probe = (
+            kg
+            if fraction >= 1.0
+            else kg.sample(
+                withReplacement=False, fraction=fraction, seed=42
+            )
+        )
+        max_seen = (
+            probe.groupBy("h")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+            or 0
+        )
+        skew_robust = max_seen / fraction >= skew_threshold / 2
+    if max_df is None and not skew_robust:
         wh = Window.partitionBy("h")
         cand_pos = (
             kg.withColumn("n_h", F.count("*").over(wh))
@@ -834,10 +878,13 @@ def duplicate_spans(
             .select(id_col, "pos")
         )
     else:
+        n_filter = F.col("n_h") >= 2
+        if max_df is not None:
+            n_filter = n_filter & (F.col("n_h") <= max_df)
         dup_h = (
             kg.groupBy("h")
             .agg(F.count("*").alias("n_h"))
-            .where((F.col("n_h") >= 2) & (F.col("n_h") <= max_df))
+            .where(n_filter)
             .select("h")
         )
         cand_pos = kg.join(dup_h, "h").select(id_col, "pos")
@@ -846,14 +893,37 @@ def duplicate_spans(
         "pos",
         F.expr(f"array_join(slice(_toks, pos, {k}), ' ')").alias("gram"),
     )
-    wg = Window.partitionBy("gram")
-    wgo = Window.partitionBy("gram").orderBy(id_col, "pos")
-    excise = (
-        cand.withColumn("n_occ", F.count("*").over(wg))
-        .withColumn("rn", F.row_number().over(wgo))
-        .where((F.col("n_occ") >= 2) & (F.col("rn") > 1))
-        .select(id_col, "pos")
-    )
+    if skew_robust:
+        # hot grams reach verify too: the per-gram window would stall
+        # on the same key, so verify via a map-side-combined aggregate
+        # — keeper = min (id, pos) struct per gram, identical to the
+        # window's row_number()==1 under the (id, pos) ordering
+        gstats = cand.groupBy("gram").agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias(
+                "_keeper"
+            ),
+        )
+        excise = (
+            cand.join(gstats, "gram")
+            .where(
+                (F.col("n_occ") >= 2)
+                & ~(
+                    (F.col(id_col) == F.col(f"_keeper.{id_col}"))
+                    & (F.col("pos") == F.col("_keeper.pos"))
+                )
+            )
+            .select(id_col, "pos")
+        )
+    else:
+        wg = Window.partitionBy("gram")
+        wgo = Window.partitionBy("gram").orderBy(id_col, "pos")
+        excise = (
+            cand.withColumn("n_occ", F.count("*").over(wg))
+            .withColumn("rn", F.row_number().over(wgo))
+            .where((F.col("n_occ") >= 2) & (F.col("rn") > 1))
+            .select(id_col, "pos")
+        )
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = excise.withColumn(
         "_new",

@@ -2863,3 +2863,96 @@ def test_gopher_line_rules_bullet_variants_and_empty(spark):
     # (the U+2022 form matches without requiring a space)
     assert rows[1].n_bullet_lines == 3
     assert rows[2].n_lines == 0 and rows[2].gopher_line_pass
+
+
+def test_duplicate_spans_skew_paths_equivalent(spark):
+    # round 9: the skew-robust aggregate+join formulation (candidate
+    # AND verify stages) must be semantics-identical to the
+    # count-window default on a mixed corpus (overlapping spans,
+    # periodic runs, unique docs)
+    from map_reduce_project_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x a b c d e y z"),
+            (3, "m m m m m q r s"),
+            (4, "m m m m m q r s"),
+            (5, "totally unique words only here now"),
+        ],
+        "doc_id long, text string",
+    )
+    key = lambda r: (r.doc_id, r.span_start, r.span_end, r.n_tokens, r.n_grams)  # noqa: E731
+    base = sorted(
+        duplicate_spans(docs, k=3, skew_robust=False).collect(), key=key
+    )
+    robust = sorted(
+        duplicate_spans(docs, k=3, skew_robust=True).collect(), key=key
+    )
+    assert [key(r) for r in base] == [key(r) for r in robust]
+    assert len(base) > 0
+
+
+def test_duplicate_spans_hot_gram_autoprobe(spark):
+    # round 9 (verdict item): plant a 1e5-occurrence gram — the probe
+    # must auto-select the aggregate path (no per-gram window in the
+    # plan) and the result must still be exact: every non-keeper doc
+    # excises exactly its planted span
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("hot1 hot2 hot3 u"),
+            F.col("id").cast("string"),
+            F.lit("a u"),
+            F.col("id").cast("string"),
+            F.lit("b u"),
+            F.col("id").cast("string"),
+            F.lit("c"),
+        ).alias("text"),
+    )
+    res = duplicate_spans(docs, k=3)
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    # the verify row_number window only exists on the non-robust path;
+    # the probe must have flipped to the aggregate formulation
+    assert "row_number" not in plan
+    rows = res.collect()
+    # keeper = (doc 0, pos 1); every other doc excises span [1, 3]
+    assert len(rows) == n - 1
+    assert all(
+        (r.span_start, r.span_end, r.n_tokens, r.n_grams)
+        == (1, 3, 3, 1)
+        for r in rows[:50]
+    )
+    assert sorted(r.doc_id for r in rows)[:3] == [1, 2, 3]
+
+
+def test_duplicate_spans_probe_exact_below_floor(spark):
+    # a tiny skew_threshold forces fraction=1.0 (exact probe); an
+    # 8-occurrence gram crosses it and the robust path still returns
+    # the window path's answer
+    from map_reduce_project_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "dup1 dup2 dup3 tail%d" % i) for i in range(8)],
+        "doc_id long, text string",
+    )
+    key = lambda r: (r.doc_id, r.span_start, r.span_end)  # noqa: E731
+    auto = sorted(
+        duplicate_spans(docs, k=3, skew_threshold=4).collect(), key=key
+    )
+    window = sorted(
+        duplicate_spans(docs, k=3, skew_robust=False).collect(), key=key
+    )
+    assert [key(r) for r in auto] == [key(r) for r in window]
+    assert len(auto) == 7
