@@ -839,8 +839,17 @@ def duplicate_spans(
     excision has on periodic strings).
     """
     toks = f"split({text_col}, ' ')"
+    # TOTAL expression + OUTER explode, both load-bearing: plain
+    # posexplode lets InferFiltersFromGenerate derive size(_hashes)>0
+    # and predicate pushdown re-inline the whole gram-hash transform
+    # BELOW the size>=k guard (the exploded_shingles trap) — on a
+    # <k-token row the unguarded sequence(1, size-k+1) descends
+    # through 0 and slice(_, 0, k) throws. greatest() keeps the
+    # expression total wherever an optimizer rule replays it; the
+    # outer explode is inference-exempt so nothing replays it at all.
+    # Rows with <k tokens still never reach kg (the where below).
     hashes = (
-        f"transform(sequence(1, size(_toks) - {k - 1}), "
+        f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
         f"i -> xxhash64(array_join(slice(_toks, i, {k}), ' ')))"
     )
     toked = docs.select(F.col(id_col), F.expr(toks).alias("_toks")).where(
@@ -848,7 +857,11 @@ def duplicate_spans(
     )
     kg = (
         toked.select(F.col(id_col), F.expr(hashes).alias("_hashes"))
-        .select(F.col(id_col), F.posexplode("_hashes").alias("pos0", "h"))
+        .select(
+            F.col(id_col),
+            F.posexplode_outer("_hashes").alias("pos0", "h"),
+        )
+        .where(F.col("h").isNotNull())
         .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "h")
     )
     if max_df is None and skew_robust is None:

@@ -76,6 +76,7 @@ def evidence_counts() -> dict[str, int]:
 def all_queries() -> dict[str, Query]:
     from map_reduce_project_spark.queries import (
         advanced,
+        capstone,
         dedup,
         events,
         graph_queries,
@@ -100,6 +101,7 @@ def all_queries() -> dict[str, Query]:
         advanced,
         temporal,
         pipeline,
+        capstone,
     ):
         for q in mod.QUERIES:
             if q.name in by_name:

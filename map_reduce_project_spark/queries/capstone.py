@@ -1,0 +1,563 @@
+"""End-to-end training-data curation capstone (round 9).
+
+One gated query composing EVERY stage of the crawl-to-training-data
+pipeline in sequence — the composition the individual gates
+(text_html_extract, text_gopher_rules, dedup_cluster_canonical,
+dedup_excise_spans, text_unigram_encode, text_pack_manifest) never
+exercise as one plan:
+
+    raw corpus (duplicate-injected, HTML-wrapped)
+      -> html_extract            (boilerplate/link-density pruning)
+      -> gopher_rules filter     (structural quality gate)
+      -> MinHash/LSH/Jaccard/CC  (cluster-canonical near-dup drop)
+      -> duplicate_spans/excise  (exact-substring span excision)
+      -> unigram_train/apply     (tokenizer training + encoding)
+      -> pack_sequences          (fixed-context packing manifest)
+
+Two registry entries share the composition:
+
+* ``curation_capstone`` — the per-document final manifest
+  (provenance counters + pack offsets), hash-gated per row;
+* ``curation_capstone_funnel`` — the single-row per-stage attrition
+  report (the ``curation_funnel`` observability pattern applied to
+  the full ladder).
+
+Oracle discipline: the DuckDB side REPLAYS every stage rather than
+asserting closed forms, and reuses the exact SQL fragments of the
+individually-gated stage oracles programmatically (``SHINGLE_CTE`` /
+minhash signature + band builders from ``queries.dedup``, the
+unigram-training recursive CTEs from ``queries.text`` retargeted at
+the excised corpus) so the capstone oracle cannot drift from the
+stage oracles. Module-level asserts pin the retargeting rewrites.
+
+Stage-parameter notes, all driven by the synthetic corpus:
+
+* the injected copy (doc_id + OFFSET) gives the cluster-dedup stage a
+  known positive per document, while ``doc_id % 17 == 3`` documents
+  get NO content block, so extraction attrition is non-zero and some
+  copies out-survive their originals (the copy then becomes its own
+  canonical — a real seam the per-stage gates cannot reach);
+* the Gopher stopword rule runs at ``must_have_stopwords >= 1``: the
+  synthetic vocabulary carries exactly one must-have class ("the"),
+  so the published ``>= 2`` threshold would void the corpus — the
+  remaining four structural rules run at their published thresholds
+  (word count 50..100k attrits ~45% of extraction survivors);
+* span dedup uses k=4 grams — the same duplicate-density-equivalent
+  choice the gated ``dedup_exact_substring`` documents for the
+  31-word vocabulary.
+
+Scale shape (the seams, not the stages, are what this query pins):
+extraction + quality are zero-shuffle codegen projections feeding the
+single-shuffle shingle aggregate; the CC loop runs on the verified
+pair graph (duplicate-volume-sized, never corpus-sized); span
+excision shuffles text only for candidate positions; tokenizer state
+is vocabulary-bounded; packing's global prefix sum moves one row per
+partition to the driver. SCALING.md §capstone records the fused plan's
+exchange census.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_project_spark.queries import Query
+from map_reduce_project_spark.queries.dedup import (
+    BANDS,
+    NUM_HASHES,
+    OFFSET,
+    SHINGLE_CTE,
+    _BAND_SELECTS,
+    _SIG_COLS,
+)
+from map_reduce_project_spark.queries.text import _UNIGRAM_TRAIN_CTES
+from map_reduce_project_spark.sources.io import read_table
+
+CONTEXT_LEN = 512
+SPAN_K = 4
+
+# Retarget the gated unigram-training oracle fragment at the excised
+# corpus CTE. The rewrite must hit exactly one site (the words CTE);
+# drift in queries.text would silently break the capstone otherwise.
+assert _UNIGRAM_TRAIN_CTES.count("FROM documents") == 1
+_UNIGRAM_ON_CLEAN = _UNIGRAM_TRAIN_CTES.replace(
+    "WITH RECURSIVE\n", ""
+).replace("FROM documents)", "FROM clean)")
+assert SHINGLE_CTE.count("FROM corpus") == 1
+
+
+def _wrapped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-injected corpus wrapped in synthesized crawl HTML:
+    nav boilerplate (link-dense), a short heading, the document text
+    as the content paragraph (omitted for doc_id % 17 == 3 — the
+    extraction-attrition axis), and a link-dense read-more block."""
+    from map_reduce_project_spark.operators.scale import fan_out
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = fan_out(
+        docs.unionAll(
+            docs.select(
+                (F.col("doc_id") + OFFSET).alias("doc_id"), "text"
+            )
+        )
+    )
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit(
+            "<html><head><style>p {color: red}</style>"
+            '<script type="text/javascript">alert("noise");</script>'
+            '</head><body><div class="nav">'
+            '<a href="/home">Home page</a> '
+            '<a href="/about">About us</a></div><h1>Doc '
+        ),
+        (d % 100).cast("string"),
+        F.lit("</h1>"),
+        F.when(d % 17 == 3, F.lit("")).otherwise(
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+        ),
+        F.lit('<div>Read more: <a href="/p/'),
+        (d % 100).cast("string"),
+        F.lit(
+            '">continue reading the full article</a></div>'
+            "</body></html>"
+        ),
+    )
+    return corpus.withColumn("html", html)
+
+
+def _capstone_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """Run the composition once, returning every stage frame so the
+    manifest and funnel queries assemble from the same plan."""
+    from map_reduce_project_spark.graph.ccf import connected_components
+    from map_reduce_project_spark.operators.dedup import (
+        duplicate_spans,
+        excise_spans,
+        jaccard_verify,
+        lsh_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from map_reduce_project_spark.operators.text import (
+        gopher_rules,
+        html_extract,
+        pack_sequences,
+        unigram_apply,
+        unigram_train,
+    )
+
+    wrapped = _wrapped_corpus(spark, sf_dir)
+    ext = html_extract(wrapped)
+    ext_ok = ext.where(F.col("extracted_text") != "").select(
+        "doc_id", F.col("extracted_text").alias("text")
+    )
+    gm = gopher_rules(ext_ok)
+    qual_ids = gm.where(
+        F.col("pass_word_count")
+        & F.col("pass_mean_word_len")
+        & F.col("pass_symbol_ratio")
+        & F.col("pass_alpha_words")
+        & (F.col("must_have_stopwords") >= 1)
+    ).select("doc_id")
+    # Barrier the quality-survivor corpus (O9 discipline): the
+    # MinHash->LSH->Jaccard chain below references it ~6 times
+    # (signatures, candidate semi-filter, shingle sets) and each
+    # reference would otherwise re-run the HTML-extraction regexes
+    # over the full corpus on BOTH semi-join sides — measured 68s ->
+    # ~8s for the CC phase at sf0.1 with the barrier in.
+    quality = ext_ok.join(qual_ids, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
+
+    sigs = minhash_signatures(quality, num_hashes=NUM_HASHES)
+    cands = lsh_candidate_pairs(
+        lsh_buckets(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+    )
+    verified = jaccard_verify(quality, cands, threshold=0.5)
+    edges = verified.select(
+        F.lpad(F.col("id_a").cast("string"), 6, "0").alias("src"),
+        F.lpad(F.col("id_b").cast("string"), 6, "0").alias("dst"),
+    )
+    res = connected_components(edges, local_threshold=500_000)
+    drop = res.mapping.select(
+        F.col("node").cast("bigint").alias("doc_id")
+    )
+    # Two more barriers at the downstream reuse hubs: duplicate_spans
+    # touches its input three times (probe, candidates, verify-join)
+    # and the tokenize/pack stages re-read the excised corpus four
+    # more — without the barriers the whole upstream chain re-executes
+    # per touch. All three barriers together: 196s -> 40s at sf0.1.
+    canonical = quality.join(drop, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+
+    spans = duplicate_spans(canonical, k=SPAN_K)
+    clean = excise_spans(canonical, spans).localCheckpoint(eager=False)
+    clean_docs = clean.select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    segs = unigram_train(clean_docs, n_rounds=2, max_piece_len=4)
+    enc = unigram_apply(clean_docs, segs)
+    packed = pack_sequences(
+        enc.select(
+            "doc_id", F.translate("encoded", "|", " ").alias("text")
+        ),
+        context_len=CONTEXT_LEN,
+    )
+    return {
+        "raw": wrapped,
+        "ext_ok": ext_ok,
+        "quality": quality,
+        "canonical": canonical,
+        "clean": clean,
+        "enc": enc,
+        "packed": packed,
+    }
+
+
+def curation_capstone_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document final manifest of the full curation ladder:
+    pre-excision token count, tokens excised, encoded piece count,
+    and the pack offsets of each surviving document."""
+    s = _capstone_frames(spark, sf_dir)
+    return (
+        s["packed"]
+        .join(
+            s["clean"].select(
+                "doc_id", "n_tokens_before", "n_tokens_cut"
+            ),
+            "doc_id",
+        )
+        .join(s["enc"].select("doc_id", "n_pieces"), "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            "n_tokens_cut",
+            "n_pieces",
+            "start_offset",
+            "bin_id",
+            "offset_in_bin",
+        )
+    )
+
+
+def curation_capstone_funnel_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-row per-stage attrition report over the same ladder:
+    documents surviving each cumulative stage plus the token-level
+    excision and packing totals."""
+    s = _capstone_frames(spark, sf_dir)
+
+    def n(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias(alias))
+
+    excision = s["clean"].agg(
+        F.sum(F.when(F.col("n_tokens_cut") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_excised"),
+        F.sum("n_tokens_before").cast("long").alias("tokens_before"),
+        F.sum("n_tokens_cut").cast("long").alias("tokens_cut"),
+    )
+    packing = s["packed"].agg(
+        F.sum("n_tokens").cast("long").alias("total_pieces"),
+        F.expr(
+            f"cast((sum(n_tokens) + {CONTEXT_LEN - 1}) "
+            f"div {CONTEXT_LEN} as long)"
+        ).alias("n_bins"),
+    )
+    return (
+        n(s["raw"], "n_raw")
+        .crossJoin(n(s["ext_ok"], "n_extracted"))
+        .crossJoin(n(s["quality"], "n_quality"))
+        .crossJoin(n(s["canonical"], "n_canonical"))
+        .crossJoin(excision)
+        .crossJoin(packing)
+    )
+
+
+_GOPHER_STOP_CASES = "\n       + ".join(
+    f"(CASE WHEN contains(' ' || text || ' ', ' {w} ') "
+    "THEN 1 ELSE 0 END)"
+    for w in (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    )
+)
+
+_BLOCK_SPLIT_DUCK = "(?i)</(?:p|div|li|h[1-6]|td|tr|section|article)>"
+_NORM_DUCK = """trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace({0}, '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      '\\s+', ' ', 'g'))"""
+
+_CAPSTONE_CTES = f"""
+WITH RECURSIVE
+raw AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {OFFSET} AS doc_id, text FROM documents
+),
+h AS (
+  SELECT doc_id,
+    '<html><head><style>p {{color: red}}</style>'
+    || '<script type="text/javascript">alert("noise");</script>'
+    || '</head><body><div class="nav"><a href="/home">Home page</a>'
+    || ' <a href="/about">About us</a></div><h1>Doc '
+    || CAST(doc_id % 100 AS VARCHAR) || '</h1>'
+    || (CASE WHEN doc_id % 17 = 3 THEN ''
+        ELSE '<p>' || text || '</p>' END)
+    || '<div>Read more: <a href="/p/' || CAST(doc_id % 100 AS VARCHAR)
+    || '">continue reading the full article</a></div></body></html>'
+    AS html
+  FROM raw
+),
+cleaned AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+     '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+     '(?s)<!--.*?-->', ' ', 'g') AS c
+  FROM h
+),
+norms AS (
+  SELECT doc_id,
+    list_transform(
+      string_split_regex(c, '{_BLOCK_SPLIT_DUCK}'),
+      b -> {_NORM_DUCK.format('b')}) AS btexts,
+    list_transform(
+      string_split_regex(c, '{_BLOCK_SPLIT_DUCK}'),
+      b -> coalesce(list_sum(list_transform(
+        regexp_extract_all(b, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1),
+        a -> length({_NORM_DUCK.format('a')}))), 0)) AS alens
+  FROM cleaned
+),
+extok AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id,
+      array_to_string(list_transform(
+        list_filter(generate_series(1, len(btexts)), i ->
+          length(btexts[i]) >= 10
+          AND alens[i] * 100 <= length(btexts[i]) * 50),
+        i -> btexts[i]), ' ') AS text
+    FROM norms
+  ) WHERE text <> ''
+),
+gm AS (
+  SELECT doc_id, text,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+    CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT)
+      AS total_word_len,
+    CAST(len(string_split(text, '#')) - 1
+       + len(string_split(text, '...')) - 1 AS BIGINT) AS n_symbols,
+    CAST(len(list_filter(string_split(text, ' '),
+                         w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+      AS alpha_words,
+    CAST({_GOPHER_STOP_CASES}
+      AS BIGINT) AS must_have_stopwords
+  FROM extok
+),
+corpus AS (
+  SELECT doc_id, text FROM gm
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND 3 * n_words <= total_word_len
+    AND total_word_len <= 10 * n_words
+    AND 10 * n_symbols <= n_words
+    AND 5 * alpha_words >= 4 * n_words
+    AND must_have_stopwords >= 1
+),
+{SHINGLE_CTE.strip()},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+sset AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sset GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sset a ON a.doc_id = c.id_a
+  JOIN sset b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+vpairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE CAST(n_inter AS DOUBLE)
+      / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
+),
+e AS (
+  SELECT lpad(CAST(id_a AS VARCHAR), 6, '0') AS src,
+         lpad(CAST(id_b AS VARCHAR), 6, '0') AS dst
+  FROM vpairs
+),
+und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+gnodes AS (SELECT DISTINCT src AS n FROM und),
+und2 AS (SELECT src, dst FROM und UNION SELECT n, n FROM gnodes),
+lab AS (
+  SELECT 0 AS it, n AS node, n AS lab FROM gnodes
+  UNION ALL
+  SELECT lab.it + 1 AS it, und2.dst AS node, MIN(lab.lab) AS lab
+  FROM lab JOIN und2 ON und2.src = lab.node
+  WHERE lab.it < 16
+  GROUP BY lab.it, und2.dst
+),
+dropids AS (
+  SELECT CAST(node AS BIGINT) AS doc_id FROM lab
+  WHERE it = 16 AND node <> lab
+),
+surv AS (
+  SELECT c.doc_id, c.text FROM corpus c
+  LEFT JOIN dropids d USING (doc_id)
+  WHERE d.doc_id IS NULL
+),
+toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
+gr AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[i:i+{SPAN_K - 1}], ' ') AS gram
+  FROM toks0, LATERAL unnest(generate_series(1, len(t) - {SPAN_K - 1}))
+       AS u(i)
+  WHERE len(t) >= {SPAN_K}
+),
+occ AS (
+  SELECT doc_id, pos,
+    COUNT(*) OVER (PARTITION BY gram) AS n_occ,
+    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM gr
+),
+exc AS (SELECT doc_id, pos FROM occ WHERE n_occ >= 2 AND rn > 1),
+tokpos AS (
+  SELECT doc_id, i, t[i] AS tok, len(t) AS n
+  FROM toks0, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+),
+cut AS (
+  SELECT DISTINCT tk.doc_id, tk.i
+  FROM tokpos tk JOIN exc e2
+    ON e2.doc_id = tk.doc_id
+   AND tk.i BETWEEN e2.pos AND e2.pos + {SPAN_K - 1}
+),
+clean AS (
+  SELECT tk.doc_id,
+    COALESCE(string_agg(
+      CASE WHEN c2.i IS NULL THEN tk.tok END, ' ' ORDER BY tk.i),
+      '') AS text,
+    CAST(MAX(tk.n) AS BIGINT) AS n_tokens_before,
+    CAST(COUNT(*) FILTER (WHERE c2.i IS NOT NULL) AS BIGINT)
+      AS n_tokens_cut
+  FROM tokpos tk
+  LEFT JOIN cut c2 ON c2.doc_id = tk.doc_id AND c2.i = tk.i
+  GROUP BY tk.doc_id
+),
+{_UNIGRAM_ON_CLEAN},
+dtoks AS (
+  SELECT doc_id, i AS pos, t[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM clean),
+       LATERAL unnest(generate_series(1, len(t))) AS u(i)
+),
+encdoc AS (
+  SELECT d.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(COALESCE(b.n, 1)) AS BIGINT) AS n_pieces,
+    string_agg(COALESCE(b.seg, d.word), ' ' ORDER BY d.pos) AS encoded
+  FROM dtoks d LEFT JOIN r2best b USING (word)
+  GROUP BY d.doc_id
+),
+packdoc AS (
+  SELECT doc_id, n_pieces,
+    CAST(len(string_split(replace(encoded, '|', ' '), ' ')) AS BIGINT)
+      AS n_tokens
+  FROM encdoc
+),
+packed AS (
+  SELECT doc_id, n_pieces, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS BIGINT) AS start_offset
+  FROM packdoc
+)
+"""
+
+# DuckDB inlines CTEs: without materialization every reference
+# re-evaluates its upstream chain, and the LSH band self-join alone
+# fans the HTML-extraction regexes out 8x (measured 50s at sf0.01 vs
+# <1s materialized). Recursive CTEs (lab, paths) must stay inline.
+_MATERIALIZE_CTES = (
+    "raw", "h", "cleaned", "norms", "extok", "gm", "corpus",
+    "toks", "sh", "sig", "bands", "cands", "sset", "sizes", "inter",
+    "vpairs", "e", "und", "gnodes", "und2", "dropids", "surv",
+    "toks0", "gr", "occ", "exc", "tokpos", "cut", "clean",
+    "words", "subs", "c0", "full_segs", "min_m", "cand",
+    "cand_pieces", "r1scored", "r1best", "c1", "r2scored", "r2best",
+    "dtoks", "encdoc", "packdoc", "packed",
+)
+
+
+def _materialize(sql: str) -> str:
+    import re
+
+    for name in _MATERIALIZE_CTES:
+        pat = re.compile(rf"(?m)^{name} AS \(")
+        found = pat.findall(sql)
+        assert len(found) == 1, (name, len(found))
+        sql = pat.sub(f"{name} AS MATERIALIZED (", sql)
+    return sql
+
+
+_CAPSTONE_CTES = _materialize(_CAPSTONE_CTES)
+
+CAPSTONE_SQL = (
+    _CAPSTONE_CTES
+    + f"""
+SELECT p.doc_id,
+  cl.n_tokens_before,
+  cl.n_tokens_cut,
+  p.n_pieces,
+  p.start_offset,
+  CAST(p.start_offset // {CONTEXT_LEN} AS BIGINT) AS bin_id,
+  CAST(p.start_offset % {CONTEXT_LEN} AS BIGINT) AS offset_in_bin
+FROM packed p JOIN clean cl USING (doc_id)
+"""
+)
+
+CAPSTONE_FUNNEL_SQL = (
+    _CAPSTONE_CTES
+    + f"""
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM raw) AS n_raw,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM extok) AS n_extracted,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_quality,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_canonical,
+  (SELECT CAST(COUNT(*) FILTER (WHERE n_tokens_cut > 0) AS BIGINT)
+     FROM clean) AS n_docs_excised,
+  (SELECT CAST(SUM(n_tokens_before) AS BIGINT) FROM clean)
+    AS tokens_before,
+  (SELECT CAST(SUM(n_tokens_cut) AS BIGINT) FROM clean) AS tokens_cut,
+  (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM packdoc) AS total_pieces,
+  (SELECT CAST((SUM(n_tokens) + {CONTEXT_LEN - 1}) // {CONTEXT_LEN}
+     AS BIGINT) FROM packdoc) AS n_bins
+"""
+)
+
+QUERIES = [
+    Query(
+        "curation_capstone",
+        curation_capstone_q,
+        CAPSTONE_SQL,
+        "end-to-end curation ladder (extract -> quality -> cluster-dedup -> span-excise -> tokenize -> pack): per-document final manifest",
+    ),
+    Query(
+        "curation_capstone_funnel",
+        curation_capstone_funnel_q,
+        CAPSTONE_FUNNEL_SQL,
+        "end-to-end curation ladder: single-row per-stage attrition report",
+    ),
+]
