@@ -678,6 +678,44 @@ def main() -> None:
     run_stream()
     timings["stream_agg_df_1m"] = round(time.perf_counter() - t, 3)
 
+    # RELATIONAL depth notch (round 9): the 5M/20M probes above are
+    # synthesized corpora; this block closes the gap for the
+    # TPC-shaped tables. A full sf1-equivalent star schema (6M
+    # lineitem, 1.5M orders, 1M events — 10x the bench sf_dir) is
+    # synthesized distributively (sources/synth.py: every column an
+    # expression over spark.range ids, schemas pinned to the driver
+    # testdata's) and written as parquet; the 13 headline queries
+    # then run once each, single-draw, against the cold files. The
+    # sf1/sf0.1 ratio per query is the linearity row SCALING.md
+    # tracks — scan-bound shapes should land near the 10x data ratio,
+    # agg-output-bound shapes below it.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from map_reduce_project_spark.sources.synth import synthesize_sf
+
+    sf1_dir = _tempfile.mkdtemp(prefix="bench_sf1_")
+    try:
+        t = time.perf_counter()
+        sf1_rows = synthesize_sf(spark, sf1_dir, scale=10.0)
+        timings["sf1_synth_write"] = round(time.perf_counter() - t, 3)
+        for name in HEADLINERS:
+            fn = registry[name].fn
+            t = time.perf_counter()
+            n = fn(spark, sf1_dir).count()
+            timings[f"sf1_{name}"] = round(time.perf_counter() - t, 3)
+            assert n >= 1, name
+        probes["headline_sf1"] = {
+            "rows": sf1_rows,
+            "note": (
+                "single-draw at sf1-equivalent volume (10x the "
+                "headline sf_dir); compare sf1_<q> vs <q> for the "
+                "scaling ratio"
+            ),
+        }
+    finally:
+        _shutil.rmtree(sf1_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -699,7 +737,10 @@ def main() -> None:
                     "IVF build/search/brute ANN depth probes (build "
                     "AND brute read the SAME on-disk parquet corpus; "
                     "recall-graded) + 500k/5M-doc BM25 top-k text "
-                    "depth probes (bounded 5k-term vocabulary)"
+                    "depth probes (bounded 5k-term vocabulary) + "
+                    "sf1-equivalent relational notch (full synthetic "
+                    "star schema at 10x, 13 headliners single-draw "
+                    "as sf1_<q>)"
                 ),
                 "value": total,
                 "unit": "sec",
