@@ -713,6 +713,61 @@ def main() -> None:
                 "scaling ratio"
             ),
         }
+
+        # RUNTIME BLOOM-FILTER join pruning (round 9): Spark injects a
+        # bloom filter from a selective dim filter into the fact scan
+        # when the application side exceeds
+        # runtime.bloomFilter.applicationSideScanSizeThreshold
+        # (default 10GB — correct at cluster scale, never at local
+        # sf1). Measure the same selective shuffle join with the
+        # threshold at its default (no filter) and at 0 (filter
+        # injected), recording shuffle-write volume — the term that
+        # partitions across the cluster at 100 TB.
+        _li = spark.read.parquet(f"{sf1_dir}/lineitem.parquet")
+        _pt = spark.read.parquet(f"{sf1_dir}/part.parquet").where(
+            F.col("p_brand") == "Brand#7"
+        )
+
+        def _bloom_join() -> int:
+            return (
+                _li.join(_pt, _li.l_partkey == _pt.p_partkey)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("l_quantity").alias("q"),
+                )
+                .collect()[0]["n"]
+            )
+
+        _thresh_key = (
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
+        _bcast_prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bloom_stats = {}
+        try:
+            for label, thresh in (("off", "10GB"), ("on", "0")):
+                spark.conf.set(_thresh_key, thresh)
+                sw_before = _shuffle_write_bytes()
+                t = time.perf_counter()
+                n_rows = _bloom_join()
+                bloom_stats[label] = {
+                    "wall_sec": round(time.perf_counter() - t, 3),
+                    "shuffle_write_mb": round(
+                        (_shuffle_write_bytes() - sw_before) / 1e6, 2
+                    ),
+                    "rows": n_rows,
+                }
+                timings[f"sf1_bloom_join_{label}"] = bloom_stats[label][
+                    "wall_sec"
+                ]
+            assert bloom_stats["on"]["rows"] == bloom_stats["off"]["rows"]
+        finally:
+            spark.conf.unset(_thresh_key)
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", _bcast_prev
+            )
+        probes["runtime_bloom_filter"] = bloom_stats
     finally:
         _shutil.rmtree(sf1_dir, ignore_errors=True)
 
