@@ -826,7 +826,13 @@ def duplicate_spans(
     formulations that no hot key can stall (windows cannot be
     AQE-skew-split; map-side-combined aggregates collapse the hot key
     to one row). ``skew_robust`` pins the path explicitly and skips
-    the probe (False = count-window, True = aggregate+join).
+    the probe (False = count-window, True = aggregate+join). The
+    probe is a CONSTRUCTION-time action (it must choose the plan
+    shape), so building this operator inside a larger composition
+    executes the whole upstream plan before any caller action — pin
+    ``skew_robust`` or set ``max_df`` where lazy construction
+    matters (explain-only tooling, plan census), as
+    ``queries/capstone.py`` does behind its quality-gate bound.
 
     Output: (id, span_start, span_end, n_tokens, n_grams) — 1-based
     inclusive token positions of each excisable span. Semantics are
@@ -838,6 +844,11 @@ def duplicate_spans(
     prefix can be shorter than k (the same degeneracy a suffix-array
     excision has on periodic strings).
     """
+    if skew_threshold < 1:
+        raise ValueError(
+            f"duplicate_spans: skew_threshold must be >= 1, "
+            f"got {skew_threshold}"
+        )
     toks = f"split({text_col}, ' ')"
     # TOTAL expression + OUTER explode, both load-bearing: plain
     # posexplode lets InferFiltersFromGenerate derive size(_hashes)>0

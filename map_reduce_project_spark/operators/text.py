@@ -925,8 +925,12 @@ def gopher_line_rules(
     the nested-HOF discipline (each array built once per row as its
     own projection).
     """
+    # '\r?\n', not '\n': WARC/WET payloads arrive byte-verbatim and
+    # real crawls mix line conventions — splitting on bare LF would
+    # leave a trailing CR on every line, silently defeating the
+    # '...'-suffix rule and inflating every char count by one per line
     lines_e = (
-        f"filter(split({text_col}, '\\n'), l -> length(l) > 0)"
+        f"filter(split({text_col}, '\\r?\\n'), l -> length(l) > 0)"
     )
     step1 = docs.select(
         F.col(id_col), F.expr(lines_e).alias("_lines")

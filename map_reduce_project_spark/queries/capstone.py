@@ -70,11 +70,24 @@ from map_reduce_project_spark.queries.dedup import (
     _BAND_SELECTS,
     _SIG_COLS,
 )
-from map_reduce_project_spark.queries.text import _UNIGRAM_TRAIN_CTES
+from map_reduce_project_spark.queries.text import (
+    _HTML_ANCHOR_DUCK,
+    _HTML_BLOCK_SPLIT_DUCK,
+    _HTML_NORM_DUCK,
+    _UNIGRAM_TRAIN_CTES,
+)
 from map_reduce_project_spark.sources.io import read_table
 
 CONTEXT_LEN = 512
 SPAN_K = 4
+# CC node ids are lpadded so the lexicographic min IS the numeric min;
+# 12 digits covers any doc_id below 10^12 — a 6-digit pad would
+# silently TRUNCATE 7-digit ids on both engines identically, merging
+# unrelated documents into one component with the gate still green
+_CC_PAD = 12
+# propagation rounds for the oracle's CC replay; a convergence canary
+# in the SQL errors out if any label is still moving at the cap
+_CC_ROUNDS = 40
 
 # Retarget the gated unigram-training oracle fragment at the excised
 # corpus CTE. The rewrite must hit exactly one site (the words CTE);
@@ -176,8 +189,8 @@ def _capstone_frames(
     )
     verified = jaccard_verify(quality, cands, threshold=0.5)
     edges = verified.select(
-        F.lpad(F.col("id_a").cast("string"), 6, "0").alias("src"),
-        F.lpad(F.col("id_b").cast("string"), 6, "0").alias("dst"),
+        F.lpad(F.col("id_a").cast("string"), _CC_PAD, "0").alias("src"),
+        F.lpad(F.col("id_b").cast("string"), _CC_PAD, "0").alias("dst"),
     )
     res = connected_components(edges, local_threshold=500_000)
     drop = res.mapping.select(
@@ -192,7 +205,13 @@ def _capstone_frames(
         eager=False
     )
 
-    spans = duplicate_spans(canonical, k=SPAN_K)
+    # skew_robust pinned: the quality gate bounds documents at 100k
+    # words over a 31-word vocabulary, so no 4-gram can approach the
+    # skew threshold — and pinning keeps plan CONSTRUCTION lazy (the
+    # autoprobe is a construction-time collect, like the CC sizing
+    # count n_edges_hint bypasses). Real crawl deployments leave the
+    # default so the probe can flip to the aggregate path.
+    spans = duplicate_spans(canonical, k=SPAN_K, skew_robust=False)
     clean = excise_spans(canonical, spans).localCheckpoint(eager=False)
     clean_docs = clean.select(
         "doc_id", F.col("clean_text").alias("text")
@@ -287,14 +306,6 @@ _GOPHER_STOP_CASES = "\n       + ".join(
     )
 )
 
-_BLOCK_SPLIT_DUCK = "(?i)</(?:p|div|li|h[1-6]|td|tr|section|article)>"
-_NORM_DUCK = """trim(regexp_replace(
-      replace(replace(replace(replace(replace(replace(
-        regexp_replace({0}, '<[^>]*>', ' ', 'g'),
-        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-      '\\s+', ' ', 'g'))"""
-
 _CAPSTONE_CTES = f"""
 WITH RECURSIVE
 raw AS (
@@ -326,13 +337,13 @@ cleaned AS (
 norms AS (
   SELECT doc_id,
     list_transform(
-      string_split_regex(c, '{_BLOCK_SPLIT_DUCK}'),
-      b -> {_NORM_DUCK.format('b')}) AS btexts,
+      string_split_regex(c, '{_HTML_BLOCK_SPLIT_DUCK}'),
+      b -> {_HTML_NORM_DUCK.format('b')}) AS btexts,
     list_transform(
-      string_split_regex(c, '{_BLOCK_SPLIT_DUCK}'),
+      string_split_regex(c, '{_HTML_BLOCK_SPLIT_DUCK}'),
       b -> coalesce(list_sum(list_transform(
-        regexp_extract_all(b, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1),
-        a -> length({_NORM_DUCK.format('a')}))), 0)) AS alens
+        regexp_extract_all(b, '{_HTML_ANCHOR_DUCK}', 1),
+        a -> length({_HTML_NORM_DUCK.format('a')}))), 0)) AS alens
   FROM cleaned
 ),
 extok AS (
@@ -395,8 +406,8 @@ vpairs AS (
       / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
 ),
 e AS (
-  SELECT lpad(CAST(id_a AS VARCHAR), 6, '0') AS src,
-         lpad(CAST(id_b AS VARCHAR), 6, '0') AS dst
+  SELECT lpad(CAST(id_a AS VARCHAR), {_CC_PAD}, '0') AS src,
+         lpad(CAST(id_b AS VARCHAR), {_CC_PAD}, '0') AS dst
   FROM vpairs
 ),
 und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
@@ -407,12 +418,22 @@ lab AS (
   UNION ALL
   SELECT lab.it + 1 AS it, und2.dst AS node, MIN(lab.lab) AS lab
   FROM lab JOIN und2 ON und2.src = lab.node
-  WHERE lab.it < 16
+  WHERE lab.it < {_CC_ROUNDS}
   GROUP BY lab.it, und2.dst
 ),
+convchk AS (
+  SELECT COUNT(*) AS n_unconv
+  FROM lab a JOIN lab b USING (node)
+  WHERE a.it = {_CC_ROUNDS} AND b.it = {_CC_ROUNDS - 1}
+    AND a.lab <> b.lab
+),
 dropids AS (
-  SELECT CAST(node AS BIGINT) AS doc_id FROM lab
-  WHERE it = 16 AND node <> lab
+  SELECT CAST(node AS BIGINT)
+       + (SELECT CASE WHEN n_unconv = 0 THEN 0
+          ELSE error('capstone CC replay unconverged at {_CC_ROUNDS} rounds')
+          END FROM convchk) AS doc_id
+  FROM lab
+  WHERE it = {_CC_ROUNDS} AND node <> lab
 ),
 surv AS (
   SELECT c.doc_id, c.text FROM corpus c

@@ -225,9 +225,11 @@ def dedup_cluster_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_buckets(sigs, num_hashes=NUM_HASHES, bands=BANDS)
     )
     verified = jaccard_verify(corpus, cands, threshold=0.5)
+    # 12-digit pad: 6 would silently truncate 7-digit doc_ids on BOTH
+    # engines identically (gate stays green on merged components)
     edges = verified.select(
-        F.lpad(F.col("id_a").cast("string"), 6, "0").alias("src"),
-        F.lpad(F.col("id_b").cast("string"), 6, "0").alias("dst"),
+        F.lpad(F.col("id_a").cast("string"), 12, "0").alias("src"),
+        F.lpad(F.col("id_b").cast("string"), 12, "0").alias("dst"),
     )
     res = connected_components(edges, local_threshold=500_000)
     return res.mapping.select(
@@ -255,8 +257,8 @@ vpairs AS (
   WHERE CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE) >= 0.5
 ),
 e AS (
-  SELECT lpad(CAST(id_a AS VARCHAR), 6, '0') AS src,
-         lpad(CAST(id_b AS VARCHAR), 6, '0') AS dst
+  SELECT lpad(CAST(id_a AS VARCHAR), 12, '0') AS src,
+         lpad(CAST(id_b AS VARCHAR), 12, '0') AS dst
   FROM vpairs
 ),
 und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),

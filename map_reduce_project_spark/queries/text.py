@@ -1737,6 +1737,14 @@ _HTML_NORM_DUCK = """trim(regexp_replace(
         '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
       '\\s+', ' ', 'g'))"""
 
+# DuckDB twins of operators/text._HTML_BLOCK_SPLIT / _HTML_ANCHOR_RE,
+# shared with queries/capstone.py — ONE definition per regex so an
+# extraction-semantics change cannot leave a stale copy behind (the
+# round-8 anchor-regex fix had to touch two sites; three would be
+# worse)
+_HTML_BLOCK_SPLIT_DUCK = "(?i)</(?:p|div|li|h[1-6]|td|tr|section|article)>"
+_HTML_ANCHOR_DUCK = "(?is)<a(?:\\s[^>]*)?>(.*?)</a>"
+
 TEXT_HTML_EXTRACT_SQL = f"""
 WITH h AS (
   SELECT doc_id,

@@ -140,7 +140,13 @@ def orders_df(spark: SparkSession, n: int, n_customers: int) -> DataFrame:
 def lineitem_df(
     spark: SparkSession, n: int, n_orders: int, n_parts: int, n_supps: int
 ) -> DataFrame:
-    lines_per_order = max(1, n // n_orders)
+    # CEIL division keeps the FK valid without skew: floor would push
+    # the last orderkeys past n_orders - 1 at scales where ceil()
+    # inflates the two row counts disproportionately, and clamping
+    # those rows onto the last orderkey would pile up to a quarter of
+    # all lineitems on one hot order — a skew artifact in a generator
+    # whose whole point is a known-uniform distribution
+    lines_per_order = max(1, -(-n // n_orders))
     qty = f"({_pm(17, 50)} + 1)"
     return spark.range(n).select(
         F.expr(f"id div {lines_per_order}").alias("l_orderkey"),

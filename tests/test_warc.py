@@ -152,10 +152,11 @@ def test_warc_datasource_partitions_and_fields(spark, tmp_path):
 
 
 def test_warc_datasource_missing_path_fails(spark, tmp_path):
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import AnalysisException
-
-    with pytest.raises((Py4JJavaError, AnalysisException, Exception)):
+    # pin the fail-loud contract, not just "some failure": the
+    # FileNotFoundError message must surface through the Python
+    # DataSource error wrapping (bare Exception would match any
+    # unrelated breakage and pin nothing)
+    with pytest.raises(Exception, match="no archive files"):
         read_warc(spark, str(tmp_path / "nope")).collect()
 
 
