@@ -1114,8 +1114,9 @@ def warc_gopher_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_line_rules(docs)
 
 
-WARC_GOPHER_LINES_SQL = f"""
-WITH p AS (
+# Shared by warc_gopher_lines and wet_curation_manifest — one
+# definition of the line-rule replay so the two oracles cannot drift
+_WET_LINE_CTES = f"""p AS (
   SELECT doc_id, {_WET_PAYLOAD_DUCK} AS text FROM documents
 ),
 l AS (
@@ -1142,16 +1143,23 @@ s AS (
        - coalesce(list_sum(list_transform(dlines, x -> length(x))), 0)
       AS BIGINT) AS dup_line_chars
   FROM d
+)"""
+
+_LINE_PASS_SQL = (
+    "(10 * n_bullet_lines <= 9 * n_lines"
+    " AND 10 * n_ellipsis_lines <= 3 * n_lines"
+    " AND 10 * n_dup_lines <= 3 * n_lines"
+    " AND 5 * dup_line_chars <= line_chars)"
 )
+
+WARC_GOPHER_LINES_SQL = f"""
+WITH {_WET_LINE_CTES}
 SELECT s.*,
   10 * n_bullet_lines <= 9 * n_lines AS pass_bullet_lines,
   10 * n_ellipsis_lines <= 3 * n_lines AS pass_ellipsis_lines,
   10 * n_dup_lines <= 3 * n_lines AS pass_dup_lines,
   5 * dup_line_chars <= line_chars AS pass_dup_line_chars,
-  (10 * n_bullet_lines <= 9 * n_lines
-   AND 10 * n_ellipsis_lines <= 3 * n_lines
-   AND 10 * n_dup_lines <= 3 * n_lines
-   AND 5 * dup_line_chars <= line_chars) AS gopher_line_pass
+  {_LINE_PASS_SQL} AS gopher_line_pass
 FROM s
 """
 
@@ -1161,5 +1169,116 @@ QUERIES.append(
         warc_gopher_lines_q,
         WARC_GOPHER_LINES_SQL,
         "line-based Gopher repetition rules over parsed WET records (bullet/ellipsis/duplicate-line fractions)",
+    )
+)
+
+
+def wet_curation_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl arc end-to-end FROM THE ARCHIVE (round 9): WET
+    records parsed by the warc DataSource -> line-based Gopher
+    repetition filter on the decoded multi-line payloads ->
+    headline-normalized exact dedup (fingerprint = payload minus its
+    first line, the crawl pattern for "same body, different title"
+    copies — the synthetic payloads collide exactly on doc_id mod
+    420) -> fixed-context packing manifest of the kept corpus. The
+    curation_capstone starts from an already-columnar html column;
+    this query pins the stage-minus-one seams instead: binary payload
+    -> text decode -> line semantics -> manifest. Every stage
+    oracle-replayed from the documents table alone.
+    """
+    from map_reduce_project_spark.operators.dedup import exact_dedup
+    from map_reduce_project_spark.operators.text import (
+        gopher_line_rules,
+        pack_sequences,
+    )
+    from map_reduce_project_spark.sources.warc import (
+        ensure_synthetic_warc_dir,
+        read_warc,
+    )
+
+    path = ensure_synthetic_warc_dir(sf_dir)
+    docs = (
+        read_warc(spark, path)
+        .where(F.col("warc_type") == "conversion")
+        .select(
+            F.regexp_extract("target_uri", "/doc/([0-9]+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("payload").cast("string").alias("text"),
+        )
+    )
+    rules = gopher_line_rules(docs)
+    kept = docs.join(
+        rules.where(F.col("gopher_line_pass")).select(
+            "doc_id", "n_lines"
+        ),
+        "doc_id",
+    )
+    # fingerprint: everything after the first newline (headline off)
+    fp = kept.withColumn(
+        "_body", F.expr("substring(text, instr(text, '\n') + 1)")
+    )
+    keepers = exact_dedup(fp, ["_body"], "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    canon = fp.join(keepers, "doc_id", "left_semi").select(
+        "doc_id",
+        "n_lines",
+        F.regexp_replace("text", "\n", " ").alias("text"),
+    )
+    packed = pack_sequences(canon, context_len=512)
+    return packed.join(
+        canon.select("doc_id", "n_lines"), "doc_id"
+    ).select(
+        "doc_id",
+        "n_lines",
+        "n_tokens",
+        "start_offset",
+        "bin_id",
+        "offset_in_bin",
+    )
+
+
+WET_CURATION_SQL = f"""
+WITH {_WET_LINE_CTES},
+keptq AS (
+  SELECT p.doc_id, p.text, s.n_lines
+  FROM p JOIN s USING (doc_id)
+  WHERE {_LINE_PASS_SQL}
+),
+fpq AS (
+  SELECT doc_id, text, n_lines,
+         substr(text, position(chr(10) IN text) + 1) AS body
+  FROM keptq
+),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM fpq GROUP BY body
+),
+canon AS (
+  SELECT f.doc_id, f.n_lines,
+         CAST(len(string_split(replace(f.text, chr(10), ' '), ' '))
+              AS BIGINT) AS n_tokens
+  FROM fpq f JOIN keepers USING (doc_id)
+),
+packedq AS (
+  SELECT doc_id, n_lines, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS BIGINT) AS start_offset
+  FROM canon
+)
+SELECT doc_id, n_lines, n_tokens, start_offset,
+  CAST(start_offset // 512 AS BIGINT) AS bin_id,
+  CAST(start_offset % 512 AS BIGINT) AS offset_in_bin
+FROM packedq
+"""
+
+QUERIES.append(
+    Query(
+        "wet_curation_manifest",
+        wet_curation_manifest_q,
+        WET_CURATION_SQL,
+        "archive-to-manifest integration: WET parse -> line-rule filter -> headline-normalized dedup -> packing manifest",
     )
 )
