@@ -705,6 +705,26 @@ def main() -> None:
             n = fn(spark, sf1_dir).count()
             timings[f"sf1_{name}"] = round(time.perf_counter() - t, 3)
             assert n >= 1, name
+
+        # the round-9 flagship composition at the same 10x notch: the
+        # full curation ladder (extract -> quality -> cluster-dedup ->
+        # span-excise -> tokenize -> pack) over the 50k-doc synthetic
+        # corpus, funnel form (single-row attrition report), with the
+        # monotone-attrition invariant asserted
+        t = time.perf_counter()
+        funnel = registry["curation_capstone_funnel"].fn(
+            spark, sf1_dir
+        ).collect()[0]
+        timings["sf1_curation_capstone_funnel"] = round(
+            time.perf_counter() - t, 3
+        )
+        assert (
+            funnel.n_raw
+            >= funnel.n_extracted
+            >= funnel.n_quality
+            >= funnel.n_canonical
+            > 0
+        ), funnel
         probes["headline_sf1"] = {
             "rows": sf1_rows,
             "note": (

@@ -91,6 +91,7 @@ def test_zero_evidence_ties_break_newest_first():
     # would take the newest code first.
     from map_reduce_project_spark.queries import (
         advanced,
+        capstone,
         dedup,
         events,
         graph_queries,
@@ -114,6 +115,7 @@ def test_zero_evidence_ties_break_newest_first():
         advanced,
         temporal,
         pipeline,
+        capstone,
     ):
         for q in mod.QUERIES:
             reg_index.setdefault(q.name, len(reg_index))
