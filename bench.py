@@ -708,9 +708,10 @@ def main() -> None:
 
         # the round-9 flagship composition at the same 10x notch: the
         # full curation ladder (extract -> quality -> cluster-dedup ->
-        # span-excise -> tokenize -> pack) over the 50k-doc synthetic
-        # corpus, funnel form (single-row attrition report), with the
-        # monotone-attrition invariant asserted
+        # span-excise -> tokenize -> pack) over the 100k-doc raw
+        # corpus (50k synthetic documents doubled by the capstone's
+        # duplicate injection), funnel form (single-row attrition
+        # report), with the monotone-attrition invariant asserted
         t = time.perf_counter()
         funnel = registry["curation_capstone_funnel"].fn(
             spark, sf1_dir

@@ -90,12 +90,15 @@ _CC_PAD = 12
 _CC_ROUNDS = 40
 
 # Retarget the gated unigram-training oracle fragment at the excised
-# corpus CTE. The rewrite must hit exactly one site (the words CTE);
-# drift in queries.text would silently break the capstone otherwise.
-assert _UNIGRAM_TRAIN_CTES.count("FROM documents") == 1
+# corpus CTE. Assert on the RESULT, not the input: counting the input
+# marker while replacing a longer string would let a formatting drift
+# in queries.text turn the replace into a silent no-op (tokenizer
+# trained on the raw documents table) with the assert still green.
 _UNIGRAM_ON_CLEAN = _UNIGRAM_TRAIN_CTES.replace(
     "WITH RECURSIVE\n", ""
 ).replace("FROM documents)", "FROM clean)")
+assert "FROM clean)" in _UNIGRAM_ON_CLEAN
+assert "FROM documents" not in _UNIGRAM_ON_CLEAN
 assert SHINGLE_CTE.count("FROM corpus") == 1
 
 

@@ -1197,6 +1197,10 @@ def wet_curation_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = ensure_synthetic_warc_dir(sf_dir)
+    # barrier the parsed records (O9 discipline, the capstone's
+    # lesson): docs feeds both sides of the kept join and fp feeds
+    # both the dedup aggregate and the canon branch — without
+    # barriers the archive parse + HOF line rules re-execute ~4x
     docs = (
         read_warc(spark, path)
         .where(F.col("warc_type") == "conversion")
@@ -1204,8 +1208,15 @@ def wet_curation_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("target_uri", "/doc/([0-9]+)$", 1)
             .cast("long")
             .alias("doc_id"),
-            F.col("payload").cast("string").alias("text"),
+            # CR-normalize ONCE at entry: payloads are byte-verbatim
+            # and every downstream stage (line rules, body
+            # fingerprint, token split) must see one line convention
+            # or same-body CRLF/LF documents would never dedup
+            F.regexp_replace(
+                F.col("payload").cast("string"), "\r\n", "\n"
+            ).alias("text"),
         )
+        .localCheckpoint(eager=False)
     )
     rules = gopher_line_rules(docs)
     kept = docs.join(
@@ -1217,7 +1228,7 @@ def wet_curation_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint: everything after the first newline (headline off)
     fp = kept.withColumn(
         "_body", F.expr("substring(text, instr(text, '\n') + 1)")
-    )
+    ).localCheckpoint(eager=False)
     keepers = exact_dedup(fp, ["_body"], "doc_id").select(
         F.col("keep_id").alias("doc_id")
     )

@@ -1775,12 +1775,12 @@ cleaned AS (
 norms AS (
   SELECT doc_id,
     list_transform(
-      string_split_regex(c, '(?i)</(?:p|div|li|h[1-6]|td|tr|section|article)>'),
+      string_split_regex(c, '{_HTML_BLOCK_SPLIT_DUCK}'),
       b -> {_HTML_NORM_DUCK.format('b')}) AS btexts,
     list_transform(
-      string_split_regex(c, '(?i)</(?:p|div|li|h[1-6]|td|tr|section|article)>'),
+      string_split_regex(c, '{_HTML_BLOCK_SPLIT_DUCK}'),
       b -> coalesce(list_sum(list_transform(
-        regexp_extract_all(b, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1),
+        regexp_extract_all(b, '{_HTML_ANCHOR_DUCK}', 1),
         a -> length({_HTML_NORM_DUCK.format('a')}))), 0)) AS alens
   FROM cleaned
 ),

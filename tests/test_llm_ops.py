@@ -2956,3 +2956,30 @@ def test_duplicate_spans_probe_exact_below_floor(spark):
     )
     assert [key(r) for r in auto] == [key(r) for r in window]
     assert len(auto) == 7
+
+
+def test_gopher_line_rules_crlf_equals_lf(spark):
+    """CRLF regression pin (round-9 self-review): WET payloads are
+    byte-verbatim, so the line split must treat '\\r\\n' and '\\n'
+    identically — a bare-LF split leaves a trailing CR on every line,
+    silently defeating the '...'-suffix rule and inflating every char
+    count by one per line."""
+    from map_reduce_project_spark.operators.text import (
+        gopher_line_rules,
+    )
+
+    lines = [
+        "a normal opening line of text",
+        "trailing thought number one...",
+        "trailing thought number two...",
+        "shared footer line",
+    ]
+    df = spark.createDataFrame(
+        [(1, "\n".join(lines)), (2, "\r\n".join(lines))],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_line_rules(df).collect()}
+    lf, crlf = rows[1], rows[2]
+    assert crlf.n_ellipsis_lines == lf.n_ellipsis_lines == 2
+    assert crlf.line_chars == lf.line_chars
+    assert crlf.asDict() == lf.asDict() | {"doc_id": 2}
