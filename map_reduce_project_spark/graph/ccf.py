@@ -39,7 +39,10 @@ Semantic fine print preserved (SURVEY.md §2.4):
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
+from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -342,6 +345,7 @@ def connected_components(
     skew_degree_threshold: int = SKEW_DEGREE_THRESHOLD,
     reliable_checkpoint_dir: str | None = None,
     n_edges_hint: int | None = None,
+    on_iteration: Callable[[dict], None] | None = None,
 ) -> CCFResult:
     """Fixed-point driver (reference O8, ccf_connected_components.py:190-230).
 
@@ -367,6 +371,15 @@ def connected_components(
     gate) when the caller already has it from table statistics or a
     prior stage. A WRONG hint mis-sizes those heuristics but never
     affects correctness — every path computes the same fixed point.
+
+    ``on_iteration``: optional observability hook, called once per
+    iteration right after that iteration's materializing count with a
+    dict ``{"iteration", "wall_sec", "new_pairs"}`` plus, in reliable
+    mode, ``"checkpoint_dir"`` and (when the directory is a visible
+    local path) ``"ckpt_mb"`` — the measured on-disk size of the
+    generation just written. Diagnostics only (bench per-iteration
+    instrumentation, regression forensics); exceptions propagate, so
+    hooks should not throw.
 
     ``reliable_checkpoint_dir``: when set, each iteration uses a
     RELIABLE checkpoint (``df.checkpoint`` into this directory —
@@ -516,6 +529,7 @@ def connected_components(
     try:
         while iterations < max_iterations:
             iterations += 1
+            it_t0 = time.perf_counter()
 
             # lazy checkpoint + count: the count is the materializing
             # action, so each iteration is ONE job (the reference runs
@@ -542,6 +556,26 @@ def connected_components(
             # graph/checkpointing.py — pinned storage stays ~2
             # iterations wide instead of growing with depth)
             cycler.cycle(combined)
+            if on_iteration is not None:
+                info = {
+                    "iteration": iterations,
+                    "wall_sec": round(time.perf_counter() - it_t0, 3),
+                    "new_pairs": new_pair_count,
+                }
+                if reliable_checkpoint_dir is not None:
+                    info["checkpoint_dir"] = it_dir
+                    local_dir = it_dir[7:] if it_dir.startswith("file:") else it_dir
+                    if os.path.isdir(local_dir):
+                        info["ckpt_mb"] = round(
+                            sum(
+                                os.path.getsize(os.path.join(dp, f))
+                                for dp, _, fs in os.walk(local_dir)
+                                for f in fs
+                            )
+                            / 1e6,
+                            1,
+                        )
+                on_iteration(info)
             if reliable_checkpoint_dir is not None:
                 if prev_reliable_dir is not None:
                     _hadoop_delete(spark, prev_reliable_dir)

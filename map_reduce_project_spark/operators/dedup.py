@@ -858,10 +858,17 @@ def duplicate_spans(
     # through 0 and slice(_, 0, k) throws. greatest() keeps the
     # expression total wherever an optimizer rule replays it; the
     # outer explode is inference-exempt so nothing replays it at all.
-    # Rows with <k tokens still never reach kg (the where below).
+    # Rows with <k tokens still never reach kg (the where below) —
+    # and the in-expression CASE makes that structural, not
+    # plan-dependent: a window that would slice FEWER than k tokens
+    # hashes to NULL, and NULLs are dropped by the isNotNull filter
+    # below, so a truncated-gram hash can never reach output even if
+    # a future refactor drops or reorders the size >= k guard
+    # (round-9 advisory).
     hashes = (
         f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
-        f"i -> xxhash64(array_join(slice(_toks, i, {k}), ' ')))"
+        f"i -> CASE WHEN i + {k - 1} <= size(_toks) "
+        f"THEN xxhash64(array_join(slice(_toks, i, {k}), ' ')) END)"
     )
     toked = docs.select(F.col(id_col), F.expr(toks).alias("_toks")).where(
         F.size("_toks") >= k

@@ -67,8 +67,8 @@ from map_reduce_project_spark.queries.dedup import (
     NUM_HASHES,
     OFFSET,
     SHINGLE_CTE,
-    _BAND_SELECTS,
-    _SIG_COLS,
+    _band_hash_sql,
+    _sig_cols_sql,
 )
 from map_reduce_project_spark.queries.text import (
     _HTML_ANCHOR_DUCK,
@@ -102,14 +102,16 @@ assert "FROM documents" not in _UNIGRAM_ON_CLEAN
 assert SHINGLE_CTE.count("FROM corpus") == 1
 
 
-def _wrapped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _wrapped_corpus(docs: DataFrame) -> DataFrame:
     """Duplicate-injected corpus wrapped in synthesized crawl HTML:
     nav boilerplate (link-dense), a short heading, the document text
     as the content paragraph (omitted for doc_id % 17 == 3 — the
-    extraction-attrition axis), and a link-dense read-more block."""
+    extraction-attrition axis), and a link-dense read-more block.
+    ``docs`` is any (doc_id, text) frame — the gated queries pass the
+    sf_dir documents table; the bench scale tier passes a synthesized
+    1M-doc corpus through the same wrapper."""
     from map_reduce_project_spark.operators.scale import fan_out
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = fan_out(
         docs.unionAll(
             docs.select(
@@ -142,10 +144,43 @@ def _wrapped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _capstone_frames(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, **stage_params
+) -> dict[str, DataFrame]:
+    """Run the composition over the sf_dir documents table (the gated
+    registry entries' input). ``stage_params`` pass through to
+    ``_frames_from_docs`` (fuzz lane); empty for the pinned gates."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _frames_from_docs(spark, docs, **stage_params)
+
+
+def _frames_from_docs(
+    spark: SparkSession,
+    docs: DataFrame,
+    stage_hook=None,
+    span_k: int = SPAN_K,
+    context_len: int = CONTEXT_LEN,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
 ) -> dict[str, DataFrame]:
     """Run the composition once, returning every stage frame so the
-    manifest and funnel queries assemble from the same plan."""
+    manifest and funnel queries assemble from the same plan.
+
+    ``stage_hook(name, frame)``: optional bench instrumentation point,
+    called in stage order (quality, cluster_dedup, span_excise,
+    tokenize, pack) with the stage's output frame the moment it is
+    wired — the hook may force it (count) so callback-to-callback wall
+    time attributes each stage's cost, including the construction-time
+    actions that run between hooks (the CC fixed point, the span
+    autoprobe when enabled, the tokenizer training loop, the packing
+    prefix-sum). Default None keeps the gated queries' behavior
+    byte-identical.
+
+    ``span_k`` / ``context_len`` / ``num_hashes`` / ``bands``: stage
+    parameters, defaulting to the module constants the gated queries
+    pin. The fuzz lane (tools/fuzz_capstone.py) perturbs them and
+    re-gates against ``build_capstone_sql`` built with the SAME
+    draws — stage-coupling bugs only surface in composition, so each
+    parameter must reach both engines from one source."""
     from map_reduce_project_spark.graph.ccf import connected_components
     from map_reduce_project_spark.operators.dedup import (
         duplicate_spans,
@@ -163,7 +198,8 @@ def _capstone_frames(
         unigram_train,
     )
 
-    wrapped = _wrapped_corpus(spark, sf_dir)
+    hook = stage_hook or (lambda name, frame: None)
+    wrapped = _wrapped_corpus(docs)
     ext = html_extract(wrapped)
     ext_ok = ext.where(F.col("extracted_text") != "").select(
         "doc_id", F.col("extracted_text").alias("text")
@@ -185,10 +221,11 @@ def _capstone_frames(
     quality = ext_ok.join(qual_ids, "doc_id", "left_semi").localCheckpoint(
         eager=False
     )
+    hook("quality", quality)
 
-    sigs = minhash_signatures(quality, num_hashes=NUM_HASHES)
+    sigs = minhash_signatures(quality, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(
-        lsh_buckets(sigs, num_hashes=NUM_HASHES, bands=BANDS)
+        lsh_buckets(sigs, num_hashes=num_hashes, bands=bands)
     )
     verified = jaccard_verify(quality, cands, threshold=0.5)
     edges = verified.select(
@@ -207,26 +244,32 @@ def _capstone_frames(
     canonical = quality.join(drop, "doc_id", "left_anti").localCheckpoint(
         eager=False
     )
+    hook("cluster_dedup", canonical)
 
     # skew_robust pinned: the quality gate bounds documents at 100k
     # words over a 31-word vocabulary, so no 4-gram can approach the
-    # skew threshold — and pinning keeps plan CONSTRUCTION lazy (the
-    # autoprobe is a construction-time collect, like the CC sizing
-    # count n_edges_hint bypasses). Real crawl deployments leave the
-    # default so the probe can flip to the aggregate path.
-    spans = duplicate_spans(canonical, k=SPAN_K, skew_robust=False)
+    # skew threshold — pinning removes the autoprobe's construction-
+    # time collect. (Construction is NOT otherwise lazy: the CC fixed
+    # point above and pack_sequences below both act at call time; the
+    # pin just drops one more eager job, it does not make the frames
+    # explain-safe.) Real crawl deployments leave the default so the
+    # probe can flip to the aggregate path.
+    spans = duplicate_spans(canonical, k=span_k, skew_robust=False)
     clean = excise_spans(canonical, spans).localCheckpoint(eager=False)
+    hook("span_excise", clean)
     clean_docs = clean.select(
         "doc_id", F.col("clean_text").alias("text")
     )
     segs = unigram_train(clean_docs, n_rounds=2, max_piece_len=4)
     enc = unigram_apply(clean_docs, segs)
+    hook("tokenize", enc)
     packed = pack_sequences(
         enc.select(
             "doc_id", F.translate("encoded", "|", " ").alias("text")
         ),
-        context_len=CONTEXT_LEN,
+        context_len=context_len,
     )
+    hook("pack", packed)
     return {
         "raw": wrapped,
         "ext_ok": ext_ok,
@@ -238,13 +281,67 @@ def _capstone_frames(
     }
 
 
+def capstone_funnel_staged(
+    spark: SparkSession, docs: DataFrame
+) -> dict:
+    """Bench instrumentation entry: run the full curation ladder over
+    an arbitrary (doc_id, text) corpus, forcing each stage frame as it
+    is wired so callback-to-callback wall time attributes per-stage
+    cost. Returns ``{"funnel": {...}, "stage_walls": {...}}``.
+
+    Wall semantics: ``quality`` includes HTML extraction (the two fuse
+    into one codegen pass in the physical plan — there is no extraction
+    barrier to time against); every later stage starts from the
+    previous stage's materialized localCheckpoint, so its wall is the
+    genuine incremental cost (cluster_dedup carries the CC fixed
+    point, tokenize the training loop, pack the eager prefix-sum).
+    ``n_raw``/``n_extracted`` are computed afterwards for the funnel
+    (one column-pruned count + one re-extraction pass, untimed)."""
+    import time
+
+    walls: dict[str, float] = {}
+    last = time.perf_counter()
+
+    def force(name: str, frame: DataFrame) -> None:
+        nonlocal last
+        frame.count()
+        now = time.perf_counter()
+        walls[name] = round(now - last, 3)
+        last = now
+
+    s = _frames_from_docs(spark, docs, stage_hook=force)
+    funnel = {
+        "n_raw": s["raw"].count(),
+        "n_extracted": s["ext_ok"].count(),
+        "n_quality": s["quality"].count(),
+        "n_canonical": s["canonical"].count(),
+    }
+    ex = s["clean"].agg(
+        F.sum(F.when(F.col("n_tokens_cut") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_excised"),
+        F.sum("n_tokens_before").cast("long").alias("tokens_before"),
+        F.sum("n_tokens_cut").cast("long").alias("tokens_cut"),
+    ).collect()[0]
+    pk = s["packed"].agg(
+        F.sum("n_tokens").cast("long").alias("total_pieces")
+    ).collect()[0]
+    funnel.update(
+        n_docs_excised=ex["n_docs_excised"],
+        tokens_before=ex["tokens_before"],
+        tokens_cut=ex["tokens_cut"],
+        total_pieces=pk["total_pieces"],
+    )
+    return {"funnel": funnel, "stage_walls": walls}
+
+
 def curation_capstone_q(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, **stage_params
 ) -> DataFrame:
     """Per-document final manifest of the full curation ladder:
     pre-excision token count, tokens excised, encoded piece count,
     and the pack offsets of each surviving document."""
-    s = _capstone_frames(spark, sf_dir)
+    s = _capstone_frames(spark, sf_dir, **stage_params)
     return (
         s["packed"]
         .join(
@@ -267,12 +364,13 @@ def curation_capstone_q(
 
 
 def curation_capstone_funnel_q(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, **stage_params
 ) -> DataFrame:
     """Single-row per-stage attrition report over the same ladder:
     documents surviving each cumulative stage plus the token-level
     excision and packing totals."""
-    s = _capstone_frames(spark, sf_dir)
+    s = _capstone_frames(spark, sf_dir, **stage_params)
+    context_len = stage_params.get("context_len", CONTEXT_LEN)
 
     def n(df: DataFrame, alias: str) -> DataFrame:
         return df.agg(F.count("*").cast("long").alias(alias))
@@ -287,8 +385,8 @@ def curation_capstone_funnel_q(
     packing = s["packed"].agg(
         F.sum("n_tokens").cast("long").alias("total_pieces"),
         F.expr(
-            f"cast((sum(n_tokens) + {CONTEXT_LEN - 1}) "
-            f"div {CONTEXT_LEN} as long)"
+            f"cast((sum(n_tokens) + {context_len - 1}) "
+            f"div {context_len} as long)"
         ).alias("n_bins"),
     )
     return (
@@ -309,7 +407,22 @@ _GOPHER_STOP_CASES = "\n       + ".join(
     )
 )
 
-_CAPSTONE_CTES = f"""
+def _capstone_ctes_raw(
+    span_k: int, cc_rounds: int, num_hashes: int, bands: int
+) -> str:
+    """The full oracle CTE ladder with every stage parameter
+    injected from arguments — one source of truth for the pinned
+    module-level SQL (defaults) AND the fuzz lane's perturbed
+    rebuilds."""
+    sig_cols = _sig_cols_sql(num_hashes)
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, (num_hashes, bands)
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"{_band_hash_sql(b, rows_per_band)} AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
 WITH RECURSIVE
 raw AS (
   SELECT doc_id, text FROM documents
@@ -384,8 +497,8 @@ corpus AS (
     AND must_have_stopwords >= 1
 ),
 {SHINGLE_CTE.strip()},
-sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
-bands AS ({_BAND_SELECTS}),
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b USING (band_idx, band_hash)
@@ -421,22 +534,22 @@ lab AS (
   UNION ALL
   SELECT lab.it + 1 AS it, und2.dst AS node, MIN(lab.lab) AS lab
   FROM lab JOIN und2 ON und2.src = lab.node
-  WHERE lab.it < {_CC_ROUNDS}
+  WHERE lab.it < {cc_rounds}
   GROUP BY lab.it, und2.dst
 ),
 convchk AS (
   SELECT COUNT(*) AS n_unconv
   FROM lab a JOIN lab b USING (node)
-  WHERE a.it = {_CC_ROUNDS} AND b.it = {_CC_ROUNDS - 1}
+  WHERE a.it = {cc_rounds} AND b.it = {cc_rounds - 1}
     AND a.lab <> b.lab
 ),
 dropids AS (
   SELECT CAST(node AS BIGINT)
        + (SELECT CASE WHEN n_unconv = 0 THEN 0
-          ELSE error('capstone CC replay unconverged at {_CC_ROUNDS} rounds')
+          ELSE error('capstone CC replay unconverged at {cc_rounds} rounds')
           END FROM convchk) AS doc_id
   FROM lab
-  WHERE it = {_CC_ROUNDS} AND node <> lab
+  WHERE it = {cc_rounds} AND node <> lab
 ),
 surv AS (
   SELECT c.doc_id, c.text FROM corpus c
@@ -446,10 +559,10 @@ surv AS (
 toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
 gr AS (
   SELECT doc_id, i AS pos,
-         array_to_string(t[i:i+{SPAN_K - 1}], ' ') AS gram
-  FROM toks0, LATERAL unnest(generate_series(1, len(t) - {SPAN_K - 1}))
+         array_to_string(t[i:i+{span_k - 1}], ' ') AS gram
+  FROM toks0, LATERAL unnest(generate_series(1, len(t) - {span_k - 1}))
        AS u(i)
-  WHERE len(t) >= {SPAN_K}
+  WHERE len(t) >= {span_k}
 ),
 occ AS (
   SELECT doc_id, pos,
@@ -466,7 +579,7 @@ cut AS (
   SELECT DISTINCT tk.doc_id, tk.i
   FROM tokpos tk JOIN exc e2
     ON e2.doc_id = tk.doc_id
-   AND tk.i BETWEEN e2.pos AND e2.pos + {SPAN_K - 1}
+   AND tk.i BETWEEN e2.pos AND e2.pos + {span_k - 1}
 ),
 clean AS (
   SELECT tk.doc_id,
@@ -536,25 +649,49 @@ def _materialize(sql: str) -> str:
     return sql
 
 
-_CAPSTONE_CTES = _materialize(_CAPSTONE_CTES)
+def build_capstone_ctes(
+    span_k: int = SPAN_K,
+    cc_rounds: int = _CC_ROUNDS,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> str:
+    return _materialize(
+        _capstone_ctes_raw(span_k, cc_rounds, num_hashes, bands)
+    )
 
-CAPSTONE_SQL = (
-    _CAPSTONE_CTES
-    + f"""
+
+def build_capstone_sql(
+    span_k: int = SPAN_K,
+    context_len: int = CONTEXT_LEN,
+    cc_rounds: int = _CC_ROUNDS,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> str:
+    return (
+        build_capstone_ctes(span_k, cc_rounds, num_hashes, bands)
+        + f"""
 SELECT p.doc_id,
   cl.n_tokens_before,
   cl.n_tokens_cut,
   p.n_pieces,
   p.start_offset,
-  CAST(p.start_offset // {CONTEXT_LEN} AS BIGINT) AS bin_id,
-  CAST(p.start_offset % {CONTEXT_LEN} AS BIGINT) AS offset_in_bin
+  CAST(p.start_offset // {context_len} AS BIGINT) AS bin_id,
+  CAST(p.start_offset % {context_len} AS BIGINT) AS offset_in_bin
 FROM packed p JOIN clean cl USING (doc_id)
 """
-)
+    )
 
-CAPSTONE_FUNNEL_SQL = (
-    _CAPSTONE_CTES
-    + f"""
+
+def build_capstone_funnel_sql(
+    span_k: int = SPAN_K,
+    context_len: int = CONTEXT_LEN,
+    cc_rounds: int = _CC_ROUNDS,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> str:
+    return (
+        build_capstone_ctes(span_k, cc_rounds, num_hashes, bands)
+        + f"""
 SELECT
   (SELECT CAST(COUNT(*) AS BIGINT) FROM raw) AS n_raw,
   (SELECT CAST(COUNT(*) AS BIGINT) FROM extok) AS n_extracted,
@@ -566,10 +703,15 @@ SELECT
     AS tokens_before,
   (SELECT CAST(SUM(n_tokens_cut) AS BIGINT) FROM clean) AS tokens_cut,
   (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM packdoc) AS total_pieces,
-  (SELECT CAST((SUM(n_tokens) + {CONTEXT_LEN - 1}) // {CONTEXT_LEN}
+  (SELECT CAST((SUM(n_tokens) + {context_len - 1}) // {context_len}
      AS BIGINT) FROM packdoc) AS n_bins
 """
-)
+    )
+
+
+CAPSTONE_SQL = build_capstone_sql()
+
+CAPSTONE_FUNNEL_SQL = build_capstone_funnel_sql()
 
 QUERIES = [
     Query(

@@ -392,6 +392,73 @@ def write_synthetic_warc_dir(
             f.write(data)
 
 
+def bench_payload_text(doc_id: int, pad_lines: int) -> str:
+    """The fixture payload plus ``pad_lines`` deterministic filler
+    lines (~4 KB/record) — the bench fan-out probe wants realistic
+    record sizes without touching the oracle-pinned fixture text."""
+    pad = "".join(
+        f"padding line {doc_id} {j} lorem ipsum dolor sit amet "
+        "consectetur adipiscing elit sed do eiusmod\n"
+        for j in range(pad_lines)
+    )
+    return wet_payload_text(doc_id) + pad
+
+
+def write_bench_warc_dir(
+    spark,
+    out_dir: str,
+    n_files: int = 200,
+    recs_per_file: int = 2_500,
+    pad_lines: int = 70,
+) -> None:
+    """TASK-PARALLEL synthesis of a Common-Crawl-shaped WET corpus for
+    the bench scan probe: ``n_files`` gzip archives, each one warcinfo
+    record + ``recs_per_file`` conversion records, every record its
+    own gzip member (the Common Crawl layout ``iter_warc_records``
+    handles via multi-member decompression). One Spark task writes one
+    archive — the same file-grained parallelism the READ side uses, so
+    synthesis of the ~2 GB raw corpus takes seconds on 32 cores.
+
+    Local-mode bench scaffolding: tasks write into one shared local
+    directory, which is only coherent when all executors share the
+    filesystem (local[*]); a cluster deployment would point the writer
+    at shared storage. The fixture writer above stays driver-side for
+    exactly that reason.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write_files(idx_iter) -> None:
+        for fi in idx_iter:
+            path = os.path.join(out_dir, f"bench-{fi:05d}.warc.gz")
+            with open(path, "wb") as fh:
+                records = [synth_warcinfo_record(fi)]
+                base = fi * recs_per_file
+                records += [
+                    _record_bytes(
+                        [
+                            ("WARC-Type", "conversion"),
+                            ("WARC-Record-ID", _uuid_urn(f"bench:{base + j}")),
+                            ("WARC-Date", _WARC_DATE),
+                            ("WARC-Target-URI", synth_target_uri(base + j)),
+                            ("Content-Type", "text/plain"),
+                        ],
+                        bench_payload_text(base + j, pad_lines).encode(),
+                    )
+                    for j in range(recs_per_file)
+                ]
+                for rec in records:
+                    buf = io.BytesIO()
+                    with gzip.GzipFile(
+                        fileobj=buf, mode="wb", mtime=0, compresslevel=1
+                    ) as gz:
+                        gz.write(rec)
+                    fh.write(buf.getvalue())
+
+    spark.sparkContext.parallelize(
+        range(n_files), n_files
+    ).foreachPartition(_write_files)
+
+
 def ensure_synthetic_warc_dir(sf_dir: str) -> str:
     """Build-once cache of the synthetic WET fixture for ``sf_dir``'s
     documents table, keyed by the exact doc_id population (count, min,
