@@ -663,18 +663,36 @@ def main() -> None:
     CAP_VOCAB = 50_000
 
     def synth_capstone_docs(n_docs: int):
-        """60-word docs over a bounded 50k-word vocabulary: leading
-        stopword ('the', the Gopher must-have), 10 unique words, a
-        12-word SHARED span with doc_id-1 for every id % 10 == 9 doc
-        (the span-excision plant — jaccard ~0.11 stays far below the
-        0.5 cluster threshold, so LSH dedup does NOT absorb it), then
-        37 more unique words. The ladder's own +OFFSET full-copy
+        """Gopher-minimum 50-word docs over a bounded 50k-word
+        vocabulary: leading stopword ('the', the must-have class), 10
+        unique words, a 12-word SHARED span with doc_id-1 for every
+        id % 10 == 9 doc (the span-excision plant — jaccard ~0.14
+        stays far below the 0.5 cluster threshold, so LSH dedup does
+        NOT absorb it), then 27 more unique words. Docs in odd
+        DECADES (id % 20 >= 10) drop 5 tail words to 45 — below the
+        Gopher word-count floor — so the quality gate attrits ~half
+        of the corpus like a real crawl (and like the sf-notch
+        corpus); decade granularity keeps each planted span pair on
+        the same side of the gate. The ladder's own +OFFSET full-copy
         injection supplies the cluster-dedup positives. Bounded vocab
         keeps the tokenizer's distinct-word state O(vocab); 'w'-prefix
         words of 2-6 chars keep every Gopher structural rule
-        satisfiable (mean word length, alpha ratio)."""
-        ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
-        gid = F.col("doc_id") - (F.col("doc_id") % 10 == 9).cast("long")
+        satisfiable (mean word length, alpha ratio).
+
+        doc_id = 3 * id (stride 3): the ladder injects full copies at
+        doc_id + OFFSET (100,000), so a contiguous id range larger
+        than OFFSET would COLLIDE copy ids with original ids — two
+        different texts under one doc_id, which silently merges their
+        shingle sets and wrecks every downstream stage (observed at
+        the 1M tier: dedup recall collapsed and span excision ate 75%
+        of the corpus). Multiples of 3 stay disjoint from
+        multiples-of-3 + 100,000 (100,000 % 3 != 0) at ANY corpus
+        size. Pair/attrition structure is computed on the raw range
+        id, so stride changes nothing else."""
+        ids = spark.range(n_docs).select(
+            F.col("id"), (F.col("id") * 3).alias("doc_id")
+        )
+        gid = F.col("id") - (F.col("id") % 10 == 9).cast("long")
 
         def w(seed, anchor):
             return F.concat(
@@ -685,14 +703,20 @@ def main() -> None:
                 ).cast("string"),
             )
 
-        toks = (
+        head = (
             [F.lit("the")]
-            + [w(j, F.col("doc_id")) for j in range(10)]
+            + [w(j, F.col("id")) for j in range(10)]
             + [w(1000 + j, gid) for j in range(12)]
-            + [w(100 + j, F.col("doc_id")) for j in range(37)]
+            + [w(100 + j, F.col("id")) for j in range(22)]
         )
+        tail = [w(200 + j, F.col("id")) for j in range(5)]
+        full = F.concat_ws(" ", *(head + tail))
+        short = F.concat_ws(" ", *head)
         return ids.select(
-            "doc_id", F.concat_ws(" ", *toks).alias("text")
+            "doc_id",
+            F.when(F.col("id") % 20 >= 10, short)
+            .otherwise(full)
+            .alias("text"),
         )
 
     t = time.perf_counter()
@@ -707,7 +731,14 @@ def main() -> None:
         >= cf["n_canonical"]
         > 0
     ), cf
-    assert cf["tokens_cut"] > 0, cf  # planted spans were excised
+    # the quality gate must do real work (the 45-word decades attrit)
+    assert cf["n_quality"] <= 0.6 * cf["n_extracted"], cf
+    # cluster dedup must absorb the injected full copies (~halving) —
+    # this is the assert that caught the doc_id/OFFSET collision
+    assert cf["n_canonical"] <= 0.6 * cf["n_quality"], cf
+    # excision must be SURGICAL (planted 12-token spans), not
+    # corpus-eating: leaked un-deduped copies would blow this bound
+    assert 0 < cf["tokens_cut"] <= 0.05 * cf["tokens_before"], cf
     probes["capstone_1m"] = staged
 
     # ---------------- depth tier ------------------------------------

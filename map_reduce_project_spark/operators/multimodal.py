@@ -296,7 +296,9 @@ def encode_ppm(px: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
 
 
-def decode_pixels(payload: bytes, modality: str) -> np.ndarray:
+def decode_pixels(
+    payload: bytes, modality: str, decode_backend=None
+) -> np.ndarray:
     """REAL pixel decode to an (h, w, 3) uint8 array.
 
     Supported without media libraries: P6 PPM, uncompressed BMP, and
@@ -308,7 +310,23 @@ def decode_pixels(payload: bytes, modality: str) -> np.ndarray:
     end-to-end. General JPEG profiles raise NotImplementedError from
     inside the decoder — swap in PIL/libvips at the decoder table,
     nothing else changes.
+
+    ``decode_backend``: the external-codec seam (round-10). A callable
+    ``(payload, modality) -> np.ndarray | None`` consulted FIRST; a
+    non-None return is the decoded (h, w, 3) uint8 array (a thin PIL /
+    libvips / ffmpeg adapter in a real deployment), None falls through
+    to the stdlib tier above. It is threaded through the mapInPandas
+    operators as a plain closure argument — NOT module state — because
+    executors import this module fresh and would never see a
+    driver-side registration; a picklable callable rides inside the
+    task closure instead, which is exactly how a PIL adapter would
+    ship. Plan shape, schema, and batch layout are unchanged either
+    way (pinned by test_multimodal_backend_seam).
     """
+    if decode_backend is not None:
+        px = decode_backend(payload, modality)
+        if px is not None:
+            return px
     if modality.startswith("fake/"):
         meta = decode_media(payload, modality)
         w, h = meta["width"], meta["height"]
@@ -387,35 +405,45 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_media(payload: bytes, modality: str, w: int, h: int) -> bytes:
+def resize_media(
+    payload: bytes, modality: str, w: int, h: int, decode_backend=None
+) -> bytes:
     """Resize: REAL (decode -> numpy nearest-neighbor -> re-encode as
     P6 PPM) for the pixel-decodable formats; the fake modality keeps
     its deterministic md5-chained derived payload so downstream stages
     and tests have stable bytes to hash. JPEG inputs need
-    PIL/libvips and raise."""
+    PIL/libvips and raise — or arrive decoded via ``decode_backend``
+    (the external-codec seam, see decode_pixels)."""
     if modality.startswith("fake/"):
         seed = hashlib.md5(payload + f"|{w}x{h}".encode()).digest()
         return (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]
-    if modality in _PIXEL_DECODERS:
-        return encode_ppm(resize_nearest(decode_pixels(payload, modality), w, h))
+    if decode_backend is not None or modality in _PIXEL_DECODERS:
+        return encode_ppm(
+            resize_nearest(
+                decode_pixels(payload, modality, decode_backend), w, h
+            )
+        )
     raise NotImplementedError(
         f"no resizer for modality {modality!r} in this environment"
     )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int, height: int, decode_backend=None
+) -> DataFrame:
     """1:1 Arrow-batched resize stage over (doc_id, modality, payload).
 
     Same mapInPandas shape as ``extract_metadata``; the output payload
     is the resized bytes (w*h*3 for the fake modality — an RGB buffer
     stand-in). Partitioning is preserved: a narrow transform, no
     shuffle, safe to chain before a write or a featurize stage.
+    ``decode_backend`` rides in the task closure (see decode_pixels).
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                resize_media(p, m, width, height)
+                resize_media(p, m, width, height, decode_backend)
                 for p, m in zip(pdf["payload"], pdf["modality"])
             ]
             yield pd.DataFrame(
@@ -445,7 +473,7 @@ PIXEL_STATS_SCHEMA = StructType(
 )
 
 
-def pixel_stats(media: DataFrame) -> DataFrame:
+def pixel_stats(media: DataFrame, decode_backend=None) -> DataFrame:
     """REAL pixel-level statistics over decodable payloads, Arrow-batched.
 
     Decodes each payload to an (h, w, 3) array and emits EXACT integer
@@ -453,6 +481,7 @@ def pixel_stats(media: DataFrame) -> DataFrame:
     aggregation order, so the stage is hash-gateable against a SQL
     oracle). This is the canonical featurize shape: binary column in,
     fixed-schema numeric columns out, one Python stage, no shuffle.
+    ``decode_backend`` rides in the task closure (see decode_pixels).
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -461,7 +490,7 @@ def pixel_stats(media: DataFrame) -> DataFrame:
             for doc_id, modality, payload in zip(
                 pdf["doc_id"], pdf["modality"], pdf["payload"]
             ):
-                px = decode_pixels(payload, modality)
+                px = decode_pixels(payload, modality, decode_backend)
                 sums = px.sum(axis=(0, 1), dtype=np.int64)
                 out["doc_id"].append(doc_id)
                 out["modality"].append(modality)

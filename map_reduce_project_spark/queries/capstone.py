@@ -109,7 +109,15 @@ def _wrapped_corpus(docs: DataFrame) -> DataFrame:
     extraction-attrition axis), and a link-dense read-more block.
     ``docs`` is any (doc_id, text) frame — the gated queries pass the
     sf_dir documents table; the bench scale tier passes a synthesized
-    1M-doc corpus through the same wrapper."""
+    1M-doc corpus through the same wrapper.
+
+    CALLER CONTRACT on doc_id: the id set and (id set + OFFSET) must
+    be DISJOINT, or a copy's id collides with a different original's
+    id and two texts silently merge under one doc_id (shingle sets,
+    CC nodes, span positions all keyed by id). The sf corpora are
+    safe (≤50k rows vs OFFSET=100,000); an arbitrary corpus larger
+    than OFFSET must stride or offset its ids — the bench 1M tier
+    uses multiples of 3 (100,000 % 3 != 0)."""
     from map_reduce_project_spark.operators.scale import fan_out
 
     corpus = fan_out(
@@ -201,8 +209,16 @@ def _frames_from_docs(
     hook = stage_hook or (lambda name, frame: None)
     wrapped = _wrapped_corpus(docs)
     ext = html_extract(wrapped)
-    ext_ok = ext.where(F.col("extracted_text") != "").select(
-        "doc_id", F.col("extracted_text").alias("text")
+    # Barrier the extraction output (round 10): the quality semi-join
+    # reads ext_ok on BOTH sides (rows + rule verdicts), and without a
+    # barrier each side re-runs the full HTML-extraction regex chain —
+    # the ladder's single most expensive per-doc term (measured ~2x
+    # the quality stage at the 1M-doc bench tier, ~48s -> ~27s at
+    # 100k docs). Same O9 discipline as the three barriers below.
+    ext_ok = (
+        ext.where(F.col("extracted_text") != "")
+        .select("doc_id", F.col("extracted_text").alias("text"))
+        .localCheckpoint(eager=False)
     )
     gm = gopher_rules(ext_ok)
     qual_ids = gm.where(

@@ -735,6 +735,62 @@ def test_unknown_modality_still_raises(spark):
         decode_media(b"\x00", "video/webm")
 
 
+def test_multimodal_backend_seam(spark):
+    """The external-codec seam (round 10): a decode_backend callable
+    rides in the mapInPandas task closure and (a) decodes a modality
+    the stdlib tier raises on, executing ON EXECUTORS, (b) falls
+    through to the stdlib tier when it returns None with results
+    byte-identical to no-backend, and (c) changes neither the output
+    schema nor the physical plan shape — proving libjpeg/ffmpeg could
+    replace the stdlib tiers behind this exact signature."""
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        attach_real_image_payload,
+        decode_pixels,
+        pixel_stats,
+    )
+
+    # (a) stdlib raises on this modality; the backend handles it
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"\x00\x01", "image/webp")
+
+    def backend(payload: bytes, modality: str):
+        if modality == "image/webp":
+            # stand-in for a PIL/libvips adapter: 2x3 solid color
+            # derived from the payload's first byte
+            return np.full((2, 3, 3), payload[0], dtype=np.uint8)
+        return None  # fall through to the stdlib tier
+
+    webp = spark.createDataFrame(
+        [(1, "image/webp", bytearray([7, 0])),
+         (2, "image/webp", bytearray([9, 0]))],
+        "doc_id long, modality string, payload binary",
+    )
+    rows = {r.doc_id: r for r in pixel_stats(webp, backend).collect()}
+    assert rows[1].n_pixels == 6 and rows[1].sum_r == 7 * 6
+    assert rows[2].sum_g == 9 * 6 and rows[2].width == 3
+
+    # (b) fall-through parity + (c) schema/plan shape unchanged
+    media = attach_real_image_payload(
+        spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    )
+    plain = pixel_stats(media)
+    seamed = pixel_stats(media, backend)
+    assert plain.schema == seamed.schema
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, seamed.collect())
+    )
+    # same physical operator census (the payload-builder stage is a
+    # MapInPandas too, so compare counts rather than pin an absolute)
+    plans = [
+        df._jdf.queryExecution().executedPlan().toString()
+        for df in (plain, seamed)
+    ]
+    assert plans[0].count("MapInPandas") == plans[1].count("MapInPandas")
+    assert all("Exchange" not in p for p in plans)
+
+
 def test_bow_cosine_counts_weighting_beats_jaccard_sets(spark):
     from map_reduce_project_spark.operators.text import bow_cosine_pairs
 
