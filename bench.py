@@ -3,10 +3,13 @@
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 The full result (indented, with complete probe detail) is also written
-to ``tools/logs/bench_result.json``; if the compact line would exceed
-the driver's tail-capture window the printed ``probes`` field is
-replaced by a pointer to that file (round-9 verdict item 1: the graded
-artifact must parse).
+to ``$SPARK_GRAFT_BENCH_OUT`` when set, else the GITIGNORED
+``tools/logs/bench_result_latest.json`` — a driver run never dirties a
+committed artifact (round-10 verdict item 3); the builder commits clean
+runs under round-named files. If the compact line would exceed the
+driver's tail-capture window the printed ``probes`` (then ``queries``)
+field is replaced by a pointer to that file (round-9 verdict item 1:
+the graded artifact must parse).
 
 TIERS (round-10 restructure, verdict item 3 — keep driver wall well
 under budget while every scale family still carries evidence):
@@ -640,7 +643,16 @@ def main() -> None:
         timings["warc_scan_df_200files"] = round(
             time.perf_counter() - t, 3
         )
-        task_delta = _stage_counters(spark)["tasks"] - before["tasks"]
+        # the listener bus feeding the status store is asynchronous —
+        # poll briefly until the task delta stabilizes at/above the
+        # file count instead of asserting a racy instant read
+        # (round-10 advisory)
+        deadline = time.time() + 10
+        while True:
+            task_delta = _stage_counters(spark)["tasks"] - before["tasks"]
+            if task_delta >= WARC_FILES or time.time() > deadline:
+                break
+            time.sleep(0.2)
         assert row["n"] == WARC_FILES * WARC_RECS, row["n"]
         # one task per archive file (gzip unsplittable => file is the
         # parallelism unit) + a bounded handful of agg/finalize tasks
@@ -952,16 +964,33 @@ def main() -> None:
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "probes": probes,
     }
+    # Full-result path: honors $SPARK_GRAFT_BENCH_OUT; the default is
+    # a GITIGNORED scratch file so a driver/contended run can never
+    # clobber a committed clean artifact (round-10 verdict item 3 —
+    # `git status` stays clean after a bench run on a committed tree;
+    # the builder copies a clean run to a round-named committed file).
     log_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "tools", "logs")
     os.makedirs(log_dir, exist_ok=True)
-    with open(os.path.join(log_dir, "bench_result.json"), "w") as fh:
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        log_dir, "bench_result_latest.json"
+    )
+    with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
+    rel_out = os.path.relpath(
+        out_path, os.path.dirname(os.path.abspath(__file__))
+    )
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:
         # keep the graded line inside the driver's tail-capture window
-        payload["probes"] = {"full": "tools/logs/bench_result.json"}
+        payload["probes"] = {"full": rel_out}
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:
+        # still too long (the depth-tier timings dict alone is ~40
+        # keys): point queries at the full file too, keeping
+        # metric/value/sf/loadavg inline (round-10 advisory)
+        payload["queries"] = {"full": rel_out}
         line = json.dumps(payload, separators=(",", ":"))
     print(line)
 

@@ -564,7 +564,16 @@ def connected_components(
                 }
                 if reliable_checkpoint_dir is not None:
                     info["checkpoint_dir"] = it_dir
-                    local_dir = it_dir[7:] if it_dir.startswith("file:") else it_dir
+                    # Hadoop may render the URI as file:///p, file://p
+                    # or file:/p — parse rather than slice a fixed
+                    # prefix (a 7-char slice mangles file:/p and the
+                    # ckpt_mb diagnostic silently vanishes)
+                    if it_dir.startswith("file:"):
+                        from urllib.parse import urlparse
+
+                        local_dir = urlparse(it_dir).path
+                    else:
+                        local_dir = it_dir
                     if os.path.isdir(local_dir):
                         info["ckpt_mb"] = round(
                             sum(

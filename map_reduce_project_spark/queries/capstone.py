@@ -277,7 +277,11 @@ def _frames_from_docs(
         "doc_id", F.col("clean_text").alias("text")
     )
     segs = unigram_train(clean_docs, n_rounds=2, max_piece_len=4)
-    enc = unigram_apply(clean_docs, segs)
+    # Barrier the encoded corpus too: the tokenize hook forces enc,
+    # and without a checkpoint the pack stage would re-run
+    # unigram_apply over the whole corpus — pack's reported wall
+    # would double-count tokenization (round-10 advisory).
+    enc = unigram_apply(clean_docs, segs).localCheckpoint(eager=False)
     hook("tokenize", enc)
     packed = pack_sequences(
         enc.select(
@@ -305,12 +309,14 @@ def capstone_funnel_staged(
     is wired so callback-to-callback wall time attributes per-stage
     cost. Returns ``{"funnel": {...}, "stage_walls": {...}}``.
 
-    Wall semantics: ``quality`` includes HTML extraction (the two fuse
-    into one codegen pass in the physical plan — there is no extraction
-    barrier to time against); every later stage starts from the
-    previous stage's materialized localCheckpoint, so its wall is the
-    genuine incremental cost (cluster_dedup carries the CC fixed
-    point, tokenize the training loop, pack the eager prefix-sum).
+    Wall semantics: ``quality`` includes HTML extraction (the hook
+    sequence starts at the quality count, which materializes the
+    round-10 ``ext_ok`` extraction barrier as a side effect — the two
+    are timed together); every later stage starts from the previous
+    stage's materialized localCheckpoint (including ``enc``, so pack
+    does not re-run tokenization), so its wall is the genuine
+    incremental cost (cluster_dedup carries the CC fixed point,
+    tokenize the training loop, pack the eager prefix-sum).
     ``n_raw``/``n_extracted`` are computed afterwards for the funnel
     (one column-pruned count + one re-extraction pass, untimed)."""
     import time

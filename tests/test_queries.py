@@ -480,3 +480,71 @@ def test_cdc_chunks_partition_the_token_stream(spark):
         assert g.n_tokens.sum() == toks[doc_id]
     mean_chunk = pdf.n_tokens.mean()
     assert 8 <= mean_chunk <= 32, mean_chunk  # ~16-token target
+
+
+def test_anomaly_mad_planted(spark, tmp_path):
+    """Planted-anomaly discrimination for the MAD family (round-10
+    verdict item 1: ev_anomaly_mad is green on 0 rows at both driver
+    scales, so nothing demonstrated the threshold logic). Plants a
+    known hourly baseline + spike and asserts the EXACT flagged
+    (user_id, bucket_start, n, med, mad) rows from the same query
+    function the registry runs."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.queries.events import (
+        ev_anomaly_mad_daily_q,
+        ev_anomaly_mad_q,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+
+    def hour(h):
+        return base + datetime.timedelta(hours=h)
+
+    rows = []
+    # user 100: alternating 1/2 events over hours 0..9 (med=2, mad=1),
+    # then a 10-event spike at hour 10. Flag iff n > med + 3*mad = 5:
+    # exactly the spike hour.
+    for h in range(10):
+        for i in range(1 if h % 2 == 0 else 2):
+            rows.append((100, hour(h), "view"))
+    rows += [(100, hour(10), "view")] * 10
+    # user 200: same baseline, NO spike -> no flags.
+    for h in range(10):
+        for i in range(1 if h % 2 == 0 else 2):
+            rows.append((200, hour(h), "view"))
+    # user 300: constant 3/hour baseline (mad=0) + a 50-event spike;
+    # the mad > 0 guard means a zero-dispersion baseline can never
+    # flag — documented semantics, asserted here.
+    for h in range(10):
+        rows += [(300, hour(h), "click")] * 3
+    rows += [(300, hour(10), "click")] * 50
+
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    ).withColumn("event_id", F.monotonically_increasing_id())
+    sf_dir = str(tmp_path)
+    ev.write.parquet(f"{sf_dir}/events.parquet")
+
+    got = ev_anomaly_mad_q(spark, sf_dir).collect()
+    assert len(got) == 1, got
+    r = got[0]
+    assert (r.user_id, r.bucket_start, r.n, r.med, r.mad) == (
+        100,
+        hour(10),
+        10,
+        2,
+        1,
+    ), r
+
+    # the daily k=2 sibling on the same corpus: user 100 day-counts
+    # are (25,) only -> single bucket, mad=0, no flag; sanity: it must
+    # also emit 0 here but >0 on the real sf0.01 table (driver gate
+    # covers the hash; this pins non-vacuousness).
+    daily_rows = ev_anomaly_mad_daily_q(
+        spark, "/root/testdata/sf0.01"
+    ).count()
+    assert daily_rows > 0, "daily MAD sibling must emit rows at sf0.01"
