@@ -179,7 +179,15 @@ def iter_warc_records(
 def _wrap_archive(raw: io.BufferedIOBase) -> io.BufferedIOBase:
     """Plain or gzip by magic bytes (suffix-independent);
     gzip.GzipFile handles concatenated per-record members. The caller
-    owns (and closes) ``raw`` — GzipFile does not close its fileobj."""
+    owns (and closes) ``raw`` — GzipFile does not close its fileobj.
+
+    Error contract (fuzzed by tools/fuzz_warc.py): gzip-layer
+    corruption surfaces as the decompressor's own loud errors —
+    ``EOFError`` for a member truncated before its end-of-stream
+    marker, ``gzip.BadGzipFile`` for corrupt member framing — and
+    fails the Spark task; layout violations INSIDE the decompressed
+    stream raise ``ValueError`` with byte-offset context from
+    ``iter_warc_records``. Nothing is skipped silently."""
     magic = raw.read(2)
     raw.seek(0)
     if magic == b"\x1f\x8b":
