@@ -837,6 +837,40 @@ def train_quality_classifier(
 GOPHER_MUST_HAVE = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def gopher_doc_metrics(text_col: str = "text") -> dict:
+    """The five Gopher document-rule metrics as raw Column
+    expressions — shared by ``gopher_rules`` (full per-rule verdict
+    frame) and callers that want to FILTER inline on a materialized
+    corpus without a verdict-frame semi-join (queries/capstone.py:
+    filtering directly on the checkpointed corpus removes a full
+    1M x 1M shuffle from the funnel's quality stage)."""
+    tok = F.split(F.col(text_col), " ")
+    n = F.size(tok).cast("long")
+    # single-space separated: total word length = chars - (n - 1)
+    total_len = (F.length(text_col) - n + 1).cast("long")
+    n_symbols = (
+        F.size(F.split(F.col(text_col), "#", -1))
+        - 1
+        + F.size(F.split(F.col(text_col), r"\.\.\.", -1))
+        - 1
+    ).cast("long")
+    alpha_words = F.expr(
+        f"size(filter(split({text_col}, ' '), w -> w rlike '[a-zA-Z]'))"
+    ).cast("long")
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    must_have = sum(
+        F.when(padded.contains(f" {w} "), 1).otherwise(0)
+        for w in GOPHER_MUST_HAVE
+    ).cast("long")
+    return {
+        "n_words": n,
+        "total_word_len": total_len,
+        "n_symbols": n_symbols,
+        "alpha_words": alpha_words,
+        "must_have_stopwords": must_have,
+    }
+
+
 def gopher_rules(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -858,24 +892,12 @@ def gopher_rules(
     single-line by construction, but WARC/WET ingestion
     (``sources/warc.py``) delivers real multi-line documents.
     """
-    tok = F.split(F.col(text_col), " ")
-    n = F.size(tok).cast("long")
-    # single-space separated: total word length = chars - (n - 1)
-    total_len = (F.length(text_col) - n + 1).cast("long")
-    n_symbols = (
-        F.size(F.split(F.col(text_col), "#", -1))
-        - 1
-        + F.size(F.split(F.col(text_col), r"\.\.\.", -1))
-        - 1
-    ).cast("long")
-    alpha_words = F.expr(
-        f"size(filter(split({text_col}, ' '), w -> w rlike '[a-zA-Z]'))"
-    ).cast("long")
-    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
-    must_have = sum(
-        F.when(padded.contains(f" {w} "), 1).otherwise(0)
-        for w in GOPHER_MUST_HAVE
-    ).cast("long")
+    m = gopher_doc_metrics(text_col)
+    n = m["n_words"]
+    total_len = m["total_word_len"]
+    n_symbols = m["n_symbols"]
+    alpha_words = m["alpha_words"]
+    must_have = m["must_have_stopwords"]
     r_wc = (n >= 50) & (n <= 100_000)
     r_mwl = (3 * n <= total_len) & (total_len <= 10 * n)
     r_sym = 10 * n_symbols <= n

@@ -199,7 +199,7 @@ def _frames_from_docs(
         minhash_signatures,
     )
     from map_reduce_project_spark.operators.text import (
-        gopher_rules,
+        gopher_doc_metrics,
         html_extract,
         pack_sequences,
         unigram_apply,
@@ -209,34 +209,45 @@ def _frames_from_docs(
     hook = stage_hook or (lambda name, frame: None)
     wrapped = _wrapped_corpus(docs)
     ext = html_extract(wrapped)
-    # Barrier the extraction output (round 10): the quality semi-join
-    # reads ext_ok on BOTH sides (rows + rule verdicts), and without a
-    # barrier each side re-runs the full HTML-extraction regex chain —
-    # the ladder's single most expensive per-doc term (measured ~2x
-    # the quality stage at the 1M-doc bench tier, ~48s -> ~27s at
-    # 100k docs). Same O9 discipline as the three barriers below.
-    ext_ok = (
-        ext.where(F.col("extracted_text") != "")
-        .select("doc_id", F.col("extracted_text").alias("text"))
-        .localCheckpoint(eager=False)
+    # Barrier the extraction output BEFORE any filter touches it
+    # (round 11): a `where(extracted_text != '')` placed above
+    # html_extract's layered projections gets predicate-pushed BELOW
+    # them, inlining the whole regex chain into the filter condition
+    # with multiplicative alias duplication (the optimized plan grows
+    # to ~64 KB of expression text) — measured 48.2 s vs 6.4 s for
+    # this materialization at the 1M-doc bench tier. Checkpoint the
+    # pruned projection first; the filter then reads a materialized
+    # column (plan: 179 chars). Same O9 discipline as the barriers
+    # below (round 10 added the barrier; round 11 moved it below the
+    # filter).
+    ext_ck = ext.select("doc_id", "extracted_text").localCheckpoint(
+        eager=False
     )
-    gm = gopher_rules(ext_ok)
-    qual_ids = gm.where(
-        F.col("pass_word_count")
-        & F.col("pass_mean_word_len")
-        & F.col("pass_symbol_ratio")
-        & F.col("pass_alpha_words")
-        & (F.col("must_have_stopwords") >= 1)
-    ).select("doc_id")
+    ext_ok = ext_ck.where(F.col("extracted_text") != "").select(
+        "doc_id", F.col("extracted_text").alias("text")
+    )
+    # Quality gate as an INLINE filter on the materialized corpus
+    # (round 11): the rules are row-local functions of text, so the
+    # former rule-frame left-semi join (a full corpus-sized shuffle
+    # on both sides) is a plain predicate — one exchange fewer, and
+    # the 100 TB shape is a map-only stage. Same thresholds as
+    # gopher_rules (must_have >= 1 is this funnel's deliberate
+    # relaxation — synthetic corpora have one planted stopword).
+    m = gopher_doc_metrics("text")
+    n_w, tl = m["n_words"], m["total_word_len"]
     # Barrier the quality-survivor corpus (O9 discipline): the
     # MinHash->LSH->Jaccard chain below references it ~6 times
     # (signatures, candidate semi-filter, shingle sets) and each
-    # reference would otherwise re-run the HTML-extraction regexes
-    # over the full corpus on BOTH semi-join sides — measured 68s ->
-    # ~8s for the CC phase at sf0.1 with the barrier in.
-    quality = ext_ok.join(qual_ids, "doc_id", "left_semi").localCheckpoint(
-        eager=False
-    )
+    # reference would otherwise re-run the filter + upstream chain.
+    quality = ext_ok.where(
+        (n_w >= 50)
+        & (n_w <= 100_000)
+        & (3 * n_w <= tl)
+        & (tl <= 10 * n_w)
+        & (10 * m["n_symbols"] <= n_w)
+        & (5 * m["alpha_words"] >= 4 * n_w)
+        & (m["must_have_stopwords"] >= 1)
+    ).localCheckpoint(eager=False)
     hook("quality", quality)
 
     sigs = minhash_signatures(quality, num_hashes=num_hashes)
