@@ -47,16 +47,27 @@ DEFAULT tier — runs every invocation, the driver's graded set:
 
 DEPTH tier — ``--depth`` flag or SPARK_GRAFT_BENCH_DEPTH=1. The
 single-draw 5M/20M/1M depth probes (5M-edge and 20M-edge
-reliable-checkpoint CC — the 20M line now records PER-ITERATION wall /
-new-pair / checkpoint-size stats via the loop's on_iteration hook —
-5M-doc MinHash dedup, 5M-doc exact-substring spans, 5M-doc BM25, and
-the 1M-vector IVF build/search/brute trio). These grew the all-in
-bench wall ~50%/round (r8 1009 s -> r9 1493 s) while changing little
-round to round, so the driver's default run keeps the headline + 500k
-tiers and the builder runs ``--depth`` each round, committing the full
-output as ``tools/logs/bench_depth_r{N}.json`` (cadence documented in
-README). Linearity evidence therefore stays continuous across rounds
-without the driver paying the 20M probe's wall every time.
+reliable-checkpoint CC — the 20M line records PER-ITERATION wall /
+new-pair / checkpoint-size / SPILL-delta stats via the loop's
+on_iteration hook (round-11: spill is the r10-root-caused variance
+term, now measured per iteration) — 5M-doc MinHash dedup, 5M-doc
+exact-substring spans, 5M-doc BM25, the 1M-vector IVF
+build/search/brute trio, and (round 11) the sf10 relational notch:
+60M-row lineitem, 100x the headline sf_dir, with per-query ratios vs
+the sf1 lines in ``probes.headline_sf10`` — two decades of scaling
+series). These grew the all-in bench wall ~50%/round (r8 1009 s ->
+r9 1493 s) while changing little round to round, so the driver's
+default run keeps the headline + 500k tiers and the builder runs
+``--depth`` each round, committing the full output as
+``tools/logs/bench_depth_r{N}.json`` (cadence documented in README).
+Linearity evidence therefore stays continuous across rounds without
+the driver paying the 20M probe's wall every time.
+
+Every SINGLE-DRAW line (stream, sf1/sf10 notches, WARC, capstone,
+depth probes) additionally records the 1-minute loadavg sampled at
+its own start in ``probes.line_loadavg`` (round-10 verdict item 6:
+same-code draws swung up to 3x on host contention; the artifact now
+explains each draw by itself).
 
 METHODOLOGY: the HEADLINE pass (3 reference configs + 13 engine
 headliners) runs FIRST — in the freshly started JVM, before any probe
@@ -167,12 +178,19 @@ def _stage_counters(spark) -> dict:
         gw.new_array(jvm.double, 0),
         jvm.java.util.ArrayList(),
     )
-    tot = {"shuffle_write_bytes": 0, "tasks": 0}
+    tot = {
+        "shuffle_write_bytes": 0,
+        "tasks": 0,
+        "disk_spill_bytes": 0,
+        "mem_spill_bytes": 0,
+    }
     it = stages.iterator()
     while it.hasNext():
         s = it.next()
         tot["shuffle_write_bytes"] += s.shuffleWriteBytes()
         tot["tasks"] += s.numCompleteTasks()
+        tot["disk_spill_bytes"] += s.diskBytesSpilled()
+        tot["mem_spill_bytes"] += s.memoryBytesSpilled()
     return tot
 
 
@@ -197,6 +215,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     probes: dict = {}
+
+    # Round-10 verdict item 6: single-draw lines swung up to 3x
+    # between same-code runs purely on host contention
+    # (stream_agg_df_1m 19.5->29.5 s, sf1_q5 2.28->7.10 s). Every
+    # single-draw line now carries the 1-minute loadavg sampled at ITS
+    # OWN start (probes.line_loadavg), so any draw is explainable from
+    # the artifact alone without min-of-2'ing 100+ extra seconds of
+    # depth probes.
+    line_load: dict[str, list] = {}
+    probes["line_loadavg"] = line_load
+
+    def _la(name: str) -> None:
+        line_load[name] = [round(x, 2) for x in os.getloadavg()]
 
     # ---------------- headline pass (fresh JVM, min-of-N) ----------
     for name, gen in CCF_BENCHES.items():
@@ -495,6 +526,7 @@ def main() -> None:
             q.stop()
         assert got == batch_agg, (len(got), len(batch_agg))
 
+    _la("stream_agg_df_1m")
     t = time.perf_counter()
     run_stream()
     timings["stream_agg_df_1m"] = round(time.perf_counter() - t, 3)
@@ -515,6 +547,7 @@ def main() -> None:
         timings["sf1_synth_write"] = round(time.perf_counter() - t, 3)
         for name in HEADLINERS:
             fn = registry[name].fn
+            _la(f"sf1_{name}")
             t = time.perf_counter()
             n = fn(spark, sf1_dir).count()
             timings[f"sf1_{name}"] = round(time.perf_counter() - t, 3)
@@ -522,6 +555,7 @@ def main() -> None:
 
         # the curation ladder at the same 10x notch, funnel form,
         # monotone-attrition invariant asserted
+        _la("sf1_curation_capstone_funnel")
         t = time.perf_counter()
         funnel = registry["curation_capstone_funnel"].fn(
             spark, sf1_dir
@@ -630,6 +664,7 @@ def main() -> None:
             1,
         )
         before = _stage_counters(spark)
+        _la("warc_scan_df_200files")
         t = time.perf_counter()
         row = (
             read_warc(spark, warc_dir)
@@ -731,6 +766,7 @@ def main() -> None:
             .alias("text"),
         )
 
+    _la("capstone_funnel_1m")
     t = time.perf_counter()
     staged = capstone_funnel_staged(spark, synth_capstone_docs(500_000))
     timings["capstone_funnel_1m"] = round(time.perf_counter() - t, 3)
@@ -785,6 +821,7 @@ def main() -> None:
                 )
                 shutil.rmtree(ckpt, ignore_errors=True)
 
+        _la("ccf_random_df_5m_reliable")
         t = time.perf_counter()
         run_reliable(
             lambda: random_graph_df(spark, 2_500_000, 5_000_000, seed=42),
@@ -794,6 +831,7 @@ def main() -> None:
             time.perf_counter() - t, 3
         )
 
+        _la("ccf_skew_df_5m_reliable")
         t = time.perf_counter()
         run_reliable(
             lambda: hub_graph_df(
@@ -807,20 +845,38 @@ def main() -> None:
         )
 
         # 20M-edge notch, per-iteration instrumented (round-9 verdict
-        # item 2: the regression forensics live in these fields)
+        # item 2: the regression forensics live in these fields;
+        # round-11 adds per-iteration SPILL deltas — the storage term
+        # the r10 root-cause identified as the variance driver)
         iter_stats: list[dict] = []
-        sw0 = _stage_counters(spark)["shuffle_write_bytes"]
+        _c0 = _stage_counters(spark)
+        sw0 = _c0["shuffle_write_bytes"]
+        _spill_prev = {"disk": _c0["disk_spill_bytes"],
+                       "mem": _c0["mem_spill_bytes"]}
+
+        def _iter_hook(info: dict) -> None:
+            c = _stage_counters(spark)
+            row = {
+                k: info[k]
+                for k in ("iteration", "wall_sec", "new_pairs", "ckpt_mb")
+                if k in info
+            }
+            row["spill_disk_gb"] = round(
+                (c["disk_spill_bytes"] - _spill_prev["disk"]) / 2**30, 2
+            )
+            row["spill_mem_gb"] = round(
+                (c["mem_spill_bytes"] - _spill_prev["mem"]) / 2**30, 2
+            )
+            _spill_prev["disk"] = c["disk_spill_bytes"]
+            _spill_prev["mem"] = c["mem_spill_bytes"]
+            iter_stats.append(row)
+
+        _la("ccf_random_df_20m_reliable")
         t = time.perf_counter()
         iters_20m = run_reliable(
             lambda: random_graph_df(spark, 10_000_000, 20_000_000, seed=42),
             "window",
-            on_iteration=lambda info: iter_stats.append(
-                {
-                    k: info[k]
-                    for k in ("iteration", "wall_sec", "new_pairs", "ckpt_mb")
-                    if k in info
-                }
-            ),
+            on_iteration=_iter_hook,
         )
         timings["ccf_random_df_20m_reliable"] = round(
             time.perf_counter() - t, 3
@@ -836,14 +892,17 @@ def main() -> None:
             "per_iteration": iter_stats,
         }
 
+        _la("dedup_minhash_df_5m")
         t = time.perf_counter()
         run_dedup(5_000_000)
         timings["dedup_minhash_df_5m"] = round(time.perf_counter() - t, 3)
 
+        _la("dedup_spans_df_5m")
         t = time.perf_counter()
         run_dup_spans(5_000_000)
         timings["dedup_spans_df_5m"] = round(time.perf_counter() - t, 3)
 
+        _la("text_bm25_df_5m")
         t = time.perf_counter()
         run_text_bm25(5_000_000)
         timings["text_bm25_df_5m"] = round(time.perf_counter() - t, 3)
@@ -896,6 +955,7 @@ def main() -> None:
         idx_dir = tempfile.mkdtemp(prefix="bench_ivf1m_")
         corpus_dir = tempfile.mkdtemp(prefix="bench_anncorpus1m_")
         try:
+            _la("ann_corpus_df_1m_write")
             t = time.perf_counter()
             synth_ann_corpus(ann_n).write.mode("overwrite").parquet(
                 corpus_dir
@@ -908,6 +968,7 @@ def main() -> None:
                 (F.col("vec_id") % (ann_n // 100)) == 77
             )
 
+            _la("ann_ivf_df_1m_build")
             t = time.perf_counter()
             write_ivf_index(corpus, idx_dir, n_centroids=ANN_NC)
             timings["ann_ivf_df_1m_build"] = round(
@@ -920,6 +981,7 @@ def main() -> None:
             ]
             assert len(cells) == ANN_NC, len(cells)
 
+            _la("ann_ivf_df_1m_search")
             t = time.perf_counter()
             ivf_pairs = {
                 (r.query_id, r.target_id)
@@ -931,6 +993,7 @@ def main() -> None:
                 time.perf_counter() - t, 3
             )
 
+            _la("ann_brute_df_1m")
             t = time.perf_counter()
             brute_pairs = {
                 (r.query_id, r.target_id)
@@ -944,6 +1007,53 @@ def main() -> None:
         finally:
             shutil.rmtree(idx_dir, ignore_errors=True)
             shutil.rmtree(corpus_dir, ignore_errors=True)
+
+        # ---------------- sf10 relational notch (round 11) ----------
+        # One rung above the sf1 notch: 60M-row lineitem (100x the
+        # headline sf_dir), single-draw, depth tier only — extends the
+        # scaling series to two decades. Ratios vs the default tier's
+        # sf1 lines are recorded in probes.headline_sf10 (sublinear or
+        # ~linear in the 10x data is the pass shape; the sort/agg
+        # terms that would break at 100 TB show up superlinear here
+        # first).
+        SF10_QS = (
+            "q1_pricing_summary",
+            "q3_top_revenue_orders",
+            "cc_orders_bipartite",
+        )
+        sf10_dir = scratch_dir("bench_sf10_")
+        try:
+            _la("sf10_synth_write")
+            t = time.perf_counter()
+            sf10_rows = synthesize_sf(spark, sf10_dir, scale=100.0)
+            timings["sf10_synth_write"] = round(
+                time.perf_counter() - t, 3
+            )
+            ratios = {}
+            for name in SF10_QS:
+                fn = registry[name].fn
+                _la(f"sf10_{name}")
+                t = time.perf_counter()
+                n = fn(spark, sf10_dir).count()
+                timings[f"sf10_{name}"] = round(
+                    time.perf_counter() - t, 3
+                )
+                assert n >= 1, name
+                sf1_wall = timings.get(f"sf1_{name}")
+                if sf1_wall:
+                    ratios[name] = round(
+                        timings[f"sf10_{name}"] / sf1_wall, 2
+                    )
+            probes["headline_sf10"] = {
+                "rows": sf10_rows,
+                "ratio_vs_sf1_at_10x_data": ratios,
+                "note": (
+                    "single-draw at 100x the headline sf_dir; ratio "
+                    "~<=10 per 10x data is the linear-or-better bar"
+                ),
+            }
+        finally:
+            _shutil.rmtree(sf10_dir, ignore_errors=True)
 
     # ---------------- emit ------------------------------------------
     total = round(sum(timings.values()), 3)
