@@ -302,6 +302,58 @@ QUERIES.append(
 )
 
 
+def ev_attribution_outer_streaming_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join under the FULL hash
+    gate (round-11; closes the round-10 'property-tier only' residual):
+    unmatched purchases emit null click columns only once the
+    watermark passes their eviction point, so a bounded stream
+    normally withholds its tail. The horizon-sentinel stream appends
+    far-future sentinel micro-batches that advance the watermark past
+    every real row — on an unbounded production stream that is just
+    'time keeps passing' — making the availableNow result EXACTLY the
+    batch LEFT OUTER join, oracle-hashable row for row."""
+    from map_reduce_project_spark.streaming.sinks import (
+        purchase_attribution_stream_outer,
+    )
+    from map_reduce_project_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_events_with_horizon_sentinel,
+    )
+
+    stream = stream_events_with_horizon_sentinel(spark, sf_dir)
+    joined = purchase_attribution_stream_outer(stream, "1 hour", "2 hours")
+    return run_stream_to_memory(joined, output_mode="append").where(
+        F.col("user_id") != -1
+    )
+
+
+EV_ATTRIBUTION_OUTER_STREAM_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS purchase_value,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+"""
+
+QUERIES.append(
+    Query(
+        "ev_attribution_outer_streaming",
+        ev_attribution_outer_streaming_q,
+        EV_ATTRIBUTION_OUTER_STREAM_SQL,
+        "LEFT OUTER stream-stream interval join, watermark advanced past "
+        "the bounded-stream tail by sentinel batches — exact hash vs the "
+        "batch left-join oracle",
+    )
+)
+
+
 def ev_dedup_streaming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup under the gate: the event stream unioned
     with itself (at-least-once redelivery) deduped with

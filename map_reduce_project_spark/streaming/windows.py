@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,6 +105,97 @@ def stream_dedup_events(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def stream_events_with_horizon_sentinel(
+    spark: SparkSession,
+    sf_dir: str,
+    sentinel_user_id: int = -1,
+    n_sentinel_batches: int = 2,
+) -> DataFrame:
+    """events.parquet as a file stream with FAR-FUTURE SENTINEL
+    batches appended — the watermark-advancement trick that closes the
+    bounded-stream completeness gap for stateful operators whose
+    trailing emissions wait on the watermark (outer stream-stream
+    joins: an unmatched left row only emits its null result once the
+    watermark passes its eviction point, so the last
+    watermark+window of a bounded stream is normally withheld).
+
+    Mechanics: the real file is copied into a scratch directory, then
+    ``n_sentinel_batches`` single-row-pair parquet files (one click +
+    one purchase for ``sentinel_user_id``, event time ~1000 h past the
+    real max, successive mtimes) are appended. With
+    ``maxFilesPerTrigger=1`` the file source schedules them as LATER
+    micro-batches, so the watermark provably advances past every real
+    row's eviction point while data batches are still flowing — on an
+    unbounded production stream this is just "time keeps passing";
+    here it makes the availableNow result EXACTLY equal to the batch
+    semantics, enabling a hash gate instead of a horizon-bounded
+    property test. Callers filter ``user_id != sentinel_user_id``.
+
+    Sentinel rows are synthesized FROM the raw file's own schema (ts
+    has shipped as both bigint nanos and TIMESTAMP_NTZ micros across
+    testdata generations), so the directory stays homogeneous.
+    """
+    import datetime
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.sources.io import _normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(path)
+    dtypes = dict(raw.dtypes)
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+
+    d = tempfile.mkdtemp(prefix="ev_sentinel_")
+    _shutil.copyfile(path, os.path.join(d, "events.parquet"))
+
+    for i in range(n_sentinel_batches):
+        if dtypes["ts"] == "bigint":  # nanos
+            ts_lit = F.lit(
+                int(max_ts) + (1000 + i) * 3_600 * 1_000_000_000
+            ).cast("bigint")
+        else:
+            ts_lit = F.lit(
+                max_ts + datetime.timedelta(hours=1000 + i)
+            ).cast(dtypes["ts"])
+        pair = None
+        for j, etype in enumerate(("click", "purchase")):
+            row = raw.limit(1).select(
+                F.lit(-(1_000_000 + 2 * i + j))
+                .cast(dtypes["event_id"])
+                .alias("event_id"),
+                ts_lit.alias("ts"),
+                F.lit(sentinel_user_id)
+                .cast(dtypes["user_id"])
+                .alias("user_id"),
+                F.lit(etype).cast(dtypes["event_type"]).alias("event_type"),
+                F.lit(0.0).cast(dtypes["value"]).alias("value"),
+                F.lit(None).cast(dtypes["props"]).alias("props"),
+            )
+            pair = row if pair is None else pair.unionAll(row)
+        tmp_out = tempfile.mkdtemp(prefix="ev_sentinel_part_")
+        pair.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        (part,) = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))
+        dst = os.path.join(d, f"zz_sentinel_{i}.parquet")
+        _shutil.move(part, dst)
+        _shutil.rmtree(tmp_out, ignore_errors=True)
+        # strictly increasing mtimes => strictly later micro-batches
+        now = time.time()
+        os.utime(dst, (now + i + 1, now + i + 1))
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(d)
+    )
+    return _normalize_event_ts(stream)
 
 
 def run_stream_to_memory(
