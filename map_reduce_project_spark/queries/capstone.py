@@ -255,10 +255,16 @@ def _frames_from_docs(
         lsh_buckets(sigs, num_hashes=num_hashes, bands=bands)
     )
     verified = jaccard_verify(quality, cands, threshold=0.5)
+    # Barrier the verified edge list (round 11): connected_components'
+    # local fast path runs count() THEN collect() on its input, so an
+    # unbarriered edge frame re-executes the whole
+    # MinHash->LSH->Jaccard chain twice (~23 s of the 44.6 s
+    # cluster_dedup stage wall at the 1M-doc bench tier). One
+    # dedup-pair-sized checkpoint halves the stage.
     edges = verified.select(
         F.lpad(F.col("id_a").cast("string"), _CC_PAD, "0").alias("src"),
         F.lpad(F.col("id_b").cast("string"), _CC_PAD, "0").alias("dst"),
-    )
+    ).localCheckpoint(eager=False)
     res = connected_components(edges, local_threshold=500_000)
     drop = res.mapping.select(
         F.col("node").cast("bigint").alias("doc_id")
