@@ -226,11 +226,15 @@ def dedup_cluster_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verified = jaccard_verify(corpus, cands, threshold=0.5)
     # 12-digit pad: 6 would silently truncate 7-digit doc_ids on BOTH
-    # engines identically (gate stays green on merged components)
+    # engines identically (gate stays green on merged components).
+    # Barriered (round 11): connected_components' local fast path runs
+    # count() then collect() on its input, so an unbarriered edge
+    # frame re-executes the MinHash->LSH->Jaccard chain twice — same
+    # fix as the capstone's cluster stage.
     edges = verified.select(
         F.lpad(F.col("id_a").cast("string"), 12, "0").alias("src"),
         F.lpad(F.col("id_b").cast("string"), 12, "0").alias("dst"),
-    )
+    ).localCheckpoint(eager=False)
     res = connected_components(edges, local_threshold=500_000)
     return res.mapping.select(
         F.col("node").cast("bigint").alias("doc_id"),
