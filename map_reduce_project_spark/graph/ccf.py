@@ -364,7 +364,14 @@ def connected_components(
     run ``ccf_fixed_point_local`` on the driver instead of the
     distributed loop (identical semantics; see its docstring for why).
     Callers with reference-harness-scale graphs (bench, experiment
-    sweep) opt in; the default stays distributed.
+    sweep) opt in; the default stays distributed. CALLER CONTRACT:
+    the sizing count and the local path's collect are two executions
+    of the input plan — if ``edges`` is the tail of an expensive
+    chain (e.g. a MinHash->LSH->Jaccard candidate pipeline),
+    ``localCheckpoint(eager=False)`` it first or the whole chain runs
+    twice (round 11 measured ~2x stage wall in both curation
+    pipelines); a plain scan/join input recomputes cheaply and needs
+    no barrier.
 
     ``n_edges_hint``: known edge cardinality; skips the one eager
     sizing count (local-path decision, shuffle model, skew-probe
