@@ -406,19 +406,13 @@ def connected_components(
     moment iteration i+1 materializes, so on-disk size is one
     generation of pairs, not one per iteration; the FINAL generation's
     files back the returned mapping and are the caller's to remove
-    (the caller owns the directory). The session's previous checkpoint
-    dir is restored on exit; if none was set, it is parked at
-    ``<dir>/session`` so a later ``df.checkpoint()`` elsewhere never
-    collides with loop files. Two session-global caveats follow:
-    deleting the directory while the session lives invalidates both
-    the returned mapping's backing files AND that parked checkpoint
-    dir (re-point with ``setCheckpointDir`` first, or collect the
-    mapping before removing); and because the loop re-points the
-    session checkpoint dir per iteration, it assumes a single driver
-    loop at a time — the same single-loop assumption already
-    documented for the shuffle-partition override. Concurrent
-    checkpointing work in the same session should use localCheckpoint
-    or run after the loop returns.
+    (the caller owns the directory — deleting it while the session
+    lives invalidates the returned mapping's backing files, so
+    collect the mapping first). The session checkpoint directory is
+    never read or written: the parquet barrier is path-addressed, so
+    ``df.checkpoint()`` elsewhere in the session is unaffected. The
+    single-driver-loop-at-a-time assumption documented for the
+    shuffle-partition override still applies.
 
     Returns the (node, component) mapping where component is the
     lexicographically smallest node ID in the node's component; the
@@ -533,10 +527,6 @@ def connected_components(
     counts: list[int] = []
     cycler = CheckpointCycler(spark)
     prev_reliable_dir: str | None = None
-    old_ckpt_dir: str | None = None
-    if reliable_checkpoint_dir is not None:
-        opt = spark.sparkContext._jsc.sc().getCheckpointDir()
-        old_ckpt_dir = opt.get() if opt.isDefined() else None
 
     try:
         while iterations < max_iterations:
@@ -632,15 +622,6 @@ def connected_components(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
-        if reliable_checkpoint_dir is not None:
-            # restore the session's checkpoint dir; if none was set,
-            # park it at a subdir the loop never deletes so later
-            # checkpoints elsewhere can't collide with loop files
-            spark.sparkContext.setCheckpointDir(
-                old_ckpt_dir
-                if old_ckpt_dir is not None
-                else f"{reliable_checkpoint_dir}/session"
-            )
 
     mapping = pairs.select(
         F.col("src").alias("node"), F.col("dst").alias("component")

@@ -335,7 +335,8 @@ def capstone_funnel_staged(
     incremental cost (cluster_dedup carries the CC fixed point,
     tokenize the training loop, pack the eager prefix-sum).
     ``n_raw``/``n_extracted`` are computed afterwards for the funnel
-    (one column-pruned count + one re-extraction pass, untimed)."""
+    (one column-pruned count + one cheap count over the materialized
+    extraction checkpoint, untimed)."""
     import time
 
     walls: dict[str, float] = {}

@@ -17,10 +17,22 @@ machines; the built-in window/session_window cover the standard ones.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import time
 import uuid
+
+
+def _scratch_dir(prefix: str) -> str:
+    """tempfile.mkdtemp registered for atexit removal — streaming
+    scratch state (sentinel stream copies, memory-sink checkpoints)
+    is per-run and would otherwise leak disk proportional to the
+    events table size across repeated gate/test runs."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -152,7 +164,7 @@ def stream_events_with_horizon_sentinel(
     dtypes = dict(raw.dtypes)
     max_ts = raw.agg(F.max("ts")).collect()[0][0]
 
-    d = tempfile.mkdtemp(prefix="ev_sentinel_")
+    d = _scratch_dir("ev_sentinel_")
     _shutil.copyfile(path, os.path.join(d, "events.parquet"))
 
     for i in range(n_sentinel_batches):
@@ -206,7 +218,7 @@ def run_stream_to_memory(
     """Run a streaming aggregation to completion (availableNow) into a
     memory sink; returns the result as a batch DataFrame."""
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_")
+    checkpoint = _scratch_dir("ckpt_")
     query = (
         streaming_df.writeStream.format("memory")
         .queryName(name)
