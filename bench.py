@@ -798,6 +798,10 @@ def main() -> None:
             graph_fn, expect_path: str, on_iteration=None, **cc_kwargs
         ) -> int:
             ckpt = tempfile.mkdtemp(prefix="bench_ccf_rel_")
+            # star rounds write round-NNNN generation dirs, the CCF
+            # loop iter-NNNN — the one-surviving-generation invariant
+            # is the same
+            gen = "round" if cc_kwargs.get("algorithm") == "star" else "iter"
             try:
                 res = connected_components(
                     graph_fn(),
@@ -813,12 +817,9 @@ def main() -> None:
                     for dp, _, fs in os.walk(ckpt)
                     if fs
                 }
-                assert live == {f"iter-{res.iterations:04d}"}, live
+                assert live == {f"{gen}-{res.iterations:04d}"}, live
                 return res.iterations
             finally:
-                spark.sparkContext.setCheckpointDir(
-                    tempfile.mkdtemp(prefix="bench_ckpt_park_")
-                )
                 shutil.rmtree(ckpt, ignore_errors=True)
 
         _la("ccf_random_df_5m_reliable")
@@ -890,6 +891,41 @@ def main() -> None:
                 2,
             ),
             "per_iteration": iter_stats,
+        }
+
+        # Bounded-intermediate twin of the 20M notch (round-12):
+        # alternating large-star/small-star via the algorithm= dispatch.
+        # CCF's mid-convergence blowup (iteration 5 emits 292.8M pairs
+        # from the 20M input) is the engine's last 100x-scale risk;
+        # star's per-round state is the DEDUPED canonical edge set,
+        # bounded by n + m (Kiveris et al., SoCC 2014). The probe
+        # records per-round pair counts so the two trajectories are
+        # directly comparable.
+        star_stats: list[dict] = []
+        _la("ccf_random_df_20m_star_reliable")
+        t = time.perf_counter()
+        rounds_20m = run_reliable(
+            lambda: random_graph_df(spark, 10_000_000, 20_000_000, seed=42),
+            "star",
+            on_iteration=lambda i: star_stats.append(
+                {
+                    k: i[k]
+                    for k in ("iteration", "wall_sec", "pairs", "ckpt_mb")
+                    if k in i
+                }
+            ),
+            algorithm="star",
+        )
+        timings["ccf_random_df_20m_star_reliable"] = round(
+            time.perf_counter() - t, 3
+        )
+        probes["star_20m"] = {
+            "rounds": rounds_20m,
+            "peak_pairs": max(i["pairs"] for i in star_stats),
+            "ccf_peak_new_pairs": max(
+                (i["new_pairs"] for i in iter_stats), default=None
+            ),
+            "per_round": star_stats,
         }
 
         _la("dedup_minhash_df_5m")
@@ -1020,6 +1056,12 @@ def main() -> None:
             "q1_pricing_summary",
             "q3_top_revenue_orders",
             "cc_orders_bipartite",
+            # round-12: the LLM-pipeline families join the scaling
+            # series (round-11 verdict item 3) — banded MinHash-LSH
+            # candidates and Jaccard verification over the 500k-doc
+            # sf10 documents table must stay near-linear vs sf1
+            "dedup_minhash_candidates",
+            "dedup_jaccard_verified",
         )
         sf10_dir = scratch_dir("bench_sf10_")
         try:
@@ -1044,6 +1086,30 @@ def main() -> None:
                     ratios[name] = round(
                         timings[f"sf10_{name}"] / sf1_wall, 2
                     )
+            # the staged curation funnel at the same 100x notch
+            # (500k docs), monotone-attrition asserted — the third
+            # decade of the capstone scaling series
+            _la("sf10_curation_capstone_funnel")
+            t = time.perf_counter()
+            funnel = registry["curation_capstone_funnel"].fn(
+                spark, sf10_dir
+            ).collect()[0]
+            timings["sf10_curation_capstone_funnel"] = round(
+                time.perf_counter() - t, 3
+            )
+            assert (
+                funnel.n_raw
+                >= funnel.n_extracted
+                >= funnel.n_quality
+                >= funnel.n_canonical
+                > 0
+            ), funnel
+            sf1_wall = timings.get("sf1_curation_capstone_funnel")
+            if sf1_wall:
+                ratios["curation_capstone_funnel"] = round(
+                    timings["sf10_curation_capstone_funnel"] / sf1_wall,
+                    2,
+                )
             probes["headline_sf10"] = {
                 "rows": sf10_rows,
                 "ratio_vs_sf1_at_10x_data": ratios,

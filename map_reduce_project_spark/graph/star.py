@@ -34,6 +34,9 @@ point every edge is (node, component-min).
 
 from __future__ import annotations
 
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -91,7 +94,11 @@ def small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components_star(
-    edges: DataFrame, max_rounds: int = MAX_ROUNDS
+    edges: DataFrame,
+    max_rounds: int = MAX_ROUNDS,
+    reliable_checkpoint_dir: str | None = None,
+    n_edges_hint: int | None = None,
+    on_iteration=None,
 ) -> CCFResult:
     """Fixed point of alternating large-star / small-star.
 
@@ -102,7 +109,32 @@ def connected_components_star(
     ``new_pair_counts`` records the per-round fingerprint-change flag
     (1 = changed, 0 = fixed point) rather than the reference's
     emission counter, which has no analogue here.
+
+    Why this exists at 100 TB (round-11 verdict item 1): CCF's
+    intermediate volume peaks mid-convergence — iteration 5 of the
+    20M-edge run emits 292.8M pairs from a 20M-edge input (14.6×),
+    and the multiplier grows with component size, because every
+    member of a partially-merged component re-emits (member, min)
+    from MANY groups at once. The star rounds never amplify: each
+    round's output is the DEDUPED canonical edge set, which Kiveris
+    et al. (SoCC 2014, Thm 3.1/3.2) show never exceeds n + m rows
+    and shrinks monotonically after the first rounds. Peak
+    per-round state is therefore bounded by the input, not by the
+    convergence trajectory — the property that survives a 100×
+    scale-up.
+
+    ``reliable_checkpoint_dir`` / ``n_edges_hint`` / ``on_iteration``
+    have the same contracts as on ``connected_components``: parquet
+    write+readback barrier per round with superseded generations
+    deleted (executor-loss tolerance for multi-hour runs; the final
+    generation backs the returned mapping and is the caller's to
+    remove after collecting), skip the sizing count when cardinality
+    is known, and a per-round observability hook — its dict reports
+    ``pairs`` (the canonical edge-set size, the bounded-intermediate
+    metric) instead of CCF's ``new_pairs`` emission counter.
     """
+    import time
+
     spark = edges.sparkSession
     pairs = edges.select(
         F.col(edges.columns[0]).alias("src"),
@@ -113,7 +145,7 @@ def connected_components_star(
         _loop_shuffle_partitions,
     )
 
-    n_edges = pairs.count()
+    n_edges = n_edges_hint if n_edges_hint is not None else pairs.count()
     target = _loop_shuffle_partitions(n_edges)
     small = target <= 64
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -128,7 +160,8 @@ def connected_components_star(
         """(row_count, exact decimal sum of per-row xxhash64) — an
         order-insensitive set fingerprint computed in one tiny
         aggregate job (the materializing action for the round's
-        checkpoint). decimal(38,0) keeps the sum exact under ANSI
+        checkpoint in default mode; a cheap columnar readback scan in
+        reliable mode). decimal(38,0) keeps the sum exact under ANSI
         mode (a long sum of 64-bit hashes overflows)."""
         row = df.agg(
             F.count("*").alias("n"),
@@ -143,34 +176,66 @@ def connected_components_star(
     converged = False
     changes: list[int] = []
     prev_fp = None
+    prev_reliable_dir: str | None = None
 
     from map_reduce_project_spark.graph.checkpointing import (
         CheckpointCycler,
+        hadoop_delete as _hadoop_delete,
     )
 
     cycler = CheckpointCycler(spark)
 
     try:
-        # canonicalize once so round-0 fingerprint is comparable
-        pairs = small_star(large_star(pairs)).dropDuplicates(
-            ["src", "dst"]
-        ).localCheckpoint(eager=False)
-        rounds = 1
-        prev_fp = fingerprint(pairs)
-        cycler.cycle(pairs)
-        changes.append(1)
-
         while rounds < max_rounds:
             rounds += 1
-            nxt = small_star(large_star(pairs)).dropDuplicates(
+            it_t0 = time.perf_counter()
+            stepped = small_star(large_star(pairs)).dropDuplicates(
                 ["src", "dst"]
-            ).localCheckpoint(eager=False)
+            )
+            if reliable_checkpoint_dir is not None:
+                # same parquet write+readback barrier as the CCF loop
+                # (graph/ccf.py): one execution per round, columnar
+                # generations, files survive executor loss
+                it_dir = f"{reliable_checkpoint_dir}/round-{rounds:04d}"
+                stepped.write.mode("overwrite").parquet(it_dir)
+                nxt = spark.read.schema(stepped.schema).parquet(it_dir)
+            else:
+                nxt = stepped.localCheckpoint(eager=False)
             fp = fingerprint(nxt)
             pairs = nxt
             # round r-1's checkpoint is dead once round r is
             # materialized (fingerprint above); round r survives as
             # the result if we break below
-            cycler.cycle(pairs)
+            if reliable_checkpoint_dir is None:
+                cycler.cycle(pairs)
+            if on_iteration is not None:
+                info = {
+                    "iteration": rounds,
+                    "wall_sec": round(time.perf_counter() - it_t0, 3),
+                    "pairs": fp[0],
+                }
+                if reliable_checkpoint_dir is not None:
+                    info["checkpoint_dir"] = it_dir
+                    local_dir = (
+                        urlparse(it_dir).path
+                        if it_dir.startswith("file:")
+                        else it_dir
+                    )
+                    if os.path.isdir(local_dir):
+                        info["ckpt_mb"] = round(
+                            sum(
+                                os.path.getsize(os.path.join(dp, f))
+                                for dp, _, fs in os.walk(local_dir)
+                                for f in fs
+                            )
+                            / 1e6,
+                            1,
+                        )
+                on_iteration(info)
+            if reliable_checkpoint_dir is not None:
+                if prev_reliable_dir is not None:
+                    _hadoop_delete(spark, prev_reliable_dir)
+                prev_reliable_dir = it_dir
             if fp == prev_fp:
                 converged = True
                 changes.append(0)
@@ -189,4 +254,5 @@ def connected_components_star(
         iterations=rounds,
         converged=converged,
         new_pair_counts=changes,
+        iterate_path="star",
     )

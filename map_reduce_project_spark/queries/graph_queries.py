@@ -129,6 +129,32 @@ def cc_star_orders_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(_order_edges(spark, sf_dir)).mapping
 
 
+def cc_star_reliable_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-intermediate scale path END-TO-END under the hash
+    gate: ``connected_components(..., algorithm="star")`` dispatch
+    (round-12; graph/ccf.py) with the RELIABLE parquet-barrier rounds
+    — the exact configuration a 100 TB multi-hour run would use
+    (executor-loss-tolerant generations, per-round state bounded by
+    the canonical edge set). Identical mapping to CCF, so it shares
+    the exact SQL oracle."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from map_reduce_project_spark.graph.ccf import connected_components
+
+    ckpt = tempfile.mkdtemp(prefix="cc_star_rel_")
+    # the final generation's parquet files back the returned mapping,
+    # so the directory must outlive this call; reap at exit
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    res = connected_components(
+        _order_edges(spark, sf_dir),
+        algorithm="star",
+        reliable_checkpoint_dir=ckpt,
+    )
+    return res.mapping
+
+
 def cc_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component-size distribution of the flagship graph (O10/O11 agg)."""
     mapping = connected_components(_order_edges(spark, sf_dir)).mapping
@@ -501,6 +527,7 @@ QUERIES = [
     Query("cc_orders_summary", cc_orders_summary, CC_SUMMARY_SQL, "component membership summary w/ representative re-add"),
     Query("cc_part_supplier", cc_part_supplier, CC_PART_SUPPLIER_SQL, "CCF multi-iteration fixed point vs min-label-propagation oracle (exact)"),
     Query("cc_star_orders_bipartite", cc_star_orders_bipartite, CC_ORDERS_SQL, "large-star/small-star CC, O(log n) rounds (exact oracle)"),
+    Query("cc_star_reliable_orders", cc_star_reliable_orders, CC_ORDERS_SQL, "algorithm='star' dispatch + reliable parquet-barrier rounds (exact oracle)"),
     Query("cc_triangles", cc_triangles_q, CC_TRIANGLES_SQL, "degree-ordered triangle count of the co-purchase graph"),
     Query("cc_component_sizes", cc_component_sizes, CC_SIZES_SQL, "component size histogram"),
     Query("bfs_part_supplier", bfs_part_supplier, BFS_SQL, "multi-source BFS hops vs recursive-CTE oracle (exact)"),

@@ -783,3 +783,62 @@ def test_n_edges_hint_skips_sizing_count(spark):
     assert {
         (r.node, r.component) for r in local.mapping.collect()
     } == base
+
+
+def test_algorithm_star_dispatch_matches_ccf(spark):
+    # connected_components(algorithm="star") must produce the exact
+    # mapping CCF does (S1 lexicographic min, S3 representative
+    # excluded) and report the star iterate_path
+    edges = edges_df(spark, generate_random_graph(120, 180, seed=7))
+    base = connected_components(edges)
+    star = connected_components(
+        edges_df(spark, generate_random_graph(120, 180, seed=7)),
+        algorithm="star",
+    )
+    assert mapping_set(star) == mapping_set(base)
+    assert star.iterate_path == "star"
+    assert star.converged
+
+
+def test_algorithm_star_reliable_barrier(spark, tmp_path):
+    # star + reliable mode: identical mapping, one surviving parquet
+    # generation (round-NNNN dirs), per-round hook reports the bounded
+    # canonical edge-set size
+    import os
+
+    edges = edges_df(spark, generate_chain_graph(60))
+    ckpt = str(tmp_path / "star_ckpt")
+    seen: list[dict] = []
+    res = connected_components(
+        edges,
+        algorithm="star",
+        reliable_checkpoint_dir=ckpt,
+        on_iteration=seen.append,
+    )
+    base = connected_components(edges_df(spark, generate_chain_graph(60)))
+    assert mapping_set(res) == mapping_set(base)
+    # superseded generations deleted: only the final round's dir holds files
+    live = {
+        os.path.relpath(dp, ckpt).split(os.sep)[0]
+        for dp, _, fs in os.walk(ckpt)
+        if fs
+    }
+    assert live == {f"round-{res.iterations:04d}"}
+    # hook fired once per round with the bounded-intermediate metric
+    assert len(seen) == res.iterations
+    assert all("pairs" in i and "ckpt_mb" in i for i in seen)
+    # star never amplifies: every round's canonical set is bounded by
+    # nodes + input edges (Kiveris et al. Thm 3.1) — chain of 60 nodes
+    assert max(i["pairs"] for i in seen) <= 60 + 59
+    # result still readable from the surviving generation
+    assert res.mapping.count() == 59
+
+
+def test_algorithm_star_rejects_ccf_only_knobs(spark):
+    edges = edges_df(spark, generate_chain_graph(5))
+    with pytest.raises(ValueError):
+        connected_components(edges, algorithm="star", use_secondary_sort=True)
+    with pytest.raises(ValueError):
+        connected_components(edges, algorithm="star", local_threshold=10)
+    with pytest.raises(ValueError):
+        connected_components(edges, algorithm="nope")

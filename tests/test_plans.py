@@ -10,6 +10,7 @@ import pytest
 from map_reduce_project_spark.graph.ccf import ccf_iterate, ccf_iterate_join
 from map_reduce_project_spark.plans import (
     codegen_fraction,
+    formatted_plan,
     num_exchanges,
     pushed_filters,
     scan_columns,
@@ -705,3 +706,18 @@ def test_runtime_bloom_filter_join_pruning(spark):
     finally:
         spark.conf.unset(thresh_key)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_prev)
+
+
+def test_q62_blocked_fuzzy_never_broadcasts_probes(spark, registry):
+    # the blocked ER kernel's scale contract (round-12): the probe
+    # side grows linearly with the corpus, so the plan must be an
+    # equi-join on the blocking key — sort-merge, pinned by the merge
+    # hint — with NO broadcast of either side and no cross join
+    # anywhere (q62's broadcast-probe kernel is the bounded-probe
+    # sibling, not this one)
+    df = registry["q62_fuzzy_match_blocked"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
