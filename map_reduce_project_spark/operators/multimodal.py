@@ -343,6 +343,39 @@ def decode_pixels(
     )
 
 
+def pil_decode_backend(payload: bytes, modality: str):
+    """SHIPPED real-codec adapter for the ``decode_backend`` seam
+    (round-12, closing the seam's never-exercised-with-a-real-library
+    residual): decodes any ``image/*`` payload Pillow can open into
+    the seam's (h, w, 3) uint8 RGB contract. Returns None — fall
+    through to the stdlib tier — when Pillow is absent, the modality
+    is not an image, or Pillow cannot parse the payload (the stub
+    tier then raises its documented NotImplementedError, unchanged).
+
+    This is the exact adapter shape the seam was designed for: a
+    picklable module-level callable that rides in the mapInPandas
+    task closure (``resize_images(..., decode_backend=
+    pil_decode_backend)``), imported fresh per executor. The
+    env-gated integration test (tests/test_llm_ops.py::
+    test_pil_backend_decodes_what_stub_tiers_cannot) proves the 30
+    stub tiers are genuinely swappable: a payload whose stub tier
+    raises decodes through Pillow with the identical output schema.
+    """
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+    except ImportError:
+        return None
+    if not modality.startswith("image/"):
+        return None
+    try:
+        import io
+
+        im = Image.open(io.BytesIO(payload))
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Exception:  # noqa: BLE001 — None = "this adapter can't"
+        return None
+
+
 def resize_nearest(px: np.ndarray, w: int, h: int) -> np.ndarray:
     """Deterministic nearest-neighbor resize (floor index mapping —
     source index = out_index * in_size // out_size), pure numpy."""

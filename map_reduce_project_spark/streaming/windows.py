@@ -214,21 +214,43 @@ def run_stream_to_memory(
     streaming_df: DataFrame,
     query_name: str | None = None,
     output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming aggregation to completion (availableNow) into a
-    memory sink; returns the result as a batch DataFrame."""
+    memory sink; returns the result as a batch DataFrame.
+
+    ``shuffle_partitions``: stateful-operator partition count for THIS
+    query (state-store instances = shuffle partitions, fixed at
+    checkpoint creation). The session default is sized for batch
+    shuffles; a bounded gate stream pays per-partition state-store
+    machinery (provider init, maintenance snapshots, commit files)
+    every micro-batch, which dominates when the data is small — the
+    round-11 census measured the outer-join gate spending its wall on
+    state plumbing across 32 stores for a 1,981-row result. Small
+    values (4-8) are right for gate/test streams; production unbounded
+    streams should size to data volume like any shuffle."""
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
     checkpoint = _scratch_dir("ckpt_")
-    query = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
     spark = streaming_df.sparkSession
+    old_sp = None
+    if shuffle_partitions is not None:
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    try:
+        query = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if old_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.table(name)
 
 

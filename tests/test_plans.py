@@ -721,3 +721,30 @@ def test_q62_blocked_fuzzy_never_broadcasts_probes(spark, registry):
     assert "BroadcastHashJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_registry_plan_sizes_bounded(spark, registry):
+    # the plan-bomb gate in CI form (round-12, verdict item 7): a
+    # filter predicate-pushed below layered projections inflates the
+    # OPTIMIZED plan's expression text multiplicatively (round 11's
+    # 64 KB capstone bomb, 48s of re-extraction per stage) — pin the
+    # whole class by bounding every registry query's optimized-plan
+    # size. Env-gated: the full sweep builds 330+ plans (~2-4 min,
+    # iterative queries execute their fixed points), so it runs when
+    # SPARK_GRAFT_PLAN_AUDIT=1 (the round gate and tools/logs cadence
+    # set it) and skips in the quick developer loop.
+    import os
+
+    import pytest as _pytest
+
+    if os.environ.get("SPARK_GRAFT_PLAN_AUDIT") != "1":
+        _pytest.skip("set SPARK_GRAFT_PLAN_AUDIT=1 for the full sweep")
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1] / "tools"))
+    from plan_size_audit import THRESHOLD, audit
+
+    sizes, errors = audit(spark, "/root/testdata/sf0.001")
+    assert not errors, errors
+    over = {k: v for k, v in sizes.items() if v > THRESHOLD}
+    assert not over, f"optimized plans over {THRESHOLD:,} chars: {over}"

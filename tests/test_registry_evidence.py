@@ -138,19 +138,41 @@ def test_packaged_ledger_matches_correctness_files():
     fresh: dict[str, int] = {}
     files = sorted(ROOT.glob("CORRECTNESS_r*.json"))
     assert files, "driver CORRECTNESS files missing from repo root"
-    ledger_rounds = max(max(v) for v in ledger.values())
     for f in files:
-        rnd = int(f.stem.split("_r")[-1])
-        if rnd > ledger_rounds:
-            # a newer driver round than the snapshot — regenerate via
-            # tools/build_evidence_ledger.py; runtime ordering already
-            # prefers the live files, so this is a staleness nudge,
-            # not a correctness failure of the ordering
-            continue
         for name, row in json.loads(f.read_text()).items():
             if isinstance(row, dict) and _row_is_green(row):
                 fresh[name] = fresh.get(name, 0) + 1
-    assert fresh == {k: len(v) for k, v in ledger.items()}
+    # STRICT: the snapshot must cover every driver round on disk.
+    # The round-11 verdict caught the old skip-newer-rounds loophole
+    # letting the packaged fallback go stale for two rounds — now a
+    # new CORRECTNESS_r*.json landing makes this test fail until
+    # ``tools/build_evidence_ledger.py`` is re-run (a 1-second step;
+    # the failure message IS the instruction).
+    assert fresh == {k: len(v) for k, v in ledger.items()}, (
+        "packaged evidence_ledger.json is stale vs the repo-root "
+        "CORRECTNESS files — regenerate: python tools/build_evidence_ledger.py"
+    )
+
+
+def test_packaged_ledger_keys_track_the_registry():
+    # drift gate (round-11 verdict item 6): every ledger key must be
+    # a registered query, and every registered query missing from the
+    # ledger must be genuinely new — zero green driver rows anywhere —
+    # not a silently-dropped snapshot entry.
+    ledger = json.loads(
+        (
+            ROOT
+            / "map_reduce_project_spark"
+            / "queries"
+            / "evidence_ledger.json"
+        ).read_text()
+    )
+    registry = set(all_queries())
+    assert set(ledger) <= registry, sorted(set(ledger) - registry)
+    counts = evidence_counts()
+    missing = registry - set(ledger)
+    evidenced_missing = {n for n in missing if counts.get(n, 0) > 0}
+    assert not evidenced_missing, sorted(evidenced_missing)
 
 
 def test_green_row_predicate():

@@ -32,11 +32,13 @@ from map_reduce_project_spark.queries import all_queries  # noqa: E402
 THRESHOLD = 48_000
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = get_spark(
-        "plan-size-audit", master="local[4]", shuffle_partitions=4
-    )
+def audit(
+    spark, sf_dir: str = "/root/testdata/sf0.001"
+) -> tuple[dict[str, int], dict[str, str]]:
+    """(name -> optimized-plan chars, name -> error) over the whole
+    registry. Shared by the CLI below and the env-gated pytest
+    (tests/test_plans.py::test_registry_plan_sizes_bounded) so the
+    filter-inlining plan-bomb class is pinned per-commit, not ad-hoc."""
     sizes: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name, q in all_queries().items():
@@ -47,6 +49,15 @@ def main() -> int:
             )
         except Exception as e:  # noqa: BLE001 — report, don't mask
             errors[name] = f"{type(e).__name__}: {e}"
+    return sizes, errors
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(
+        "plan-size-audit", master="local[4]", shuffle_partitions=4
+    )
+    sizes, errors = audit(spark, sf_dir)
     for name, n in sorted(sizes.items(), key=lambda x: -x[1])[:20]:
         flag = "  <-- OVER THRESHOLD" if n > THRESHOLD else ""
         print(f"{name:42s} {n:>9,}{flag}")
