@@ -2643,7 +2643,34 @@ def _flac_read_subframe(r: "_BitReaderMSB", bps: int, blocksize: int) -> list:
     return out
 
 
-def decode_flac_constant(b: bytes) -> np.ndarray:
+def soundfile_decode_backend(payload: bytes, modality: str):
+    """SHIPPED real-codec AUDIO adapter — the soundfile/libsndfile
+    twin of ``pil_decode_backend`` (round-12): decodes any
+    ``audio/*`` payload libsndfile can parse into the audio seam's
+    contract — int16 numpy samples, channel-interleaved for stereo.
+    Returns None (fall through to the stdlib FLAC/WAV tiers) when
+    soundfile is absent, the modality is not audio, or the payload
+    does not parse; the stub tier then raises its documented error
+    unchanged. Env-gated integration test:
+    tests/test_llm_ops.py::test_soundfile_backend_decodes_flac."""
+    try:
+        import soundfile as sf  # noqa: PLC0415 — optional dependency
+    except ImportError:
+        return None
+    if not modality.startswith("audio/"):
+        return None
+    try:
+        import io
+
+        data, _sr = sf.read(io.BytesIO(payload), dtype="int16")
+        # (frames, channels) row-major -> channel-interleaved stream,
+        # matching decode_flac_constant's output layout
+        return np.asarray(data, dtype=np.int16).reshape(-1)
+    except Exception:  # noqa: BLE001 — None = "this adapter can't"
+        return None
+
+
+def decode_flac_constant(b: bytes, decode_backend=None) -> np.ndarray:
     """REAL FLAC decode: STREAMINFO, frame sync walk, header field
     decode, UTF-8 frame numbers, and BOTH CRCs verified per frame.
     CONSTANT and FIXED-predictor subframes decode — the latter
@@ -2660,7 +2687,16 @@ def decode_flac_constant(b: bytes) -> np.ndarray:
     them is mechanical). Returns int16 samples, channel-interleaved
     for stereo; escaped (verbatim-width) Rice partitions decode too.
     Remaining honest boundaries: multi-byte frame numbers, non-16
-    bps, >2 channels."""
+    bps, >2 channels.
+
+    ``decode_backend``: the audio arm of the external-codec seam —
+    a callable ``(payload, "audio/flac") -> np.ndarray | None``
+    consulted FIRST (``soundfile_decode_backend`` is the shipped
+    libsndfile adapter); None falls through to the stdlib tier."""
+    if decode_backend is not None:
+        out = decode_backend(b, "audio/flac")
+        if out is not None:
+            return out
     if b[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4

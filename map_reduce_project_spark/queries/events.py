@@ -277,7 +277,11 @@ def ev_attribution_streaming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = stream_events(spark, sf_dir)
     joined = purchase_attribution_stream(stream, "1 hour", "2 hours")
-    return run_stream_to_memory(joined, output_mode="append")
+    # 4 state partitions — same per-partition state-store rationale as
+    # the outer sibling below (round-12 profile)
+    return run_stream_to_memory(
+        joined, output_mode="append", shuffle_partitions=4
+    )
 
 
 EV_ATTRIBUTION_STREAM_SQL = """

@@ -3108,3 +3108,46 @@ def test_pil_backend_decodes_what_stub_tiers_cannot(spark):
     assert all(r.width == 4 and r.height == 4 for r in rows)
     # resized payloads are P6 PPM re-encodes of REAL pixels
     assert all(bytes(r.payload).startswith(b"P6\n4 4\n255\n") for r in rows)
+
+
+def test_soundfile_backend_decodes_flac(spark):
+    """Env-gated REAL-codec audio integration (round-12): when
+    soundfile/libsndfile is installed, (a) the repo's own pure-python
+    FLAC encodings decode IDENTICALLY through libsndfile and the
+    stdlib tier — an external cross-verification of the whole
+    integer codec (both are exact, so equality is bit-level), and
+    (b) a libsndfile-written FLAC whose blocksize the stub tier
+    documents as unsupported decodes through the shipped
+    soundfile_decode_backend adapter while the stub error stays for
+    the no-backend path. Skips where soundfile is absent."""
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    from map_reduce_project_spark.operators.multimodal import (
+        decode_flac_constant,
+        melody_flac_audio,
+        soundfile_decode_backend,
+        stereo_flac_audio,
+        tone_flac_audio,
+    )
+
+    # (a) cross-verify our encoder+decoder against libsndfile
+    for maker in (tone_flac_audio, melody_flac_audio, stereo_flac_audio):
+        _, payload = maker(3)
+        ours = decode_flac_constant(payload)
+        theirs = soundfile_decode_backend(payload, "audio/flac")
+        assert theirs is not None
+        assert np.array_equal(ours, theirs), maker.__name__
+
+    # (b) a real-world blocksize the fixture tier rejects decodes
+    # through the adapter with the documented error gone
+    samples = (np.arange(2048, dtype=np.int16) % 512) - 256
+    buf = io.BytesIO()
+    sf.write(buf, samples, 8000, format="FLAC", subtype="PCM_16")
+    wild = buf.getvalue()
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_flac_constant(wild)
+    out = decode_flac_constant(wild, soundfile_decode_backend)
+    assert np.array_equal(out, samples)

@@ -556,3 +556,30 @@ def test_gap_session_processor_logic_without_protocol():
     proc2.init(h2)
     list(proc2.handleInputRows((9,), iter([batch((1600, 2.5), (1000, 1.5))]), None))
     assert h2.state.get() == (1000_000000, 1600_000000, 2, 4.0)
+
+
+def test_sessions_streaming_multibatch_parity(spark, sf0001):
+    # the cross-batch state-MERGE path (round-12): the same session
+    # aggregation run over 4 time-ordered micro-batches (watermark
+    # advancing between commits, session state carried across
+    # batches) must converge to the identical final state as the
+    # single-micro-batch gate stream — Spark's batch/streaming
+    # unification, pinned where it can actually break
+    from map_reduce_project_spark.streaming.windows import (
+        stream_events_time_sliced,
+    )
+
+    sliced = stream_events_time_sliced(spark, sf0001, n_slices=4)
+    multi = run_stream_to_memory(
+        stream_session_counts(sliced), shuffle_partitions=4
+    )
+    single = run_stream_to_memory(
+        stream_session_counts(stream_events(spark, sf0001)),
+        shuffle_partitions=4,
+    )
+    key = lambda r: (
+        r.user_id, r.session_start, r.last_event, r.n_events, r.sum_value
+    )
+    got = sorted(key(r) for r in multi.collect())
+    want = sorted(key(r) for r in single.collect())
+    assert got == want and len(got) > 0
