@@ -27,6 +27,15 @@ from pyspark.sql import types as T
 
 from .ccf import _undirected
 
+# How many Bellman-Ford relaxations the sssp loops chain LAZILY between
+# materialization barriers (eager localCheckpoint + convergence count).
+# 1 reproduces the classic one-barrier-per-round loop bit-for-bit; the
+# batched loop is result-identical for any value because relaxation is
+# monotone and a no-op at the fixed point (argument inline at the loop).
+# Scale-neutral: the knob trades lineage depth between checkpoints
+# against per-round scheduling + state-write cost, not data volume.
+_RELAX_PER_BARRIER = 2
+
 
 def canonical_pairs(edges: DataFrame) -> DataFrame:
     """Fold both orientations of every edge onto the (least, greatest)
@@ -699,9 +708,16 @@ def sssp_int(
     ).localCheckpoint(eager=True)
     cycler = CheckpointCycler(weighted_edges.sparkSession)
     converged = False
-    for _r in range(max_rounds):
+    fill = F.expr(f"array_repeat(CAST({inf} AS BIGINT), {k})")
+
+    def _relax(cur: DataFrame) -> DataFrame:
+        """One lazy relaxation: (node, od, nd) where od is ``cur``'s
+        distance array and nd the improved one. ``cur`` appears twice
+        (adjacency join + full-outer merge); its exchange is planned
+        once and reused (ReuseExchange), so chaining relaxations
+        between barriers does not re-shuffle the state per reference."""
         cand = (
-            und.join(dist, "node")
+            und.join(cur, "node")
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 *[
@@ -715,12 +731,11 @@ def sssp_int(
                 "node", F.array(*[f"c{i}" for i in range(k)]).alias("cd")
             )
         )
-        fill = F.expr(f"array_repeat(CAST({inf} AS BIGINT), {k})")
         # two separate single-level HOF selects (zip_with then
         # exists) — nesting them re-evaluates the outer lambda per
         # element (the round-5 plan-pin lesson)
-        merged = (
-            dist.join(cand, "node", "full_outer")
+        return (
+            cur.join(cand, "node", "full_outer")
             .select(
                 "node",
                 F.coalesce("d", fill).alias("od"),
@@ -735,6 +750,25 @@ def sssp_int(
                 ).alias("nd"),
             )
         )
+
+    # Relaxation batching (optimization round 12, guide §1.2 step 1 /
+    # §5 caching notes): chain _RELAX_PER_BARRIER relaxations LAZILY
+    # between materialization barriers. Each barrier (eager
+    # localCheckpoint + convergence count) is a full write+read of the
+    # state plus two scheduled jobs; relaxation itself is monotone and
+    # idempotent at the fixed point, so batching changes NOTHING about
+    # the result — only how often the loop pays the barrier. The
+    # convergence test reads the LAST chained relaxation's change
+    # flag: zero changes there means the previous relaxation already
+    # sat at the fixed point. Budget parity: ceil(max_rounds / b)
+    # batches observe >= max_rounds relaxations, so any instance the
+    # unbatched loop could converge within budget still converges
+    # (extra relaxations past the fixed point are no-ops).
+    b = _RELAX_PER_BARRIER
+    for _r in range((max_rounds + b - 1) // b):
+        merged = _relax(dist)
+        for _j in range(b - 1):
+            merged = _relax(merged.select("node", F.col("nd").alias("d")))
         nxt = merged.select(
             "node",
             F.col("nd").alias("d"),
@@ -808,9 +842,10 @@ def _sssp_rows(
     ).localCheckpoint(eager=True)
     cycler = CheckpointCycler(weighted_edges.sparkSession)
     converged = False
-    for _r in range(max_rounds):
+
+    def _relax(cur: DataFrame) -> DataFrame:
         cand = (
-            und.join(dist, "node")
+            und.join(cur, "node")
             .select(
                 "seed",
                 F.col("dst").alias("node"),
@@ -819,8 +854,8 @@ def _sssp_rows(
             .groupBy("seed", "node")
             .agg(F.min("dist").alias("dist"))
         )
-        merged = (
-            dist.withColumnRenamed("dist", "od")
+        return (
+            cur.withColumnRenamed("dist", "od")
             .join(cand, ["seed", "node"], "full_outer")
             .select(
                 "seed",
@@ -838,6 +873,14 @@ def _sssp_rows(
                 ).alias("chg"),
             )
         )
+
+    # chained-relaxation barriers — same batching (and same result
+    # identity / budget-parity argument) as the array path above
+    b = _RELAX_PER_BARRIER
+    for _r in range((max_rounds + b - 1) // b):
+        merged = _relax(dist)
+        for _j in range(b - 1):
+            merged = _relax(merged.select("seed", "node", "dist"))
         nxt = merged.localCheckpoint(eager=True)
         n_changed = nxt.where(F.col("chg")).count()
         dist = nxt.select("seed", "node", "dist")
