@@ -171,6 +171,74 @@ def interval_point_join(
     )
 
 
+# Exact sequence step width in seconds for the fixed-width units a
+# date_trunc'ed UTC grid can use (months/years vary and must fall
+# back to size(sequence(...))).
+_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def sized_span_grid(
+    spans: DataFrame,
+    key_col: str,
+    unit: str,
+    lo_col: str = "_lo",
+    hi_col: str = "_hi",
+    out_col: str = "bucket_start",
+    rows_per_partition: int = 1_000_000,
+) -> DataFrame:
+    """Explode each key's [lo, hi] span into its time grid WITH the
+    generate stage spread across the cluster (optimization round 12,
+    guide §2.5 input-skew note): ``spans`` is one tiny row per key, so
+    AQE coalesces the aggregate that produced it down to a handful of
+    partitions by BYTES — and the explode then fans the full grid
+    (~span_hours x keys rows, 25-1000x the input) out on those few
+    cores. Measured at sf0.1: the ev_interpolate grid (1.05M rows) ran
+    its generate + join + two window passes on ONE partition, 13-21 s;
+    spread, the same plan is ~2 s.
+
+    The spread is VOLUME-SIZED, not a constant: spans is checkpointed
+    (it is one row per key — tiny relative to anything upstream), the
+    exact grid row count is computed with one scalar aggregate over
+    it, and the repartition gets ceil(rows / rows_per_partition)
+    partitions, floored at the cluster's default parallelism — the
+    same measured-volume recipe as graph/analytics' wedge sizing.
+    Hash-partitioning by the key also pre-establishes the distribution
+    every downstream per-key window/join needs, so the explicit
+    exchange replaces (not adds to) the one Catalyst would insert.
+    """
+    spark = spans.sparkSession
+    spans = spans.localCheckpoint(eager=True)
+    step = _UNIT_SECONDS.get(unit)
+    if step is not None:
+        per_key = (
+            F.unix_timestamp(hi_col) - F.unix_timestamp(lo_col)
+        ) / step + 1
+    else:
+        per_key = F.size(
+            F.sequence(lo_col, hi_col, F.expr(f"INTERVAL 1 {unit}"))
+        )
+    n_rows = (
+        spans.agg(F.sum(per_key.cast("long")).alias("n")).collect()[0]["n"]
+        or 0
+    )
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        min(65536, int(n_rows // rows_per_partition) + 1),
+    )
+    return spans.repartition(n_parts, key_col).select(
+        key_col,
+        F.explode(
+            F.sequence(lo_col, hi_col, F.expr(f"INTERVAL 1 {unit}"))
+        ).alias(out_col),
+    )
+
+
 def fill_time_gaps(
     df,
     key_col: str = "user_id",
@@ -185,8 +253,9 @@ def fill_time_gaps(
 
     Shape: one bucket aggregate, one per-key span aggregate, the grid
     generated with ``sequence`` + ``explode`` (no driver loop, no
-    cross join — each key materializes only ITS span), and one
-    co-partitioned left join. All exchanges hash on the key.
+    cross join — each key materializes only ITS span) and spread by
+    ``sized_span_grid`` so the fan-out runs at cluster parallelism,
+    and one co-partitioned left join. All exchanges hash on the key.
     Output: (key, bucket_start, n_events).
     """
     from pyspark.sql import functions as F
@@ -199,12 +268,7 @@ def fill_time_gaps(
     spans = df.groupBy(key_col).agg(
         F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
     )
-    grid = spans.select(
-        key_col,
-        F.explode(
-            F.sequence("_lo", "_hi", F.expr(f"INTERVAL 1 {unit}"))
-        ).alias("bucket_start"),
-    )
+    grid = sized_span_grid(spans, key_col, unit)
     return grid.join(counts, [key_col, "bucket_start"], "left").select(
         key_col,
         "bucket_start",

@@ -877,9 +877,15 @@ def ev_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle to the (user, hour) grid, then a single
     per-user window pass in each direction — no per-gap joins; the
-    window state is one running value per direction.
+    window state is one running value per direction. The grid fan-out
+    is spread by ``sized_span_grid`` (round 12): without it AQE
+    coalesces the tiny span aggregate to one partition and the whole
+    1.05M-row generate + two window passes ran on one core (13-21 s at
+    sf0.1; ~2 s spread).
     """
     from pyspark.sql.window import Window
+
+    from map_reduce_project_spark.operators.joins import sized_span_grid
 
     ev = read_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
@@ -890,11 +896,8 @@ def ev_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
     )
-    grid = span.select(
-        "user_id",
-        F.explode(
-            F.sequence("lo", "hi", F.expr("interval 1 hour"))
-        ).alias("bucket_start"),
+    grid = sized_span_grid(
+        span, "user_id", "hour", lo_col="lo", hi_col="hi"
     )
     g = grid.join(obs, ["user_id", "bucket_start"], "left")
     wp = (
