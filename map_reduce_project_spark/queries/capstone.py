@@ -193,10 +193,7 @@ def _frames_from_docs(
     from map_reduce_project_spark.operators.dedup import (
         duplicate_spans,
         excise_spans,
-        jaccard_verify,
-        lsh_buckets,
-        lsh_candidate_pairs,
-        minhash_signatures,
+        minhash_dedup_fused,
     )
     from map_reduce_project_spark.operators.text import (
         gopher_doc_metrics,
@@ -250,11 +247,22 @@ def _frames_from_docs(
     ).localCheckpoint(eager=False)
     hook("quality", quality)
 
-    sigs = minhash_signatures(quality, num_hashes=num_hashes)
-    cands = lsh_candidate_pairs(
-        lsh_buckets(sigs, num_hashes=num_hashes, bands=bands)
+    # Shingle-ONCE fused dedup (optimization round 12, guide §2.3
+    # "shuffle fewer bytes"/§2.4): the composable chain shingled the
+    # quality corpus twice — once for signatures over ALL docs, once
+    # more to rebuild candidate docs' shingle sets for verification.
+    # THIS corpus is the fused path's home regime (its docstring
+    # trade-off): the ladder injects a full copy of every doc, so
+    # ~half the quality survivors are candidates and the candidate-
+    # pruned re-shingle saves nothing while the second explode +
+    # distinct-shingle shuffle costs a full corpus pass. Output is
+    # pair-identical to jaccard_verify (same LSH banding, same exact
+    # Jaccard, same threshold) — funnel counts and gate hashes are
+    # unchanged (oracle-verified at sf0.01/sf0.1). Measured at the 1M
+    # bench tier: cluster_dedup stage 45.5 s -> 33.3 s.
+    verified = minhash_dedup_fused(
+        quality, num_hashes=num_hashes, bands=bands, threshold=0.5
     )
-    verified = jaccard_verify(quality, cands, threshold=0.5)
     # Barrier the verified edge list (round 11): connected_components'
     # local fast path runs count() THEN collect() on its input, so an
     # unbarriered edge frame re-executes the whole
