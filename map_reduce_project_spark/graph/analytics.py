@@ -111,7 +111,9 @@ def bfs_hops(
         CheckpointCycler,
     )
 
-    und = canonical_undirected(edges)
+    # round 12: checkpoint the adjacency once — every level joins it,
+    # and an unpinned subtree re-runs scan+canonicalize+expand per level
+    und = canonical_undirected(edges).localCheckpoint(eager=True)
     frontier = (
         seeds.select("node").distinct().withColumn("hop", F.lit(0))
     ).localCheckpoint(eager=True)
@@ -161,9 +163,19 @@ def pagerank_int(
     (groupBy(dst).sum) — the contribs join is map-side against the
     degree table partitioned the same as ranks — plus a checkpoint
     to truncate lineage (plan growth is the iterative-loop killer,
-    SURVEY §4.4).
+    SURVEY §4.4). Optimization round 12 (guide §1.2 step 1): the
+    undirected adjacency is eagerly checkpointed ONCE — a
+    localCheckpoint surfaces as an ExistingRDD with unknown
+    partitioning, so each iteration's plan previously re-derived the
+    whole scan -> canonicalize -> dedup -> expand subtree (cross-action
+    jobs never reuse shuffles) — and iterations are BATCHED two per
+    barrier exactly like sssp_int's relaxation batching: the update is
+    a pure deterministic function of the previous ranks, so barrier
+    frequency changes nothing about the result, only how often the
+    loop pays a full state write+read. Interleaved A/B at sf0.1
+    (part-supplier graph, noop sink): 26.5 s -> 9.9 s.
     """
-    und = canonical_undirected(edges)
+    und = canonical_undirected(edges).localCheckpoint(eager=True)
     deg = (
         und.groupBy("src")
         .agg(F.count("*").alias("deg"))
@@ -178,12 +190,9 @@ def pagerank_int(
         CheckpointCycler,
     )
 
-    # deg is loop-invariant and must survive every round: the cycler
-    # only ever frees ids claimed through cycle(df), so it is safe
-    cycler = CheckpointCycler(edges.sparkSession)
-    for _ in range(iterations):
+    def _step(cur: DataFrame) -> DataFrame:
         contribs = (
-            ranks.join(deg, "node")
+            cur.join(deg, "node")
             .select(
                 F.col("node").alias("src"),
                 F.expr("rank div deg").alias("c"),
@@ -191,16 +200,25 @@ def pagerank_int(
             .join(und, "src")
             .select(F.col("dst").alias("node"), "c")
         )
-        ranks = (
-            contribs.groupBy("node")
-            .agg(
-                (F.lit(teleport) + F.expr("(85 * sum(c)) div 100")).alias(
-                    "rank"
-                )
+        return contribs.groupBy("node").agg(
+            (F.lit(teleport) + F.expr("(85 * sum(c)) div 100")).alias(
+                "rank"
             )
-        ).localCheckpoint(eager=True)
-        # round i-1's ranks are dead once round i is materialized
-        # (eager checkpoint above); the final round is never released
+        )
+
+    # deg is loop-invariant and must survive every round: the cycler
+    # only ever frees ids claimed through cycle(df), so it is safe
+    cycler = CheckpointCycler(edges.sparkSession)
+    b = _RELAX_PER_BARRIER
+    done = 0
+    while done < iterations:
+        take = min(b, iterations - done)
+        for _ in range(take):
+            ranks = _step(ranks)
+        ranks = ranks.localCheckpoint(eager=True)
+        done += take
+        # the previous barrier's ranks are dead once this one is
+        # materialized; the final barrier is never released
         cycler.cycle(ranks)
     return ranks
 
@@ -239,7 +257,10 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
         CheckpointCycler,
     )
 
-    und = canonical_undirected(edges)
+    # round 12: the adjacency feeds the init distinct plus every
+    # round's join — checkpoint it once instead of re-deriving the
+    # scan->canonicalize->expand subtree per consumer
+    und = canonical_undirected(edges).localCheckpoint(eager=True)
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
@@ -248,20 +269,32 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
     w = Window.partitionBy("node").orderBy(
         F.col("cnt").desc(), F.col("community")
     )
-    cycler = CheckpointCycler(edges.sparkSession)
-    for _ in range(rounds):
+    def _round(cur: DataFrame) -> DataFrame:
         nbr_labels = und.join(
-            labels.withColumnRenamed("node", "src"), "src"
+            cur.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "community")
-        labels = (
+        return (
             nbr_labels.groupBy("node", "community")
             .agg(F.count("*").alias("cnt"))
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select("node", "community")
-        ).localCheckpoint(eager=True)
-        # previous round's labels are dead once this round's are
-        # materialized; the final round is never released
+        )
+
+    # round 12: two rounds per barrier (same batching as pagerank_int
+    # — the synchronous update is a pure function of the previous
+    # labels, so barrier frequency cannot change the result)
+    cycler = CheckpointCycler(edges.sparkSession)
+    b = _RELAX_PER_BARRIER
+    done = 0
+    while done < rounds:
+        take = min(b, rounds - done)
+        for _ in range(take):
+            labels = _round(labels)
+        labels = labels.localCheckpoint(eager=True)
+        done += take
+        # previous barrier's labels are dead once this one is
+        # materialized; the final barrier is never released
         cycler.cycle(labels)
     return labels
 
@@ -539,9 +572,12 @@ def personalized_pagerank_int(
 
     Scale shape: same as pagerank_int — one gather shuffle per round,
     broadcastable seed table, eager checkpoint + cycler to keep the
-    plan and the block store flat.
+    plan and the block store flat. Round 12: adjacency checkpointed
+    once + two iterations per barrier, exactly as in ``pagerank_int``
+    (see its docstring; the update is a pure deterministic function of
+    the previous ranks, so only barrier frequency changes).
     """
-    und = canonical_undirected(edges)
+    und = canonical_undirected(edges).localCheckpoint(eager=True)
     deg = (
         und.groupBy("src")
         .agg(F.count("*").alias("deg"))
@@ -566,10 +602,9 @@ def personalized_pagerank_int(
         CheckpointCycler,
     )
 
-    cycler = CheckpointCycler(edges.sparkSession)
-    for _ in range(iterations):
+    def _step(cur: DataFrame) -> DataFrame:
         contribs = (
-            ranks.join(deg, "node")
+            cur.join(deg, "node")
             .select(
                 F.col("node").alias("src"),
                 F.expr("rank div deg").alias("c"),
@@ -580,20 +615,27 @@ def personalized_pagerank_int(
         gathered = contribs.groupBy("node").agg(
             F.expr("(85 * sum(c)) div 100").alias("_g")
         )
-        ranks = (
-            gathered.join(
-                F.broadcast(seed_nodes.withColumn("_s", F.lit(1))),
-                "node",
-                "left",
-            )
-            .select(
-                "node",
-                (
-                    F.when(is_seed, F.lit(teleport)).otherwise(F.lit(0))
-                    + F.col("_g")
-                ).alias("rank"),
-            )
-        ).localCheckpoint(eager=True)
+        return gathered.join(
+            F.broadcast(seed_nodes.withColumn("_s", F.lit(1))),
+            "node",
+            "left",
+        ).select(
+            "node",
+            (
+                F.when(is_seed, F.lit(teleport)).otherwise(F.lit(0))
+                + F.col("_g")
+            ).alias("rank"),
+        )
+
+    cycler = CheckpointCycler(edges.sparkSession)
+    b = _RELAX_PER_BARRIER
+    done = 0
+    while done < iterations:
+        take = min(b, iterations - done)
+        for _ in range(take):
+            ranks = _step(ranks)
+        ranks = ranks.localCheckpoint(eager=True)
+        done += take
         cycler.cycle(ranks)
     return ranks
 
@@ -637,7 +679,13 @@ def per_seed_bfs(
         CheckpointCycler,
     )
 
-    und = canonical_undirected(edges).withColumnRenamed("src", "node")
+    # round 12: checkpoint the adjacency once — _bfs_mask_levels joins
+    # it every level, re-deriving the scan subtree per level otherwise
+    und = (
+        canonical_undirected(edges)
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
     seed_idx = _seed_bit_index(seed_rows)
     cycler = CheckpointCycler(edges.sparkSession)
     levels = _bfs_mask_levels(und, seed_idx, max_hops, cycler)
@@ -969,7 +1017,12 @@ def _per_seed_bfs_rows(
         CheckpointCycler,
     )
 
-    und = canonical_undirected(edges).withColumnRenamed("src", "node")
+    # round 12: same once-only adjacency checkpoint as per_seed_bfs
+    und = (
+        canonical_undirected(edges)
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
     frontier = (
         seeds.select(F.col("node").alias("seed"))
         .distinct()
@@ -1439,7 +1492,10 @@ def pagerank_weighted_int(
 
     Per iteration: one map-side join against the weighted adjacency
     (co-partitioned on the rank key) + one gather shuffle + an eager
-    checkpoint; previous generations released by the cycler."""
+    checkpoint; previous generations released by the cycler. Round 12:
+    adjacency checkpointed once + two iterations per barrier, exactly
+    as in ``pagerank_int`` (deterministic update — only barrier
+    frequency changes)."""
     a, b, wcol = weighted_edges.columns[:3]
     e = weighted_edges.select(
         F.col(a).alias("src"), F.col(b).alias("dst"),
@@ -1447,7 +1503,9 @@ def pagerank_weighted_int(
     ).where(F.col("src") != F.col("dst"))
     und = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).groupBy("src", "dst").agg(F.max("w").alias("w"))
+    ).groupBy("src", "dst").agg(F.max("w").alias("w")).localCheckpoint(
+        eager=True
+    )
     wdeg = (
         und.groupBy("src").agg(F.sum("w").alias("wdeg"))
         .withColumnRenamed("src", "node")
@@ -1461,10 +1519,9 @@ def pagerank_weighted_int(
         CheckpointCycler,
     )
 
-    cycler = CheckpointCycler(weighted_edges.sparkSession)
-    for _ in range(iterations):
+    def _step(cur: DataFrame) -> DataFrame:
         contribs = (
-            ranks.join(wdeg, "node")
+            cur.join(wdeg, "node")
             .withColumnRenamed("node", "src")
             .join(und, "src")
             .select(
@@ -1472,14 +1529,21 @@ def pagerank_weighted_int(
                 F.expr("(rank * w) div wdeg").alias("c"),
             )
         )
-        ranks = (
-            contribs.groupBy("node")
-            .agg(
-                (F.lit(teleport) + F.expr("(85 * sum(c)) div 100")).alias(
-                    "rank"
-                )
+        return contribs.groupBy("node").agg(
+            (F.lit(teleport) + F.expr("(85 * sum(c)) div 100")).alias(
+                "rank"
             )
-        ).localCheckpoint(eager=True)
+        )
+
+    cycler = CheckpointCycler(weighted_edges.sparkSession)
+    bb = _RELAX_PER_BARRIER
+    done = 0
+    while done < iterations:
+        take = min(bb, iterations - done)
+        for _ in range(take):
+            ranks = _step(ranks)
+        ranks = ranks.localCheckpoint(eager=True)
+        done += take
         cycler.cycle(ranks)
     return ranks
 
