@@ -97,49 +97,73 @@ def bfs_hops(
     (unreached nodes are absent, mirroring the CCF mapping's S3
     convention of omitting what was never emitted).
 
-    Frontier-expansion formulation: each iteration joins only the
-    NEW frontier against the adjacency list, anti-joins the visited
-    set, and checkpoints both (lineage truncation per the same O9
-    discipline as the CCF loop). Each node enters the frontier at
-    most once, so total work is O(edges) across all iterations —
-    unlike a Bellman-Ford-style "min over neighbors until fixpoint"
-    which rescans every edge every round. Frontier and visited sets
-    stay hash-partitioned on ``node``, so the anti-join and the
-    union ride one exchange per iteration.
+    Frontier-expansion formulation: each level joins only the NEW
+    frontier against the adjacency list and anti-joins the visited
+    set. Each node enters the frontier at most once, so total work is
+    O(edges) across all iterations — unlike a Bellman-Ford-style "min
+    over neighbors until fixpoint" which rescans every edge every
+    round.
+
+    Round-12 restructure (guide §1.2 step 1 — the sssp batching
+    pattern): the loop keeps ONE state table, ``visited(node, hop)``
+    (the frontier is just its newest hop slice), chains
+    ``_RELAX_PER_BARRIER`` levels LAZILY between eager checkpoints,
+    and checks termination on the batch's LAST level (an empty
+    frontier stays empty, so mid-batch levels past exhaustion emit
+    nothing and the result is row-identical — the old loop's
+    per-level break only saved empty-join work). Two actions per
+    TWO levels instead of two per level; the adjacency is pinned
+    once (an unpinned subtree re-ran scan+canonicalize+expand per
+    level — cross-action jobs never reuse shuffles).
     """
+    und = canonical_undirected(edges).localCheckpoint(eager=True)
+    seed_rows = seeds.select("node").distinct().withColumn(
+        "hop", F.lit(0)
+    )
+    return _bfs_hops_on(und, seed_rows, max_hops)
+
+
+def _bfs_hops_on(
+    und: DataFrame, seed_rows: DataFrame, max_hops: int
+) -> DataFrame:
+    """BFS core over a PREBUILT (checkpointed) bidirectional (src,
+    dst) adjacency — callers that run several sweeps on one graph
+    (cc_diameter_estimate's double sweep) build the adjacency once.
+    ``seed_rows`` must be (node, hop=0)."""
     from map_reduce_project_spark.graph.checkpointing import (
         CheckpointCycler,
     )
 
-    # round 12: checkpoint the adjacency once — every level joins it,
-    # and an unpinned subtree re-runs scan+canonicalize+expand per level
-    und = canonical_undirected(edges).localCheckpoint(eager=True)
-    frontier = (
-        seeds.select("node").distinct().withColumn("hop", F.lit(0))
-    ).localCheckpoint(eager=True)
-    visited = frontier
-    cycler = CheckpointCycler(edges.sparkSession)
-    for h in range(1, max_hops + 1):
-        frontier = (
-            und.join(
-                frontier.select(F.col("node").alias("src")),
-                "src",
-                "inner",
+    visited = seed_rows.localCheckpoint(eager=True)
+    frontier = visited
+    cycler = CheckpointCycler(und.sparkSession)
+    b = _RELAX_PER_BARRIER
+    h = 0
+    while h < max_hops:
+        take = min(b, max_hops - h)
+        cur = visited
+        for j in range(1, take + 1):
+            frontier = (
+                und.join(
+                    frontier.select(F.col("node").alias("src")),
+                    "src",
+                    "inner",
+                )
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(cur.select("node"), "node", "left_anti")
+                .withColumn("hop", F.lit(h + j))
             )
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("hop", F.lit(h))
-        ).localCheckpoint(eager=True)
-        if not frontier.take(1):
-            # hop h-1's generation backs the returned `visited` —
-            # never claimed by a cycle() call, so its blocks stay live
+            cur = cur.unionAll(frontier)
+        visited = cur.localCheckpoint(eager=True)
+        h += take
+        # rebind the next batch's frontier to the MATERIALIZED slice
+        # (the lazy `frontier` above would re-run its subtree)
+        frontier = visited.where(F.col("hop") == h).select("node")
+        done = not visited.where(F.col("hop") == h).take(1)
+        cycler.cycle(visited)
+        if done:
             break
-        visited = visited.unionAll(frontier).localCheckpoint(eager=True)
-        # hop h-1's (frontier, visited) pair is dead now that hop h's
-        # pair is materialized; hop h's frontier stays live for the
-        # next join (see graph/checkpointing.py safety note)
-        cycler.cycle(frontier, visited)
     return visited
 
 

@@ -931,20 +931,26 @@ def cc_diameter_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from the first. Oracle: the same two walks as recursive
     CTEs."""
     from map_reduce_project_spark.graph.analytics import (
-        bfs_hops,
+        _bfs_hops_on,
         canonical_undirected,
     )
 
+    # round 12: build + pin the adjacency ONCE for the pivot scan and
+    # both sweeps (each bfs_hops(edges, ...) call re-canonicalized it)
     edges = _part_supplier_edges(spark, sf_dir)
-    und = canonical_undirected(edges)
+    und = canonical_undirected(edges).localCheckpoint(eager=True)
     pivot = und.agg(F.min("src").alias("node"))
-    d1 = bfs_hops(edges, pivot, max_hops=12)
+    d1 = _bfs_hops_on(
+        und, pivot.select("node").distinct().withColumn("hop", F.lit(0)), 12
+    )
     far = (
         d1.orderBy(F.col("hop").desc(), "node")
         .limit(1)
         .select("node")
     )
-    d2 = bfs_hops(edges, far, max_hops=12)
+    d2 = _bfs_hops_on(
+        und, far.select("node").distinct().withColumn("hop", F.lit(0)), 12
+    )
     ecc = d2.agg(F.max("hop").cast("long").alias("diameter_lb"))
     return (
         pivot.select(F.col("node").alias("pivot_node"))
