@@ -385,6 +385,30 @@ def resize_nearest(px: np.ndarray, w: int, h: int) -> np.ndarray:
     return px[rows][:, cols]
 
 
+def spread_rows(df: DataFrame, rows_per_task: int = 2048) -> DataFrame:
+    """Spread a SMALL-BYTES / HEAVY-PYTHON input across the cluster
+    before a mapInPandas stage (optimization round 12, guide §2.5
+    input-skew + §4 boundary notes): codec-decode queries synthesize
+    multi-KB payloads and run ms-per-row pure-Python bit decoding off
+    a doc_id column whose parquet scan is ONE split at gate scale —
+    so the whole Python stage ran on one core (measured: the FLAC
+    trio at sf0.1 spent 13-17 s each single-threaded; ~2 s spread).
+
+    ROW-count sized (bytes are meaningless here): one metadata-cheap
+    count, then hash-repartition by the first column (deterministic
+    under retries — guide §2.5 warns off round-robin's re-roll risk)
+    to ceil(rows / rows_per_task) partitions, floored at default
+    parallelism, capped at 65536. Per-row values are unchanged, so
+    gate hashes are unaffected."""
+    n = df.count()
+    sc = df.sparkSession.sparkContext
+    parts = max(
+        sc.defaultParallelism,
+        min(65536, int(n // rows_per_task) + 1),
+    )
+    return df.repartition(parts, F.col(df.columns[0]))
+
+
 def attach_fake_payload(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -12,13 +12,14 @@ from pyspark.sql import functions as F
 from map_reduce_project_spark.operators.multimodal import (
     attach_fake_payload,
     extract_metadata,
+    spread_rows,
 )
 from map_reduce_project_spark.queries import Query
 from map_reduce_project_spark.sources.io import read_table
 
 
 def mm_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return extract_metadata(attach_fake_payload(docs))
 
 
@@ -48,7 +49,7 @@ def mm_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from map_reduce_project_spark.operators.multimodal import sample_frames
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     frames = sample_frames(attach_fake_payload(docs), every_n=10)
     return frames.groupBy("doc_id").agg(
         F.count("*").alias("n_sampled"),
@@ -86,7 +87,7 @@ def mm_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from map_reduce_project_spark.operators.multimodal import resize_images
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     resized = resize_images(attach_fake_payload(docs), 8, 8)
     return resized.select(
         "doc_id",
@@ -132,7 +133,7 @@ def mm_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return pixel_stats(attach_real_image_payload(docs))
 
 
@@ -174,7 +175,7 @@ def mm_resize_pixels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_images,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     resized = resize_images(attach_real_image_payload(docs), 5, 3)
     return resized.select(
         "doc_id",
@@ -221,7 +222,7 @@ def mm_audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_sample_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return audio_sample_stats(attach_real_audio_payload(docs))
 
 
@@ -263,7 +264,7 @@ def mm_image_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_dhash,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return image_dhash(attach_gradient_image_payload(docs))
 
 
@@ -311,7 +312,7 @@ def mm_shot_boundaries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         shot_boundaries,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return shot_boundaries(frame_dhashes(docs))
 
 
@@ -380,7 +381,7 @@ def mm_audio_activity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_samples,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     samples = audio_samples(attach_real_audio_payload(docs))
     frames = (
         samples.withColumn("frame", F.expr("i div 4"))
@@ -469,7 +470,7 @@ def mm_pixel_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType, StructField, StructType
 
     media = attach_gradient_image_payload(
-        read_table(spark, sf_dir, "documents")
+        spread_rows(read_table(spark, sf_dir, "documents"))
     )
 
     def hist(batches):
@@ -547,7 +548,7 @@ def mm_png_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return pixel_stats(attach_real_png_payload(docs))
 
 
@@ -598,7 +599,7 @@ def mm_png_palette_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return pixel_stats(attach_real_palette_png_payload(docs))
 
 
@@ -657,7 +658,7 @@ def mm_gif_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return pixel_stats(attach_real_gif_payload(docs))
 
 
@@ -714,7 +715,7 @@ def mm_jpeg_pixel_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return pixel_stats(attach_real_jpeg_payload(docs))
 
 
@@ -768,7 +769,7 @@ def mm_jpeg_color_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return pixel_stats(attach_real_jpeg_color_payload(docs))
 
 
@@ -842,7 +843,7 @@ def mm_flac_audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = read_table(spark, sf_dir, "documents").selectExpr(
+    docs = spread_rows(read_table(spark, sf_dir, "documents")).selectExpr(
         "CAST(doc_id AS LONG) AS doc_id"
     )
     schema = StructType(
@@ -920,7 +921,7 @@ def mm_avi_frame_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         gradient_avi_video,
     )
 
-    docs = read_table(spark, sf_dir, "documents").selectExpr(
+    docs = spread_rows(read_table(spark, sf_dir, "documents")).selectExpr(
         "CAST(doc_id AS LONG) AS doc_id"
     )
     schema = StructType(
@@ -1077,7 +1078,7 @@ def mm_jpeg_420_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return pixel_stats(attach_real_jpeg_420_payload(docs))
 
 
@@ -1141,7 +1142,7 @@ def mm_jpeg_ac_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return pixel_stats(attach_real_jpeg_ac_payload(docs))
 
 
@@ -1239,7 +1240,7 @@ def mm_jpeg_411_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return pixel_stats(attach_real_jpeg_411_payload(docs))
 
 
@@ -1302,7 +1303,7 @@ def mm_jpeg_440_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return pixel_stats(attach_real_jpeg_440_payload(docs))
 
 
@@ -1369,7 +1370,7 @@ def mm_jpeg_progressive_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return pixel_stats(attach_real_jpeg_progressive_payload(docs))
 
 
@@ -1401,7 +1402,7 @@ def mm_flac_fixed_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         melody_flac_audio,
     )
 
-    docs = read_table(spark, sf_dir, "documents").selectExpr(
+    docs = spread_rows(read_table(spark, sf_dir, "documents")).selectExpr(
         "CAST(doc_id AS LONG) AS doc_id"
     )
     schema = StructType(
@@ -1482,7 +1483,7 @@ def mm_flac_lpc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         melody_flac_lpc_audio,
     )
 
-    docs = read_table(spark, sf_dir, "documents").selectExpr(
+    docs = spread_rows(read_table(spark, sf_dir, "documents")).selectExpr(
         "CAST(doc_id AS LONG) AS doc_id"
     )
     schema = StructType(
@@ -1559,7 +1560,7 @@ def mm_flac_stereo_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stereo_flac_audio,
     )
 
-    docs = read_table(spark, sf_dir, "documents").selectExpr(
+    docs = spread_rows(read_table(spark, sf_dir, "documents")).selectExpr(
         "CAST(doc_id AS LONG) AS doc_id"
     )
     schema = StructType(
@@ -1637,7 +1638,7 @@ def mm_jpeg_422_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return pixel_stats(attach_real_jpeg_422_payload(docs))
 
 
@@ -1700,7 +1701,7 @@ def mm_exif_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_exif,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return extract_exif(docs)
 
 
@@ -1743,7 +1744,7 @@ def mm_mjpeg_frame_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         gradient_mjpeg_video,
     )
 
-    docs = read_table(spark, sf_dir, "documents").selectExpr(
+    docs = spread_rows(read_table(spark, sf_dir, "documents")).selectExpr(
         "CAST(doc_id AS LONG) AS doc_id"
     )
     schema = StructType(
@@ -1826,7 +1827,7 @@ def mm_audio_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         decimate_audio,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return audio_sample_stats(
         decimate_audio(attach_real_audio_payload(docs), factor=2)
     )
@@ -1881,7 +1882,7 @@ def mm_png_interlace_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_rows(read_table(spark, sf_dir, "documents"))
     return pixel_stats(attach_interlace_png_payload(docs))
 
 
