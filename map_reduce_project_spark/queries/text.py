@@ -262,9 +262,13 @@ QUERIES = [
 
 
 def rolling_fp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_project_spark.operators.scale import fan_out
     from map_reduce_project_spark.operators.text import rolling_fingerprint
 
-    return rolling_fingerprint(read_table(spark, sf_dir, "documents"))
+    # round 12: the per-row work is O(tokens * windows) rolling-hash
+    # expressions and the pruned scan is one split at gate scale —
+    # fan out so it runs on every core, not one (19.9 s -> ~2 s)
+    return rolling_fingerprint(fan_out(read_table(spark, sf_dir, "documents")))
 
 
 _CODES = "list_transform(string_split(text, ' '), t -> ('0x' || substr(md5(t), 1, 6))::BIGINT)"
@@ -981,9 +985,12 @@ def text_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc token counts before/after. The oracle replays training
     AND application in one unrolled-CTE chain, so the whole
     tokenizer round trip is hash-pinned."""
+    from map_reduce_project_spark.operators.scale import fan_out
     from map_reduce_project_spark.operators.text import bpe_apply, bpe_train
 
-    docs = read_table(spark, sf_dir, "documents")
+    # round 12: single-split scan serializes both the training passes
+    # and the greedy splice apply onto one core — fan out first
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     learned = bpe_train(docs, n_merges=3).orderBy("merge_rank").collect()
     return bpe_apply(docs, [(r["lhs"], r["rhs"]) for r in learned])
 
