@@ -57,6 +57,40 @@ def telemetry_row(row_id: int) -> tuple[int, int, str, int]:
     )
 
 
+def telemetry_batches(start: int, end: int, chunk: int = 65536):
+    """Arrow RecordBatches for row ids [start, end) — the Spark-4
+    Python DataSource fast path (optimization round 12, guide §4.2):
+    ``read()`` may yield ``pyarrow.RecordBatch`` objects instead of
+    tuples, skipping the per-row pickle of the tuple protocol. The
+    LCG is numpy-vectorized; ``telemetry_row`` stays as the scalar
+    conformance oracle (bit-equality property-pinned in tests).
+
+    int64 safety: row_id * _LCG_A <= 2^31 * ~2^30 < 2^62 for
+    row_id < _LCG_M — the same bound the module docstring pins for
+    the SQL oracle, so the numpy int64 arithmetic cannot overflow
+    for any id the source can emit (ids are row positions; a source
+    larger than 2^31 rows would break the SQL-oracle contract first).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    metrics = np.asarray(_METRICS)
+    for lo in range(start, end, chunk):
+        hi = min(lo + chunk, end)
+        ids = np.arange(lo, hi, dtype=np.int64)
+        x1 = (ids * _LCG_A + _LCG_C) % _LCG_M
+        x2 = (x1 * _LCG_A + _LCG_C) % _LCG_M
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(x1 % 1000, type=pa.int64()),
+                pa.array(metrics[(x1 // 1000) % 4]),
+                pa.array(x2 % 10_000, type=pa.int64()),
+            ],
+            names=["row_id", "device", "metric", "reading"],
+        )
+
+
 class _RangePartition(InputPartition):
     def __init__(self, start: int, end: int) -> None:
         self.start = start
@@ -75,9 +109,10 @@ class _TelemetryReader(DataSourceReader):
             for lo in range(0, self.n_rows, step)
         ]
 
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        for row_id in range(partition.start, partition.end):
-            yield telemetry_row(row_id)
+    def read(self, partition: _RangePartition) -> Iterator:
+        # Arrow-batch yield (round 12): same rows as telemetry_row,
+        # vectorized — see telemetry_batches
+        yield from telemetry_batches(partition.start, partition.end)
 
 
 class SyntheticTelemetrySource(DataSource):
@@ -203,9 +238,10 @@ class _TelemetryStreamReader(DataSourceStreamReader):
             for p in range(lo, hi, step)
         ] or [_RangePartition(lo, hi)]
 
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        for row_id in range(partition.start, partition.end):
-            yield telemetry_row(row_id)
+    def read(self, partition: _RangePartition) -> Iterator:
+        # Arrow-batch yield (round 12): same rows as telemetry_row,
+        # vectorized — see telemetry_batches
+        yield from telemetry_batches(partition.start, partition.end)
 
     def commit(self, end: dict) -> None:
         # same adoption on the commit path: a committed offset is a

@@ -20,6 +20,16 @@ def _read(spark, n_rows=500, n_parts=4):
     )
 
 
+
+def _ids_from_read(reader, parts):
+    """Flatten the Arrow-batch read() contract (round 12) to row_ids."""
+    out = []
+    for part in parts:
+        for batch in reader.read(part):
+            out.extend(batch.column("row_id").to_pylist())
+    return out
+
+
 def test_pydatasource_partition_parallel_scan(spark):
     df = _read(spark, 500, 4)
     # the reader's partition plan must become real scan tasks
@@ -162,8 +172,7 @@ def test_stream_reader_progress_path_survives_clean_restart(tmp_path):
     nxt = r2.latestOffset()
     assert nxt["pos"] == 1000  # floor 750 adopted, advanced by batch
     parts = r2.partitions({"pos": 750}, nxt)
-    rows = [row for p in parts for row in r2.read(p)]
-    assert [row[0] for row in rows] == list(range(750, 1000))
+    assert _ids_from_read(r2, parts) == list(range(750, 1000))
 
     # without progress_path the fresh instance regresses (documented);
     # the floor logic still keeps offsets monotone WITHIN a lifetime
@@ -196,10 +205,9 @@ def test_stream_reader_recovered_floor_seeds_fresh_checkpoint(tmp_path):
     assert start == {"pos": 250}
     end = r2.latestOffset()
     assert end == {"pos": 500}
-    rows = [
-        row for p in r2.partitions(start, end) for row in r2.read(p)
-    ]
-    assert [row[0] for row in rows] == list(range(250, 500))
+    assert _ids_from_read(r2, r2.partitions(start, end)) == list(
+        range(250, 500)
+    )
 
 
 def test_stream_reader_floor_beyond_shrunk_n_rows_never_regresses(
@@ -224,11 +232,9 @@ def test_stream_reader_floor_beyond_shrunk_n_rows_never_regresses(
     )
     assert r2.initialOffset() == {"pos": 800}
     assert r2.latestOffset() == {"pos": 800}  # held, not 500
-    assert r2.partitions({"pos": 800}, {"pos": 800}) and not [
-        row
-        for p in r2.partitions({"pos": 800}, {"pos": 800})
-        for row in r2.read(p)
-    ]
+    assert r2.partitions({"pos": 800}, {"pos": 800}) and not _ids_from_read(
+        r2, r2.partitions({"pos": 800}, {"pos": 800})
+    )
 
 
 def test_stream_reader_progress_write_is_atomic_and_monotone(tmp_path):
@@ -261,3 +267,19 @@ def test_stream_reader_corrupt_progress_file_raises_actionably(tmp_path):
         _TelemetryStreamReader(
             {"n_rows": "10", "progress_path": str(prog)}
         )
+
+def test_telemetry_batches_bit_equal_to_scalar_rows():
+    # the round-12 Arrow fast path must emit EXACTLY the rows the
+    # scalar generator (the SQL-oracle twin) defines — including
+    # across chunk boundaries
+    from map_reduce_project_spark.sources.pydatasource import (
+        telemetry_batches,
+        telemetry_row,
+    )
+
+    got = []
+    for batch in telemetry_batches(190, 1210, chunk=256):
+        got.extend(
+            tuple(r) for r in zip(*(c.to_pylist() for c in batch.columns))
+        )
+    assert got == [telemetry_row(i) for i in range(190, 1210)]
