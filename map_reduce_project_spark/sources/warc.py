@@ -236,24 +236,83 @@ class _WarcReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         return [_WarcFilePartition(f) for f in self.files]
 
-    def read(self, partition: _WarcFilePartition) -> Iterator[tuple]:
+    # Arrow-batch flush bounds (round 12, guide §4.2): records buffer
+    # until either cap, so batches stay large enough to amortize the
+    # boundary but payload bytes never pile up unbounded in the worker
+    _BATCH_RECORDS = 1024
+    _BATCH_BYTES = 16 << 20
+
+    def read(self, partition: _WarcFilePartition) -> Iterator:
+        """Yield ``pyarrow.RecordBatch`` objects (optimization round
+        12): the tuple protocol pickled every multi-KB payload row by
+        row; Arrow moves the same columns (bit-identical values, same
+        spec-strict parser and error contract) in batched buffers."""
+        import pyarrow as pa
+
         base = os.path.basename(partition.path)
+        cols: list[list] = [[] for _ in range(10)]
+        held = 0
+
+        def flush():
+            nonlocal cols, held
+            batch = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], type=pa.string()),
+                    pa.array(cols[1], type=pa.int64()),
+                    pa.array(cols[2], type=pa.string()),
+                    pa.array(cols[3], type=pa.string()),
+                    pa.array(cols[4], type=pa.string()),
+                    pa.array(cols[5], type=pa.string()),
+                    pa.array(cols[6], type=pa.string()),
+                    pa.array(cols[7], type=pa.string()),
+                    pa.array(cols[8], type=pa.int64()),
+                    pa.array(cols[9], type=pa.binary()),
+                ],
+                names=[
+                    "warc_file",
+                    "record_pos",
+                    "warc_version",
+                    "warc_type",
+                    "record_id",
+                    "target_uri",
+                    "warc_date",
+                    "content_type",
+                    "content_length",
+                    "payload",
+                ],
+            )
+            cols = [[] for _ in range(10)]
+            held = 0
+            return batch
+
         with open(partition.path, "rb") as raw:
             stream = _wrap_archive(raw)
             for rec in iter_warc_records(stream, source=partition.path):
                 h = rec["headers"]
-                yield (
-                    base,
-                    rec["record_pos"],
-                    rec["version"],
-                    h.get("warc-type"),
-                    h.get("warc-record-id"),
-                    h.get("warc-target-uri"),
-                    h.get("warc-date"),
-                    h.get("content-type"),
-                    int(h["content-length"]),
-                    rec["payload"],
-                )
+                payload = rec["payload"]
+                for i, v in enumerate(
+                    (
+                        base,
+                        rec["record_pos"],
+                        rec["version"],
+                        h.get("warc-type"),
+                        h.get("warc-record-id"),
+                        h.get("warc-target-uri"),
+                        h.get("warc-date"),
+                        h.get("content-type"),
+                        int(h["content-length"]),
+                        payload,
+                    )
+                ):
+                    cols[i].append(v)
+                held += len(payload)
+                if (
+                    len(cols[0]) >= self._BATCH_RECORDS
+                    or held >= self._BATCH_BYTES
+                ):
+                    yield flush()
+        if cols[0]:
+            yield flush()
 
 
 class WarcDataSource(DataSource):
