@@ -1607,27 +1607,39 @@ def _min_reach_labels(
         "node", F.col("node").alias("lbl")
     ).localCheckpoint(eager=True)
     cycler.cycle(labels)
-    for _ in range(max_iters):
+
+    def _round(cur: DataFrame) -> DataFrame:
         incoming = (
             edges.join(
-                labels.select(F.col("node").alias("src"), "lbl"), "src"
+                cur.select(F.col("node").alias("src"), "lbl"), "src"
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("in_lbl"))
         )
-        nxt = (
-            labels.join(incoming, "node", "left")
-            .select(
-                "node",
-                # least() skips NULL (no in-edges -> keep own label)
-                F.least("lbl", "in_lbl").alias("lbl"),
-                (F.col("in_lbl") < F.col("lbl")).alias("_chg"),
-            )
-            .localCheckpoint(eager=False)
+        return cur.join(incoming, "node", "left").select(
+            "node",
+            # least() skips NULL (no in-edges -> keep own label)
+            F.least("lbl", "in_lbl").alias("lbl"),
+            (F.col("in_lbl") < F.col("lbl")).alias("_chg"),
         )
+
+    # round 12: _RELAX_PER_BARRIER rounds chained lazily per barrier +
+    # count — the sssp batching argument verbatim (monotone min update,
+    # idempotent at the fixed point; a zero-change LAST round proves
+    # the previous one already converged, and ceil(max_iters/b)
+    # batches observe >= max_iters rounds)
+    b = _RELAX_PER_BARRIER
+    it = 0
+    while it < max_iters:
+        take = min(b, max_iters - it)
+        merged = _round(labels)
+        for _ in range(take - 1):
+            merged = _round(merged.select("node", "lbl"))
+        nxt = merged.localCheckpoint(eager=False)
         n_changed = nxt.where(F.col("_chg")).count()
         cycler.cycle(nxt)
         labels = nxt.select("node", "lbl")
+        it += take
         if n_changed == 0:
             return labels
     raise ValueError(
