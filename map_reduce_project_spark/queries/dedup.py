@@ -798,21 +798,32 @@ def dedup_prefix_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of payloads"): the old per-token verify exploded every
     # candidate pair by its a-side tokens (1.6M pairs x ~52 tokens =
     # 85M rows of ~45-byte shingle strings through two shuffles —
-    # 12 s of the query's 15 s at sf0.1). Instead: dictionary-encode
-    # tokens to int64 ids (a BIJECTION off the freq table, so every
-    # count is unchanged), build one sorted int-array per doc, and
-    # intersect per pair locally — the jaccard_verify shape. One
-    # array per pair side crosses the shuffle instead of a token
-    # explosion. Query wall 15.5 s -> ~6 s.
-    from pyspark.sql.window import Window as _W
-
-    tid = freq.select(
-        "t", F.row_number().over(_W.orderBy("t")).alias("tid")
-    )
+    # 12 s of the query's 15 s at sf0.1). Instead: encode tokens to
+    # int64 ids, build one set per doc, and intersect per pair
+    # locally — the jaccard_verify shape. One array per pair side
+    # crosses the shuffle instead of a token explosion. Query wall
+    # 15.5 s -> ~6 s.
+    #
+    # Round-13 (verdict item 2): ids are xxhash64(t), not a
+    # row_number dictionary — the dictionary needed a GLOBAL
+    # unpartitioned window (the entire shingle vocabulary sorting
+    # through ONE task) plus an unbounded broadcast of the full
+    # vocabulary, both scale-killers on a billion-shingle corpus.
+    # The hash id needs no dictionary state at all: no window, no
+    # broadcast, no join. Intersection counts are exact under
+    # injectivity; for a vocabulary of V distinct shingles the
+    # collision probability is ~V^2/2^65 (sf0.1: V~2e5 -> ~1e-9;
+    # even V=1e9 -> ~3%, and a collision only perturbs a pair's
+    # count when exactly one side holds exactly one of the colliding
+    # shingles). tests/test_queries.py pins hash-set intersections
+    # == string-set intersections on the gate corpus. NULL guard:
+    # xxhash64(NULL) is the seed (42), not NULL, so the explode_outer
+    # placeholder row of an empty doc must be filtered (the old
+    # inner join against the dictionary dropped it implicitly).
     tsets = (
-        tok.join(F.broadcast(tid), "t")
+        tok.where(F.col("t").isNotNull())
         .groupBy("doc_id")
-        .agg(F.collect_set("tid").alias("tset"))
+        .agg(F.collect_set(F.xxhash64("t")).alias("tset"))
     )
     inter = (
         cands.join(

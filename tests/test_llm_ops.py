@@ -1123,6 +1123,71 @@ def test_shot_boundaries_cut_exactly_at_gradient_flip(spark):
             assert r["hamming_prev"] == 0 and not r["is_cut"]
 
 
+def test_prefix_filter_hash_ids_match_string_sets(spark):
+    """Round-13 scale fix (verdict item 2): the verify stage encodes
+    shingles as xxhash64 ids instead of a row_number dictionary (which
+    needed a single-partition global window + an unbounded broadcast).
+    Pin (a) the id assignment is injective on the gate vocabulary, (b)
+    hash-set intersection sizes equal string-set intersection sizes
+    for EVERY doc pair the query scores, and (c) the executed plan has
+    no single-partition exchange (the old dictionary's sort) anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    from map_reduce_project_spark.operators.dedup import shingles_expr
+    from map_reduce_project_spark.queries.dedup import (
+        _injected_corpus,
+        dedup_prefix_filter_q,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tok = _injected_corpus(spark, sf).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_expr(3, "text"))).alias("t"),
+    )
+    # (a) injectivity audit on the full gate vocabulary
+    row = tok.agg(
+        F.countDistinct("t").alias("n_t"),
+        F.countDistinct(F.xxhash64("t")).alias("n_h"),
+    ).collect()[0]
+    assert row["n_t"] == row["n_h"], (row["n_t"], row["n_h"])
+
+    # (b) per-pair intersection parity on the query's own output pairs
+    out = dedup_prefix_filter_q(spark, sf)
+    pairs = out.select("id_a", "id_b")
+    ssets = tok.groupBy("doc_id").agg(
+        F.collect_set("t").alias("sset"),
+        F.collect_set(F.xxhash64("t")).alias("hset"),
+    )
+    cmp = (
+        pairs.join(
+            ssets.selectExpr(
+                "doc_id as id_a", "sset as sa", "hset as ha"
+            ),
+            "id_a",
+        )
+        .join(
+            ssets.selectExpr(
+                "doc_id as id_b", "sset as sb", "hset as hb"
+            ),
+            "id_b",
+        )
+        .select(
+            (
+                F.size(F.array_intersect("sa", "sb"))
+                == F.size(F.array_intersect("ha", "hb"))
+            ).alias("ok")
+        )
+    )
+    n_pairs = cmp.count()
+    assert n_pairs > 0
+    assert cmp.where(~F.col("ok")).count() == 0
+
+    # (c) no single-partition exchange in the query plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
 def test_prefix_filter_candidates_are_lossless(spark):
     """Prefix filtering's theorem: every pair with token-set Jaccard
     >= t shares at least one prefix token (prefix = n - ceil(t*n) + 1
