@@ -27,9 +27,16 @@ DEFAULT tier — runs every invocation, the driver's graded set:
 - ``stream_agg_df_1m``: 1M rows through the custom Python stream
   source, stateful aggregate asserted equal to the batch read.
 - sf1-equivalent relational notch: full synthetic star schema at 10x
-  the headline sf_dir (distributed synthesizer), 13 headliners
-  single-draw as ``sf1_<q>``, the curation-capstone funnel, and the
-  runtime bloom-filter join-pruning A/B (shuffle-volume measured).
+  the headline sf_dir (distributed synthesizer), 13 headliners as
+  ``sf1_<q>``, the curation-capstone funnel, and the runtime
+  bloom-filter join-pruning A/B (shuffle-volume measured). Query
+  lines are min-of-2 since round 13 (single draws swung up to 2.7x
+  between same-code runs on host phase noise — r12 verdict item 9);
+  ``sf1_synth_write`` stays single-draw (it IS the write).
+- ``mm_flac_fixed_stats`` / ``ev_interpolate`` (round 13): the
+  spread_rows multimodal fan-out and the volume-sized span-grid
+  explode, min-of-2 with the noop sink (count() would prune the
+  decoded/interpolated columns these lines exist to measure).
 - ``warc_scan_df_200files`` (round 10): 200 task-parallel-synthesized
   gzip WET archives (~2 GB raw, per-record gzip members — the Common
   Crawl layout), scanned through the custom WARC DataSource. The
@@ -63,8 +70,9 @@ default run keeps the headline + 500k tiers and the builder runs
 Linearity evidence therefore stays continuous across rounds without
 the driver paying the 20M probe's wall every time.
 
-Every SINGLE-DRAW line (stream, sf1/sf10 notches, WARC, capstone,
-depth probes) additionally records the 1-minute loadavg sampled at
+Every notch/probe line beyond the headline pass (stream, sf1/sf10
+notches, WARC, capstone, depth probes — single-draw or min-of-2)
+additionally records the 1-minute loadavg sampled at
 its own start in ``probes.line_loadavg`` (round-10 verdict item 6:
 same-code draws swung up to 3x on host contention; the artifact now
 explains each draw by itself).
@@ -458,6 +466,25 @@ def main() -> None:
     )
     assert n_terms <= TEXT_VOCAB, n_terms
 
+    # ---------------- engine flagships addendum (round 13) ----------
+    # Two round-12 optimizations the graded set could not see
+    # (verdict item 8): the multimodal spread_rows fan-out
+    # (mm_flac_fixed_stats — pure-Python FLAC fixed-predictor decode,
+    # formerly serialized onto one scan split) and the volume-sized
+    # span-grid explode (ev_interpolate — grid output ~100x its
+    # input). Additions only; min-of-2 with the NOOP SINK (guide
+    # §1.4: count() would let the optimizer prune the decoded/
+    # interpolated columns, which are the entire point of both lines).
+    for _new_line in ("mm_flac_fixed_stats", "ev_interpolate"):
+        fn = registry[_new_line].fn
+        _la(_new_line)
+        timings[_new_line] = min_of_runs(
+            lambda fn=fn: fn(spark, SF_DIR)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
     # ---------------- streaming probe -------------------------------
     # 1M telemetry rows through the custom PARTITION-PLANNED Python
     # stream source in 10 genuine microbatches, stateful device-keyed
@@ -497,20 +524,37 @@ def main() -> None:
         # (offset monotonicity contract) — drive with a 0s processing
         # trigger and stop at the drain point
         name = f"bench_stream_{_uuid.uuid4().hex[:8]}"
-        q = (
-            stream_opts(spark.readStream)
-            .load()
-            .groupBy("device")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum("reading").alias("total"),
+        # State-store sizing (round 13, same rationale as
+        # run_stream_to_memory's shuffle_partitions knob, which the
+        # r12 gate profile validated): state-store instances = shuffle
+        # partitions at checkpoint creation, and a 1,000-device state
+        # pays per-store commit/maintenance machinery EVERY micro-batch
+        # — measured durationMs: addBatch 8.1 s at 32 stores vs 4.0 s
+        # at 8 for identical rows. 8 is a fixed, core-count-independent
+        # value (NOT derived from local[N]) so the driver's c8/c32
+        # scaling runs compare the same plan; production unbounded
+        # streams size this to key volume/throughput like any shuffle.
+        _sp_prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream_opts(spark.readStream)
+                .load()
+                .groupBy("device")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("reading").alias("total"),
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(processingTime="0 seconds")
+                .start()
             )
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(processingTime="0 seconds")
-            .start()
-        )
+        finally:
+            # partition count is captured at stream start; restore the
+            # session default for everything after
+            spark.conf.set("spark.sql.shuffle.partitions", _sp_prev)
         deadline = time.time() + 600
         try:
             while time.time() < deadline:
@@ -545,35 +589,43 @@ def main() -> None:
         t = time.perf_counter()
         sf1_rows = synthesize_sf(spark, sf1_dir, scale=10.0)
         timings["sf1_synth_write"] = round(time.perf_counter() - t, 3)
+        # min-of-2 since round 13 (verdict item 9: single-draw sf1
+        # lines swung up to 2.7x between same-code runs, so
+        # optimization rounds chased phantom regressions) — the tier
+        # is ~60 s, and a second draw is the cheapest stabilizer,
+        # exactly the round-6 argument for the headline pass
         for name in HEADLINERS:
             fn = registry[name].fn
             _la(f"sf1_{name}")
-            t = time.perf_counter()
-            n = fn(spark, sf1_dir).count()
-            timings[f"sf1_{name}"] = round(time.perf_counter() - t, 3)
-            assert n >= 1, name
+
+            def _run_sf1(fn=fn, name=name) -> None:
+                assert fn(spark, sf1_dir).count() >= 1, name
+
+            timings[f"sf1_{name}"] = min_of_runs(_run_sf1)
 
         # the curation ladder at the same 10x notch, funnel form,
         # monotone-attrition invariant asserted
         _la("sf1_curation_capstone_funnel")
-        t = time.perf_counter()
-        funnel = registry["curation_capstone_funnel"].fn(
-            spark, sf1_dir
-        ).collect()[0]
-        timings["sf1_curation_capstone_funnel"] = round(
-            time.perf_counter() - t, 3
+
+        def _run_sf1_funnel() -> None:
+            funnel = registry["curation_capstone_funnel"].fn(
+                spark, sf1_dir
+            ).collect()[0]
+            assert (
+                funnel.n_raw
+                >= funnel.n_extracted
+                >= funnel.n_quality
+                >= funnel.n_canonical
+                > 0
+            ), funnel
+
+        timings["sf1_curation_capstone_funnel"] = min_of_runs(
+            _run_sf1_funnel
         )
-        assert (
-            funnel.n_raw
-            >= funnel.n_extracted
-            >= funnel.n_quality
-            >= funnel.n_canonical
-            > 0
-        ), funnel
         probes["headline_sf1"] = {
             "rows": sf1_rows,
             "note": (
-                "single-draw at 10x the headline sf_dir; compare "
+                "min-of-2 at 10x the headline sf_dir; compare "
                 "sf1_<q> vs <q> for the scaling ratio"
             ),
         }
@@ -609,21 +661,35 @@ def main() -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         bloom_stats = {}
         try:
+            # min-of-2 walls since round 13 (the r12 driver's 2.9 s
+            # "anti-scaling" on this line was a cold single draw —
+            # first-on-draw subquery planning + might_contain codegen;
+            # warm interleaved draws measure on ~1.1 s / off ~0.8 s at
+            # local[32]); shuffle MB from the second draw only, so the
+            # volume column still reflects exactly one execution
             for label, thresh in (("off", "10GB"), ("on", "0")):
                 spark.conf.set(_thresh_key, thresh)
-                sw_before = _stage_counters(spark)["shuffle_write_bytes"]
-                t = time.perf_counter()
-                n_rows = _bloom_join()
-                bloom_stats[label] = {
-                    "wall_sec": round(time.perf_counter() - t, 3),
-                    "shuffle_write_mb": round(
+                walls, n_rows = [], None
+                for _ in range(2):
+                    sw_before = _stage_counters(spark)[
+                        "shuffle_write_bytes"
+                    ]
+                    t = time.perf_counter()
+                    n_rows = _bloom_join()
+                    walls.append(round(time.perf_counter() - t, 3))
+                    sw_mb = round(
                         (
-                            _stage_counters(spark)["shuffle_write_bytes"]
+                            _stage_counters(spark)[
+                                "shuffle_write_bytes"
+                            ]
                             - sw_before
                         )
                         / 1e6,
                         2,
-                    ),
+                    )
+                bloom_stats[label] = {
+                    "wall_sec": min(walls),
+                    "shuffle_write_mb": sw_mb,
                     "rows": n_rows,
                 }
                 timings[f"sf1_bloom_join_{label}"] = bloom_stats[label][
@@ -1128,7 +1194,8 @@ def main() -> None:
         "metric": (
             "end-to-end wall seconds per line; tiers + methodology in "
             "bench.py module docstring (headline min-of-3 fresh-JVM, "
-            "500k probes min-of-2, notch/depth lines single-draw)"
+            "500k probes + sf1 notch min-of-2, stream/synth-write/"
+            "warc/capstone-1m/depth lines single-draw)"
         ),
         "value": total,
         "unit": "sec",

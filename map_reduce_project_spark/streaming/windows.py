@@ -123,7 +123,7 @@ def stream_events_with_horizon_sentinel(
     spark: SparkSession,
     sf_dir: str,
     sentinel_user_id: int = -1,
-    n_sentinel_batches: int = 2,
+    n_sentinel_batches: int = 1,
 ) -> DataFrame:
     """events.parquet as a file stream with FAR-FUTURE SENTINEL
     batches appended — the watermark-advancement trick that closes the
@@ -144,6 +144,17 @@ def stream_events_with_horizon_sentinel(
     here it makes the availableNow result EXACTLY equal to the batch
     semantics, enabling a hash gate instead of a horizon-bounded
     property test. Callers filter ``user_id != sentinel_user_id``.
+
+    ONE sentinel batch suffices (optimization round 13): the watermark
+    computed from the sentinel batch is applied — and trailing state
+    evicted/emitted — by the engine's closing no-data micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``, default true
+    everywhere including the driver's vanilla session), so the second
+    sentinel batch only re-ran state-store machinery for rows the
+    no-data batch had already released. Measured at sf0.1: identical
+    rows and hash, one fewer micro-batch plus one fewer sentinel-write
+    job (~1 s of a ~4.5 s gate). Pass a larger value to reproduce the
+    round-11/12 shape or to probe multi-batch watermark advancement.
 
     Sentinel rows are synthesized FROM the raw file's own schema (ts
     has shipped as both bigint nanos and TIMESTAMP_NTZ micros across
