@@ -303,11 +303,15 @@ def jaccard_verify(
     # one shuffle builds each candidate doc's distinct-shingle ARRAY;
     # the pair joins then move one array per doc instead of one row
     # per (doc, shingle) — the per-pair intersection is a local
-    # array_intersect, bounded by document length, never corpus size
+    # array_intersect, bounded by document length, never corpus size.
+    # Sets carry xxhash64(shingle) int64s (round 13, guide §2.3):
+    # several-fold less array shuffle volume, long comparisons in the
+    # intersect, identical n_inter/n_a/n_b (hence jaccard) under
+    # injectivity — see minhash_dedup_fused for the audit.
     shingle_sets = (
         exploded_shingles(cand_docs, k, id_col, text_col)
         .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("sset"))
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("sset"))
     )
     sa = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
     sb = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
@@ -348,6 +352,7 @@ def minhash_dedup_fused(
     bands: int = DEFAULT_BANDS,
     k: int = 3,
     threshold: float = 0.5,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Shingle-ONCE MinHash -> LSH -> exact-Jaccard dedup pipeline.
 
@@ -374,10 +379,125 @@ def minhash_dedup_fused(
 
     Output matches ``jaccard_verify``: (id_a, id_b, jaccard) with
     jaccard >= threshold and at least one shared shingle.
+
+    ``collapse_exact`` (optimization round 13, guide §2.3/§1.2 "don't
+    compute things you throw away"): exact-duplicate TEXTS are first
+    collapsed by content key (one corpus shuffle moving each text
+    once), the MinHash/LSH/verify machinery runs over one
+    representative per distinct text, and pairs are expanded back —
+    within a group every (i < j) pair at jaccard exactly 1.0, across
+    groups the representative pair's jaccard fanned out to all member
+    combinations. The expansion is EXACTLY the pair set the
+    uncollapsed pipeline emits: exact copies share signatures, hence
+    every band bucket, so they are always LSH candidates with
+    n_inter = n_a = n_b (jaccard 1.0 in exact double arithmetic), and
+    a cross-group pair's candidacy and jaccard depend only on the two
+    texts. A shingled-group guard (semi-join against the per-doc
+    table) defends the "no shared shingles, no row" contract for any
+    no-shingle group — defensive only with the current shingles_expr,
+    which maps even empty and null texts to the [''] shingle; a
+    property test pins both settings pair-identical on exactly those
+    degenerate shapes (oracle-gated at three SFs on top). The dedup ladder's home regime is exactly where this
+    pays: real crawls are 20-30% literal copies and the gate corpus
+    is 100% duplicated — the shingle explode (measured: the single
+    most expensive step of the fused plan) runs over the distinct
+    texts only. Measured at the capstone 1M-doc tier (half the
+    corpus literal copies): cluster stage 21.5 s -> 15.7 s. The
+    default is False because the collapse's extra corpus shuffle +
+    group bookkeeping only amortizes once the explode it removes is
+    large — at the sf0.1 gate scale (~12k docs) it costs ~1 s more
+    than it saves; size-gate the flag on the corpus, as the capstone
+    ladder does. NB a
+    pathological group (millions of copies of one text) makes a
+    large _ids array cell — but the CONTRACT (all pairs) is
+    quadratic in that group either way, so the array is never the
+    binding constraint.
     """
+    if collapse_exact:
+        grp = (
+            docs.groupBy(F.md5(F.col(text_col)).alias("_k"))
+            .agg(
+                F.min(id_col).alias(id_col),
+                F.collect_list(id_col).alias("_ids"),
+                F.first(text_col).alias(text_col),
+            )
+            .localCheckpoint(eager=False)
+        )
+        per_doc, rep_pairs = _fused_rep_pairs(
+            grp.select(id_col, text_col),
+            id_col,
+            text_col,
+            num_hashes,
+            bands,
+            k,
+            threshold,
+        )
+        groups = grp.select(F.col(id_col), "_ids")
+        ga = groups.select(
+            F.col(id_col).alias("id_a"), F.col("_ids").alias("_ids_a")
+        )
+        gb = groups.select(
+            F.col(id_col).alias("id_b"), F.col("_ids").alias("_ids_b")
+        )
+        cross = (
+            rep_pairs.join(ga, "id_a")
+            .join(gb, "id_b")
+            .select(F.explode("_ids_a").alias("_a"), "_ids_b", "jaccard")
+            .select("_a", F.explode("_ids_b").alias("_b"), "jaccard")
+            .select(
+                F.least("_a", "_b").alias("id_a"),
+                F.greatest("_a", "_b").alias("id_b"),
+                "jaccard",
+            )
+        )
+        if threshold > 1.0:
+            return cross
+        shingled = groups.join(
+            per_doc.select(F.col(id_col)), id_col, "left_semi"
+        )
+        within = (
+            shingled.where(F.size("_ids") >= 2)
+            .select(F.explode("_ids").alias("id_a"), "_ids")
+            .select("id_a", F.explode("_ids").alias("id_b"))
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.lit(1.0).cast("double").alias("jaccard"),
+            )
+        )
+        return within.unionAll(cross)
+    return _fused_rep_pairs(
+        docs, id_col, text_col, num_hashes, bands, k, threshold
+    )[1]
+
+
+def _fused_rep_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    k: int,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """(per_doc signature table, verified pairs) — the round-12 fused
+    single-pass body, factored so collapse_exact can reuse the per-doc
+    table for its shingled-group guard."""
     sh = exploded_shingles(docs, k, id_col, text_col)
     aggs = minhash_min_exprs(num_hashes)
-    aggs.append(F.collect_set("shingle").alias("sset"))
+    # verification sets carry xxhash64(shingle) int64s, not shingle
+    # strings (optimization round 13, guide §2.3 "narrower types"):
+    # the per-doc aggregate shuffles every document's set, and 8-byte
+    # ids cut that volume several-fold vs ~40-byte word-3-gram
+    # strings, while array_intersect compares longs instead of
+    # strings. Intersection and set sizes — hence every jaccard
+    # double — are unchanged under injectivity (collision odds
+    # ~V^2/2^65; tests audit the gate vocabulary injective, and the
+    # dedup_prefix_filter comment carries the at-scale math). The
+    # minhash base stays md5 — banding and candidate generation are
+    # bit-identical.
+    aggs.append(F.collect_set(F.xxhash64("shingle")).alias("sset"))
     # materialize the per-doc table ONCE (lazy localCheckpoint): its
     # three consumers (banding, set_a, set_b) prune different columns,
     # which specializes the aggregate per consumer and defeats
@@ -392,7 +512,7 @@ def minhash_dedup_fused(
     cands = lsh_candidate_pairs(buckets, id_col=id_col)
     sa = per_doc.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
     sb = per_doc.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
-    return (
+    pairs = (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -415,6 +535,7 @@ def minhash_dedup_fused(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return per_doc, pairs
 
 
 def incremental_dedup(
@@ -469,10 +590,14 @@ def _per_doc_signature_table(
     num_hashes: int,
     k: int,
 ) -> DataFrame:
-    """(id, h0..hN minhashes, sset shingle set) — one shingle pass."""
+    """(id, h0..hN minhashes, sset shingle set) — one shingle pass.
+    sset holds xxhash64(shingle) int64 ids (round 13, same narrower-
+    types rationale and injectivity argument as minhash_dedup_fused;
+    both sides of incremental_dedup encode identically, so the
+    cross-join intersections are exact under the same audit)."""
     sh = exploded_shingles(docs, k, id_col, text_col)
     aggs = minhash_min_exprs(num_hashes)
-    aggs.append(F.collect_set("shingle").alias("sset"))
+    aggs.append(F.collect_set(F.xxhash64("shingle")).alias("sset"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -870,8 +995,25 @@ def duplicate_spans(
         f"i -> CASE WHEN i + {k - 1} <= size(_toks) "
         f"THEN xxhash64(array_join(slice(_toks, i, {k}), ' ')) END)"
     )
-    toked = docs.select(F.col(id_col), F.expr(toks).alias("_toks")).where(
-        F.size("_toks") >= k
+    # Materialize multi-consumed tables ONCE (lazy localCheckpoint —
+    # optimization round 13, guide §2.4/§5, the shingle-once argument
+    # of the r12 fused dedup): toked is always read twice (the gram
+    # hashing below and the candidate verify join), and kg is read
+    # twice on every path EXCEPT pinned skew_robust=False (probe +
+    # count-window, or aggregate + join-back) — without the barriers
+    # each pass re-runs the upstream corpus scan + split + gram
+    # hashing from scratch. On the pinned-False path kg has exactly
+    # one consumer, so a checkpoint there is a pure write cost
+    # (measured +1.5 s on the capstone span stage) and is skipped.
+    # kg rows are a fixed 24 bytes regardless of k, so the
+    # materialized table is the same order as the count-window's
+    # shuffle input, not a blow-up. Measured at the bench's 500k-doc
+    # tier (with the redundant verify count-window below also
+    # dropped): warm wall 9.3-9.6 s -> ~8 s.
+    toked = (
+        docs.select(F.col(id_col), F.expr(toks).alias("_toks"))
+        .where(F.size("_toks") >= k)
+        .localCheckpoint(eager=False)
     )
     kg = (
         toked.select(F.col(id_col), F.expr(hashes).alias("_hashes"))
@@ -882,6 +1024,8 @@ def duplicate_spans(
         .where(F.col("h").isNotNull())
         .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "h")
     )
+    if max_df is not None or skew_robust is not False:
+        kg = kg.localCheckpoint(eager=False)
     if max_df is None and skew_robust is None:
         fraction = min(
             1.0, _SPAN_PROBE_MIN_EXPECTED_HITS / skew_threshold
@@ -947,12 +1091,15 @@ def duplicate_spans(
             .select(id_col, "pos")
         )
     else:
-        wg = Window.partitionBy("gram")
+        # rn > 1 alone is the full condition (round 13): a rank-2 row
+        # exists iff the gram occurs >= 2 times, and rank-1 keepers
+        # are excluded either way — the former count-window over the
+        # same key was a second Window pass for a predicate rn
+        # already implies
         wgo = Window.partitionBy("gram").orderBy(id_col, "pos")
         excise = (
-            cand.withColumn("n_occ", F.count("*").over(wg))
-            .withColumn("rn", F.row_number().over(wgo))
-            .where((F.col("n_occ") >= 2) & (F.col("rn") > 1))
+            cand.withColumn("rn", F.row_number().over(wgo))
+            .where(F.col("rn") > 1)
             .select(id_col, "pos")
         )
     w = Window.partitionBy(id_col).orderBy("pos")

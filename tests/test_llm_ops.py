@@ -83,6 +83,55 @@ def test_minhash_dedup_fused_matches_two_pass(spark, docs):
     assert fused == two_pass and fused  # identical and non-empty
 
 
+def test_minhash_fused_collapse_exact_is_pair_identical(spark):
+    """Round-13 exact-collapse: fused with collapse_exact=True must
+    emit EXACTLY the (id_a, id_b, jaccard) rows of the uncollapsed
+    pipeline on a corpus mixing exact-dup groups of size 1/2/3/4,
+    near-dups, a short (sub-k) duplicated text, empty texts, and a
+    group of null texts. NB both degenerate shapes still shingle
+    (split('', ' ') is [''] and concat_ws drops nulls to ''), so both
+    paths pair them at jaccard 1.0 — and across the empty/null groups
+    too, since their shingle sets are both {''}; the equality below
+    pins all of it."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),
+        (2, base),                      # group of 2
+        (3, base + " extra"),           # near-dup of the group
+        (10, "one two"),                # sub-k text...
+        (11, "one two"),                # ...duplicated (still shingles)
+        (20, ""),                       # empty texts: one '' shingle
+        (21, ""),
+        (30, None),                     # null group: no shingles,
+        (31, None),                     # must emit NO pairs
+        (40, "q r s t u v w x y z a b"),
+        (41, "q r s t u v w x y z a b"),
+        (42, "q r s t u v w x y z a b"),
+        (43, "q r s t u v w x y z a b"),  # group of 4 -> 6 pairs
+        (50, "lonely document completely unlike the others here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.0, 0.3, 1.0):
+        plain = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_dedup_fused(
+                docs, threshold=thr, collapse_exact=False
+            ).collect()
+        }
+        collapsed = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_dedup_fused(
+                docs, threshold=thr, collapse_exact=True
+            ).collect()
+        }
+        assert collapsed == plain, (thr, collapsed ^ plain)
+        assert (20, 21, 1.0) in collapsed  # empty-text group pairs
+        assert (30, 31, 1.0) in collapsed  # null-text group pairs
+    assert {(40, 41), (40, 42), (40, 43), (41, 42), (41, 43), (42, 43)} <= {
+        (a, b) for a, b, _ in collapsed
+    }
+
+
 def test_incremental_dedup_names_best_index_match(spark, docs):
     """Index holds docs 1 and 4; the batch brings an exact copy (2),
     a near copy (3), and an unrelated doc (5). Each flagged batch doc
