@@ -1421,6 +1421,62 @@ def unigram_train(
     # claimed on a separate generation track released one round later.
     step_cycler = CheckpointCycler(spark)
     round_cycler = CheckpointCycler(spark)
+    # DP shuffle sizing (optimization round 13, guide §2 "make
+    # partitioning scale-adaptive"): every step joins and windows
+    # VOCAB-bounded state (<= |subs| rows), but each of the loop's
+    # ~3 jobs per step inherits the session's corpus-sized shuffle
+    # partition count — at the 50k-word bench vocab that is ~40 jobs
+    # of 32 near-empty tasks each, pure scheduling overhead (measured
+    # interleaved: 10.1 s -> 8.6 s warm at the capstone corpus).
+    # Size partitions from the MEASURED subs cardinality (~50k rows
+    # per task), never above the session value — a 100M-word crawl
+    # vocabulary keeps full parallelism, a demo vocabulary stops
+    # paying 32 task launches per tiny job. Restored in the finally.
+    _sp_key = "spark.sql.shuffle.partitions"
+    _sp_prev = spark.conf.get(_sp_key)
+    dp_parts = max(
+        1,
+        min(int(_sp_prev), -(-subs.count() // 50_000)),
+    )
+    best = None
+    spark.conf.set(_sp_key, str(dp_parts))
+    try:
+        best = _unigram_dp_rounds(
+            spark,
+            words,
+            subs,
+            counts,
+            n_rounds,
+            max_len,
+            step_cycler,
+            round_cycler,
+        )
+    finally:
+        spark.conf.set(_sp_key, _sp_prev)
+    return best.join(words.select("word", "wfreq"), "word").select(
+        "word",
+        F.col("wfreq").cast("long").alias("wfreq"),
+        "n_pieces",
+        "seg",
+        F.col("score").cast("long").alias("score"),
+    )
+
+
+def _unigram_dp_rounds(
+    spark,
+    words: DataFrame,
+    subs: DataFrame,
+    counts: DataFrame,
+    n_rounds: int,
+    max_len: int,
+    step_cycler,
+    round_cycler,
+) -> DataFrame:
+    """The hard-EM Viterbi rounds of ``unigram_train``, factored so the
+    caller can scope the DP-sized shuffle-partition override around
+    exactly these vocab-bounded jobs."""
+    from pyspark.sql.window import Window
+
     best = None
     for _ in range(n_rounds):
         scored_subs = subs.join(counts, "piece", "left").select(
@@ -1514,13 +1570,7 @@ def unigram_train(
             .agg(F.sum("wfreq").cast("long").alias("c"))
         ).localCheckpoint(eager=True)
         round_cycler.cycle(best, counts)
-    return best.join(words.select("word", "wfreq"), "word").select(
-        "word",
-        F.col("wfreq").cast("long").alias("wfreq"),
-        "n_pieces",
-        "seg",
-        F.col("score").cast("long").alias("score"),
-    )
+    return best
 
 
 def unigram_apply(
