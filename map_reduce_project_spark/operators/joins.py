@@ -211,6 +211,15 @@ def sized_span_grid(
     Hash-partitioning by the key also pre-establishes the distribution
     every downstream per-key window/join needs, so the explicit
     exchange replaces (not adds to) the one Catalyst would insert.
+
+    NB (r12 advisory): the fixed-unit fast-path row estimate
+    (unix_timestamp delta / step + 1) assumes lo/hi truncated to the
+    unit and wall-clock-fixed steps; under a non-UTC session timezone
+    DST makes INTERVAL 1 DAY/WEEK steps 23/25 h, so the estimate can
+    drift from the true grid size. The count is used ONLY for
+    partition sizing — row values come from sequence() itself and are
+    never affected; a drifted estimate just means slightly off
+    partition counts (the session here pins UTC).
     """
     spark = spans.sparkSession
     spans = spans.localCheckpoint(eager=True)

@@ -385,7 +385,9 @@ def resize_nearest(px: np.ndarray, w: int, h: int) -> np.ndarray:
     return px[rows][:, cols]
 
 
-def spread_rows(df: DataFrame, rows_per_task: int = 2048) -> DataFrame:
+def spread_rows(
+    df: DataFrame, rows_per_task: int = 2048, key_col: str = "doc_id"
+) -> DataFrame:
     """Spread a SMALL-BYTES / HEAVY-PYTHON input across the cluster
     before a mapInPandas stage (optimization round 12, guide §2.5
     input-skew + §4 boundary notes): codec-decode queries synthesize
@@ -395,18 +397,26 @@ def spread_rows(df: DataFrame, rows_per_task: int = 2048) -> DataFrame:
     trio at sf0.1 spent 13-17 s each single-threaded; ~2 s spread).
 
     ROW-count sized (bytes are meaningless here): one metadata-cheap
-    count, then hash-repartition by the first column (deterministic
-    under retries — guide §2.5 warns off round-robin's re-roll risk)
-    to ceil(rows / rows_per_task) partitions, floored at default
-    parallelism, capped at 65536. Per-row values are unchanged, so
-    gate hashes are unaffected."""
+    count, then hash-repartition by ``key_col`` (deterministic under
+    retries — guide §2.5 warns off round-robin's re-roll risk; an
+    EXPLICIT high-cardinality key since round 13, after the r12
+    advisory that keying implicitly on the first column would let a
+    future caller with a low-cardinality or skewed first column
+    silently under-parallelize) to ceil(rows / rows_per_task)
+    partitions, floored at default parallelism, capped at 65536.
+    Per-row values are unchanged, so gate hashes are unaffected."""
+    if key_col not in df.columns:
+        raise ValueError(
+            f"spread_rows: key_col {key_col!r} not in {df.columns} — "
+            "pass the frame's high-cardinality id column"
+        )
     n = df.count()
     sc = df.sparkSession.sparkContext
     parts = max(
         sc.defaultParallelism,
         min(65536, int(n // rows_per_task) + 1),
     )
-    return df.repartition(parts, F.col(df.columns[0]))
+    return df.repartition(parts, F.col(key_col))
 
 
 def attach_fake_payload(
