@@ -903,6 +903,7 @@ def duplicate_spans(
     max_df: int | None = None,
     skew_robust: bool | None = None,
     skew_threshold: int = SPAN_SKEW_THRESHOLD,
+    checkpoint_max_rows: int = 30_000_000,
 ) -> DataFrame:
     """Maximal duplicated token spans of length >= ``k`` across the
     corpus, with exact verification and a deterministic keeper.
@@ -959,6 +960,20 @@ def duplicate_spans(
     matters (explain-only tooling, plan census), as
     ``queries/capstone.py`` does behind its quality-gate bound.
 
+    ``checkpoint_max_rows`` (round 13): on the probe path the token
+    and gram-hash tables are lazily localCheckpointed so the probe,
+    candidate, and verify passes reuse one materialization instead of
+    re-running the corpus scan + explode each — but only when the
+    estimated gram count (one narrow 1%-sampled pre-pass; the bound
+    is a storage budget, only its order of magnitude matters) is at
+    or under this bound.
+    Above it, storing corpus x k-grams rows evicts more than it saves
+    (measured at the 5M-doc depth tier: +54 s from block-manager
+    thrash); size the bound to a fraction of per-host storage memory
+    (~24 bytes/row; the 30M default is ~720 MB). Pinned paths never
+    checkpoint and never run the pre-pass (lazy-construction
+    contract).
+
     Output: (id, span_start, span_end, n_tokens, n_grams) — 1-based
     inclusive token positions of each excisable span. Semantics are
     POSITION-SET based: a position is excisable iff some non-keeper
@@ -995,26 +1010,48 @@ def duplicate_spans(
         f"i -> CASE WHEN i + {k - 1} <= size(_toks) "
         f"THEN xxhash64(array_join(slice(_toks, i, {k}), ' ')) END)"
     )
-    # Materialize multi-consumed tables ONCE (lazy localCheckpoint —
-    # optimization round 13, guide §2.4/§5, the shingle-once argument
-    # of the r12 fused dedup): toked is always read twice (the gram
-    # hashing below and the candidate verify join), and kg is read
-    # twice on every path EXCEPT pinned skew_robust=False (probe +
-    # count-window, or aggregate + join-back) — without the barriers
-    # each pass re-runs the upstream corpus scan + split + gram
-    # hashing from scratch. On the pinned-False path kg has exactly
-    # one consumer, so a checkpoint there is a pure write cost
-    # (measured +1.5 s on the capstone span stage) and is skipped.
-    # kg rows are a fixed 24 bytes regardless of k, so the
-    # materialized table is the same order as the count-window's
-    # shuffle input, not a blow-up. Measured at the bench's 500k-doc
-    # tier (with the redundant verify count-window below also
-    # dropped): warm wall 9.3-9.6 s -> ~8 s.
-    toked = (
-        docs.select(F.col(id_col), F.expr(toks).alias("_toks"))
-        .where(F.size("_toks") >= k)
-        .localCheckpoint(eager=False)
+    # Materialize the multi-consumed tables ONCE — but only when they
+    # FIT (optimization round 13, guide §2.4/§5 with the depth-tier
+    # correction): toked is read twice (gram hashing + the candidate
+    # verify join) and kg twice on the probe path (probe +
+    # count-window / aggregate+join-back), so lazy localCheckpoints
+    # save a full corpus re-scan + re-explode per extra pass — at the
+    # 500k-doc bench tier (with the redundant verify count-window
+    # below also dropped) warm wall 9.3-9.6 s -> ~8 s. BUT the
+    # exploded table is corpus x k-grams rows: at the 5M-doc depth
+    # tier (115M grams, ~2.8 GB + the token arrays) storing it
+    # evicted/thrashed the block manager and the line REGRESSED
+    # 81 -> 135 s. The checkpoints are therefore gated on the EXACT
+    # kg cardinality, computed with one narrow corpus pass (size of
+    # the split only — no explode, no shuffle) that runs ONLY on the
+    # probe path, which already pays construction-time actions by
+    # contract; pinned paths (skew_robust set / max_df) stay fully
+    # lazy and unmaterialized — at 100 TB storing corpus-scale gram
+    # state is never the right trade, the extra explode pass is.
+    toked = docs.select(F.col(id_col), F.expr(toks).alias("_toks")).where(
+        F.size("_toks") >= k
     )
+    probing = max_df is None and skew_robust is None
+    if probing:
+        # 1%-sampled gram-count estimate (the bound is a storage
+        # budget, not arithmetic — only its order of magnitude
+        # matters, and a full pre-pass measurably costs ~1 s per
+        # 500k docs)
+        n_kg = 100 * (
+            docs.sample(withReplacement=False, fraction=0.01, seed=42)
+            .select(F.size(F.expr(toks)).alias("_n"))
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("_n") >= k, F.col("_n") - (k - 1)
+                    ).otherwise(0)
+                )
+            )
+            .collect()[0][0]
+            or 0
+        )
+        if n_kg <= checkpoint_max_rows:
+            toked = toked.localCheckpoint(eager=False)
     kg = (
         toked.select(F.col(id_col), F.expr(hashes).alias("_hashes"))
         .select(
@@ -1024,7 +1061,7 @@ def duplicate_spans(
         .where(F.col("h").isNotNull())
         .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "h")
     )
-    if max_df is not None or skew_robust is not False:
+    if probing and n_kg <= checkpoint_max_rows:
         kg = kg.localCheckpoint(eager=False)
     if max_df is None and skew_robust is None:
         fraction = min(
